@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Dev-only local mirror of the driver's DuckDB correctness gate.
+
+NOT part of the library (the Scala engine has zero Python deps) — this
+uses the driver-side duckdb/pyarrow to pre-validate oracle parity
+before the real gate runs.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetch_df()
+            want = con.execute(sql).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} vs {wc}"); n_fail += 1; continue
+        g, w = got[gc], want[wc]
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
+        # exact value compare, in row order (both sides ORDER BY'd)
+        mism = []
+        for c in gc:
+            a, b = g[c].tolist(), w[c].tolist()
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x != y and not (x is None and y is None) and str(x) != str(y):
+                    mism.append((c, i, x, y))
+                    if len(mism) > 3: break
+            if len(mism) > 3: break
+        if mism:
+            print(f"FAIL {name}: {mism[:3]}"); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

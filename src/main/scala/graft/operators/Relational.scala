@@ -1,0 +1,447 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** A-family: the relational/analytics core (SURVEY.md §2.A).
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part) are
+  * broadcast; fact-fact joins shuffle on their keys and rely on AQE for
+  * skew. Money arithmetic is done in DECIMAL so aggregation is exact and
+  * order-independent (oracle-parity rule §6.1) — the final cast to
+  * DOUBLE is a single deterministic step.
+  */
+object Relational {
+
+  /** Exact money: cast a 2-decimal double column to DECIMAL(18,2). */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** sum of DECIMAL(18,2) → DOUBLE (order-independent, both engines). */
+  private def sumd(c: Column): Column = sum(dec2(c)).cast("double")
+
+  // -------------------------------------------------------------------
+  // q1: TPC-H Q1-style pricing summary.
+  // Scan → filter (pushed to parquet) → partial+final hash agg. One
+  // shuffle on (l_returnflag, l_linestatus) — 6 groups, trivially
+  // balanced at any SF.  Ref: /root/reference/main.py:134-189 computes
+  // per-group summary stats with pandas; this is the Spark-native agg.
+  def q1(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1995-12-01")))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1995-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q2: revenue by nation — 5-way star join.
+  // lineitem⋈orders shuffles on orderkey; orders⋈customer shuffles on
+  // custkey; nation/region are broadcast (≤25 rows at ANY scale factor
+  // — TPC-H dims don't grow with SF). At 100 TB the two fact shuffles
+  // are the cost; everything else is map-side.
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o  = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c  = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q2Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q3: top-10 orders by revenue for one market segment.
+  // Broadcast the filtered customer side is NOT safe at 100 TB (grows
+  // with SF) → plain shuffle join; top-k via global sort+limit, which
+  // Spark executes as per-partition top-k + single-reduce merge
+  // (TakeOrderedAndProject), no full sort.
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val c  = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o  = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q4: order-priority counts for orders having a returned line item.
+  // EXISTS → left-semi join: no row multiplication, the semi side only
+  // ships the join key (l_orderkey) through the shuffle.
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R").select("l_orderkey")
+    Tables.orders(s, dir)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q5: market share — conditional aggregation, share via a scalar
+  // broadcast of the global total (window over empty partition spec
+  // would force a single-partition exchange; a 1-row cross-broadcast
+  // keeps the big side fully parallel).
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val byStatus = o.groupBy(col("o_orderstatus"))
+      .agg(sumd(col("o_totalprice")).as("status_rev"), count(lit(1)).as("n_orders"))
+    val total = o.agg(sumd(col("o_totalprice")).as("total_rev"))
+    byStatus.join(broadcast(total))
+      .select(
+        col("o_orderstatus"), col("status_rev"), col("n_orders"),
+        round(col("status_rev") / col("total_rev"), 6).as("rev_share"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q5Sql: String =
+    """SELECT o_orderstatus,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS status_rev,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) /
+      |        (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders), 6) AS rev_share
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q6: TPC-H Q6-style forecast — pure scan+filter+agg. All three
+  // predicates push down to the parquet scan (verified via .explain:
+  // PushedFilters); single-row result, no shuffle beyond final agg.
+  def q6(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q7: top-3 parts per brand by retail price — windowed top-k. One
+  // shuffle on p_brand; rank ties broken by p_partkey so the cut is
+  // deterministic. At scale the window partition count = |brands|,
+  // bounded; skew impossible (parts uniform over brands).
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  val q7Sql: String =
+    """SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+      |  FROM part) t
+      |WHERE rk <= 3
+      |ORDER BY p_brand, rk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q8: running total of event value per user — running sum in exact
+  // DECIMAL (order-independent across engines given identical ORDER
+  // BY). One shuffle on user_id; frame is cumulative so Spark streams
+  // it in a single pass per partition.
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("running_value", sum(dec2(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q8Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q9: exact distinct users per event type. Spark plans count(distinct)
+  // as a two-phase expand+agg — partial dedup map-side, so the shuffle
+  // carries (event_type, user_id) pairs already deduped per task.
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sumd(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q9Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q10: ROLLUP over (priority, status). Spark executes grouping sets
+  // with a single Expand + hash agg — one shuffle. NULL grouping slots
+  // are coalesced to 'ALL' (source columns are non-null) so ordering
+  // semantics can't diverge between engines.
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("total_rev"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_rev"))
+      .orderBy(col("priority"), col("status"))
+  }
+
+  val q10Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q11: sessionization (gaps-and-islands, 30-min inactivity gap).
+  // Two windows over the SAME (user_id, ts, event_id) ordering → one
+  // shuffle total; Catalyst collapses them into a single Window node.
+  // Timestamps are compared in epoch-millis (identical truncation in
+  // both engines). Streaming twin: Streams.st4 (flatMapGroupsWithState).
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")), col("event_id"))
+    val ms = unix_millis(col("ts"))
+    val withGap = Tables.events(s, dir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || (ms - col("prev_ms")) > 1800000L, 1L).otherwise(0L))
+    withGap
+      .withColumn("session_id",
+        sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        sumd(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q11Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id, ms, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ms) AS start_ms, max(ms) AS end_ms,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q12: pivot event_type → columns. Expressed as conditional agg
+  // (count-if) rather than Dataset.pivot so the plan is a single hash
+  // agg with no distinct-values pre-pass (pivot() runs an extra job to
+  // discover values — wasteful when the domain is known).
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    def cnt(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"))
+      .orderBy(col("user_id"))
+  }
+
+  val q12Sql: String =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
+      |  sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
+      |  sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
+      |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q13: JSON field extraction from the props column. regexp_extract
+  // stays in codegen; at 100 TB prefer from_json with an explicit
+  // schema (single parse) — here the field is scalar so a regex
+  // matches DuckDB semantics exactly.
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val q13Sql: String =
+    """SELECT event_type,
+      |  sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+      |  max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q14: AS-OF join — for each purchase event, the latest click of the
+  // same user at-or-before the purchase. Implemented as union+window
+  // (tag rows, carry last click ts forward) → ONE shuffle on user_id,
+  // no range cross-join, no row explosion — this is the plan that
+  // survives 100 TB. Clicks sort before purchases at equal ts (side=0)
+  // to get the <= semantics of DuckDB's ASOF JOIN oracle.
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"))
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_ms",
+        last(when(col("side") === 0, unix_millis(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("purchase_ms"), col("click_ms"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q14Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS event_id,
+      |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q15 (rows-only): approximate distinct via HLL sketch vs exact.
+  // The HLL implementation is Spark-specific so no SQL oracle; the
+  // spec asserts |approx-exact|/exact < 0.1. At 100 TB approx_count_
+  // distinct is the right default — single pass, fixed memory.
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1 _),
+    "q2_revenue_by_nation" -> (q2 _),
+    "q3_top_orders" -> (q3 _),
+    "q4_order_priority" -> (q4 _),
+    "q5_market_share" -> (q5 _),
+    "q6_revenue_forecast" -> (q6 _),
+    "q7_partition_topk" -> (q7 _),
+    "q8_running_total" -> (q8 _),
+    "q9_distinct_users" -> (q9 _),
+    "q10_rollup" -> (q10 _),
+    "q11_sessionize" -> (q11 _),
+    "q12_event_pivot" -> (q12 _),
+    "q13_json_extract" -> (q13 _),
+    "q14_asof_join" -> (q14 _),
+    "q15_approx_distinct" -> (q15 _))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_revenue_by_nation" -> q2Sql,
+    "q3_top_orders" -> q3Sql,
+    "q4_order_priority" -> q4Sql,
+    "q5_market_share" -> q5Sql,
+    "q6_revenue_forecast" -> q6Sql,
+    "q7_partition_topk" -> q7Sql,
+    "q8_running_total" -> q8Sql,
+    "q9_distinct_users" -> q9Sql,
+    "q10_rollup" -> q10Sql,
+    "q11_sessionize" -> q11Sql,
+    "q12_event_pivot" -> q12Sql,
+    "q13_json_extract" -> q13Sql,
+    "q14_asof_join" -> q14Sql)
+}
