@@ -16,8 +16,8 @@ object SparkEntry {
     Relational.q1(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Cleaning.queries ++ MLPrep.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ Cleaning.oracles ++ MLPrep.oracles
 }

@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.ExactNum._
+
+/** B-family: cleaning / profiling (SURVEY.md §2.B) — the Spark-native
+  * re-expression of the reference's `clean_data` + overview
+  * (/root/reference/main.py:66-129, 134-189).
+  *
+  * The pandas original mutates a single in-memory frame; here every
+  * step is a declarative transform. Imputation/clip parameters are
+  * computed as 1-row DataFrames and broadcast-joined back — no
+  * .collect(), no driver round trip, so the same plan runs on a
+  * 1000-executor cluster unchanged.
+  *
+  * The driver testdata has no NULLs, so the impute operators first
+  * inject them deterministically (a predicate-based mask) — the oracle
+  * applies the identical mask, making the imputation itself the thing
+  * under test.
+  */
+object Cleaning {
+
+  // -------------------------------------------------------------------
+  // c1: one-pass column profile (null/distinct/min/max per column) —
+  // the reference's "Dataset Overview". A single scan computes every
+  // per-column aggregate; the 1-row result is exploded into long form.
+  // (count(DISTINCT a), count(DISTINCT b), ... in one agg → Catalyst
+  // plans a single Expand, still one pass over the data.)
+  def c1(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val str = Seq("o_orderstatus", "o_orderpriority")
+    val aggs =
+      num.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__nn"), countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("double").as(s"${c}__mn"), max(col(c)).cast("double").as(s"${c}__mx"))) ++
+      str.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__nn"), countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).as(s"${c}__mns"), max(col(c)).as(s"${c}__mxs")))
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      num.map(c => struct(lit(c).as("col_name"),
+        col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_num"), col(s"${c}__mx").as("max_num"),
+        lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))) ++
+      str.map(c => struct(lit(c).as("col_name"),
+        col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
+        lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+        col(s"${c}__mns").as("min_str"), col(s"${c}__mxs").as("max_str")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy(col("col_name"))
+  }
+
+  val c1Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,
+      |         CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+      |         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+      |         CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE), NULL, NULL FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', count(o_totalprice), count(DISTINCT o_totalprice),
+      |         min(o_totalprice), max(o_totalprice), NULL, NULL FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', count(o_orderstatus), count(DISTINCT o_orderstatus),
+      |         NULL, NULL, min(o_orderstatus), max(o_orderstatus) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', count(o_orderpriority), count(DISTINCT o_orderpriority),
+      |         NULL, NULL, min(o_orderpriority), max(o_orderpriority) FROM orders
+      |) ORDER BY col_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // c2: median imputation (ref main.py:77-79). NULLs injected where
+  // event_type='error'; the global median of the surviving values is
+  // broadcast back. Exact `percentile` is used for oracle parity — at
+  // 100 TB swap for approx_percentile (sketch, single pass, bounded
+  // memory); the operator shape is identical.
+  def c2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+    val med = ev.agg(expr("percentile(v, 0.5)").as("med"))
+    ev.join(broadcast(med))
+      .withColumn("v_imp", coalesce(col("v"), col("med")))
+      .groupBy(col("event_type"))
+      .agg(count(col("v")).as("n_observed"), count(col("v_imp")).as("n_after_impute"),
+        sumd(col("v_imp")).as("sum_imputed"))
+      .orderBy(col("event_type"))
+  }
+
+  val c2Sql: String =
+    """WITH masked AS (
+      |  SELECT event_type, CASE WHEN event_type <> 'error' THEN value END AS v FROM events
+      |), m AS (SELECT quantile_cont(v, 0.5) AS med FROM masked)
+      |SELECT event_type, count(v) AS n_observed, count(coalesce(v, med)) AS n_after_impute,
+      |  CAST(sum(CAST(coalesce(v, med) AS DECIMAL(18,2))) AS DOUBLE) AS sum_imputed
+      |FROM masked, m
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // c3: mode imputation for categoricals (ref main.py:81-84). NULLs
+  // injected on documents.lang where source='src0'; mode = most
+  // frequent surviving value, ties broken by smallest value (pandas
+  // .mode()[0] semantics). Mode is computed with one groupBy + top-1
+  // sort-limit — no driver collect.
+  def c3(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("lg", when(col("source") =!= "src0", col("lang")))
+    val mode = d.filter(col("lg").isNotNull)
+      .groupBy(col("lg")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("lg")).limit(1)
+      .select(col("lg").as("mode_lang"))
+    d.join(broadcast(mode))
+      .withColumn("lang_imp", coalesce(col("lg"), col("mode_lang")))
+      .groupBy(col("lang_imp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_imp"))
+  }
+
+  val c3Sql: String =
+    """WITH masked AS (
+      |  SELECT doc_id, CASE WHEN source <> 'src0' THEN lang END AS lg FROM documents
+      |), mode AS (
+      |  SELECT lg AS mode_lang FROM masked WHERE lg IS NOT NULL
+      |  GROUP BY lg ORDER BY count(*) DESC, lg LIMIT 1)
+      |SELECT coalesce(lg, mode_lang) AS lang_imp, count(*) AS n_docs
+      |FROM masked, mode
+      |GROUP BY 1
+      |ORDER BY lang_imp""".stripMargin
+
+  // -------------------------------------------------------------------
+  // c4: IQR outlier clipping (ref main.py:120-127): clip l_quantity to
+  // [Q1-1.5*IQR, Q3+1.5*IQR]. Quantiles of integral values at quarter
+  // fractions are exact in FP, so bounds are bit-identical across
+  // engines. Bounds broadcast back; at 100 TB use approx_percentile.
+  def c4(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val q = li.agg(
+      expr("percentile(l_quantity, 0.25)").as("q1"),
+      expr("percentile(l_quantity, 0.75)").as("q3"))
+      .select(col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    li.join(broadcast(q))
+      .withColumn("clipped", least(greatest(col("l_quantity"), col("lo")), col("hi")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_quantity") < col("lo"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("l_quantity") > col("hi"), 1L).otherwise(0L)).as("n_clip_high"),
+        sumd(col("clipped")).as("sum_clipped"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val c4Sql: String =
+    """WITH q AS (
+      |  SELECT quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem
+      |), b AS (SELECT q1 - (q3-q1)*1.5 AS lo, q3 + (q3-q1)*1.5 AS hi FROM q)
+      |SELECT l_returnflag,
+      |  sum(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS n_clip_low,
+      |  sum(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS n_clip_high,
+      |  CAST(sum(CAST(least(greatest(l_quantity, lo), hi) AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
+      |FROM lineitem, b
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // c5: label encoding of a low-cardinality string column (ref
+  // main.py:103-105). Codes are dense ranks over the sorted distinct
+  // values — computed on the (tiny) distinct set, then broadcast-joined
+  // back; the window never sees the full table, so no single-partition
+  // bottleneck at scale.
+  def c5(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val codes = o.select(col("o_orderpriority")).distinct()
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("o_orderpriority"))) - 1).cast("long"))
+    o.join(broadcast(codes), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("code"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("code"))
+  }
+
+  val c5Sql: String =
+    """WITH codes AS (
+      |  SELECT o_orderpriority, row_number() OVER (ORDER BY o_orderpriority) - 1 AS code
+      |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
+      |SELECT o.o_orderpriority, c.code, count(*) AS n_orders
+      |FROM orders o JOIN codes c USING (o_orderpriority)
+      |GROUP BY o.o_orderpriority, c.code
+      |ORDER BY code""".stripMargin
+
+  // -------------------------------------------------------------------
+  // c6: frequency encoding of a high-cardinality string column (ref
+  // main.py:98-101): value → its occurrence count. A count window
+  // partitioned by the column = one shuffle on the encoded key; same
+  // plan as groupBy+join but without materializing the map.
+  def c6(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.withColumn("source_freq", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"), col("source_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c6Sql: String =
+    """SELECT doc_id, source, count(*) OVER (PARTITION BY source) AS source_freq
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // c7: datetime feature expansion (ref main.py:107-118): year, month,
+  // day, hour, ISO weekday (Mon=1), ISO week. All codegen'd scalar
+  // expressions — map-only, no shuffle.
+  def c7(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        year(col("ts")).cast("long").as("ts_year"),
+        month(col("ts")).cast("long").as("ts_month"),
+        dayofmonth(col("ts")).cast("long").as("ts_day"),
+        hour(col("ts")).cast("long").as("ts_hour"),
+        (weekday(col("ts")) + 1).cast("long").as("ts_isodow"),
+        weekofyear(col("ts")).cast("long").as("ts_isoweek"))
+      .orderBy(col("event_id"))
+  }
+
+  val c7Sql: String =
+    """SELECT event_id,
+      |  CAST(year(ts) AS BIGINT) AS ts_year, CAST(month(ts) AS BIGINT) AS ts_month,
+      |  CAST(day(ts) AS BIGINT) AS ts_day, CAST(hour(ts) AS BIGINT) AS ts_hour,
+      |  CAST(isodow(ts) AS BIGINT) AS ts_isodow, CAST(week(ts) AS BIGINT) AS ts_isoweek
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // c8: all-null column detection (ref main.py:72 dropna(axis=1,
+  // how='all')). A synthetic all-null column is added; the profile
+  // marks columns to drop (n_nonnull = 0) in one scan.
+  def c8(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("ghost", lit(null).cast("double"))
+    val aggs = Seq("o_orderkey", "o_totalprice", "o_orderstatus", "ghost")
+      .map(c => count(col(c)).as(s"${c}__nn"))
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val rows = Seq("o_orderkey", "o_totalprice", "o_orderstatus", "ghost").map(c =>
+      struct(lit(c).as("col_name"), col(s"${c}__nn").as("n_nonnull"),
+        (col(s"${c}__nn") === 0).as("drop_col")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy(col("col_name"))
+  }
+
+  val c8Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_nonnull, count(o_orderkey)=0 AS drop_col FROM orders
+      |  UNION ALL SELECT 'o_totalprice', count(o_totalprice), count(o_totalprice)=0 FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', count(o_orderstatus), count(o_orderstatus)=0 FROM orders
+      |  UNION ALL SELECT 'ghost', count(CAST(NULL AS DOUBLE)), count(CAST(NULL AS DOUBLE))=0 FROM orders
+      |) ORDER BY col_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // c9: exact row dedup — keep the first event (by time) per
+  // (user_id, event_type). row_number over the dedup key = one shuffle;
+  // equivalent to dropDuplicates but with a deterministic keep rule
+  // (dropDuplicates keeps an arbitrary row — not oracle-safe).
+  def c9(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(unix_millis(col("ts")), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val c9Sql: String =
+    """SELECT user_id, event_type, event_id AS first_event_id FROM (
+      |  SELECT user_id, event_type, event_id,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_ms(ts), event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_profile" -> (c1 _), "c2_impute_median" -> (c2 _), "c3_impute_mode" -> (c3 _),
+    "c4_outlier_clip" -> (c4 _), "c5_label_encode" -> (c5 _), "c6_freq_encode" -> (c6 _),
+    "c7_date_features" -> (c7 _), "c8_drop_allnull" -> (c8 _), "c9_dedup_rows" -> (c9 _))
+
+  def oracles: Map[String, String] = Map(
+    "c1_profile" -> c1Sql, "c2_impute_median" -> c2Sql, "c3_impute_mode" -> c3Sql,
+    "c4_outlier_clip" -> c4Sql, "c5_label_encode" -> c5Sql, "c6_freq_encode" -> c6Sql,
+    "c7_date_features" -> c7Sql, "c8_drop_allnull" -> c8Sql, "c9_dedup_rows" -> c9Sql)
+}

@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ExactNum._
+
+/** C-family: ML preprocessing (SURVEY.md §2.C) — the Spark-native
+  * re-expression of the reference's `train_model` preprocessing
+  * (/root/reference/main.py:194-385): scaling, splits, class balance,
+  * correlation/feature relevance, histograms, task detection.
+  *
+  * Moments (mean/var/corr) are computed from exact DECIMAL co-moments
+  * in ONE pass, then finished with deterministic FP steps — both
+  * order-independent at any parallelism AND bit-identical to the
+  * single-node oracle. sklearn's StandardScaler/corr are two-pass,
+  * single-node; this shape is what survives 100 TB.
+  */
+object MLPrep {
+
+  // -------------------------------------------------------------------
+  // m1: z-score scaling (ref main.py:244-246 StandardScaler). Sample
+  // stddev (ddof=1, sklearn uses ddof=0 — we document ddof=1 to match
+  // SQL stddev_samp semantics). One agg pass for moments, broadcast
+  // back, map-side transform.
+  def m1(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val mom = o.agg(
+      count(lit(1)).as("n"),
+      sumd(col("o_totalprice")).as("sx"),
+      sumProd(col("o_totalprice"), col("o_totalprice")).as("sxx"))
+      .select(col("n"), (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std"))
+    o.join(broadcast(mom))
+      .select(col("o_orderkey"),
+        round((col("o_totalprice") - col("mean")) / col("std"), 6).as("z"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val m1Sql: String =
+    """WITH mom AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      |  FROM orders
+      |), p AS (SELECT n, sx/n AS mean, sqrt((sxx - sx*sx/n)/(n-1)) AS std FROM mom)
+      |SELECT o_orderkey, round((o_totalprice - mean)/std, 6) AS z
+      |FROM orders, p
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m2: min-max scaling to [0,1] (ref main.py:12 MinMaxScaler import).
+  // min/max are exact; the transform is a single deterministic FP op
+  // per row.
+  def m2(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val mm = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    o.join(broadcast(mm))
+      .select(col("o_orderkey"),
+        round((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")), 6).as("scaled"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val m2Sql: String =
+    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+      |SELECT o_orderkey, round((o_totalprice - mn)/(mx - mn), 6) AS scaled
+      |FROM orders, mm
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m3: deterministic train/test split (ref main.py:241
+  // train_test_split(test_size=0.2)). The oracle-checkable variant is
+  // key-modulo (o_orderkey % 5 = 0 → test, exactly 20%); production
+  // code should hash first — `splitByHash` below — so ordered keys
+  // don't correlate with the split.
+  def m3(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .withColumn("split", when(col("o_orderkey") % 5 === 0, "test").otherwise("train"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"), sumd(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("split"))
+  }
+
+  /** Production split: uniform, key-order-independent (xxhash64). */
+  def splitByHash(df: DataFrame, keyCol: String, testFrac: Double): DataFrame =
+    df.withColumn("split",
+      when(pmod(xxhash64(col(keyCol)), lit(10000)) < (testFrac * 10000).toInt, "test")
+        .otherwise("train"))
+
+  val m3Sql: String =
+    """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY split""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m4: class distribution + imbalance detection + balanced weights
+  // (ref main.py:232-252: is_imbalanced = min/max < 0.2, sklearn
+  // 'balanced' weights = n/(k*n_c)). Tiny second agg over the group
+  // counts — no extra pass over the data.
+  def m4(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_c"))
+    val tot = counts.agg(sum(col("n_c")).as("n"), count(lit(1)).as("k"),
+      (min(col("n_c")).cast("double") / max(col("n_c"))).as("ratio"))
+    counts.join(broadcast(tot))
+      .select(col("event_type"), col("n_c"),
+        round(col("n_c").cast("double") / col("n"), 6).as("frac"),
+        (col("ratio") < 0.2).as("imbalanced"),
+        round(col("n").cast("double") / (col("k") * col("n_c")), 6).as("class_weight"))
+      .orderBy(col("event_type"))
+  }
+
+  val m4Sql: String =
+    """WITH counts AS (SELECT event_type, count(*) AS n_c FROM events GROUP BY event_type),
+      |tot AS (SELECT sum(n_c) AS n, count(*) AS k,
+      |        CAST(min(n_c) AS DOUBLE)/max(n_c) AS ratio FROM counts)
+      |SELECT event_type, n_c,
+      |  round(CAST(n_c AS DOUBLE)/n, 6) AS frac,
+      |  ratio < 0.2 AS imbalanced,
+      |  round(CAST(n AS DOUBLE)/(k*n_c), 6) AS class_weight
+      |FROM counts, tot
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m5: Pearson correlation matrix (ref main.py:164-175) over lineitem
+  // numerics, from exact decimal co-moments in ONE scan (pandas corr is
+  // single-node, multi-pass). corr = (n*Sxy - Sx*Sy) /
+  // (sqrt(n*Sxx-Sx^2)*sqrt(n*Syy-Sy^2)).
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def m5(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val pairs = for { i <- corrCols.indices; j <- corrCols.indices if i < j }
+      yield (corrCols(i), corrCols(j))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      corrCols.flatMap(c => Seq(sumd(col(c)).as(s"s_$c"), sumProd(col(c), col(c)).as(s"ss_$c"))) ++
+      pairs.map { case (a, b) => sumProd(col(a), col(b)).as(s"sp_${a}__$b") }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    def corrExpr(a: String, b: String): Column =
+      round((col("n") * col(s"sp_${a}__$b") - col(s"s_$a") * col(s"s_$b")) /
+        (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+         sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), corrExpr(a, b).as("corr")) }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  val m5Sql: String = {
+    def one(a: String, b: String) =
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, round(
+         |  (n*sp_${a}__$b - s_$a*s_$b) /
+         |  (sqrt(n*ss_$a - s_$a*s_$a) * sqrt(n*ss_$b - s_$b*s_$b)), 6) AS corr FROM mom""".stripMargin
+    val pairs = for { i <- corrCols.indices; j <- corrCols.indices if i < j }
+      yield (corrCols(i), corrCols(j))
+    val moms = Seq("count(*) AS n") ++
+      corrCols.flatMap(c => Seq(
+        s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS s_$c",
+        s"CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS ss_$c")) ++
+      pairs.map { case (a, b) =>
+        s"CAST(sum(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE) AS sp_${a}__$b" }
+    s"""WITH mom AS (SELECT ${moms.mkString(", ")} FROM lineitem)
+       |SELECT * FROM (${pairs.map { case (a, b) => one(a, b) }.mkString(" UNION ALL ")})
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // m6: feature relevance — |corr| of each feature with the target
+  // (l_extendedprice), ranked. The declarative analogue of the
+  // reference's feature-importance ranking (main.py:374-383) that
+  // doesn't need a trained model.
+  def m6(s: SparkSession, dir: String): DataFrame = {
+    val target = "l_extendedprice"
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, dir)
+    val aggs = Seq(count(lit(1)).as("n"),
+      sumd(col(target)).as("s_t"), sumProd(col(target), col(target)).as("ss_t")) ++
+      feats.flatMap(c => Seq(sumd(col(c)).as(s"s_$c"), sumProd(col(c), col(c)).as(s"ss_$c"),
+        sumProd(col(c), col(target)).as(s"sp_$c")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows = feats.map { c =>
+      val corr = (col("n") * col(s"sp_$c") - col(s"s_$c") * col("s_t")) /
+        (sqrt(col("n") * col(s"ss_$c") - col(s"s_$c") * col(s"s_$c")) *
+         sqrt(col("n") * col("ss_t") - col("s_t") * col("s_t")))
+      struct(lit(c).as("feature"), round(abs(corr), 6).as("abs_corr"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy(col("abs_corr").desc, col("feature"))
+  }
+
+  val m6Sql: String = {
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val moms = Seq("count(*) AS n",
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_t",
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ss_t") ++
+      feats.flatMap(c => Seq(
+        s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS s_$c",
+        s"CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS ss_$c",
+        s"CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp_$c"))
+    val rows = feats.map(c =>
+      s"""SELECT '$c' AS feature, round(abs(
+         |  (n*sp_$c - s_$c*s_t) / (sqrt(n*ss_$c - s_$c*s_$c) * sqrt(n*ss_t - s_t*s_t))), 6) AS abs_corr
+         |FROM mom""".stripMargin)
+    s"""WITH mom AS (SELECT ${moms.mkString(", ")} FROM lineitem)
+       |SELECT * FROM (${rows.mkString(" UNION ALL ")})
+       |ORDER BY abs_corr DESC, feature""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // m7 (rows-only): MLlib RandomForest feature importances — the
+  // distributed twin of the reference's model-based importances
+  // (main.py:374-383). Seeded for stability; no SQL oracle (tree
+  // training isn't SQL-expressible).
+  def m7(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.RandomForestRegressor
+    val feats = Array("l_quantity", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, dir).select(
+      (feats.map(col) :+ col("l_extendedprice").as("label")): _*)
+    val assembled = new VectorAssembler()
+      .setInputCols(feats).setOutputCol("features").transform(li)
+    val model = new RandomForestRegressor()
+      .setNumTrees(10).setMaxDepth(5).setSeed(42)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(assembled)
+    val imps = model.featureImportances.toArray
+    val rows = feats.zip(imps).map { case (f, i) => (f, math.rint(i * 1e6) / 1e6) }
+    s.createDataFrame(rows.toSeq).toDF("feature", "importance")
+      .orderBy(col("importance").desc, col("feature"))
+  }
+
+  // -------------------------------------------------------------------
+  // m8: fixed-width histogram (ref main.py:178-187 histplot): 20 equal
+  // buckets over [min,max]. Bounds broadcast; bucketing is map-side; the
+  // group-by shuffles 20 keys.
+  def m8(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val mm = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    o.join(broadcast(mm))
+      .withColumn("bucket",
+        least(floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 20)), lit(19L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val m8Sql: String =
+    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+      |SELECT least(floor((o_totalprice - mn)/((mx - mn)/20)), 19) AS bucket, count(*) AS n
+      |FROM orders, mm
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m9: categorical value counts (ref main.py:152-154 countplot).
+  def m9(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("c_mktsegment"))
+  }
+
+  val m9Sql: String =
+    """SELECT c_mktsegment, count(*) AS n FROM customer
+      |GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m10: task detection (ref main.py:225: classification iff
+  // nunique < 20) over candidate target columns.
+  def m10(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val one = ev.agg(
+      countDistinct(col("event_type")).as("nd_event_type"),
+      countDistinct(col("user_id")).as("nd_user_id"),
+      countDistinct(col("value")).as("nd_value"))
+    val rows = Seq("event_type", "user_id", "value").map(c =>
+      struct(lit(c).as("col_name"), col(s"nd_$c").as("n_distinct"),
+        when(col(s"nd_$c") < 20, "classification").otherwise("regression").as("task")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy(col("col_name"))
+  }
+
+  val m10Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'event_type' AS col_name, count(DISTINCT event_type) AS n_distinct,
+      |    CASE WHEN count(DISTINCT event_type) < 20 THEN 'classification' ELSE 'regression' END AS task FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', count(DISTINCT user_id),
+      |    CASE WHEN count(DISTINCT user_id) < 20 THEN 'classification' ELSE 'regression' END FROM events
+      |  UNION ALL
+      |  SELECT 'value', count(DISTINCT value),
+      |    CASE WHEN count(DISTINCT value) < 20 THEN 'classification' ELSE 'regression' END FROM events
+      |) ORDER BY col_name""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_standard_scale" -> (m1 _), "m2_minmax_scale" -> (m2 _), "m3_split" -> (m3 _),
+    "m4_class_balance" -> (m4 _), "m5_corr_matrix" -> (m5 _), "m6_target_corr" -> (m6 _),
+    "m7_feature_importance" -> (m7 _), "m8_histogram" -> (m8 _), "m9_value_counts" -> (m9 _),
+    "m10_task_detect" -> (m10 _))
+
+  def oracles: Map[String, String] = Map(
+    "m1_standard_scale" -> m1Sql, "m2_minmax_scale" -> m2Sql, "m3_split" -> m3Sql,
+    "m4_class_balance" -> m4Sql, "m5_corr_matrix" -> m5Sql, "m6_target_corr" -> m6Sql,
+    "m8_histogram" -> m8Sql, "m9_value_counts" -> m9Sql, "m10_task_detect" -> m10Sql)
+}
