@@ -16,8 +16,12 @@ object SparkEntry {
     Relational.q1(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Cleaning.queries ++ MLPrep.queries
+    Relational.queries ++ Cleaning.queries ++ MLPrep.queries ++
+      TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries ++ graft.streaming.Streams.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Cleaning.oracles ++ MLPrep.oracles
+    Relational.oracles ++ Cleaning.oracles ++ MLPrep.oracles ++
+      TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles ++ graft.streaming.Streams.oracles
 }

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable text/hash primitives (SURVEY.md §2.D/E).
+  *
+  * Everything here is pure 64-bit integer arithmetic over built-in
+  * array expressions — (a) it stays inside whole-stage codegen (no
+  * UDFs), and (b) each primitive has a DuckDB SQL twin generated from
+  * the SAME Scala constants (the `*Sql` builders below), so oracle
+  * parity is structural, not coincidental.
+  *
+  * Hash quality note: `tcode` is a weak positional token code (length +
+  * boundary chars), sufficient to discriminate a natural-language
+  * vocabulary for MinHash/SimHash banding; collisions only make the
+  * sketch slightly more permissive and occur identically in both
+  * engines. For production-grade sketches swap in xxhash64 — the
+  * operator shapes don't change.
+  */
+object TextFunctions {
+  val P: Long = 2147483647L           // 2^31-1, Mersenne prime modulus
+  val FpMod: Long = 1000000007L       // fingerprint modulus
+  val MinhashK = 16                   // signature length
+  val Bands = 4                       // LSH bands (rows per band = 4)
+  val SimBits = 16                    // SimHash width
+
+  def permA(i: Int): Long = ((2L * i + 1) * 1103515245L) % P
+  def permB(i: Int): Long = (i * 40503L + 6789L) % P
+  val pow31: Seq[Long] = (0 until 8).scanLeft(1L)((a, _) => a * 31L).take(8)
+
+  // ---------------- Spark Column side ----------------
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Weak portable token code — see class doc. */
+  def tcode(t: Column): Column =
+    length(t).cast("long") * 1000003L + ascii(t) * 81761L +
+      ascii(reverse(t)) * 3119L + ascii(substring(concat(t, lit("xx")), 2, 1)) * 31L
+
+  def tokenCodes(text: Column): Column = transform(tokens(text), t => tcode(t))
+
+  /** i-th MinHash: min over token codes of (A_i*c + B_i) mod P. */
+  def minhash(codes: Column, i: Int): Column =
+    array_min(transform(codes, c => (c * permA(i) + permB(i)) % P))
+
+  /** LSH band key: 4 consecutive minhashes packed base-P' (31-bit each,
+    * combined with *31 chaining — fits in a BIGINT). */
+  def bandKey(codes: Column, band: Int): Column =
+    (0 until MinhashK / Bands).map(r => minhash(codes, band * (MinhashK / Bands) + r))
+      .reduce((acc, h) => acc * 31L + h)
+
+  /** SimHash bit-majority sum for bit b: Σ over tokens of bit_b(g(c)). */
+  private def simBitSum(codes: Column, b: Int): Column =
+    aggregate(codes, lit(0L),
+      (acc, c) => acc + shiftright((c * 1103515245L + 12345L) % P, b).bitwiseAND(1L))
+
+  /** 16-bit SimHash: bit b set iff the majority of token-hash bits are 1. */
+  def simhash16(codes: Column): Column =
+    (0 until SimBits).map { b =>
+      when(simBitSum(codes, b) * 2 > size(codes), 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Positional polynomial fingerprint: Σ code_i · 31^((i-1) mod 8) mod M.
+    * Per-term mod keeps partial sums well inside BIGINT range. */
+  def fingerprint(codes: Column): Column = {
+    val pows = array(pow31.map(lit): _*)
+    aggregate(
+      zip_with(codes, sequence(lit(1), size(codes)),
+        (c, i) => (c * element_at(pows, (i - lit(1)) % 8 + lit(1))) % FpMod),
+      lit(0L), (acc, x) => acc + x) % FpMod
+  }
+
+  /** Distinct word-3-gram shingles (guarded for short docs). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)), element_at(toks, i + lit(2))))))
+      .otherwise(array().cast("array<string>"))
+
+  // ---------------- DuckDB SQL twins (same constants) ----------------
+
+  /** SQL: token list of column `c`. */
+  def tokensSql(c: String): String = s"string_split($c, ' ')"
+
+  /** SQL: tcode of a scalar token expression `t`. */
+  def tcodeSql(t: String): String =
+    s"(length($t)*1000003 + ascii($t)*81761 + ascii(reverse($t))*3119 + ascii(substr($t || 'xx', 2, 1))*31)"
+
+  /** SQL: list of token codes for text column `c`. */
+  def tokenCodesSql(c: String): String =
+    s"list_transform(${tokensSql(c)}, t -> ${tcodeSql("t")})"
+
+  /** SQL: i-th minhash over a codes-list expression. */
+  def minhashSql(codes: String, i: Int): String =
+    s"list_min(list_transform($codes, c -> (c*${permA(i)} + ${permB(i)}) % $P))"
+
+  def bandKeySql(codes: String, band: Int): String =
+    (0 until MinhashK / Bands).map(r => minhashSql(codes, band * (MinhashK / Bands) + r))
+      .reduce((acc, h) => s"(($acc)*31 + $h)")
+
+  def simhash16Sql(codes: String): String =
+    (0 until SimBits).map { b =>
+      s"(CASE WHEN 2*CAST(list_sum(list_transform($codes, c -> ((c*1103515245 + 12345) % $P >> $b) & 1)) AS BIGINT) > len($codes) THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def fingerprintSql(codes: String): String = {
+    val pows = pow31.mkString("[", ", ", "]")
+    s"CAST(list_sum(list_transform(generate_series(1, len($codes)), i -> (($codes)[i] * ($pows)[(i-1)%8 + 1]) % $FpMod)) AS BIGINT) % $FpMod"
+  }
+
+  def shingles3Sql(toks: String): String =
+    s"CASE WHEN len($toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len($toks)-2), i -> ($toks)[i] || ' ' || ($toks)[i+1] || ' ' || ($toks)[i+2])) ELSE [] END"
+}

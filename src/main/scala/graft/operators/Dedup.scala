@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** E-family: deduplication (SURVEY.md §2.E) — the operators a 100 TB
+  * pretraining-data pipeline runs before anything else.
+  *
+  * Scale design: every candidate-generation step is a bucket join
+  * (hash-groupBy or band-key self-join), never an O(n²) cross join.
+  * The oracle queries exercise the similarity/sketch math on
+  * deterministic consecutive-id candidate pairs (non-empty at every
+  * SF); the library APIs (`dedupExact`, `minhashCandidatePairs`)
+  * produce real candidate sets at scale.
+  */
+object Dedup {
+
+  /** Library API: exact-dedup `df` on `textCol`, keeping the smallest
+    * `idCol` per distinct text. The shuffle key is md5(text) — 16
+    * bytes instead of the full document. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Library API: LSH candidate pairs — explode (doc, band, bandKey),
+    * self-join per (band, key) bucket, emit (minId, maxId) once.
+    * Bucket sizes are bounded by the band width, so the join output is
+    * near-linear in the number of true near-dup clusters. */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val codes = tokenCodes(col(textCol))
+    val withBands = docs.select(col(idCol).as("id"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), bandKey(codes, b).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    withBands.as("a").join(withBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
+  // -------------------------------------------------------------------
+  // d1: exact-dedup summary — corpus size, distinct texts, duplicate
+  // groups, removable copies. One hash-groupBy on md5(text) (dup
+  // groups exist at sf0.1: 5000 docs / 4992 distinct).
+  def d1(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(col("cnt") - 1).as("n_extra_copies"))
+  }
+
+  val d1Sql: String =
+    """SELECT sum(cnt) AS n_docs, count(*) AS n_unique,
+      |  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+      |  sum(cnt - 1) AS n_extra_copies
+      |FROM (SELECT md5(text) AS h, count(*) AS cnt FROM documents GROUP BY 1)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // d2: word-3-gram shingle Jaccard on consecutive-id candidate pairs.
+  // In production the pairs come from minhashCandidatePairs; the
+  // Jaccard verify step is identical.
+  def d2(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni").cast("long").as("uni"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  val d2Sql: String = {
+    val sh = shingles3Sql(tokensSql("text"))
+    s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       |ORDER BY doc_a""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // d3: MinHash(16) + 4-band LSH — per-doc band keys and bucket sizes
+  // (the bucket-join fan-out a dedup run would pay). sz_k > 1 marks a
+  // doc with at least one candidate mate in band k.
+  def d3(s: SparkSession, dir: String): DataFrame = {
+    val codes = tokenCodes(col("text"))
+    val withKeys = Tables.documents(s, dir).select(
+      (col("doc_id") +: (0 until Bands).map(b => bandKey(codes, b).as(s"b$b"))): _*)
+    val withSizes = (0 until Bands).foldLeft(withKeys) { (df, b) =>
+      df.withColumn(s"sz$b", count(lit(1)).over(Window.partitionBy(col(s"b$b"))))
+    }
+    withSizes.orderBy(col("doc_id"))
+  }
+
+  val d3Sql: String = {
+    val codes = tokenCodesSql("text")
+    val keys = (0 until Bands).map(b => s"${bandKeySql("codes", b)} AS b$b").mkString(", ")
+    val sizes = (0 until Bands).map(b => s"count(*) OVER (PARTITION BY b$b) AS sz$b").mkString(", ")
+    s"""WITH c AS (SELECT doc_id, $codes AS codes FROM documents),
+       |k AS (SELECT doc_id, $keys FROM c)
+       |SELECT doc_id, b0, b1, b2, b3, $sizes
+       |FROM k
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // d4: 16-bit SimHash + hamming distance on consecutive pairs
+  // (near-dup iff hamming ≤ 3). SimHash is one map-side pass; at scale
+  // near-dup candidates come from hamming-ball bucketing on hash
+  // prefixes, same shape as d3.
+  def d4(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), simhash16(tokenCodes(col("text"))).as("sim"))
+    val a = d.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"),
+        col("hamming"), (col("hamming") <= 3).as("near_dup"))
+      .orderBy(col("doc_a"))
+  }
+
+  val d4Sql: String = {
+    val codes = tokenCodesSql("text")
+    s"""WITH c AS (SELECT doc_id, $codes AS codes FROM documents),
+       |s AS (SELECT doc_id, ${simhash16Sql("codes")} AS sim FROM c)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sim_a, b.sim AS sim_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming,
+       |  bit_count(xor(a.sim, b.sim)) <= 3 AS near_dup
+       |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+       |ORDER BY doc_a""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // d5: embedding near-dup — cosine on consecutive embedding pairs,
+  // flagged at τ=0.8. Production candidates come from s2's LSH
+  // buckets; the cosine verify step is identical.
+  def d5(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
+        (col("cos") > 0.8).as("near_dup"))
+      .orderBy(col("id_a"))
+  }
+
+  val d5Sql: String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round($cos, 6) AS cos, $cos > 0.8 AS near_dup
+       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |ORDER BY id_a""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> (d1 _), "d2_ngram_jaccard" -> (d2 _), "d3_minhash_lsh" -> (d3 _),
+    "d4_simhash" -> (d4 _), "d5_embedding_neardup" -> (d5 _))
+
+  def oracles: Map[String, String] = Map(
+    "d1_dedup_exact" -> d1Sql, "d2_ngram_jaccard" -> d2Sql, "d3_minhash_lsh" -> d3Sql,
+    "d4_simhash" -> d4Sql, "d5_embedding_neardup" -> d5Sql)
+}

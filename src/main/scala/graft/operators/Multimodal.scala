@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** G-family: multimodal columns (SURVEY.md §2.G).
+  *
+  * Images/audio/video are opaque `binary` columns plus typed metadata;
+  * the heavy decode runs as a batched partition-level function (the
+  * Scala analogue of mapInPandas). The decode itself is STUBBED — the
+  * image/audio libs aren't in this container — with a deterministic
+  * fake; the Spark-side plumbing (schema, batching, partitioning) is
+  * real and tested.
+  */
+object Multimodal {
+
+  // -------------------------------------------------------------------
+  // mm1: binary payload + typed metadata. Payload is the utf-8 encoding
+  // of the text (a stand-in for real media bytes); metadata (byte size,
+  // modality kind) is computed without ever decoding — the cheap
+  // pruning pass a media pipeline runs first. Map-only.
+  def mm1(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (ascii(col("text")) % 3 + 1).cast("int")).as("kind"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mm1Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  (['image', 'audio', 'video'])[ascii(text) % 3 + 1] AS kind
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // mm2 (rows-only): batched feature extraction over binary payloads.
+  // mapPartitions processes a whole partition per call (amortizing any
+  // per-batch model-load cost, exactly like mapInPandas batches); the
+  // decode step is a deterministic stub. Output schema is the real one
+  // a vision tower would produce: (id, width, height, feature vector).
+  def mm2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    docs.mapPartitions { batch =>
+      // STUB decode: a real implementation calls the media library here,
+      // once per partition-batch. The fake derives deterministic
+      // "features" from the bytes so the plumbing is testable.
+      batch.map { case (id, bytes) =>
+        val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+        val w = 64 + (checksum % 64).toInt
+        val h = 64 + ((checksum / 64) % 64).toInt
+        val feats = Array.tabulate(4)(i => ((checksum >> (8 * i)) & 0xff).toDouble / 255.0)
+        (id, w, h, feats)
+      }
+    }.toDF("doc_id", "width", "height", "features")
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
+  // mm3: frame sampling from video metadata — every 10th frame index,
+  // with a timestamp at 24 fps. explode(sequence) is the scalable way
+  // to fan one row out to its frames (no driver loop, no UDF).
+  def mm3(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_chars") - 1, lit(10L))))
+      .select(col("doc_id"), col("frame_idx"),
+        round(col("frame_idx") / 24.0, 6).as("ts_sec"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val mm3Sql: String =
+    """SELECT doc_id, f AS frame_idx, round(f/24.0, 6) AS ts_sec
+      |FROM documents, LATERAL (SELECT unnest(generate_series(0, n_chars-1, 10)) AS f)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_binary_meta" -> (mm1 _), "mm2_feature_extract" -> (mm2 _), "mm3_frame_sample" -> (mm3 _))
+
+  def oracles: Map[String, String] = Map(
+    "mm1_binary_meta" -> mm1Sql, "mm3_frame_sample" -> mm3Sql)
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions.P
+import graft.functions.VectorFunctions._
+
+/** F-family: similarity search over `embeddings` (SURVEY.md §2.F).
+  *
+  * Brute-force top-k (s1) broadcasts the small query side — the right
+  * plan when |queries| ≪ |corpus| (map-side compute, per-partition
+  * top-k, single-reduce merge). The 100 TB path is s2: bucket vectors
+  * with random-hyperplane LSH and only score within buckets — the
+  * cross join disappears entirely.
+  */
+object Similarity {
+
+  /** Library API: brute-force cosine top-k of `queries` against
+    * `corpus` (both with (id, embedding)). Queries are broadcast. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = broadcast(queries.select(col("id").as("q_id"), col("embedding").as("qe")))
+      .join(corpus.select(col("id").as("cand_id"), col("embedding").as("ce")))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  // -------------------------------------------------------------------
+  // s1: brute-force cosine top-3 — 5 query vectors vs the rest.
+  def s1(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    cosineTopK(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") >= 5).select(col("vec_id").as("id"), col("embedding")),
+      3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val s1Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $cos AS cos
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < 5 AND c.vec_id >= 5
+       |), ranked AS (
+       |  SELECT q_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |  FROM pairs)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // s2 (rows-only): LSH-bucketed ANN. 8 deterministic pseudo-random
+  // hyperplanes (sign of an integer hash per (dim, plane)); vectors
+  // hash to an 8-bit bucket; scoring happens ONLY within a bucket —
+  // the plan is a hash join on bucket, linear in corpus size. Recall
+  // is tunable via planes/probes; the spec checks bucket-mates rank
+  // identically to brute force.
+  private def hpSign(dim: Column, plane: Int): Column =
+    when(((dim * 2654435761L + lit(plane) * 97L) % P) % 2 === 1, 1.0).otherwise(-1.0)
+
+  def lshBucket(emb: Column): Column =
+    (0 until 8).map { p =>
+      val sdot = aggregate(
+        zip_with(emb, sequence(lit(1), size(emb)),
+          (x, i) => x.cast("double") * hpSign(i, p)),
+        lit(0.0), (acc, x) => acc + x)
+      when(sdot > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  def s2(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("bucket", lshBucket(col("embedding")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
+    val pairs = broadcast(q).join(c, Seq("bucket"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("bucket"), col("rk").cast("long").as("rk"),
+        col("cand_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // -------------------------------------------------------------------
+  // s3: vector stats per label — count, mean norm, centroid norm.
+  // Norms are map-side; the centroid is a posexplode + two-level agg
+  // (64·|labels| intermediate rows). Decimal casts keep the sums
+  // order-independent (§6.1).
+  def s3(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val perLabel = e
+      .withColumn("nrm", norm(col("embedding")).cast("decimal(28,12)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("nrm")).cast("double") / count(lit(1)), 6).as("avg_norm"))
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x").cast("double").cast("decimal(28,12)")).cast("double").as("s"))
+      .groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("ssq"))
+    perLabel.join(centroids, Seq("label"))
+      .join(broadcast(perLabel.select(col("label"), col("n_vecs").as("n2"))), Seq("label"))
+      .select(col("label"), col("n_vecs"), col("avg_norm"),
+        round(sqrt(col("ssq")) / col("n_vecs"), 6).as("centroid_norm"))
+      .orderBy(col("label"))
+  }
+
+  val s3Sql: String =
+    s"""WITH norms AS (
+       |  SELECT label, CAST(sqrt(${normSqSql("embedding")}) AS DECIMAL(28,12)) AS nrm
+       |  FROM embeddings
+       |), per_label AS (
+       |  SELECT label, count(*) AS n_vecs,
+       |    round(CAST(sum(nrm) AS DOUBLE)/count(*), 6) AS avg_norm
+       |  FROM norms GROUP BY label
+       |), dims AS (
+       |  SELECT label, i,
+       |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+       |  GROUP BY label, i
+       |), cents AS (SELECT label, sum(s*s) AS ssq FROM dims GROUP BY label)
+       |SELECT p.label AS label, p.n_vecs AS n_vecs, p.avg_norm AS avg_norm,
+       |  round(sqrt(c.ssq)/p.n_vecs, 6) AS centroid_norm
+       |FROM per_label p JOIN cents c ON p.label = c.label
+       |ORDER BY label""".stripMargin
+
+  // -------------------------------------------------------------------
+  // s4: k-NN classification — 20 query vectors, 5 nearest neighbors
+  // among the rest, majority vote (ties → smallest label). The vote is
+  // a second tiny aggregation over the top-k pairs.
+  def s4(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("label").as("true_label"))
+    val c = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label").as("cand_label"))
+    val pairs = broadcast(q).join(c)
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    val votes = pairs.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
+      .groupBy(col("q_id"), col("true_label"), col("cand_label"))
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("cand_label"))
+    votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("cand_label").as("pred_label"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
+  val s4Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id AS q_id, q.label AS true_label,
+       |         c.vec_id AS cand_id, c.label AS cand_label, $cos AS cos
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < 20 AND c.vec_id >= 20
+       |), top5 AS (
+       |  SELECT * FROM (
+       |    SELECT q_id, true_label, cand_label,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |    FROM pairs) WHERE rk <= 5
+       |), votes AS (
+       |  SELECT q_id, true_label, cand_label, count(*) AS votes
+       |  FROM top5 GROUP BY q_id, true_label, cand_label)
+       |SELECT q_id, true_label, cand_label AS pred_label, votes FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, cand_label) AS vr
+       |  FROM votes) WHERE vr = 1
+       |ORDER BY q_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> (s1 _), "s2_ann_lsh" -> (s2 _),
+    "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _))
+
+  def oracles: Map[String, String] = Map(
+    "s1_cosine_topk" -> s1Sql, "s3_vector_stats" -> s3Sql, "s4_knn_classify" -> s4Sql)
+}

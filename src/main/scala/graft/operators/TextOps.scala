@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** D-family: text analysis over `documents` (SURVEY.md §2.D) — the
+  * building blocks of a training-data quality pipeline: token counts,
+  * quality scoring, language ID, fingerprinting. All map-only (no
+  * shuffle except the final presentation ORDER BY), so throughput at
+  * 100 TB is scan-bound.
+  */
+object TextOps {
+
+  // -------------------------------------------------------------------
+  // t1: token counting — whitespace tokens + a BPE-ish alpha-run count
+  // (regexp_count stays in codegen).
+  def t1(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha_runs"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t1Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${tokensSql("text")}) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+       |  CAST(length(text) AS BIGINT) AS n_chars_calc
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t2: quality score — length saturation × (1 − punct ratio) ×
+  // (1 − stopword ratio). The gating heuristic a pretraining pipeline
+  // runs before anything expensive.
+  private val stopwords = Seq("the", "a", "of", "and", "in")
+
+  def t2(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val nPunct = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"), nStop.as("n_stop"),
+        round(least(lit(1.0), length(col("text")) / 500.0) *
+          (lit(1.0) - nPunct.cast("double") / length(col("text"))) *
+          (lit(1.0) - nStop.cast("double") / nTok), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t2Sql: String = {
+    val toks = tokensSql("text")
+    val inList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len($toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter($toks, t -> t IN ($inList))) AS BIGINT) AS n_stop,
+       |  round(least(1.0, length(text)/500.0)
+       |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)/length(text))
+       |    * (1.0 - CAST(len(list_filter($toks, t -> t IN ($inList))) AS DOUBLE)/len($toks)), 6) AS quality
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // t3: language ID — stopword-marker overlap, argmax with a
+  // deterministic tie order (en > es > de > und). A real pipeline uses
+  // character n-gram profiles; the operator shape (per-doc marker
+  // counts → argmax) is the same and stays map-only.
+  private val markers = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "die", "das"))
+
+  def t3(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val cnt = markers.map { case (lg, ws) =>
+      lg -> size(filter(toks, t => t.isin(ws: _*))).cast("long") }.toMap
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        cnt("en").as("en_cnt"), cnt("es").as("es_cnt"), cnt("de").as("de_cnt"),
+        when(cnt("en") >= cnt("es") && cnt("en") >= cnt("de") && cnt("en") > 0, "en")
+          .when(cnt("es") >= cnt("de") && cnt("es") > 0, "es")
+          .when(cnt("de") > 0, "de")
+          .otherwise("und").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t3Sql: String = {
+    val toks = tokensSql("text")
+    def c(ws: Seq[String]) =
+      s"CAST(len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+    val en = c(markers(0)._2); val es = c(markers(1)._2); val de = c(markers(2)._2)
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  $en AS en_cnt, $es AS es_cnt, $de AS de_cnt,
+       |  CASE WHEN $en >= $es AND $en >= $de AND $en > 0 THEN 'en'
+       |       WHEN $es >= $de AND $es > 0 THEN 'es'
+       |       WHEN $de > 0 THEN 'de'
+       |       ELSE 'und' END AS pred_lang
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // t4: positional polynomial fingerprint — order-sensitive (catches
+  // reordered near-dups that bag-of-words hashing misses), integer
+  // arithmetic, identical mod chain in both engines.
+  def t4(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(tokenCodes(col("text"))).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t4Sql: String =
+    s"""WITH c AS (SELECT doc_id, ${tokenCodesSql("text")} AS codes FROM documents)
+       |SELECT doc_id, ${fingerprintSql("codes")} AS fp
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_count" -> (t1 _), "t2_quality_score" -> (t2 _),
+    "t3_lang_id" -> (t3 _), "t4_fingerprint" -> (t4 _))
+
+  def oracles: Map[String, String] = Map(
+    "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
+    "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql)
+}

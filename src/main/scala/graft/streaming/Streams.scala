@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ExactNum._
+
+/** H-family: streaming (SURVEY.md §2.H).
+  *
+  * Each operator exists twice: a Structured-Streaming transform
+  * (readStream-able, watermarked — exercised by StreamingSpec over a
+  * MemoryStream) and a batch twin with a DuckDB oracle. The batch twin
+  * is the same logical computation, which is exactly Structured
+  * Streaming's contract: a streaming query must equal the batch query
+  * over the data seen so far.
+  */
+object Streams {
+
+  case class Event(event_id: Long, user_id: Long, ms: Long, value: Double)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      start_ms: Long, end_ms: Long, session_value: Double)
+
+  // ---------------- streaming transforms (used by specs) ----------------
+
+  /** Tumbling 5-min window counts per event type, 10-min watermark. */
+  def streamingTumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"), col("event_type"), col("n"))
+
+  /** Watermarked exact dedup on (user_id, event_type). */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+
+  // -------------------------------------------------------------------
+  // st1: tumbling 5-min windows — batch twin uses pure integer bucket
+  // math (epoch-aligned, identical to window()'s default alignment).
+  def st1(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("window_start_ms", expr("(unix_millis(ts) div 300000) * 300000"))
+      .groupBy(col("window_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("v"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+  }
+
+  val st1Sql: String =
+    """SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, event_type,
+      |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // st2: sliding windows (10-min window, 5-min slide) — each event
+  // fans out to exactly its two covering windows via explode; the
+  // shuffle then groups (window, type). Same expansion Structured
+  // Streaming plans for window(ts, '10 minutes', '5 minutes').
+  def st2(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("b", expr("(unix_millis(ts) div 300000) * 300000"))
+      .withColumn("window_start_ms", explode(array(col("b"), col("b") - 300000L)))
+      .groupBy(col("window_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+  }
+
+  val st2Sql: String =
+    """SELECT w AS window_start_ms, event_type, count(*) AS n
+      |FROM events, LATERAL (SELECT unnest([
+      |  (epoch_ms(ts) // 300000) * 300000,
+      |  (epoch_ms(ts) // 300000) * 300000 - 300000]) AS w)
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // st3: dedup — batch twin of streamingDedup (distinct key pairs).
+  def st3(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val st3Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // st4: sessionization through the TYPED API — groupByKey +
+  // flatMapGroups walking each user's timeline (the batch execution of
+  // the flatMapGroupsWithState pattern). Produces byte-identical
+  // results to the window-function formulation (q11) — the oracle is
+  // the same SQL — which cross-checks two independent implementations.
+  // Per-group memory is one user's events; value sums use BigDecimal
+  // so they equal the oracle's exact decimal sums.
+  def st4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .as[Event]
+    ev.groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val sorted = it.toArray.sortBy(e => (e.ms, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var sid = 0L; var n = 0L; var start = 0L; var prev = 0L
+        var acc = java.math.BigDecimal.ZERO
+        def emit(): Unit = if (n > 0)
+          out += SessionOut(uid, sid, n, start, prev, acc.doubleValue)
+        for (e <- sorted) {
+          if (n == 0L || e.ms - prev > 1800000L) {
+            emit(); sid += 1; n = 0L; start = e.ms; acc = java.math.BigDecimal.ZERO
+          }
+          n += 1; prev = e.ms
+          acc = acc.add(new java.math.BigDecimal(e.value).setScale(2, java.math.RoundingMode.HALF_UP))
+        }
+        emit()
+        out
+      }
+      .toDF("user_id", "session_id", "n_events", "start_ms", "end_ms", "session_value")
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val st4Sql: String = graft.operators.Relational.q11Sql
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_tumbling_window" -> (st1 _), "st2_sliding_window" -> (st2 _),
+    "st3_stream_dedup" -> (st3 _), "st4_stateful_sessions" -> (st4 _))
+
+  def oracles: Map[String, String] = Map(
+    "st1_tumbling_window" -> st1Sql, "st2_sliding_window" -> st2Sql,
+    "st3_stream_dedup" -> st3Sql, "st4_stateful_sessions" -> st4Sql)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cleaning, MLPrep}
+
+class CleaningSpec extends SparkSuite {
+
+  test("c2 imputation fills every masked null") {
+    val r = Cleaning.c2(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_after_impute")).sum === total)
+    val err = r.find(_.getAs[String]("event_type") == "error").get
+    assert(err.getAs[Long]("n_observed") === 0L)
+    assert(err.getAs[Long]("n_after_impute") > 0L)
+  }
+
+  test("c3 mode imputation leaves no null langs") {
+    val total = Tables.documents(spark, sf).count()
+    assert(Cleaning.c3(spark, sf).agg(sum("n_docs")).head.getLong(0) === total)
+  }
+
+  test("c4 clipped sum bounded by raw sum range") {
+    val r = Cleaning.c4(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("n_clip_low") >= 0))
+  }
+
+  test("c5 label codes are dense from 0") {
+    val codes = Cleaning.c5(spark, sf).collect().map(_.getAs[Long]("code")).sorted
+    assert(codes.sameElements(codes.indices.map(_.toLong)))
+  }
+
+  test("c7 date features in valid ranges") {
+    val r = Cleaning.c7(spark, sf)
+    assert(r.filter(col("ts_isodow") < 1 || col("ts_isodow") > 7).count() === 0)
+    assert(r.filter(col("ts_month") < 1 || col("ts_month") > 12).count() === 0)
+  }
+
+  test("c8 flags only the all-null ghost column") {
+    val drop = Cleaning.c8(spark, sf).filter(col("drop_col")).collect()
+    assert(drop.map(_.getAs[String]("col_name")).toSeq === Seq("ghost"))
+  }
+
+  test("m1 z-scores have ~zero mean") {
+    val m = MLPrep.m1(spark, sf).agg(avg("z")).head.getDouble(0)
+    assert(math.abs(m) < 0.01)
+  }
+
+  test("m5 correlations are in [-1, 1]") {
+    val r = MLPrep.m5(spark, sf).collect()
+    assert(r.length === 6)
+    assert(r.forall(row => math.abs(row.getAs[Double]("corr")) <= 1.0))
+  }
+
+  test("m7 RF importances sum to ~1") {
+    val tot = MLPrep.m7(spark, sf).agg(sum("importance")).head.getDouble(0)
+    assert(math.abs(tot - 1.0) < 0.01)
+  }
+
+  test("m3 hash split is close to requested fraction") {
+    val df = MLPrep.splitByHash(Tables.orders(spark, sf), "o_orderkey", 0.2)
+    val n = df.count().toDouble
+    val t = df.filter(col("split") === "test").count().toDouble
+    assert(math.abs(t / n - 0.2) < 0.05)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSuite {
+
+  test("q1 aggregates per (returnflag, linestatus) with positive sums") {
+    val r = Relational.q1(spark, sf).collect()
+    assert(r.length === 6)
+    assert(r.forall(row => row.getAs[Double]("sum_qty") > 0))
+    assert(r.forall(row => row.getAs[Long]("count_order") > 0))
+  }
+
+  test("q2 covers all 25 nations; revenue positive") {
+    val r = Relational.q2(spark, sf).collect()
+    assert(r.length === 25)
+    assert(r.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("q3 returns exactly 10 orders sorted by revenue desc") {
+    val revs = Relational.q3(spark, sf).collect().map(_.getAs[Double]("revenue"))
+    assert(revs.length === 10)
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q11 session counts sum to total events") {
+    val total = Tables.events(spark, sf).count()
+    val sessions = Relational.q11(spark, sf)
+    assert(sessions.agg(sum("n_events")).head.getLong(0) === total)
+    // sessions are disjoint in time per user: start <= end everywhere
+    assert(sessions.filter(col("start_ms") > col("end_ms")).count() === 0)
+  }
+
+  test("q14 as-of: matched click is at or before the purchase") {
+    val bad = Relational.q14(spark, sf)
+      .filter(col("click_ms").isNotNull && col("click_ms") > col("purchase_ms"))
+    assert(bad.count() === 0)
+  }
+
+  test("q15 HLL error within 10% of exact") {
+    val r = Relational.q15(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val approx = row.getAs[Long]("approx_users").toDouble
+      val exact = row.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1)
+    }
+  }
+
+  test("q6 predicate pushdown reaches the parquet scan") {
+    val plan = Relational.q6(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+
+class SimilaritySpec extends SparkSuite {
+
+  test("s1 returns 3 ranked neighbors per query, cosine in [-1, 1]") {
+    val r = Similarity.s1(spark, sf).collect()
+    assert(r.length === 15) // 5 queries x top-3
+    assert(r.forall(row => math.abs(row.getAs[Double]("cos")) <= 1.0))
+    val byQ = r.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.values.forall(_.map(_.getAs[Long]("rk")).sorted.sameElements(Seq(1L, 2L, 3L))))
+  }
+
+  test("s2 LSH never returns a better-than-bruteforce neighbor (sanity)") {
+    val s1top = Similarity.s1(spark, sf).filter(col("rk") === 1)
+      .select(col("q_id"), col("cos").as("best")).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("best")).toMap
+    val s2r = Similarity.s2(spark, sf).collect()
+    assert(s2r.forall(r => r.getAs[Double]("cos") <= s1top(r.getAs[Long]("q_id")) + 1e-9))
+  }
+
+  test("s4 predicts a label from the candidate label domain for all 20 queries") {
+    val labels = Tables.embeddings(spark, sf).select("label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val r = Similarity.s4(spark, sf).collect()
+    assert(r.length === 20)
+    assert(r.forall(row => labels.contains(row.getAs[Int]("pred_label"))))
+    assert(r.forall(row => row.getAs[Long]("votes") >= 1 && row.getAs[Long]("votes") <= 5))
+  }
+
+  test("mm2 stubbed feature extraction produces 4 features in [0,1]") {
+    val r = Multimodal.mm2(spark, sf).collect()
+    assert(r.length === 500)
+    assert(r.forall { row =>
+      val f = row.getAs[scala.collection.Seq[Double]]("features")
+      f.length == 4 && f.forall(x => x >= 0 && x <= 1)
+    })
+  }
+
+  test("mm3 samples every 10th frame") {
+    val r = Multimodal.mm3(spark, sf)
+    assert(r.filter(col("frame_idx") % 10 =!= 0).count() === 0)
+    assert(r.count() > 0)
+  }
+}

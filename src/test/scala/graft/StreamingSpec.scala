@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSuite {
+
+  /** Stage the events table as a streaming file source. */
+  private def stagedStream() = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val batch = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    (batch, stream)
+  }
+
+  test("streaming tumbling-window counts equal the batch twin") {
+    val (batch, stream) = stagedStream()
+    val q = Streams.streamingTumbling(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("tumbling").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling")
+        .select(col("window_start_ms"), col("event_type"), col("n")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batched = Streams.streamingTumbling(batch).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batched)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits one row per (user, event_type)") {
+    val (batch, stream) = stagedStream()
+    val q = Streams.streamingDedup(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup").select("user_id", "event_type").distinct().count()
+      val total = spark.table("dedup").count()
+      val expected = batch.select("user_id", "event_type").distinct().count()
+      assert(total === expected)
+      assert(n === expected)
+    } finally q.stop()
+  }
+
+  test("st4 typed sessionization matches the window-function formulation (q11)") {
+    val typed = Streams.st4(spark, sf).collect().map(_.toSeq)
+    val sql = operators.Relational.q11(spark, sf).collect().map(_.toSeq)
+    assert(typed.length === sql.length)
+    assert(typed.zip(sql).forall { case (a, b) => a == b })
+  }
+}

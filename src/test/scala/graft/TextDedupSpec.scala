@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+class TextDedupSpec extends SparkSuite {
+
+  test("t2 quality scores in [0, 1]") {
+    val r = TextOps.t2(spark, sf)
+    assert(r.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+    assert(r.count() > 0)
+  }
+
+  test("t4 fingerprints are valid residues and mostly distinct") {
+    val r = TextOps.t4(spark, sf)
+    assert(r.filter(col("fp") < 0 || col("fp") >= 1000000007L).count() === 0)
+    val n = r.count()
+    assert(r.select("fp").distinct().count() > n * 9 / 10)
+  }
+
+  test("d2 jaccard in [0, 1]") {
+    val r = Dedup.d2(spark, sf)
+    assert(r.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
+  }
+
+  test("d4 simhash in 16-bit range, hamming in [0, 16]") {
+    val r = Dedup.d4(spark, sf)
+    assert(r.filter(col("sim_a") < 0 || col("sim_a") > 65535).count() === 0)
+    assert(r.filter(col("hamming") < 0 || col("hamming") > 16).count() === 0)
+  }
+
+  test("dedupExact keeps one row per distinct text, smallest id") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val deduped = Dedup.dedupExact(docs, "text", "doc_id")
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(deduped.count() === distinctTexts)
+    assert(deduped.count() < docs.count()) // sf0.1 has 8 dup texts
+  }
+
+  test("minhash LSH candidates include every exact-duplicate pair") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val exactPairs = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val candidates = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+    val missed = exactPairs.join(candidates, Seq("id_a", "id_b"), "left_anti").count()
+    assert(exactPairs.count() > 0)
+    assert(missed === 0)
+  }
+}
