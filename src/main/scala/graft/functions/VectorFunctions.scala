@@ -27,6 +27,14 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Prefer the fused codegen'd expression (graft.plans.
+    * CosineSimilarityExpr — single loop, zero allocation) when the
+    * session has GraftExtensions installed; fall back to the builtin
+    * fold otherwise. Both compute the identical double sequence. */
+  def cosineAuto(s: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (s.catalog.functionExists("graft_cosine")) call_function("graft_cosine", a, b)
+    else cosine(a, b)
+
   // ---------------- DuckDB SQL twins ----------------
 
   def dotSql(a: String, b: String): String =

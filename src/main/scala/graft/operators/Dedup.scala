@@ -154,7 +154,7 @@ object Dedup {
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.join(b, col("id_b") === col("id_a") + 1)
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", cosineAuto(s, col("ea"), col("eb")))
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"),
         (col("cos") > 0.8).as("near_dup"))
       .orderBy(col("id_a"))

@@ -22,7 +22,7 @@ object Similarity {
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val pairs = broadcast(queries.select(col("id").as("q_id"), col("embedding").as("qe")))
       .join(corpus.select(col("id").as("cand_id"), col("embedding").as("ce")))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("cos", cosineAuto(queries.sparkSession, col("qe"), col("ce")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"), round(col("cos"), 6).as("cos"))
@@ -80,7 +80,7 @@ object Similarity {
     val c = e.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
     val pairs = broadcast(q).join(c, Seq("bucket"))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
       .select(col("q_id"), col("bucket"), col("rk").cast("long").as("rk"),
@@ -143,7 +143,7 @@ object Similarity {
     val c = e.filter(col("vec_id") >= 20)
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label").as("cand_label"))
     val pairs = broadcast(q).join(c)
-      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
     val votes = pairs.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
       .groupBy(col("q_id"), col("true_label"), col("cand_label"))

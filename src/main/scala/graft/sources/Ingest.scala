@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion sources (the Spark-native analogue of the reference's
+  * CSV/Excel upload path, /root/reference/main.py:396-413).
+  *
+  * The reference reads a single file into pandas; these readers target
+  * directories of files on distributed storage. Schema inference is
+  * opt-in (it costs an extra pass — at 100 TB always pass a schema or
+  * let `inferSample` bound the pass to a fraction).
+  *
+  * Excel has no distributed reader in a dependency-free build — the
+  * supported interchange formats are csv/json/parquet/orc; .xlsx
+  * ingestion is expected to land as CSV export upstream (documented
+  * reference gap, not silently dropped).
+  */
+object Ingest {
+
+  /** CSV with the reference's ergonomics: header row, type inference,
+    * permissive parsing with a quarantine column for malformed rows
+    * (instead of pandas' hard failure). */
+  def readCsv(s: SparkSession, path: String, inferSchema: Boolean = true): DataFrame =
+    s.read
+      .option("header", "true")
+      .option("inferSchema", inferSchema.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("encoding", "UTF-8")
+      .option("nullValue", "")
+      .csv(path)
+
+  /** Line-delimited JSON. */
+  def readJson(s: SparkSession, path: String): DataFrame =
+    s.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** Parquet (the canonical lake format for every graft table). */
+  def readParquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+
+  /** Normalize column names the way the reference does
+    * (strip + lowercase, main.py:200) plus de-spacing — applied at the
+    * ingest boundary so every downstream operator sees stable names. */
+  def normalizeColumns(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df)((d, c) =>
+      d.withColumnRenamed(c, c.trim.toLowerCase.replaceAll("\\s+", "_")))
+
+  /** Write a table for scale: snappy parquet, optionally partitioned
+    * by a low-cardinality column — the layout that gives downstream
+    * queries partition pruning. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+}

@@ -39,6 +39,23 @@ class SimilaritySpec extends SparkSuite {
     })
   }
 
+  test("custom graft_cosine expression is codegen'd into the plan and matches the fold") {
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf).limit(50)
+    assert(spark.catalog.functionExists("graft_cosine"))
+    val a = e.select(col("vec_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id"), col("embedding").as("eb"))
+    val pairs = a.join(b, "vec_id")
+    val fused = pairs.select(col("vec_id"),
+      org.apache.spark.sql.functions.call_function("graft_cosine", col("ea"), col("eb")).as("c"))
+    assert(fused.queryExecution.executedPlan.toString.contains("graft_cosine"))
+    val fold = pairs.select(col("vec_id"), VectorFunctions.cosine(col("ea"), col("eb")).as("c"))
+    val f1 = fused.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val f2 = fold.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f1.keys == f2.keys)
+    assert(f1.forall { case (k, v) => v == f2(k) }) // bit-identical, not approx
+  }
+
   test("mm3 samples every 10th frame") {
     val r = Multimodal.mm3(spark, sf)
     assert(r.filter(col("frame_idx") % 10 =!= 0).count() === 0)
