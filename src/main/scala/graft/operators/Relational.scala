@@ -412,7 +412,34 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  // -------------------------------------------------------------------
+  // q16: the SAME as-of semantics as q14, but through the custom
+  // Catalyst operator (graft.plans.AsOfJoinPlan → AsOfJoinExec): a
+  // co-partitioned sorted two-pointer merge — one shuffle per side,
+  // zero row expansion, constant state. Requires GraftExtensions;
+  // falls back to the union+window formulation (q14) when the
+  // strategy isn't installed, so the query works in vanilla sessions.
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    if (!s.catalog.functionExists("graft_cosine")) return q14(s, dir) // extensions absent
+    val purchases = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("purchase_ms"))
+    val clicks = Tables.events(s, dir).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_millis(col("ts")).as("click_ms"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "purchase_ms", "click_ms")
+      .select(col("user_id"), col("event_id"), col("purchase_ms"), col("click_ms"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q16Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS event_id,
+      |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_asof_custom" -> (q16 _),
     "q1_pricing_summary" -> (q1 _),
     "q2_revenue_by_nation" -> (q2 _),
     "q3_top_orders" -> (q3 _),
@@ -430,6 +457,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q16_asof_custom" -> q16Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders" -> q3Sql,

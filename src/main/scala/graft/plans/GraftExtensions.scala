@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarityExpr(children(0), children(1))))
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

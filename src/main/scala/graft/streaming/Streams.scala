@@ -123,11 +123,55 @@ object Streams {
 
   val st4Sql: String = graft.operators.Relational.q11Sql
 
+  // -------------------------------------------------------------------
+  // st5: Spark's NATIVE session_window (30-min gap) — the third
+  // independent sessionization implementation (vs q11's window
+  // functions and st4's typed flatMapGroups), checked against the same
+  // gaps-and-islands oracle. session_window is the one to use in
+  // streaming jobs: state merges in-place with the watermark.
+  def st5(s: SparkSession, dir: String): DataFrame = {
+    // ts truncated to millis so the gap comparison happens at the same
+    // granularity as the oracle's epoch_ms; session_window's gap
+    // boundary is EXCLUSIVE (an event exactly `gap` after the previous
+    // one opens a new session) → oracle uses >=.
+    Tables.events(s, dir)
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        sumd(col("value")).as("session_value"))
+      .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"), col("session_value"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  // Same gaps-and-islands computation, keyed by session start instead
+  // of session index (session_window carries no ordinal).
+  val st5Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sessions AS (
+      |  SELECT user_id, ms, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, start_ms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> (st1 _), "st2_sliding_window" -> (st2 _),
-    "st3_stream_dedup" -> (st3 _), "st4_stateful_sessions" -> (st4 _))
+    "st3_stream_dedup" -> (st3 _), "st4_stateful_sessions" -> (st4 _),
+    "st5_session_window" -> (st5 _))
 
   def oracles: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql, "st2_sliding_window" -> st2Sql,
-    "st3_stream_dedup" -> st3Sql, "st4_stateful_sessions" -> st4Sql)
+    "st3_stream_dedup" -> st3Sql, "st4_stateful_sessions" -> st4Sql,
+    "st5_session_window" -> st5Sql)
 }

@@ -48,6 +48,15 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("q16 custom as-of operator is planned and matches the union+window formulation") {
+    val q16 = Relational.q16(spark, sf)
+    assert(q16.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val a = q16.collect().map(_.toSeq)
+    val b = Relational.q14(spark, sf).collect().map(_.toSeq)
+    assert(a.length === b.length)
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
   test("q6 predicate pushdown reaches the parquet scan") {
     val plan = Relational.q6(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
