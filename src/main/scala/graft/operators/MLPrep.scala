@@ -483,6 +483,7 @@ object MLPrep {
       .setEstimator(lr)
       .setEvaluator(new BinaryClassificationEvaluator().setMetricName("areaUnderROC"))
       .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42)
+      .setParallelism(4) // fit grid points concurrently; local[32] has headroom
     val model = cv.fit(assembled)
     val rows = grid.zip(model.avgMetrics).map { case (pm, metric) =>
       (pm.get(lr.regParam).get, math.rint(metric * 1e6) / 1e6) }

@@ -55,4 +55,13 @@ object Ingest {
     val w = df.write.mode("overwrite").format("parquet")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
+
+  /** Bucketed managed table: pre-shuffles data into `nBuckets` by
+    * `bucketCol` at write time so every later join/agg on that key is
+    * shuffle-free (the 100 TB answer for fact-fact joins repeated
+    * across a pipeline — pay the shuffle once, at ingest). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }

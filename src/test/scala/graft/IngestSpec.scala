@@ -22,6 +22,46 @@ class IngestSpec extends SparkSuite {
     assert(Ingest.readJson(spark, dir).count() === Tables.customer(spark, sf).count())
   }
 
+  test("salted aggregation equals plain aggregation") {
+    import graft.operators.Skew
+    val ev = Tables.events(spark, sf)
+    val salted = Skew.saltedAgg(ev, "event_type", "event_id", 8, Seq("value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = ev.groupBy("event_type").agg(count(lit(1)), sum("value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted.keySet === plain.keySet)
+    assert(salted.forall { case (k, (n, s)) =>
+      n == plain(k)._1 && math.abs(s - plain(k)._2) < 1e-6 })
+  }
+
+  test("salted join equals plain join") {
+    import graft.operators.Skew
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val users = Tables.events(spark, sf).groupBy("user_id").agg(count(lit(1)).as("u_events"))
+    val salted = Skew.saltedJoin(ev, users, "user_id", 4)
+    val plain = ev.join(users, "user_id")
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum("u_events")).head.getLong(0) === plain.agg(sum("u_events")).head.getLong(0))
+  }
+
+  test("bucketed tables join without a shuffle") {
+    import graft.sources.Ingest
+    Ingest.writeBucketed(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 4)
+    Ingest.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "lineitem_b", "l_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(joined.count() === Tables.lineitem(spark, sf).count())
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Ingest.writeParquet(Tables.events(spark, sf), dir, Seq("event_type"))
