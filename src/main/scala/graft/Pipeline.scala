@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's end-to-end `run_pipeline` (/root/reference/
+  * main.py:390-485) re-expressed as a schema-driven, distributed
+  * pipeline: clean → encode → feature-engineer → split → train →
+  * evaluate, generic over ANY input DataFrame + target column.
+  *
+  * Differences from the pandas original, by design:
+  * - imputation/quantile parameters come from approx sketches
+  *   (single pass, bounded memory — exact medians don't scale);
+  * - every step is a DataFrame transform: nothing is collected except
+  *   the O(#columns) parameter row and the final metric row;
+  * - train/test split is hash-based, not row-order-based.
+  */
+object Pipeline {
+
+  case class Result(cleaned: DataFrame, train: DataFrame, test: DataFrame,
+      task: String, metrics: Map[String, Double], featureCols: Seq[String])
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** clean_data (main.py:66-129): median-impute + IQR-clip numerics,
+    * mode-impute + encode strings (label if ≤32 distinct else
+    * frequency), expand timestamps into calendar features. */
+  def clean(df: DataFrame): DataFrame = {
+    val numCols = df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name)
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val tsCols = df.schema.fields.filter(_.dataType == TimestampType).map(_.name)
+
+    // one pass: median + quartiles for every numeric column
+    val paramAggs = numCols.flatMap { c =>
+      Seq(expr(s"approx_percentile($c, 0.5)").cast("double").as(s"__med_$c"),
+        expr(s"approx_percentile($c, 0.25)").cast("double").as(s"__q1_$c"),
+        expr(s"approx_percentile($c, 0.75)").cast("double").as(s"__q3_$c"))
+    }
+    val withNum = if (paramAggs.isEmpty) df else {
+      val params = df.agg(paramAggs.head, paramAggs.tail: _*)
+      numCols.foldLeft(df.join(broadcast(params))) { (d, c) =>
+        val lo = col(s"__q1_$c") - (col(s"__q3_$c") - col(s"__q1_$c")) * 1.5
+        val hi = col(s"__q3_$c") + (col(s"__q3_$c") - col(s"__q1_$c")) * 1.5
+        d.withColumn(c,
+          least(greatest(coalesce(col(c).cast("double"), col(s"__med_$c")), lo), hi))
+      }.drop(params.columns: _*)
+    }
+
+    // strings: mode-impute, then label- or frequency-encode
+    val withStr = strCols.foldLeft(withNum) { (d, c) =>
+      val counts = d.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      val mode = counts.orderBy(col("__cnt").desc, col(c)).limit(1)
+        .select(col(c).as("__mode"))
+      val filled = d.join(broadcast(mode))
+        .withColumn(c, coalesce(col(c), col("__mode"))).drop("__mode")
+      val nDistinct = counts.count()
+      if (nDistinct <= 32) {
+        val codes = counts.select(col(c))
+          .withColumn("__code", (row_number().over(Window.orderBy(col(c))) - 1).cast("double"))
+        filled.join(broadcast(codes), Seq(c)).withColumn(c, col("__code")).drop("__code")
+      } else {
+        val freqs = counts.select(col(c), col("__cnt").cast("double").as("__freq"))
+        filled.join(broadcast(freqs), Seq(c)).withColumn(c, col("__freq")).drop("__freq")
+      }
+    }
+
+    // timestamps → calendar features (main.py:107-118), drop original
+    tsCols.foldLeft(withStr) { (d, c) =>
+      d.withColumn(s"${c}_year", year(col(c)).cast("double"))
+        .withColumn(s"${c}_month", month(col(c)).cast("double"))
+        .withColumn(s"${c}_day", dayofmonth(col(c)).cast("double"))
+        .withColumn(s"${c}_hour", hour(col(c)).cast("double"))
+        .withColumn(s"${c}_dow", (weekday(col(c)) + 1).cast("double"))
+        .drop(c)
+    }
+  }
+
+  /** train_model (main.py:194-385): task detection, split, RF fit,
+    * metric computation — all on the cleaned frame. */
+  def autoPipeline(df: DataFrame, target: String, seed: Long = 42L): Result = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.classification.RandomForestClassifier
+    import org.apache.spark.ml.regression.RandomForestRegressor
+
+    val cleaned = clean(df)
+    require(cleaned.columns.contains(target), s"target $target not found after cleaning")
+    val featureCols = cleaned.columns.filter(_ != target).toSeq
+    require(featureCols.nonEmpty, "no feature columns")
+
+    val nDistinct = cleaned.select(target).distinct().count()
+    val task = if (nDistinct < 20) "classification" else "regression"
+
+    val Array(train, test) = cleaned.na.fill(0.0)
+      .withColumn("__r", pmod(xxhash64(struct(featureCols.map(col): _*)), lit(100L)))
+      .randomSplitOn80_20()
+    def fitEval(): Map[String, Double] = {
+      val asm = new VectorAssembler().setInputCols(featureCols.toArray)
+        .setOutputCol("features").setHandleInvalid("keep")
+      val trainA = asm.transform(train)
+      val testA = asm.transform(test)
+      if (task == "classification") {
+        val m = new RandomForestClassifier().setNumTrees(20).setMaxDepth(6).setSeed(seed)
+          .setLabelCol(target).setFeaturesCol("features").fit(trainA)
+        val pred = m.transform(testA)
+        val n = pred.count().toDouble
+        val acc = pred.filter(col("prediction") === col(target)).count() / n
+        Map("accuracy" -> acc, "n_test" -> n)
+      } else {
+        val m = new RandomForestRegressor().setNumTrees(20).setMaxDepth(6).setSeed(seed)
+          .setLabelCol(target).setFeaturesCol("features").fit(trainA)
+        val pred = m.transform(testA)
+        val row = pred.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(pow(col("prediction") - col(target), 2)).as("ssres"),
+          sum(abs(col("prediction") - col(target))).as("sabs"),
+          sum(col(target)).as("sy"),
+          sum(col(target) * col(target)).as("syy")).head
+        val (n, ssres, sabs, sy, syy) =
+          (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
+        Map("mse" -> ssres / n, "mae" -> sabs / n,
+          "r2" -> (1.0 - ssres / (syy - sy * sy / n)), "n_test" -> n)
+      }
+    }
+    Result(cleaned, train, test, task, fitEval(), featureCols)
+  }
+
+  /** Deterministic hash split helper (keeps Result API tidy). */
+  implicit private class SplitOps(df: DataFrame) {
+    def randomSplitOn80_20(): Array[DataFrame] = Array(
+      df.filter(col("__r") >= 20).drop("__r"),
+      df.filter(col("__r") < 20).drop("__r"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSuite {
+
+  test("autoPipeline classifies event_type end to end") {
+    val ev = Tables.events(spark, sf).drop("props") // free-text JSON excluded
+      .withColumn("event_type",
+        when(col("event_type") === "error", 1.0).otherwise(0.0))
+    val r = Pipeline.autoPipeline(ev, "event_type")
+    assert(r.task === "classification")
+    assert(r.metrics("accuracy") >= 0.5) // majority class is ~80%
+    assert(r.metrics("n_test") > 0)
+    assert(r.train.count() + r.test.count() === ev.count())
+  }
+
+  test("autoPipeline regresses a price target end to end") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_discount", "l_tax", "l_returnflag", "l_extendedprice")
+    val r = Pipeline.autoPipeline(li, "l_extendedprice")
+    assert(r.task === "regression")
+    assert(r.metrics("mse") >= 0)
+    assert(r.metrics("r2") <= 1.0)
+  }
+
+  test("clean handles nulls, strings, and timestamps generically") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("value", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      .drop("props")
+    val cleaned = Pipeline.clean(ev)
+    // no nulls survive in value; event_type became numeric codes; ts expanded
+    assert(cleaned.filter(col("value").isNull).count() === 0)
+    assert(cleaned.schema("event_type").dataType.typeName === "double")
+    assert(cleaned.columns.contains("ts_year") && !cleaned.columns.contains("ts"))
+  }
+
+  test("driver entry smoke: rows > 0 on a vanilla session") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
