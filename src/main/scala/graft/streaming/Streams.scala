@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
 import graft.functions.ExactNum._
 
@@ -20,7 +21,48 @@ object Streams {
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       start_ms: Long, end_ms: Long, session_value: Double)
 
+  case class TsEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class OpenSession(start_ms: Long, end_ms: Long, n: Long, cents: Long)
+
   // ---------------- streaming transforms (used by specs) ----------------
+
+  /** TRUE stateful sessionization: flatMapGroupsWithState with
+    * event-time timeout. Sessions close (and emit) when a later event
+    * arrives ≥30 min after the last one, or when the watermark passes
+    * last+30min (timeout). State per user = ONE open session (4
+    * longs) — bounded regardless of stream length; value totals are
+    * kept in integer cents so emission order can't perturb sums. */
+  def streamingSessionize(events: Dataset[TsEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, it: Iterator[TsEvent], state: GroupState[OpenSession]) => {
+          def toOut(s: OpenSession) =
+            SessionOut(uid, 0L, s.n, s.start_ms, s.end_ms, s.cents / 100.0)
+          if (it.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(toOut).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var open = state.getOption.orNull
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              val cents = math.round(e.value * 100)
+              if (open == null) open = OpenSession(ms, ms, 1, cents)
+              else if (ms - open.end_ms > 1800000L) { // same gap rule as q11/st4
+                closed += toOut(open); open = OpenSession(ms, ms, 1, cents)
+              } else open = OpenSession(open.start_ms, ms, open.n + 1, open.cents + cents)
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.end_ms + 1800000L)
+            closed.iterator
+          }
+        })
+  }
 
   /** Tumbling 5-min window counts per event type, 10-min watermark. */
   def streamingTumbling(events: DataFrame): DataFrame =

@@ -45,6 +45,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming sessionization emits every closed session from q11") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value")).schema
+    val stream = spark.readStream.schema(schema).parquet(dir).as[Streams.TsEvent]
+    val q = Streams.streamingSessionize(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("sessions")
+        .select("user_id", "start_ms", "end_ms", "n_events", "session_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      val batch = operators.Relational.q11(spark, sf)
+        .select("user_id", "start_ms", "end_ms", "n_events", "session_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      // every emitted session is a true session; the only sessions the
+      // stream may still hold open are each user's LAST one
+      assert(emitted.subsetOf(batch))
+      val lastPerUser = batch.groupBy(_._1).map { case (_, s) => s.maxBy(_._2) }.toSet
+      assert((batch -- lastPerUser).subsetOf(emitted))
+      assert(emitted.nonEmpty)
+    } finally q.stop()
+  }
+
   test("st4 typed sessionization matches the window-function formulation (q11)") {
     val typed = Streams.st4(spark, sf).collect().map(_.toSeq)
     val sql = operators.Relational.q11(spark, sf).collect().map(_.toSeq)
