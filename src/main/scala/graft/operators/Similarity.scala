@@ -175,6 +175,35 @@ object Similarity {
        |ORDER BY q_id""".stripMargin
   }
 
+  /** Library API: multi-probe IVF top-k. Corpus vectors live in their
+    * single nearest-centroid cell; each QUERY probes its `nprobe`
+    * nearest cells. nprobe trades recall for cost: cells scanned scale
+    * as nprobe/|centroids| of the corpus; nprobe = |centroids| is
+    * exactly brute force (the spec asserts this). All inputs are
+    * (id, embedding) frames; centroids are broadcast. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val s = queries.sparkSession
+    val cents = broadcast(centroids.select(col("id").as("cid"), col("embedding").as("cemb")))
+    def cells(df: DataFrame, idc: String, embc: String, n: Int) = {
+      val w = Window.partitionBy(col(idc)).orderBy(col("ccos").desc, col("cid"))
+      df.join(cents)
+        .withColumn("ccos", cosineAuto(s, col(embc), col("cemb")))
+        .withColumn("crk", row_number().over(w)).filter(col("crk") <= n)
+        .select(col(idc), col(embc), col("cid").as("cell"))
+    }
+    val corpusCells = cells(corpus.select(col("id").as("cand_id"), col("embedding").as("ce")),
+      "cand_id", "ce", 1)
+    val queryCells = cells(queries.select(col("id").as("q_id"), col("embedding").as("qe")),
+      "q_id", "qe", nprobe)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    broadcast(queryCells).join(corpusCells, Seq("cell"))
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   // -------------------------------------------------------------------
   // s5: IVF-style ANN — a coarse quantizer (centroids = the first 8
   // vectors, the deterministic stand-in for a k-means codebook)

@@ -47,6 +47,24 @@ class SimilaritySpec extends SparkSuite {
     assert(r.forall(row => math.abs(row.getAs[Double]("cos")) <= 1.0))
   }
 
+  test("multi-probe IVF with nprobe = |centroids| equals brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 13)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8).select(col("vec_id").as("id"), col("embedding"))
+    val ivf = Similarity.ivfTopK(queries, corpus, cents, 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = Similarity.cosineTopK(queries, corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ivf === brute)
+    // nprobe=1 returns a subset of true top-k quality: never better than brute best
+    val p1 = Similarity.ivfTopK(queries, corpus, cents, 3, nprobe = 1).collect()
+    val best = brute.groupBy(_._1).map { case (q, s) => q -> s.map(_._4).max }
+    assert(p1.forall(r => r.getDouble(3) <= best(r.getLong(0)) + 1e-9))
+  }
+
   test("custom graft_cosine expression is codegen'd into the plan and matches the fold") {
     import graft.functions.VectorFunctions
     val e = Tables.embeddings(spark, sf).limit(50)
