@@ -413,22 +413,32 @@ object MLPrep {
         col("sy"), col("sx"), col("n"))
       .select(col("slope"),
         (col("sy") / col("n") - col("slope") * col("sx") / col("n")).as("intercept"))
+    // SSres computed ALGEBRAICALLY from exact decimal test moments:
+    //   Σ(y-a-bx)² = syy - 2a·sy - 2b·sxy + n·a² + 2ab·sx + b²·sxx
+    // — no per-row double→decimal cast, so no rounding-tie divergence
+    // between engines. MAE still needs per-row |res|; residuals are
+    // quantized at 2 decimals (ties there need 10 exact trailing
+    // digits — effectively impossible).
     val test = li.filter(col("is_test")).join(broadcast(fit))
-      .withColumn("pred", col("intercept") + col("slope") * col("l_quantity"))
-      .withColumn("res", col("l_extendedprice") - col("pred"))
+      .withColumn("res", col("l_extendedprice") - (col("intercept") + col("slope") * col("l_quantity")))
     val yMom = test.agg(
       count(lit(1)).as("nt"),
-      sum(col("res").cast("decimal(28,6)")).cast("double").as("sres"),
-      sum((col("res") * col("res")).cast("decimal(28,6)")).cast("double").as("sres2"),
-      sum(abs(col("res")).cast("decimal(28,6)")).cast("double").as("sabs"),
+      sum(abs(col("res")).cast("decimal(28,2)")).cast("double").as("sabs"),
+      sumd(col("l_quantity")).as("tsx"),
       sumd(col("l_extendedprice")).as("sy"),
+      sumProd(col("l_quantity"), col("l_quantity")).as("tsxx"),
+      sumProd(col("l_quantity"), col("l_extendedprice")).as("tsxy"),
       sumProd(col("l_extendedprice"), col("l_extendedprice")).as("syy"))
-    fit.select(round(col("slope"), 6).as("slope"), round(col("intercept"), 6).as("intercept"))
-      .join(broadcast(yMom))
-      .select(col("slope"), col("intercept"),
-        round(col("sres2") / col("nt"), 6).as("mse"),
+    fit.join(broadcast(yMom))
+      .withColumn("ssres",
+        col("syy") - lit(2.0) * col("intercept") * col("sy") - lit(2.0) * col("slope") * col("tsxy") +
+          col("nt") * col("intercept") * col("intercept") +
+          lit(2.0) * col("intercept") * col("slope") * col("tsx") +
+          col("slope") * col("slope") * col("tsxx"))
+      .select(round(col("slope"), 6).as("slope"), round(col("intercept"), 6).as("intercept"),
+        round(col("ssres") / col("nt"), 2).as("mse"),
         round(col("sabs") / col("nt"), 6).as("mae"),
-        round(lit(1.0) - col("sres2") / (col("syy") - col("sy") * col("sy") / col("nt")), 6).as("r2"))
+        round(lit(1.0) - col("ssres") / (col("syy") - col("sy") * col("sy") / col("nt")), 6).as("r2"))
   }
 
   val m13Sql: String =
@@ -445,19 +455,27 @@ object MLPrep {
       |         sy/n - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx/n AS intercept
       |  FROM mom),
       |test AS (
-      |  SELECT l_extendedprice - (intercept + slope*l_quantity) AS res, l_extendedprice
+      |  SELECT l_extendedprice - (intercept + slope*l_quantity) AS res,
+      |         l_quantity, l_extendedprice
       |  FROM li, fit WHERE is_test),
       |agg AS (
       |  SELECT count(*) AS nt,
-      |    CAST(sum(CAST(res*res AS DECIMAL(28,6))) AS DOUBLE) AS sres2,
-      |    CAST(sum(CAST(abs(res) AS DECIMAL(28,6))) AS DOUBLE) AS sabs,
+      |    CAST(sum(CAST(abs(res) AS DECIMAL(28,2))) AS DOUBLE) AS sabs,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tsx,
       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tsxx,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS tsxy,
       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
-      |  FROM test)
+      |  FROM test),
+      |fin AS (
+      |  SELECT slope, intercept, nt, sabs, sy, syy,
+      |    syy - 2.0*intercept*sy - 2.0*slope*tsxy + nt*intercept*intercept
+      |      + 2.0*intercept*slope*tsx + slope*slope*tsxx AS ssres
+      |  FROM fit, agg)
       |SELECT round(slope, 6) AS slope, round(intercept, 6) AS intercept,
-      |  round(sres2/nt, 6) AS mse, round(sabs/nt, 6) AS mae,
-      |  round(1.0 - sres2/(syy - sy*sy/nt), 6) AS r2
-      |FROM fit, agg""".stripMargin
+      |  round(ssres/nt, 2) AS mse, round(sabs/nt, 6) AS mae,
+      |  round(1.0 - ssres/(syy - sy*sy/nt), 6) AS r2
+      |FROM fin""".stripMargin
 
   // -------------------------------------------------------------------
   // m14 (rows-only): grid-search model selection via MLlib
