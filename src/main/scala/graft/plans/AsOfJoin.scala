@@ -8,6 +8,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** AS-OF JOIN as a first-class Catalyst operator (SURVEY.md round-2
   * backlog, pulled into round 1): for every left row, attach the
@@ -20,8 +22,8 @@ import org.apache.spark.sql.internal.SQLConf
   * survives 100 TB with skewed keys (AQE can still split a hot
   * partition upstream of the sort).
   *
-  * Round-1 contract: key and time expressions must be LongType (ids /
-  * epoch-ms). Generic orderings are a planned extension.
+  * Key and time expressions may be any orderable atomic type
+  * (integral, floating, string, date/timestamp).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -54,31 +56,70 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  /** Ordering over evaluated atomic values (nulls don't reach here:
+    * rows with null key/time sort first and compare via the generic
+    * path below). */
+  private def atomicOrdering(dt: DataType): Ordering[Any] = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      Ordering.by((v: Any) => v.asInstanceOf[Long])
+    case IntegerType | DateType => Ordering.by((v: Any) => v.asInstanceOf[Int])
+    case ShortType => Ordering.by((v: Any) => v.asInstanceOf[Short])
+    case ByteType => Ordering.by((v: Any) => v.asInstanceOf[Byte])
+    case DoubleType => Ordering.by((v: Any) => v.asInstanceOf[Double])
+    case FloatType => Ordering.by((v: Any) => v.asInstanceOf[Float])
+    case StringType => new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    }
+    case _: DecimalType => new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .compareTo(b.asInstanceOf[org.apache.spark.sql.types.Decimal])
+    }
+    case other => throw new UnsupportedOperationException(
+      s"as-of join key/time type not orderable here: $other")
+  }
+
+  /** Null-safe wrapper: nulls first (matches SortOrder Ascending). */
+  private def nullsFirst(ord: Ordering[Any]): Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else ord.compare(a, b)
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val nRight = right.output.size
     val lKey = BindReferences.bindReference(leftKey, left.output)
     val lTime = BindReferences.bindReference(leftTime, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = nullsFirst(atomicOrdering(leftKey.dataType))
+    val timeOrd = nullsFirst(atomicOrdering(leftTime.dataType))
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rightNulls = new GenericInternalRow(nRight)
       val joined = new JoinedRow
-      // right side with key/time materialized; rows copied once when
-      // buffered (iterator rows are reused by the upstream sort)
+      // right side with key/time materialized; each row copied once
+      // when buffered (iterator rows are reused by the upstream sort),
+      // and key/time evaluated on the copy so values can't alias the
+      // recycled buffer
       val rBuf = rIter.map { r =>
-        (rKey.eval(r).asInstanceOf[Long], rTime.eval(r).asInstanceOf[Long], r.copy())
+        val c = r.copy(); (rKey.eval(c), rTime.eval(c), c)
       }.buffered
-      var matchKey = 0L
+      var matchKey: Any = null
       var matchRow: InternalRow = null
       lIter.map { l =>
-        val lk = lKey.eval(l).asInstanceOf[Long]
-        val lt = lTime.eval(l).asInstanceOf[Long]
-        while (rBuf.hasNext &&
-          (rBuf.head._1 < lk || (rBuf.head._1 == lk && rBuf.head._2 <= lt))) {
+        val lk = lKey.eval(l)
+        val lt = lTime.eval(l)
+        while (rBuf.hasNext && {
+          val kc = keyOrd.compare(rBuf.head._1, lk)
+          kc < 0 || (kc == 0 && timeOrd.compare(rBuf.head._2, lt) <= 0)
+        }) {
           val (k, _, row) = rBuf.next()
-          if (k == lk) { matchKey = k; matchRow = row }
+          if (keyOrd.compare(k, lk) == 0) { matchKey = k; matchRow = row }
         }
-        if (matchRow != null && matchKey == lk) joined(l, matchRow)
+        if (matchRow != null && keyOrd.compare(matchKey, lk) == 0) joined(l, matchRow)
         else joined(l, rightNulls)
       }
     }
@@ -102,8 +143,9 @@ object AsOf {
 
   /** As-of join `left` with `right`: each left row gets the latest
     * right row with the same key and rightTime <= leftTime (right
-    * columns null when no such row). Key/time columns must be LongType.
-    * Column names must not collide — alias the right side first. */
+    * columns null when no such row). Key/time columns may be any
+    * orderable atomic type. Column names must not collide — alias the
+    * right side first. */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {

@@ -57,6 +57,22 @@ class RelationalSpec extends SparkSuite {
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("custom as-of join handles string keys and empty matches") {
+    import spark.implicits._
+    val trades = Seq(("aapl", 10L, 1), ("aapl", 25L, 2), ("msft", 5L, 3), ("goog", 7L, 4))
+      .toDF("sym", "t", "trade_id")
+    val quotes = Seq(("aapl", 8L, 100.0), ("aapl", 25L, 101.0), ("msft", 9L, 50.0))
+      .toDF("q_sym", "q_t", "px")
+    val r = graft.plans.AsOf.join(trades, quotes, "sym", "q_sym", "t", "q_t")
+      .select("trade_id", "px").collect()
+      .map(x => x.getInt(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r === Map(
+      1 -> Some(100.0),  // aapl@10 ← quote@8
+      2 -> Some(101.0),  // aapl@25 ← quote@25 (<= is inclusive)
+      3 -> None,         // msft@5: only later quote exists
+      4 -> None))        // goog: no quotes at all
+  }
+
   test("q6 predicate pushdown reaches the parquet scan") {
     val plan = Relational.q6(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
