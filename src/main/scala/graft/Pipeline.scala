@@ -21,7 +21,8 @@ object Pipeline {
 
   case class Result(cleaned: DataFrame, train: DataFrame, test: DataFrame,
       task: String, metrics: Map[String, Double], featureCols: Seq[String],
-      featureImportances: Seq[(String, Double)], modelPath: Option[String])
+      featureImportances: Seq[(String, Double)], modelPath: Option[String],
+      bestModel: String, modelMetrics: Map[String, Map[String, Double]])
 
   private def isNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType => true
@@ -30,8 +31,13 @@ object Pipeline {
 
   /** clean_data (main.py:66-129): median-impute + IQR-clip numerics,
     * mode-impute + encode strings (label if ≤32 distinct else
-    * frequency), expand timestamps into calendar features. */
-  def clean(df: DataFrame): DataFrame = {
+    * frequency), expand timestamps into calendar features.
+    *
+    * `noClip` columns are imputed but NOT outlier-clipped — pass the
+    * target here: clipping a skewed 0/1 label (IQR = 0) would collapse
+    * it to a constant. (The pandas reference clips every numeric
+    * column including the target — a latent bug this port fixes.) */
+  def clean(df: DataFrame, noClip: Set[String] = Set.empty): DataFrame = {
     val numCols = df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name)
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val tsCols = df.schema.fields.filter(_.dataType == TimestampType).map(_.name)
@@ -45,10 +51,13 @@ object Pipeline {
     val withNum = if (paramAggs.isEmpty) df else {
       val params = df.agg(paramAggs.head, paramAggs.tail: _*)
       numCols.foldLeft(df.join(broadcast(params))) { (d, c) =>
-        val lo = col(s"__q1_$c") - (col(s"__q3_$c") - col(s"__q1_$c")) * 1.5
-        val hi = col(s"__q3_$c") + (col(s"__q3_$c") - col(s"__q1_$c")) * 1.5
-        d.withColumn(c,
-          least(greatest(coalesce(col(c).cast("double"), col(s"__med_$c")), lo), hi))
+        val imputed = coalesce(col(c).cast("double"), col(s"__med_$c"))
+        if (noClip.contains(c)) d.withColumn(c, imputed)
+        else {
+          val lo = col(s"__q1_$c") - (col(s"__q3_$c") - col(s"__q1_$c")) * 1.5
+          val hi = col(s"__q3_$c") + (col(s"__q3_$c") - col(s"__q1_$c")) * 1.5
+          d.withColumn(c, least(greatest(imputed, lo), hi))
+        }
       }.drop(params.columns: _*)
     }
 
@@ -87,10 +96,10 @@ object Pipeline {
   def autoPipeline(df: DataFrame, target: String, seed: Long = 42L,
       saveDir: Option[String] = None): Result = {
     import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.classification.RandomForestClassifier
-    import org.apache.spark.ml.regression.RandomForestRegressor
+    import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
+    import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
 
-    val cleaned = clean(df)
+    val cleaned = clean(df, noClip = Set(target))
     require(cleaned.columns.contains(target), s"target $target not found after cleaning")
     val featureCols = cleaned.columns.filter(_ != target).toSeq
     require(featureCols.nonEmpty, "no feature columns")
@@ -103,37 +112,83 @@ object Pipeline {
       .randomSplitOn80_20()
     val asm = new VectorAssembler().setInputCols(featureCols.toArray)
       .setOutputCol("features").setHandleInvalid("keep")
-    val trainA = asm.transform(train)
-    val testA = asm.transform(test)
-    val (metrics, importances, path) =
+    val trainA = asm.transform(train).cache()
+    val testA = asm.transform(test).cache()
+
+    def clsMetrics(pred: DataFrame): Map[String, Double] = {
+      val n = pred.count().toDouble
+      Map("accuracy" -> pred.filter(col("prediction") === col(target)).count() / n,
+        "n_test" -> n)
+    }
+    def regMetrics(pred: DataFrame): Map[String, Double] = {
+      val row = pred.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(pow(col("prediction") - col(target), 2)).as("ssres"),
+        sum(abs(col("prediction") - col(target))).as("sabs"),
+        sum(col(target)).as("sy"),
+        sum(col(target) * col(target)).as("syy")).head
+      val (n, ssres, sabs, sy, syy) =
+        (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
+      Map("mse" -> ssres / n, "mae" -> sabs / n,
+        "r2" -> (1.0 - ssres / (syy - sy * sy / n)), "n_test" -> n)
+    }
+
+    // Model selection (main.py:269-301/319-350): fit the reference's
+    // three families, evaluate each on the held-out split, keep the
+    // best (classification: accuracy ↑; regression: MSE ↓).
+    case class Fitted(name: String, metrics: Map[String, Double],
+        importances: Seq[(String, Double)], save: String => Unit)
+    val candidates: Seq[Fitted] =
       if (task == "classification") {
-        val m = new RandomForestClassifier().setNumTrees(20).setMaxDepth(6).setSeed(seed)
+        val rf = new RandomForestClassifier().setNumTrees(20).setMaxDepth(6).setSeed(seed)
           .setLabelCol(target).setFeaturesCol("features").fit(trainA)
-        val pred = m.transform(testA)
-        val n = pred.count().toDouble
-        val acc = pred.filter(col("prediction") === col(target)).count() / n
-        val p = saveDir.map { d => m.write.overwrite().save(s"$d/model"); s"$d/model" }
-        (Map("accuracy" -> acc, "n_test" -> n),
-          featureCols.zip(m.featureImportances.toArray), p)
+        val lr = new LogisticRegression().setMaxIter(50)
+          .setLabelCol(target).setFeaturesCol("features").fit(trainA)
+        val gbt = if (nDistinct == 2)
+          Some(new GBTClassifier().setMaxIter(20).setMaxDepth(5).setSeed(seed)
+            .setLabelCol(target).setFeaturesCol("features").fit(trainA))
+        else None // GBTClassifier is binary-only
+        Seq(
+          Fitted("RandomForest", clsMetrics(rf.transform(testA)),
+            featureCols.zip(rf.featureImportances.toArray), d => rf.write.overwrite().save(d)),
+          Fitted("LogisticRegression", clsMetrics(lr.transform(testA)),
+            normalizedCoefs(featureCols, lr.coefficientMatrix.toArray),
+            d => lr.write.overwrite().save(d))) ++
+          gbt.map(m => Fitted("GradientBoosting", clsMetrics(m.transform(testA)),
+            featureCols.zip(m.featureImportances.toArray), d => m.write.overwrite().save(d)))
       } else {
-        val m = new RandomForestRegressor().setNumTrees(20).setMaxDepth(6).setSeed(seed)
+        val rf = new RandomForestRegressor().setNumTrees(20).setMaxDepth(6).setSeed(seed)
           .setLabelCol(target).setFeaturesCol("features").fit(trainA)
-        val pred = m.transform(testA)
-        val row = pred.agg(
-          count(lit(1)).cast("double").as("n"),
-          sum(pow(col("prediction") - col(target), 2)).as("ssres"),
-          sum(abs(col("prediction") - col(target))).as("sabs"),
-          sum(col(target)).as("sy"),
-          sum(col(target) * col(target)).as("syy")).head
-        val (n, ssres, sabs, sy, syy) =
-          (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
-        val p = saveDir.map { d => m.write.overwrite().save(s"$d/model"); s"$d/model" }
-        (Map("mse" -> ssres / n, "mae" -> sabs / n,
-          "r2" -> (1.0 - ssres / (syy - sy * sy / n)), "n_test" -> n),
-          featureCols.zip(m.featureImportances.toArray), p)
+        val gbt = new GBTRegressor().setMaxIter(20).setMaxDepth(5).setSeed(seed)
+          .setLabelCol(target).setFeaturesCol("features").fit(trainA)
+        val lin = new LinearRegression().setMaxIter(50)
+          .setLabelCol(target).setFeaturesCol("features").fit(trainA)
+        Seq(
+          Fitted("RandomForest", regMetrics(rf.transform(testA)),
+            featureCols.zip(rf.featureImportances.toArray), d => rf.write.overwrite().save(d)),
+          Fitted("GradientBoosting", regMetrics(gbt.transform(testA)),
+            featureCols.zip(gbt.featureImportances.toArray), d => gbt.write.overwrite().save(d)),
+          Fitted("LinearRegression", regMetrics(lin.transform(testA)),
+            normalizedCoefs(featureCols, lin.coefficients.toArray), d => lin.write.overwrite().save(d)))
       }
-    Result(cleaned, train, test, task, metrics, featureCols,
-      importances.sortBy(-_._2), path)
+    val best =
+      if (task == "classification") candidates.maxBy(_.metrics("accuracy"))
+      else candidates.minBy(_.metrics("mse"))
+    val path = saveDir.map { d => best.save(s"$d/model"); s"$d/model" }
+    trainA.unpersist(); testA.unpersist()
+    Result(cleaned, train, test, task, best.metrics, featureCols,
+      best.importances.sortBy(-_._2), path,
+      best.name, candidates.map(c => c.name -> c.metrics).toMap)
+  }
+
+  /** Linear-model "importances": |coefficient| normalized to sum 1
+    * (multiclass matrices flatten to per-class blocks; sum per
+    * feature across classes). */
+  private def normalizedCoefs(names: Seq[String], coefs: Array[Double]): Seq[(String, Double)] = {
+    val per = names.indices.map(i =>
+      coefs.indices.filter(_ % names.length == i).map(k => math.abs(coefs(k))).sum)
+    val tot = per.sum
+    names.zip(if (tot > 0) per.map(_ / tot) else per)
   }
 
   /** Deterministic hash split helper (keeps Result API tidy). */

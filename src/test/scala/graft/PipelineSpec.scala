@@ -13,6 +13,10 @@ class PipelineSpec extends SparkSuite {
     assert(r.metrics("accuracy") >= 0.5) // majority class is ~80%
     assert(r.metrics("n_test") > 0)
     assert(r.train.count() + r.test.count() === ev.count())
+    // model selection tried all three reference families (binary target)
+    assert(r.modelMetrics.keySet === Set("RandomForest", "LogisticRegression", "GradientBoosting"))
+    assert(r.modelMetrics(r.bestModel)("accuracy") ===
+      r.modelMetrics.values.map(_("accuracy")).max)
   }
 
   test("autoPipeline regresses a price target end to end") {
@@ -22,6 +26,8 @@ class PipelineSpec extends SparkSuite {
     assert(r.task === "regression")
     assert(r.metrics("mse") >= 0)
     assert(r.metrics("r2") <= 1.0)
+    assert(r.modelMetrics.keySet === Set("RandomForest", "GradientBoosting", "LinearRegression"))
+    assert(r.modelMetrics(r.bestModel)("mse") === r.modelMetrics.values.map(_("mse")).min)
   }
 
   test("clean handles nulls, strings, and timestamps generically") {
