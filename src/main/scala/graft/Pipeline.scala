@@ -110,9 +110,25 @@ object Pipeline {
     val Array(train, test) = cleaned.na.fill(0.0)
       .withColumn("__r", pmod(xxhash64(struct(featureCols.map(col): _*)), lit(100L)))
       .randomSplitOn80_20()
+    // Imbalance handling (main.py:232-263): when the minority class is
+    // <20% of the majority, oversample the training split with SMOTE
+    // AND weight classes in the estimators — both, like the reference.
+    import graft.operators.MLPrep
+    val imbalanced = task == "classification" && MLPrep.isImbalanced(train, target)
+    val trainBalanced = if (imbalanced) {
+      val counts = train.groupBy(col(target)).count().collect() // O(classes)
+      val minRow = counts.minBy(_.getLong(1))
+      val copies = math.min(5,
+        (counts.map(_.getLong(1)).max / math.max(1L, minRow.getLong(1))).toInt - 1)
+      val smoted = if (copies >= 1)
+        train.unionByName(MLPrep.smoteOversample(train, target, featureCols, minRow.get(0), copies))
+      else train
+      MLPrep.withClassWeights(smoted, target)
+    } else train.withColumn("class_weight", lit(1.0))
+
     val asm = new VectorAssembler().setInputCols(featureCols.toArray)
       .setOutputCol("features").setHandleInvalid("keep")
-    val trainA = asm.transform(train).cache()
+    val trainA = asm.transform(trainBalanced).cache()
     val testA = asm.transform(test).cache()
 
     def clsMetrics(pred: DataFrame): Map[String, Double] = {
@@ -141,11 +157,14 @@ object Pipeline {
     val candidates: Seq[Fitted] =
       if (task == "classification") {
         val rf = new RandomForestClassifier().setNumTrees(20).setMaxDepth(6).setSeed(seed)
+          .setWeightCol("class_weight")
           .setLabelCol(target).setFeaturesCol("features").fit(trainA)
         val lr = new LogisticRegression().setMaxIter(50)
+          .setWeightCol("class_weight")
           .setLabelCol(target).setFeaturesCol("features").fit(trainA)
         val gbt = if (nDistinct == 2)
           Some(new GBTClassifier().setMaxIter(20).setMaxDepth(5).setSeed(seed)
+            .setWeightCol("class_weight")
             .setLabelCol(target).setFeaturesCol("features").fit(trainA))
         else None // GBTClassifier is binary-only
         Seq(

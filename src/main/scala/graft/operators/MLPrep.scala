@@ -88,6 +88,59 @@ object MLPrep {
       when(pmod(xxhash64(col(keyCol)), lit(10000)) < (testFrac * 10000).toInt, "test")
         .otherwise("train"))
 
+  /** Stratified split (ref main.py:241 stratify=y): EXACT per-class
+    * proportions via per-class hash-ranked row numbers. One shuffle on
+    * the label; at 100 TB the per-class windows parallelize over
+    * labels (salt a single dominant label if needed). */
+  def stratifiedSplit(df: DataFrame, labelCol: String, testFrac: Double): DataFrame = {
+    val w = Window.partitionBy(col(labelCol)).orderBy(xxhash64(struct(df.columns.map(col): _*)))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(labelCol))))
+      .withColumn("split", when(col("__rn") <= col("__n") * testFrac, "test").otherwise("train"))
+      .drop("__rn", "__n")
+  }
+
+  /** Balanced class weights (ref main.py:250-252, sklearn 'balanced'):
+    * adds `class_weight` = n/(k·n_c), broadcast-joined back. */
+  def withClassWeights(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n_c"))
+    val tot = counts.agg(sum(col("__n_c")).as("__n"), count(lit(1)).as("__k"))
+    df.join(broadcast(counts), Seq(labelCol)).join(broadcast(tot))
+      .withColumn("class_weight", col("__n").cast("double") / (col("__k") * col("__n_c")))
+      .drop("__n_c", "__n", "__k")
+  }
+
+  /** Imbalance test (ref main.py:235-238): minority/majority < 0.2. */
+  def isImbalanced(df: DataFrame, labelCol: String): Boolean = {
+    val r = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .agg((min(col("n")).cast("double") / max(col("n"))).as("ratio")).head
+    r.getDouble(0) < 0.2
+  }
+
+  /** Distributed SMOTE (ref main.py:254-260): for each minority-class
+    * row, synthesize `copies` rows interpolated toward the next
+    * same-class neighbor in hash order — x + λ(y−x) with λ derived
+    * deterministically from (hash, copy). Neighbor discovery is a
+    * single per-class window (hash order ≈ random projection); at
+    * 100 TB swap the window for LSH-bucket neighbors (d3 machinery).
+    * Non-feature columns copy from the seed row. */
+  def smoteOversample(df: DataFrame, labelCol: String, featureCols: Seq[String],
+      minorityLabel: Any, copies: Int): DataFrame = {
+    val h = xxhash64(struct(df.columns.map(col): _*))
+    val w = Window.partitionBy(col(labelCol)).orderBy(h)
+    val minority = df.filter(col(labelCol) === lit(minorityLabel))
+      .withColumn("__h", pmod(h, lit(97L)))
+    val withNext = featureCols.foldLeft(minority) { (d, c) =>
+      d.withColumn(s"__next_$c", lead(col(c), 1).over(w))
+    }.filter(col(s"__next_${featureCols.head}").isNotNull)
+    val synth = withNext
+      .withColumn("__copy", explode(array((1 to copies).map(lit): _*)))
+      .withColumn("__lambda", pmod(col("__h") * 31 + col("__copy"), lit(100L)).cast("double") / 100.0)
+    featureCols.foldLeft(synth) { (d, c) =>
+      d.withColumn(c, col(c) + col("__lambda") * (col(s"__next_$c") - col(c)))
+    }.select(df.columns.map(col): _*)
+  }
+
   val m3Sql: String =
     """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'test' ELSE 'train' END AS split,
       |  count(*) AS n_rows,

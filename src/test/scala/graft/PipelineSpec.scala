@@ -58,6 +58,41 @@ class PipelineSpec extends SparkSuite {
     assert(reloaded.numFeatures === r.featureCols.length)
   }
 
+  test("stratified split keeps exact per-class test fractions") {
+    import graft.operators.MLPrep
+    val ev = Tables.events(spark, sf)
+    val split = MLPrep.stratifiedSplit(ev, "event_type", 0.2)
+    val frac = split.groupBy("event_type")
+      .agg((sum(when(col("split") === "test", 1)) / count(lit(1))).as("f"))
+      .collect().map(_.getAs[Double]("f"))
+    assert(frac.forall(f => math.abs(f - 0.2) < 0.01))
+  }
+
+  test("SMOTE oversampling synthesizes in-range minority rows") {
+    import graft.operators.MLPrep
+    val ev = Tables.events(spark, sf).drop("props", "ts")
+    val before = ev.filter(col("event_type") === "error").count()
+    val synth = MLPrep.smoteOversample(ev, "event_type", Seq("value"), "error", 2)
+    assert(synth.count() >= (before - 1) * 2) // 2 copies per seed (last seed has no neighbor)
+    assert(synth.select("event_type").distinct().head.getString(0) === "error")
+    val mm = ev.filter(col("event_type") === "error")
+      .agg(min("value"), max("value")).head
+    val bad = synth.filter(col("value") < mm.getDouble(0) - 1e-9 ||
+      col("value") > mm.getDouble(1) + 1e-9).count()
+    assert(bad === 0) // interpolation stays inside the class hull
+  }
+
+  test("imbalanced classification triggers SMOTE + class weights and still trains") {
+    import spark.implicits._
+    // 4% positives → ratio < 0.2 → imbalance path
+    val df = (1 to 2000).map(i => (i.toLong, (i % 97).toDouble, (i % 13).toDouble,
+      if (i % 25 == 0) 1.0 else 0.0)).toDF("id", "f1", "f2", "label")
+    val r = Pipeline.autoPipeline(df, "label")
+    assert(r.task === "classification")
+    assert(r.modelMetrics.nonEmpty)
+    assert(r.metrics("accuracy") > 0)
+  }
+
   test("driver entry smoke: rows > 0 on a vanilla session") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
