@@ -200,6 +200,65 @@ object Pipeline {
       best.name, candidates.map(c => c.name -> c.metrics).toMap)
   }
 
+  /** generate_visualizations (main.py:134-189) as DATA, generic over
+    * any frame: the aggregates a chart layer would render. Everything
+    * is one or two scans; nothing is collected.
+    * - overview: 1 row (n_rows, n_cols)
+    * - target distribution: value counts if ≤20 distinct, else a
+    *   20-bucket histogram (same rule as the reference)
+    * - corr matrix: pairwise Pearson over up to 10 numeric columns
+    * - histograms: 20 buckets for up to 5 numeric columns (long form)
+    */
+  case class VizData(overview: DataFrame, targetDistribution: DataFrame,
+      corrMatrix: DataFrame, histograms: DataFrame)
+
+  def vizData(df: DataFrame, target: String): VizData = {
+    import df.sparkSession.implicits._
+    val numCols = df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name)
+
+    val overview = Seq((df.count(), df.columns.length.toLong)).toDF("n_rows", "n_cols")
+
+    val targetDist =
+      if (df.select(target).distinct().count() <= 20)
+        df.groupBy(col(target).cast("string").as("value"))
+          .agg(count(lit(1)).as("n")).orderBy(col("n").desc, col("value"))
+      else histogram(df, target, 20)
+
+    val corrCols = numCols.take(10)
+    val corrMatrix = {
+      val pairs = for { i <- corrCols.indices; j <- corrCols.indices if i < j }
+        yield (corrCols(i), corrCols(j))
+      if (pairs.isEmpty) Seq.empty[(String, String, Double)].toDF("col_a", "col_b", "corr")
+      else {
+        val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__$b") }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val rows = pairs.map { case (a, b) =>
+          struct(lit(a).as("col_a"), lit(b).as("col_b"),
+            round(col(s"${a}__$b"), 6).as("corr")) }
+        one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      }
+    }
+
+    val hists = numCols.take(5).map(c => histogram(df, c, 20)
+        .select(lit(c).as("col_name"), col("bucket"), col("n")))
+      .reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(String, Long, Long)].toDF("col_name", "bucket", "n"))
+
+    VizData(overview, targetDist, corrMatrix, hists)
+  }
+
+  /** Fixed-width histogram of any numeric column. */
+  def histogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    val mm = df.agg(min(col(c)).cast("double").as("mn"), max(col(c)).cast("double").as("mx"))
+    df.join(broadcast(mm))
+      .withColumn("bucket",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((col(c) - col("mn")) / ((col("mx") - col("mn")) / buckets)),
+            lit(buckets - 1L))))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Linear-model "importances": |coefficient| normalized to sum 1
     * (multiclass matrices flatten to per-class blocks; sum per
     * feature across classes). */

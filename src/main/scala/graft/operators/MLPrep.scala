@@ -403,8 +403,8 @@ object MLPrep {
       .select(col("o_orderpriority"), col("o_orderstatus").as("pred"))
     val test = o.filter(col("is_test")).join(broadcast(model), Seq("o_orderpriority"))
     val classes = test.select(col("o_orderstatus").as("cls")).distinct()
-    val perClass = classes
-      .join(test, lit(true))
+    val perClass = test
+      .join(broadcast(classes)) // tiny class list fans out map-side, no cartesian shuffle
       .groupBy(col("cls"))
       .agg(
         sum(when(col("o_orderstatus") === col("cls"), 1L).otherwise(0L)).as("support"),

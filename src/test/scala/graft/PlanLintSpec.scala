@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan lint: structural rules every inventory query must satisfy —
+  * the automated version of the PLANS.md audit. */
+class PlanLintSpec extends SparkSuite {
+
+  test("no query plans a non-broadcast cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("every lineitem-scanning relational query prunes its read schema") {
+    // q6 needs 4 of lineitem's 11 columns; the scan must not read more
+    val plan = operators.Relational.q6(spark, sf).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"q6 reads unneeded columns: $readSchema")
+  }
+
+  test("vizData produces render-ready aggregates for any frame") {
+    val ev = Tables.events(spark, sf).drop("props")
+    val v = Pipeline.vizData(ev, "event_type")
+    assert(v.overview.head.getLong(0) === ev.count())
+    assert(v.targetDistribution.count() === 5) // ≤20 distinct → counts
+    assert(v.corrMatrix.columns.toSeq === Seq("col_a", "col_b", "corr"))
+    assert(v.histograms.groupBy("col_name").count().count() > 0)
+    val vNum = Pipeline.vizData(ev, "value")
+    assert(vNum.targetDistribution.columns.contains("bucket")) // >20 distinct → histogram
+  }
+}
