@@ -76,6 +76,41 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
+  case class TypedEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+  case class Enriched(user_id: Long, event_id: Long, purchase_ms: Long,
+      click_ms: Option[Long])
+
+  /** Streaming AS-OF enrichment: each purchase is emitted with the
+    * latest click of the same user at-or-before it — the streaming
+    * twin of q14/q16. State per user = ONE long (last click ms);
+    * events sort by event time within each micro-batch, so the result
+    * equals the batch as-of join whenever a user's timeline isn't
+    * split across batches out of order (guaranteed under event-time-
+    * ordered sources; late data beyond the watermark is dropped by
+    * the upstream watermark as usual). */
+  def streamingAsOfEnrich(events: Dataset[TypedEvent]): Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "click")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[TypedEvent], state: GroupState[Long]) => {
+          val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_type, e.event_id))
+          var lastClick = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Enriched]
+          for (e <- sorted) {
+            val ms = e.ts.getTime
+            if (e.event_type == "click") lastClick = math.max(lastClick, ms)
+            else out += Enriched(uid, e.event_id, ms,
+              if (lastClick == Long.MinValue) None else Some(lastClick))
+          }
+          if (lastClick != Long.MinValue) state.update(lastClick)
+          out.iterator
+        })
+  }
+
   // -------------------------------------------------------------------
   // st1: tumbling 5-min windows — batch twin uses pure integer bucket
   // math (epoch-aligned, identical to window()'s default alignment).

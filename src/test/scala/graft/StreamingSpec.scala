@@ -73,6 +73,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment equals the batch as-of join (q14)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val cols = Seq("event_id", "user_id", "ts", "event_type", "value")
+    Tables.events(spark, sf).select(cols.map(col): _*).write.mode("overwrite").parquet(dir)
+    val schema = Tables.events(spark, sf).select(cols.map(col): _*).schema
+    val stream = spark.readStream.schema(schema).parquet(dir).as[Streams.TypedEvent]
+    val q = Streams.streamingAsOfEnrich(stream)
+      .writeStream.outputMode("append").format("memory").queryName("asof").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("asof").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val batch = operators.Relational.q14(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("st2's manual sliding-window expansion matches native window()") {
+    val ev = Tables.events(spark, sf)
+    val native = ev
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val manual = graft.streaming.Streams.st2(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(manual === native)
+  }
+
   test("st4 typed sessionization matches the window-function formulation (q11)") {
     val typed = Streams.st4(spark, sf).collect().map(_.toSeq)
     val sql = operators.Relational.q11(spark, sf).collect().map(_.toSeq)
