@@ -29,15 +29,32 @@ object Pipeline {
     case _ => false
   }
 
-  /** clean_data (main.py:66-129): median-impute + IQR-clip numerics,
-    * mode-impute + encode strings (label if ≤32 distinct else
-    * frequency), expand timestamps into calendar features.
+  /** clean_data (main.py:66-129): drop all-null columns, detect
+    * datetime-like string columns (≥90% parseable → converted),
+    * median-impute + IQR-clip numerics, mode-impute + encode strings
+    * (label if ≤32 distinct else frequency), expand timestamps into
+    * calendar features.
     *
     * `noClip` columns are imputed but NOT outlier-clipped — pass the
     * target here: clipping a skewed 0/1 label (IQR = 0) would collapse
     * it to a constant. (The pandas reference clips every numeric
     * column including the target — a latent bug this port fixes.) */
-  def clean(df: DataFrame, noClip: Set[String] = Set.empty): DataFrame = {
+  def clean(dfIn: DataFrame, noClip: Set[String] = Set.empty): DataFrame = {
+    // one scan: per-column non-null counts + parse rate of string cols
+    // (try_to_timestamp is ANSI-safe); the O(#columns) row is the only
+    // thing collected
+    val strCols0 = dfIn.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val probeAggs = dfIn.columns.map(c => count(col(c)).as(s"__nn_$c")) ++
+      strCols0.map(c => count(expr(s"try_to_timestamp(`$c`)")).as(s"__ts_$c"))
+    val probe = dfIn.agg(probeAggs.head, probeAggs.tail: _*).head
+    def nn(c: String) = probe.getAs[Long](s"__nn_$c")
+    val allNull = dfIn.columns.filter(nn(_) == 0L) // dropna(axis=1, how='all')
+    val dateLike = strCols0.filter(c =>
+      nn(c) > 0 && probe.getAs[Long](s"__ts_$c") >= nn(c) * 0.9 && !noClip.contains(c))
+    val df = dateLike.foldLeft(dfIn.drop(allNull: _*)) { (d, c) =>
+      d.withColumn(c, expr(s"try_to_timestamp(`$c`)"))
+    }
+
     val numCols = df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name)
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val tsCols = df.schema.fields.filter(_.dataType == TimestampType).map(_.name)

@@ -58,6 +58,21 @@ class PipelineSpec extends SparkSuite {
     assert(reloaded.numFeatures === r.featureCols.length)
   }
 
+  test("clean drops all-null columns and detects datetime strings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-02 03:04:05", "x", 1.0),
+      (2L, "2024-02-03 04:05:06", "y", 2.0),
+      (3L, "2024-03-04 05:06:07", "x", 3.0))
+      .toDF("id", "when_str", "cat", "v")
+      .withColumn("ghost", lit(null).cast("double"))
+    val cleaned = Pipeline.clean(df)
+    assert(!cleaned.columns.contains("ghost")) // dropna(axis=1, how='all')
+    assert(cleaned.columns.contains("when_str_year") && !cleaned.columns.contains("when_str"))
+    assert(cleaned.select("when_str_year").distinct().head.getDouble(0) === 2024.0)
+    assert(cleaned.schema("cat").dataType.typeName === "double") // label-encoded
+  }
+
   test("stratified split keeps exact per-class test fractions") {
     import graft.operators.MLPrep
     val ev = Tables.events(spark, sf)
