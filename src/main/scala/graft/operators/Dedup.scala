@@ -43,6 +43,58 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
   }
 
+  /** Library API: connected components over near-dup pairs (minId
+    * label propagation). Near-dup is transitive in effect — A≈B≈C must
+    * collapse to ONE kept doc even when A,C were never a candidate
+    * pair — so clustering is required between pair generation and
+    * keep-one selection. Iterations ≈ cluster diameter (near-dup
+    * clusters are near-cliques, so 2-3 rounds); each round is two
+    * shuffles on the pair edges only, never the corpus.
+    * Input: (id_a, id_b) pairs. Output: (id, cluster) — cluster =
+    * smallest member id; singletons omitted. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster")).cache()
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Library API: full near-dup dedup — LSH candidates → Jaccard
+    * verify (τ) → connected components → keep the smallest id per
+    * cluster. The complete candidates/verify/cluster/keep pipeline a
+    * 100 TB corpus dedup runs. */
+  def dedupNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+      tau: Double = 0.9): DataFrame = {
+    val candidates = minhashCandidatePairs(docs, textCol, idCol)
+    val sh = docs.select(col(idCol).as("id"), shingles3(tokens(col(textCol))).as("sh"))
+    val verified = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= tau)
+      .select(col("id_a"), col("id_b"))
+    val clusters = connectedComponents(verified)
+    val drop = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
+    docs.join(drop, docs(idCol) === drop("id"), "left_anti")
+  }
+
   // -------------------------------------------------------------------
   // d1: exact-dedup summary — corpus size, distinct texts, duplicate
   // groups, removable copies. One hash-groupBy on md5(text) (dup

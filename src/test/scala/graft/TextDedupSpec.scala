@@ -37,6 +37,26 @@ class TextDedupSpec extends SparkSuite {
     assert(deduped.count() < docs.count()) // sf0.1 has 8 dup texts
   }
 
+  test("connected components collapse transitive chains to one cluster") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, singleton edges absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("end-to-end near-dup dedup removes exactly the duplicate copies at sf0.1") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val deduped = Dedup.dedupNearDuplicates(docs, "text", "doc_id", tau = 0.99)
+    // 5000 docs, 4992 distinct texts → exactly the 8 extra copies go
+    assert(deduped.count() === docs.select("text").distinct().count())
+    // kept doc per dup group is the smallest id
+    val dupMins = docs.groupBy("text").agg(count(lit(1)).as("n"), min("doc_id").as("keep"))
+      .filter(col("n") > 1).select("keep")
+    assert(dupMins.join(deduped, dupMins("keep") === deduped("doc_id")).count() === dupMins.count())
+  }
+
   test("minhash LSH candidates include every exact-duplicate pair") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val exactPairs = docs.as("a").join(docs.as("b"),
