@@ -169,6 +169,30 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Library API: SimHash near-dup candidate pairs within hamming
+    * distance ≤ 3, by pigeonhole: split the 16-bit hash into 4 4-bit
+    * chunks — any pair within hamming 3 agrees EXACTLY on ≥1 chunk, so
+    * bucketing by (chunk_index, chunk_value) finds every such pair
+    * with a bucket join (no O(n²)); hamming is then verified exactly.
+    * Same shape scales to 64-bit hashes with k+1 chunks for radius k. */
+  def simhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = docs.select(col(idCol).as("id"),
+      simhash16(tokenCodes(col(textCol))).as("sim"))
+    val chunked = sims.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sim"), c * 4).bitwiseAND(0xf).as("cval"))): _*)).as("b"))
+      .select(col("id"), col("sim"), col("b.chunk").as("chunk"), col("b.cval").as("cval"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(expr("a.sim ^ b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // -------------------------------------------------------------------
   // d4: 16-bit SimHash + hamming distance on consecutive pairs
   // (near-dup iff hamming ≤ 3). SimHash is one map-side pass; at scale

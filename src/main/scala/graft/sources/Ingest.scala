@@ -56,6 +56,14 @@ object Ingest {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** Parse an embedded JSON string column with an EXPLICIT schema —
+    * the 100 TB path for q13-style extraction: one parse per row into
+    * typed fields (vs one regex pass per extracted field), no schema
+    * inference job. */
+  def parseJsonColumn(df: DataFrame, column: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.withColumn(s"${column}_parsed", from_json(col(column), schema))
+
   /** Bucketed managed table: pre-shuffles data into `nBuckets` by
     * `bucketCol` at write time so every later join/agg on that key is
     * shuffle-free (the 100 TB answer for fact-fact joins repeated

@@ -62,6 +62,17 @@ class IngestSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("typed JSON parsing agrees with the regex extraction path") {
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, sf)
+    val parsed = graft.sources.Ingest.parseJsonColumn(ev, "props",
+      StructType(Seq(StructField("k", LongType))))
+    val viaJson = parsed.agg(sum(col("props_parsed.k"))).head.getLong(0)
+    val viaRegex = ev.agg(sum(
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))).head.getLong(0)
+    assert(viaJson === viaRegex)
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Ingest.writeParquet(Tables.events(spark, sf), dir, Seq("event_type"))

@@ -57,6 +57,19 @@ class TextDedupSpec extends SparkSuite {
     assert(dupMins.join(deduped, dupMins("keep") === deduped("doc_id")).count() === dupMins.count())
   }
 
+  test("simhash pigeonhole buckets find every pair within hamming 3 (vs brute force)") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val viaB = Dedup.simhashCandidatePairs(docs, "text", "doc_id", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth over the same 200 docs
+    import graft.functions.TextFunctions._
+    val sims = docs.select(col("doc_id").as("id"), simhash16(tokenCodes(col("text"))).as("sim"))
+    val brute = sims.as("a").join(sims.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(expr("a.sim ^ b.sim")) <= 3)
+      .select(col("a.id"), col("b.id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaB === brute) // pigeonhole guarantee: no recall loss at radius 3
+  }
+
   test("minhash LSH candidates include every exact-duplicate pair") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val exactPairs = docs.as("a").join(docs.as("b"),
