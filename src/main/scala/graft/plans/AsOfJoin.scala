@@ -91,27 +91,39 @@ case class AsOfJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val nRight = right.output.size
-    val lKey = BindReferences.bindReference(leftKey, left.output)
-    val lTime = BindReferences.bindReference(leftTime, left.output)
-    val rKey = BindReferences.bindReference(rightKey, right.output)
-    val rTime = BindReferences.bindReference(rightTime, right.output)
-    val keyOrd = nullsFirst(atomicOrdering(leftKey.dataType))
-    val timeOrd = nullsFirst(atomicOrdering(leftTime.dataType))
+    val keyDt = leftKey.dataType
+    val timeDt = leftTime.dataType
+    val keyOrd = nullsFirst(atomicOrdering(keyDt))
+    val timeOrd = nullsFirst(atomicOrdering(timeDt))
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // codegen'd (key, time) projections — one generated evaluator per
+      // partition instead of interpreted per-row expression trees
+      val lProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(Seq(leftKey, leftTime), left.output)
+      val rProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(Seq(rightKey, rightTime), right.output)
+      // projection output buffers are reused across calls — variable-
+      // width values (strings/decimals) must be detached before storing
+      def freeze(v: Any): Any = v match {
+        case s: UTF8String => s.clone()
+        case d: org.apache.spark.sql.types.Decimal =>
+          org.apache.spark.sql.types.Decimal(d.toJavaBigDecimal)
+        case x => x
+      }
       val rightNulls = new GenericInternalRow(nRight)
       val joined = new JoinedRow
-      // right side with key/time materialized; each row copied once
-      // when buffered (iterator rows are reused by the upstream sort),
-      // and key/time evaluated on the copy so values can't alias the
-      // recycled buffer
       val rBuf = rIter.map { r =>
-        val c = r.copy(); (rKey.eval(c), rTime.eval(c), c)
+        val c = r.copy() // upstream sort reuses its row buffer
+        val p = rProj(c)
+        (freeze(if (p.isNullAt(0)) null else p.get(0, keyDt)),
+          freeze(if (p.isNullAt(1)) null else p.get(1, timeDt)), c)
       }.buffered
       var matchKey: Any = null
       var matchRow: InternalRow = null
       lIter.map { l =>
-        val lk = lKey.eval(l)
-        val lt = lTime.eval(l)
+        val p = lProj(l)
+        val lk = if (p.isNullAt(0)) null else p.get(0, keyDt)
+        val lt = if (p.isNullAt(1)) null else p.get(1, timeDt)
         while (rBuf.hasNext && {
           val kc = keyOrd.compare(rBuf.head._1, lk)
           kc < 0 || (kc == 0 && timeOrd.compare(rBuf.head._2, lt) <= 0)
