@@ -221,6 +221,21 @@ object Dedup {
        |ORDER BY doc_a""".stripMargin
   }
 
+  /** Library API: embedding near-dup pairs at scale — hyperplane-LSH
+    * bucket join (s2's bucketing) restricts scoring to same-bucket
+    * pairs, then exact cosine verifies ≥ τ. Recall is probabilistic
+    * (tunable via plane count / multi-probe); precision is exact. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+      tau: Double): DataFrame = {
+    val b = emb.select(col(idCol).as("id"), col(embCol).as("e"),
+      Similarity.lshBucket(col(embCol)).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", cosineAuto(emb.sparkSession, col("a.e"), col("b.e")))
+      .filter(col("cos") >= tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   // -------------------------------------------------------------------
   // d5: embedding near-dup — cosine on consecutive embedding pairs,
   // flagged at τ=0.8. Production candidates come from s2's LSH

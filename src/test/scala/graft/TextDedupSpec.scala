@@ -70,6 +70,22 @@ class TextDedupSpec extends SparkSuite {
     assert(viaB === brute) // pigeonhole guarantee: no recall loss at radius 3
   }
 
+  test("embedding near-dup pairs: exact precision, bucket-restricted recall") {
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sf).limit(300)
+    val tau = 0.3
+    val got = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: same-bucket brute force with the same threshold
+    val b = emb.select(col("vec_id").as("id"), col("embedding").as("e"),
+      graft.operators.Similarity.lshBucket(col("embedding")).as("bucket"))
+    val want = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .filter(VectorFunctions.cosine(col("a.e"), col("b.e")) >= tau)
+      .select(col("a.id"), col("b.id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("minhash LSH candidates include every exact-duplicate pair") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val exactPairs = docs.as("a").join(docs.as("b"),
