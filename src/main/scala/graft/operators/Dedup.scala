@@ -53,25 +53,27 @@ object Dedup {
     * Input: (id_a, id_b) pairs. Output: (id, cluster) — cluster =
     * smallest member id; singletons omitted. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint truncates lineage each round — without it the
+    // union→join→agg plan nests per iteration and analysis cost (and
+    // driver heap) grows exponentially, the classic iterative-Spark
+    // failure mode.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
+      .withColumn("cluster", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("cluster"))
       val next = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster")).cache()
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster")).localCheckpoint()
       converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next
       i += 1
     }
-    edges.unpersist()
     labels
   }
 

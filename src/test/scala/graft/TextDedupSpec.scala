@@ -37,6 +37,31 @@ class TextDedupSpec extends SparkSuite {
     assert(deduped.count() < docs.count()) // sf0.1 has 8 dup texts
   }
 
+  test("connected components match union-find on 10 seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      val n = 20 + rnd.nextInt(60)
+      val edges = (1 to n).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // reference: classic union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("connected components collapse transitive chains to one cluster") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, singleton edges absent
