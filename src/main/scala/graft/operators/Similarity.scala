@@ -263,11 +263,33 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** SQL twin of lshBucket: same integer-arithmetic hyperplane signs,
+    * same ascending-index dot fold — bit-identical bucket ids. */
+  def lshBucketSql(e: String): String =
+    (0 until 8).map { p =>
+      val sgn = s"(CASE WHEN ((i*2654435761 + $p*97) % $P) % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, len($e)), i -> CAST(($e)[i] AS DOUBLE) * $sgn)) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val s2Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS cand_id, $cos AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
+       |SELECT q_id, bucket, CAST(rk AS BIGINT) AS rk, cand_id, round(cos, 6) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |  FROM pairs)
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1 _), "s2_ann_lsh" -> (s2 _),
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
-    "s1_cosine_topk" -> s1Sql, "s3_vector_stats" -> s3Sql, "s4_knn_classify" -> s4Sql,
-    "s5_ivf_ann" -> s5Sql)
+    "s1_cosine_topk" -> s1Sql, "s2_ann_lsh" -> s2Sql, "s3_vector_stats" -> s3Sql,
+    "s4_knn_classify" -> s4Sql, "s5_ivf_ann" -> s5Sql)
 }
