@@ -7,7 +7,19 @@ import graft.operators._
   * Every operator family contributes a `queries` map (name → builder)
   * and an `oracles` map (name → DuckDB-equivalent ANSI SQL). Keys
   * without an oracle get the driver's weaker rows-only check (marked
-  * rows-only in SURVEY.md §2).
+  * rows-only in SURVEY.md §2; the set is enforced by ContractSpec).
+  *
+  * Family → implementation map:
+  *  - q1–q16  operators/Relational.scala  (analytics core, custom as-of)
+  *  - c1–c9   operators/Cleaning.scala    (impute/encode/clip/profile)
+  *  - m1–m14  operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE)
+  *  - t1–t4   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint)
+  *  - d1–d5   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding)
+  *  - s1–s5   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats)
+  *  - mm1–mm3 operators/Multimodal.scala  (binary payloads, stub decode, frames)
+  *  - st1–st5 streaming/Streams.scala     (windows, dedup, sessions ×3)
+  * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
+  * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).
   */
 object SparkEntry {
 
