@@ -38,11 +38,13 @@ object Multimodal {
       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
-  // mm2 (rows-only): batched feature extraction over binary payloads.
+  // mm2: batched feature extraction over binary payloads.
   // mapPartitions processes a whole partition per call (amortizing any
   // per-batch model-load cost, exactly like mapInPandas batches); the
   // decode step is a deterministic stub. Output schema is the real one
-  // a vision tower would produce: (id, width, height, feature vector).
+  // a vision tower would produce: (id, width, height, features).
+  // The stub's byte-fold checksum is pure integer arithmetic, so even
+  // this query carries a full DuckDB oracle (list_reduce twin).
   def mm2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -55,14 +57,33 @@ object Multimodal {
       // "features" from the bytes so the plumbing is testable.
       batch.map { case (id, bytes) =>
         val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-        val w = 64 + (checksum % 64).toInt
-        val h = 64 + ((checksum / 64) % 64).toInt
-        val feats = Array.tabulate(4)(i => ((checksum >> (8 * i)) & 0xff).toDouble / 255.0)
-        (id, w, h, feats)
+        val w = 64 + (checksum % 64)
+        val h = 64 + ((checksum / 64) % 64)
+        val f = Array.tabulate(4)(i => ((checksum >> (8 * i)) & 0xff).toDouble / 255.0)
+        (id, w, h, f(0), f(1), f(2), f(3))
       }
-    }.toDF("doc_id", "width", "height", "features")
+    }.toDF("doc_id", "width", "height", "f0", "f1", "f2", "f3")
       .orderBy(col("doc_id"))
   }
+
+  // text is pure ASCII, so the utf-8 payload bytes equal the per-char
+  // code points — the fold is replicable over ascii(substr(...)).
+  val mm2Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc*31 + x) % 1000000007) AS cs
+      |  FROM documents)
+      |SELECT doc_id,
+      |  64 + cs % 64 AS width,
+      |  64 + (cs // 64) % 64 AS height,
+      |  CAST((cs >> 0) & 255 AS DOUBLE)/255.0 AS f0,
+      |  CAST((cs >> 8) & 255 AS DOUBLE)/255.0 AS f1,
+      |  CAST((cs >> 16) & 255 AS DOUBLE)/255.0 AS f2,
+      |  CAST((cs >> 24) & 255 AS DOUBLE)/255.0 AS f3
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // mm3: frame sampling from video metadata — every 10th frame index,
@@ -86,5 +107,6 @@ object Multimodal {
     "mm1_binary_meta" -> (mm1 _), "mm2_feature_extract" -> (mm2 _), "mm3_frame_sample" -> (mm3 _))
 
   def oracles: Map[String, String] = Map(
-    "mm1_binary_meta" -> mm1Sql, "mm3_frame_sample" -> mm3Sql)
+    "mm1_binary_meta" -> mm1Sql, "mm2_feature_extract" -> mm2Sql,
+    "mm3_frame_sample" -> mm3Sql)
 }

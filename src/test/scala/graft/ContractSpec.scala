@@ -8,8 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   private val rowsOnly = Set(
-    "q15_approx_distinct", "m7_feature_importance", "m14_grid_search",
-    "mm2_feature_extract")
+    "q15_approx_distinct", "m7_feature_importance", "m14_grid_search")
 
   test("every oracle has a query; non-oracle queries are the documented rows-only set") {
     val q = SparkEntry.queries.keySet

@@ -34,8 +34,9 @@ class SimilaritySpec extends SparkSuite {
     val r = Multimodal.mm2(spark, sf).collect()
     assert(r.length === 500)
     assert(r.forall { row =>
-      val f = row.getAs[scala.collection.Seq[Double]]("features")
-      f.length == 4 && f.forall(x => x >= 0 && x <= 1)
+      Seq("f0", "f1", "f2", "f3").forall { c =>
+        val x = row.getAs[Double](c); x >= 0 && x <= 1
+      }
     })
   }
 
