@@ -38,12 +38,26 @@ def main(sf_dir, out_dir):
         g, w = got[gc], want[wc]
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
-        # exact value compare, in row order (both sides ORDER BY'd)
+        # The driver's hash is TYPE-SENSITIVE (round 1 shipped 8 failures
+        # because DuckDB promotes SUM(int)->HUGEINT / floor->DOUBLE while
+        # values stringified identically). Mirror that: dtypes must match
+        # exactly, and values compare exactly with no str() fallback for
+        # numeric columns.
+        dt_mism = [(c, str(g[c].dtype), str(w[c].dtype))
+                   for c in gc if str(g[c].dtype) != str(w[c].dtype)]
+        if dt_mism:
+            print(f"FAIL {name}: dtype {dt_mism[:3]}"); n_fail += 1; continue
+        import numpy as _np
         mism = []
         for c in gc:
+            numeric = _np.issubdtype(g[c].dtype, _np.number)
             a, b = g[c].tolist(), w[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
-                if x != y and not (x is None and y is None) and str(x) != str(y):
+                both_nan = (isinstance(x, float) and isinstance(y, float)
+                            and _np.isnan(x) and _np.isnan(y))
+                if x is None and y is None or both_nan:
+                    continue
+                if x != y and (numeric or str(x) != str(y)):
                     mism.append((c, i, x, y))
                     if len(mism) > 3: break
             if len(mism) > 3: break

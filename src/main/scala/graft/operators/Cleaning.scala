@@ -160,8 +160,8 @@ object Cleaning {
       |  SELECT quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem
       |), b AS (SELECT q1 - (q3-q1)*1.5 AS lo, q3 + (q3-q1)*1.5 AS hi FROM q)
       |SELECT l_returnflag,
-      |  sum(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS n_clip_low,
-      |  sum(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS n_clip_high,
+      |  CAST(sum(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+      |  CAST(sum(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
       |  CAST(sum(CAST(least(greatest(l_quantity, lo), hi) AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
       |FROM lineitem, b
       |GROUP BY l_returnflag

@@ -112,9 +112,9 @@ object Dedup {
   }
 
   val d1Sql: String =
-    """SELECT sum(cnt) AS n_docs, count(*) AS n_unique,
-      |  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-      |  sum(cnt - 1) AS n_extra_copies
+    """SELECT CAST(sum(cnt) AS BIGINT) AS n_docs, count(*) AS n_unique,
+      |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      |  CAST(sum(cnt - 1) AS BIGINT) AS n_extra_copies
       |FROM (SELECT md5(text) AS h, count(*) AS cnt FROM documents GROUP BY 1)""".stripMargin
 
   // -------------------------------------------------------------------
@@ -216,7 +216,8 @@ object Dedup {
     val codes = tokenCodesSql("text")
     s"""WITH c AS (SELECT doc_id, $codes AS codes FROM documents),
        |s AS (SELECT doc_id, ${simhash16Sql("codes")} AS sim FROM c)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sim_a, b.sim AS sim_b,
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(a.sim AS BIGINT) AS sim_a, CAST(b.sim AS BIGINT) AS sim_b,
        |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming,
        |  bit_count(xor(a.sim, b.sim)) <= 3 AS near_dup
        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1

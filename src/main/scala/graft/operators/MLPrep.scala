@@ -303,7 +303,7 @@ object MLPrep {
 
   val m8Sql: String =
     """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
-      |SELECT least(floor((o_totalprice - mn)/((mx - mn)/20)), 19) AS bucket, count(*) AS n
+      |SELECT CAST(least(floor((o_totalprice - mn)/((mx - mn)/20)), 19) AS BIGINT) AS bucket, count(*) AS n
       |FROM orders, mm
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
@@ -361,7 +361,10 @@ object MLPrep {
     val minority = o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt"), col("o_orderstatus")).limit(1)
       .select(col("o_orderstatus").as("min_status"))
-    val w = Window.orderBy(col("o_orderkey"))
+    // Partitioned by class (the join keeps exactly one class, so lead()
+    // is unchanged) — an un-partitioned window would sort the whole
+    // minority class in ONE task. Same shape as smoteOversample.
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
     o.join(broadcast(minority), col("o_orderstatus") === col("min_status"))
       .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
       .filter(col("next_price").isNotNull)
@@ -378,7 +381,7 @@ object MLPrep {
       |  GROUP BY o_orderstatus ORDER BY count(*), o_orderstatus LIMIT 1
       |), m AS (
       |  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
-      |    lead(o.o_totalprice, 1) OVER (ORDER BY o.o_orderkey) AS next_price
+      |    lead(o.o_totalprice, 1) OVER (PARTITION BY o.o_orderstatus ORDER BY o.o_orderkey) AS next_price
       |  FROM orders o, minority WHERE o.o_orderstatus = min_status)
       |SELECT o_orderkey AS seed_key, o_orderstatus,
       |  round(o_totalprice + CAST(o_orderkey % 100 AS DOUBLE)/100.0 *
@@ -429,10 +432,10 @@ object MLPrep {
       |test AS (SELECT o.*, model.pred FROM o JOIN model USING (o_orderpriority) WHERE is_test),
       |classes AS (SELECT DISTINCT o_orderstatus AS cls FROM test)
       |SELECT cls,
-      |  sum(CASE WHEN o_orderstatus = cls THEN 1 ELSE 0 END) AS support,
-      |  sum(CASE WHEN o_orderstatus = cls AND pred = cls THEN 1 ELSE 0 END) AS tp,
-      |  sum(CASE WHEN o_orderstatus <> cls AND pred = cls THEN 1 ELSE 0 END) AS fp,
-      |  sum(CASE WHEN o_orderstatus = cls AND pred <> cls THEN 1 ELSE 0 END) AS fn,
+      |  CAST(sum(CASE WHEN o_orderstatus = cls THEN 1 ELSE 0 END) AS BIGINT) AS support,
+      |  CAST(sum(CASE WHEN o_orderstatus = cls AND pred = cls THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(sum(CASE WHEN o_orderstatus <> cls AND pred = cls THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(sum(CASE WHEN o_orderstatus = cls AND pred <> cls THEN 1 ELSE 0 END) AS BIGINT) AS fn,
       |  round(CAST(sum(CASE WHEN o_orderstatus = cls AND pred = cls THEN 1 ELSE 0 END) AS DOUBLE)
       |    / greatest(sum(CASE WHEN pred = cls THEN 1 ELSE 0 END), 1), 6) AS precision,
       |  round(CAST(sum(CASE WHEN o_orderstatus = cls AND pred = cls THEN 1 ELSE 0 END) AS DOUBLE)

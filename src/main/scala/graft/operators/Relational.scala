@@ -200,7 +200,8 @@ object Relational {
     Tables.part(s, dir)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
-      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .select(col("p_brand"), col("rk").cast("long").as("rk"),
+        col("p_partkey"), col("p_name"), col("p_retailprice"))
       .orderBy(col("p_brand"), col("rk"))
   }
 
@@ -312,8 +313,8 @@ object Relational {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
       |), sessions AS (
       |  SELECT user_id, event_id, ms, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(ms) AS start_ms, max(ms) AS end_ms,
@@ -337,11 +338,11 @@ object Relational {
 
   val q12Sql: String =
     """SELECT user_id,
-      |  sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
-      |  sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
-      |  sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+      |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
@@ -361,7 +362,7 @@ object Relational {
 
   val q13Sql: String =
     """SELECT event_type,
-      |  sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
       |  max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k,
       |  count(*) AS n
       |FROM events

@@ -273,7 +273,7 @@ object Similarity {
 
   val s2Sql: String = {
     val cos = cosineSql("q.embedding", "c.embedding")
-    s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+    s"""WITH b AS (SELECT vec_id, embedding, CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket FROM embeddings),
        |pairs AS (
        |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS cand_id, $cos AS cos
        |  FROM b q JOIN b c ON q.bucket = c.bucket

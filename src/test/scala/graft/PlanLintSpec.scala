@@ -14,6 +14,23 @@ class PlanLintSpec extends SparkSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("no query plans an un-partitioned window over unbounded input") {
+    // Window with an empty partition spec funnels the whole input
+    // through ONE task — the round-1 m11 bug. A window whose input is
+    // already bounded (below an Aggregate or Limit, e.g. c5's
+    // distinct-values encoder) is fine.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val hits = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            !w.child.exists(p => p.isInstanceOf[Aggregate] || p.isInstanceOf[GlobalLimit]) =>
+          w
+      }
+      if (hits.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"un-partitioned windows over unbounded input in: $offenders")
+  }
+
   test("every lineitem-scanning relational query prunes its read schema") {
     // q6 needs 4 of lineitem's 11 columns; the scan must not read more
     val plan = operators.Relational.q6(spark, sf).queryExecution.executedPlan.toString
