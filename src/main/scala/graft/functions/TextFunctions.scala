@@ -28,6 +28,11 @@ object TextFunctions {
   def permA(i: Int): Long = ((2L * i + 1) * 1103515245L) % P
   def permB(i: Int): Long = (i * 40503L + 6789L) % P
   val pow31: Seq[Long] = (0 until 8).scanLeft(1L)((a, _) => a * 31L).take(8)
+  /** 31^k mod FpMod — the fingerprint multiplies REDUCED factors only:
+    * (c mod M)·(31^k mod M) ≤ ~1e18 < Long.MaxValue, so no silent Spark
+    * wraparound / DuckDB BIGINT-overflow error on adversarially long
+    * tokens (unreduced 31^7 ≈ 2.75e10 overflowed for codes > ~3.3e8). */
+  val pow31m: Seq[Long] = pow31.map(_ % FpMod)
 
   // ---------------- Spark Column side ----------------
 
@@ -39,6 +44,16 @@ object TextFunctions {
       ascii(reverse(t)) * 3119L + ascii(substring(concat(t, lit("xx")), 2, 1)) * 31L
 
   def tokenCodes(text: Column): Column = transform(tokens(text), t => tcode(t))
+
+  /** Codes of the distinct word-3-gram shingles — the MinHash input.
+    * Hashing shingles (not tokens) makes the estimated Jaccard match
+    * the shingle Jaccard the verify step uses; token-set Jaccard of
+    * UNRELATED docs over a finite vocabulary is high (≈0.6 on the test
+    * corpus), which made token-based band buckets collapse most of the
+    * corpus into one hot bucket. Shingle Jaccard of unrelated docs is
+    * ≈0.001, so band collisions ≈ J⁴ are genuinely rare. */
+  def shingleCodes(text: Column): Column =
+    transform(shingles3(tokens(text)), t => tcode(t))
 
   /** i-th MinHash: min over token codes of (A_i*c + B_i) mod P. */
   def minhash(codes: Column, i: Int): Column =
@@ -62,12 +77,13 @@ object TextFunctions {
     }.reduce(_ + _)
 
   /** Positional polynomial fingerprint: Σ code_i · 31^((i-1) mod 8) mod M.
-    * Per-term mod keeps partial sums well inside BIGINT range. */
+    * Factors are reduced mod M BEFORE the multiply (see pow31m); the
+    * per-term mod keeps partial sums well inside BIGINT range. */
   def fingerprint(codes: Column): Column = {
-    val pows = array(pow31.map(lit): _*)
+    val pows = array(pow31m.map(lit): _*)
     aggregate(
       zip_with(codes, sequence(lit(1), size(codes)),
-        (c, i) => (c * element_at(pows, (i - lit(1)) % 8 + lit(1))) % FpMod),
+        (c, i) => ((c % FpMod) * element_at(pows, (i - lit(1)) % 8 + lit(1))) % FpMod),
       lit(0L), (acc, x) => acc + x) % FpMod
   }
 
@@ -91,6 +107,10 @@ object TextFunctions {
   def tokenCodesSql(c: String): String =
     s"list_transform(${tokensSql(c)}, t -> ${tcodeSql("t")})"
 
+  /** SQL: list of shingle codes for text column `c` (minhash input). */
+  def shingleCodesSql(c: String): String =
+    s"list_transform(${shingles3Sql(tokensSql(c))}, t -> ${tcodeSql("t")})"
+
   /** SQL: i-th minhash over a codes-list expression. */
   def minhashSql(codes: String, i: Int): String =
     s"list_min(list_transform($codes, c -> (c*${permA(i)} + ${permB(i)}) % $P))"
@@ -105,8 +125,8 @@ object TextFunctions {
     }.mkString("(", " + ", ")")
 
   def fingerprintSql(codes: String): String = {
-    val pows = pow31.mkString("[", ", ", "]")
-    s"CAST(list_sum(list_transform(generate_series(1, len($codes)), i -> (($codes)[i] * ($pows)[(i-1)%8 + 1]) % $FpMod)) AS BIGINT) % $FpMod"
+    val pows = pow31m.mkString("[", ", ", "]")
+    s"CAST(list_sum(list_transform(generate_series(1, len($codes)), i -> ((($codes)[i] % $FpMod) * ($pows)[(i-1)%8 + 1]) % $FpMod)) AS BIGINT) % $FpMod"
   }
 
   def shingles3Sql(toks: String): String =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -27,17 +27,34 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Default per-bucket size cap for candidate generation. A bucket of
+    * size n yields n(n-1)/2 pairs in the self-join — one degenerate key
+    * (empty/boilerplate docs sharing a signature) would otherwise go
+    * quadratic. Buckets over the cap are DROPPED: at 100 TB a hot
+    * bucket is near-certainly exact-duplicate boilerplate, which the
+    * cheaper `dedupExact` pass removes first (run it before near-dup). */
+  val MaxBucket: Int = 1000
+
+  /** Drop rows belonging to oversized buckets. One window count over
+    * the same keys the self-join shuffles on. */
+  private def capBuckets(df: DataFrame, maxBucket: Int, keys: Column*): DataFrame =
+    df.withColumn("__bsz", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+
   /** Library API: LSH candidate pairs — explode (doc, band, bandKey),
     * self-join per (band, key) bucket, emit (minId, maxId) once.
-    * Bucket sizes are bounded by the band width, so the join output is
-    * near-linear in the number of true near-dup clusters. */
-  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val codes = tokenCodes(col(textCol))
+    * Bucket sizes are bounded by the band width plus the `maxBucket`
+    * cap (SURVEY §5), so the join output is near-linear in the number
+    * of true near-dup clusters. */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val codes = shingleCodes(col(textCol))
     val withBands = docs.select(col(idCol).as("id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandKey(codes, b).as("key"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    withBands.as("a").join(withBands.as("b"),
+    val capped = capBuckets(withBands, maxBucket, col("band"), col("key"))
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
@@ -73,6 +90,14 @@ object Dedup {
         .filter(col("cluster") =!= col("old")).isEmpty
       labels = next
       i += 1
+    }
+    if (!converged) {
+      // Non-converged labels would silently keep/drop the WRONG docs
+      // downstream (dedupNearDuplicates keeps cluster minima) — make
+      // the truncation loud instead of wrong-but-quiet.
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component diameter exceeds maxIter); raise maxIter")
     }
     labels
   }
@@ -149,9 +174,11 @@ object Dedup {
   // -------------------------------------------------------------------
   // d3: MinHash(16) + 4-band LSH — per-doc band keys and bucket sizes
   // (the bucket-join fan-out a dedup run would pay). sz_k > 1 marks a
-  // doc with at least one candidate mate in band k.
+  // doc with at least one candidate mate in band k. Signatures hash
+  // the 3-gram SHINGLES (see TextFunctions.shingleCodes) so bucket
+  // collisions estimate the shingle Jaccard the verify step uses.
   def d3(s: SparkSession, dir: String): DataFrame = {
-    val codes = tokenCodes(col("text"))
+    val codes = shingleCodes(col("text"))
     val withKeys = Tables.documents(s, dir).select(
       (col("doc_id") +: (0 until Bands).map(b => bandKey(codes, b).as(s"b$b"))): _*)
     val withSizes = (0 until Bands).foldLeft(withKeys) { (df, b) =>
@@ -161,7 +188,7 @@ object Dedup {
   }
 
   val d3Sql: String = {
-    val codes = tokenCodesSql("text")
+    val codes = shingleCodesSql("text")
     val keys = (0 until Bands).map(b => s"${bandKeySql("codes", b)} AS b$b").mkString(", ")
     val sizes = (0 until Bands).map(b => s"count(*) OVER (PARTITION BY b$b) AS sz$b").mkString(", ")
     s"""WITH c AS (SELECT doc_id, $codes AS codes FROM documents),
@@ -178,14 +205,15 @@ object Dedup {
     * with a bucket join (no O(n²)); hamming is then verified exactly.
     * Same shape scales to 64-bit hashes with k+1 chunks for radius k. */
   def simhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = MaxBucket): DataFrame = {
     val sims = docs.select(col(idCol).as("id"),
       simhash16(tokenCodes(col(textCol))).as("sim"))
-    val chunked = sims.select(col("id"), col("sim"),
+    val chunked0 = sims.select(col("id"), col("sim"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sim"), c * 4).bitwiseAND(0xf).as("cval"))): _*)).as("b"))
       .select(col("id"), col("sim"), col("b.chunk").as("chunk"), col("b.cval").as("cval"))
+    val chunked = capBuckets(chunked0, maxBucket, col("chunk"), col("cval"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
           col("a.id") < col("b.id"))
@@ -229,9 +257,10 @@ object Dedup {
     * pairs, then exact cosine verifies ≥ τ. Recall is probabilistic
     * (tunable via plane count / multi-probe); precision is exact. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
-      tau: Double): DataFrame = {
-    val b = emb.select(col(idCol).as("id"), col(embCol).as("e"),
+      tau: Double, maxBucket: Int = MaxBucket): DataFrame = {
+    val b0 = emb.select(col(idCol).as("id"), col(embCol).as("e"),
       Similarity.lshBucket(col(embCol)).as("bucket"))
+    val b = capBuckets(b0, maxBucket, col("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos", cosineAuto(emb.sparkSession, col("a.e"), col("b.e")))

@@ -107,7 +107,6 @@ object Similarity {
       .groupBy(col("label"))
       .agg(sum(col("s") * col("s")).as("ssq"))
     perLabel.join(centroids, Seq("label"))
-      .join(broadcast(perLabel.select(col("label"), col("n_vecs").as("n2"))), Seq("label"))
       .select(col("label"), col("n_vecs"), col("avg_norm"),
         round(sqrt(col("ssq")) / col("n_vecs"), 6).as("centroid_norm"))
       .orderBy(col("label"))

@@ -56,9 +56,31 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
-  /** Ordering over evaluated atomic values (nulls don't reach here:
-    * rows with null key/time sort first and compare via the generic
-    * path below). */
+  /** Order-preserving Long extraction for fixed-width types: the merge
+    * loop then compares unboxed longs (no Ordering[Any] megamorphic
+    * dispatch, no boxing). Floats/doubles use the standard sortable-
+    * bits transform (sign-flip for negatives; NaN lands above +Inf,
+    * matching Spark's NaN-largest sort order). */
+  private def longExtractor(dt: DataType): Option[(InternalRow, Int) => Long] = {
+    def bits(d: Double): Long = {
+      val b = java.lang.Double.doubleToLongBits(d)
+      if (b < 0) b ^ Long.MaxValue else b
+    }
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => Some((r, i) => r.getLong(i))
+      case IntegerType | DateType => Some((r, i) => r.getInt(i).toLong)
+      case ShortType => Some((r, i) => r.getShort(i).toLong)
+      case ByteType => Some((r, i) => r.getByte(i).toLong)
+      case DoubleType => Some((r, i) => bits(r.getDouble(i)))
+      case FloatType => Some((r, i) => bits(r.getFloat(i).toDouble))
+      case _ => None
+    }
+  }
+
+  /** Ordering for the generic fallback path — used when key or time is
+    * variable-width, so it must cover ALL orderable types (a string key
+    * still pairs with a long time). Nulls never reach compare —
+    * handled structurally in the merge. */
   private def atomicOrdering(dt: DataType): Ordering[Any] = dt match {
     case LongType | TimestampType | TimestampNTZType =>
       Ordering.by((v: Any) => v.asInstanceOf[Long])
@@ -80,60 +102,149 @@ case class AsOfJoinExec(
       s"as-of join key/time type not orderable here: $other")
   }
 
-  /** Null-safe wrapper: nulls first (matches SortOrder Ascending). */
-  private def nullsFirst(ord: Ordering[Any]): Ordering[Any] = new Ordering[Any] {
-    def compare(a: Any, b: Any): Int =
-      if (a == null && b == null) 0
-      else if (a == null) -1
-      else if (b == null) 1
-      else ord.compare(a, b)
-  }
+  /** Ordinal of `e` in `output` when it's a direct column reference —
+    * the common case, where the merge can read key/time straight off
+    * the sorted rows instead of materializing a 2-col UnsafeRow per
+    * input row. */
+  private def directOrdinal(e: Expression, output: Seq[Attribute]): Option[Int] =
+    e match {
+      case a: Attribute =>
+        val i = output.indexWhere(_.exprId == a.exprId)
+        if (i >= 0) Some(i) else None
+      case _ => None
+    }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val nRight = right.output.size
     val keyDt = leftKey.dataType
     val timeDt = leftTime.dataType
-    val keyOrd = nullsFirst(atomicOrdering(keyDt))
-    val timeOrd = nullsFirst(atomicOrdering(timeDt))
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      // codegen'd (key, time) projections — one generated evaluator per
-      // partition instead of interpreted per-row expression trees
-      val lProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(Seq(leftKey, leftTime), left.output)
-      val rProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(Seq(rightKey, rightTime), right.output)
-      // projection output buffers are reused across calls — variable-
-      // width values (strings/decimals) must be detached before storing
-      def freeze(v: Any): Any = v match {
-        case s: UTF8String => s.clone()
-        case d: org.apache.spark.sql.types.Decimal =>
-          org.apache.spark.sql.types.Decimal(d.toJavaBigDecimal)
-        case x => x
-      }
-      val rightNulls = new GenericInternalRow(nRight)
-      val joined = new JoinedRow
-      val rBuf = rIter.map { r =>
-        val c = r.copy() // upstream sort reuses its row buffer
-        val p = rProj(c)
-        (freeze(if (p.isNullAt(0)) null else p.get(0, keyDt)),
-          freeze(if (p.isNullAt(1)) null else p.get(1, timeDt)), c)
-      }.buffered
-      var matchKey: Any = null
-      var matchRow: InternalRow = null
-      lIter.map { l =>
-        val p = lProj(l)
-        val lk = if (p.isNullAt(0)) null else p.get(0, keyDt)
-        val lt = if (p.isNullAt(1)) null else p.get(1, timeDt)
-        while (rBuf.hasNext && {
-          val kc = keyOrd.compare(rBuf.head._1, lk)
-          kc < 0 || (kc == 0 && timeOrd.compare(rBuf.head._2, lt) <= 0)
-        }) {
-          val (k, _, row) = rBuf.next()
-          if (keyOrd.compare(k, lk) == 0) { matchKey = k; matchRow = row }
+    val lKo = directOrdinal(leftKey, left.output)
+    val lTo = directOrdinal(leftTime, left.output)
+    val rKo = directOrdinal(rightKey, right.output)
+    val rTo = directOrdinal(rightTime, right.output)
+    // SQL as-of semantics (= DuckDB ASOF JOIN): NULL key or time never
+    // matches — left rows with either null emit the null-padded row,
+    // right rows with either null are skipped.
+    (longExtractor(keyDt), longExtractor(timeDt)) match {
+      case (Some(getKey), Some(getTime)) =>
+        left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+          // prep = identity + stored ordinals when key/time are plain
+          // column refs; otherwise one codegen'd 2-col projection
+          val (lPrep, lki, lti): (InternalRow => InternalRow, Int, Int) = (lKo, lTo) match {
+            case (Some(k), Some(t)) => (identity[InternalRow] _, k, t)
+            case _ =>
+              val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+                .create(Seq(leftKey, leftTime), left.output)
+              ((r: InternalRow) => proj(r), 0, 1)
+          }
+          val (rPrep, rki, rti): (InternalRow => InternalRow, Int, Int) = (rKo, rTo) match {
+            case (Some(k), Some(t)) => (identity[InternalRow] _, k, t)
+            case _ =>
+              val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+                .create(Seq(rightKey, rightTime), right.output)
+              ((r: InternalRow) => proj(r), 0, 1)
+          }
+          val rightNulls = new GenericInternalRow(nRight)
+          val joined = new JoinedRow
+          // current (un-consumed) right row; nulls-first sort puts
+          // null-key/time rows at the front of their runs, so eager
+          // skipping preserves the two-pointer invariant
+          var rRow: InternalRow = null
+          var rk = 0L
+          var rt = 0L
+          def advanceRight(): Unit = {
+            rRow = null
+            while (rRow == null && rIter.hasNext) {
+              val r = rIter.next()
+              val p = rPrep(r)
+              if (!p.isNullAt(rki) && !p.isNullAt(rti)) {
+                rRow = r; rk = getKey(p, rki); rt = getTime(p, rti)
+              }
+            }
+          }
+          advanceRight()
+          // the match candidate is copied into ONE reused buffer —
+          // no per-row allocation in the merge loop
+          val matchBuf = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nRight)
+          matchBuf.pointTo(new Array[Byte](64), 64)
+          lazy val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+            .create(right.output, right.output)
+          var haveMatch = false
+          var matchKey = 0L
+          lIter.map { l =>
+            val p = lPrep(l)
+            if (p.isNullAt(lki) || p.isNullAt(lti)) joined(l, rightNulls)
+            else {
+              val lk = getKey(p, lki)
+              val lt = getTime(p, lti)
+              while (rRow != null && (rk < lk || (rk == lk && rt <= lt))) {
+                if (rk == lk) {
+                  rRow match {
+                    case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+                      matchBuf.copyFrom(u)
+                    case other => matchBuf.copyFrom(toUnsafe(other))
+                  }
+                  matchKey = lk; haveMatch = true
+                }
+                advanceRight()
+              }
+              if (haveMatch && matchKey == lk) joined(l, matchBuf)
+              else joined(l, rightNulls)
+            }
+          }
         }
-        if (matchRow != null && keyOrd.compare(matchKey, lk) == 0) joined(l, matchRow)
-        else joined(l, rightNulls)
-      }
+      case _ =>
+        val keyOrd = atomicOrdering(keyDt)
+        val timeOrd = atomicOrdering(timeDt)
+        left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+          val lProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+            .create(Seq(leftKey, leftTime), left.output)
+          val rProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+            .create(Seq(rightKey, rightTime), right.output)
+          // projection buffers are reused — detach variable-width values
+          def freeze(v: Any): Any = v match {
+            case s: UTF8String => s.clone()
+            case d: org.apache.spark.sql.types.Decimal =>
+              org.apache.spark.sql.types.Decimal(d.toJavaBigDecimal)
+            case x => x
+          }
+          val rightNulls = new GenericInternalRow(nRight)
+          val joined = new JoinedRow
+          var rRow: InternalRow = null
+          var rk: Any = null
+          var rt: Any = null
+          def advanceRight(): Unit = {
+            rRow = null
+            while (rRow == null && rIter.hasNext) {
+              val r = rIter.next()
+              val p = rProj(r)
+              if (!p.isNullAt(0) && !p.isNullAt(1)) {
+                rRow = r
+                rk = freeze(p.get(0, keyDt)); rt = freeze(p.get(1, timeDt))
+              }
+            }
+          }
+          advanceRight()
+          var matchRow: InternalRow = null
+          var matchKey: Any = null
+          lIter.map { l =>
+            val p = lProj(l)
+            if (p.isNullAt(0) || p.isNullAt(1)) joined(l, rightNulls)
+            else {
+              val lk = freeze(p.get(0, keyDt))
+              val lt = freeze(p.get(1, timeDt))
+              while (rRow != null && {
+                val kc = keyOrd.compare(rk, lk)
+                kc < 0 || (kc == 0 && timeOrd.compare(rt, lt) <= 0)
+              }) {
+                if (keyOrd.compare(rk, lk) == 0) { matchKey = rk; matchRow = rRow.copy() }
+                advanceRight()
+              }
+              if (matchRow != null && keyOrd.compare(matchKey, lk) == 0) joined(l, matchRow)
+              else joined(l, rightNulls)
+            }
+          }
+        }
     }
   }
 

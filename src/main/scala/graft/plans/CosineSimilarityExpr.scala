@@ -1,9 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd cosine similarity over two `array<float>` columns.
   *
@@ -20,8 +21,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<float>; no implicit-cast contract needed on
-  // the internal path (callers pass embedding columns directly)
+  // getFloat reads 4-byte slots, so an array<double>/array<int> input
+  // would silently read wrong bytes — reject anything but array<float>
+  // at analysis (the SQL builder in GraftExtensions inserts casts for
+  // other numeric arrays before this check runs)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine requires (array<float>, array<float>) inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 

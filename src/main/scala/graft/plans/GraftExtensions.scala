@@ -15,8 +15,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarityExpr(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_cosine",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        // SQL callers may pass array<double>/array<int> (e.g. literal
+        // arrays) — insert an explicit cast so getFloat never reads
+        // wrong-width slots; non-numeric arrays fall through to the
+        // expression's own analysis failure
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+        import org.apache.spark.sql.types.{ArrayType, FloatType, NumericType}
+        def coerce(e: Expression): Expression =
+          if (!e.resolved) e
+          else e.dataType match {
+            case ArrayType(FloatType, _) => e
+            case ArrayType(_: NumericType, n) => Cast(e, ArrayType(FloatType, n))
+            case _ => e
+          }
+        CosineSimilarityExpr(coerce(children(0)), coerce(children(1)))
+      }))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

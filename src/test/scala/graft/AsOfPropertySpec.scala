@@ -43,4 +43,36 @@ class AsOfPropertySpec extends SparkSuite {
       assert(got === want, s"trial $trial mismatch")
     }
   }
+
+  test("null keys/times never match (SQL/DuckDB ASOF semantics)") {
+    import spark.implicits._
+    // left: null key, null time, and a live row; right: null key/time
+    // rows that would 'sort before everything' plus one real match
+    val left = Seq(
+      (Option.empty[Long], Option(10L), 1L),
+      (Option(1L), Option.empty[Long], 2L),
+      (Option(1L), Option(10L), 3L)
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (Option.empty[Long], Option(5L), 100L), // null key: skipped
+      (Option(1L), Option.empty[Long], 101L), // null time: skipped
+      (Option(1L), Option(5L), 102L)          // real match for lid=3
+    ).toDF("rk", "rt_", "rid")
+    val got = graft.plans.AsOf.join(left, right, "k", "rk", "t", "rt_")
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got === Map(1L -> None, 2L -> None, 3L -> Some(102L)))
+  }
+
+  test("custom as-of handles string keys via the generic merge path") {
+    import spark.implicits._
+    val left = Seq(("a", 10L, 1L), ("b", 10L, 2L), ("c", 10L, 3L)).toDF("k", "t", "lid")
+    val right = Seq(("a", 5L, 100L), ("a", 7L, 101L), ("b", 11L, 102L)).toDF("rk", "rt_", "rid")
+    val got = graft.plans.AsOf.join(left, right, "k", "rk", "t", "rt_")
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(101L), 2L -> None, 3L -> None))
+  }
 }

@@ -111,6 +111,37 @@ class TextDedupSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("per-bucket cap bounds candidate pairs on a degenerate hot-bucket corpus") {
+    import spark.implicits._
+    // 10k identical docs → ONE signature → every band key is a single
+    // 10k-row bucket → 4 * 10k²/2 ≈ 2e8 pairs without the cap. With it,
+    // the hot bucket is dropped and normal near-dup pairs still emit.
+    val hot = (1L to 10000L).map(i => (i, "the same boilerplate text again and again"))
+    val normal = Seq(
+      (20001L, "a genuinely unique document about spark physical plans"),
+      (20002L, "a genuinely unique document about spark physical plans"),
+      (20003L, "an entirely different text concerning lsh candidate generation"))
+    val docs = (hot ++ normal).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id", maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((20001L, 20002L))) // hot bucket gone, real pair kept
+    val simPairs = Dedup.simhashCandidatePairs(docs, "text", "doc_id",
+        maxHamming = 3, maxBucket = 100)
+      .filter(col("id_a") >= 20000L && col("id_b") >= 20000L)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simPairs.contains((20001L, 20002L)))
+    // embeddings: 5k identical vectors + one distinct near-dup pair
+    val hotE = (1L to 5000L).map(i => (i, Array.fill(8)(1.0f)))
+    val pairE = Seq((9001L, Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (9002L, Array(0.91f, 0.09f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val emb = (hotE ++ pairE).toDF("vec_id", "embedding")
+    val embPairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        tau = 0.99, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(embPairs === Set((9001L, 9002L)))
+  }
+
   test("minhash LSH candidates include every exact-duplicate pair") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val exactPairs = docs.as("a").join(docs.as("b"),
