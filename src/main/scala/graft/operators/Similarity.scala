@@ -61,17 +61,128 @@ object Similarity {
   // the plan is a hash join on bucket, linear in corpus size. Recall
   // is tunable via planes/probes; the spec checks bucket-mates rank
   // identically to brute force.
-  private def hpSign(dim: Column, plane: Int): Column =
-    when(((dim * 2654435761L + lit(plane) * 97L) % P) % 2 === 1, 1.0).otherwise(-1.0)
+  /** Pseudo-random ±1 per (dim, plane). The linear value is passed
+    * through a second multiplicative step mod P (Lehmer-RNG style)
+    * before taking parity: parity of a plain linear form
+    * (i·A + p·B) mod P is separable into parity(i)⊕parity(p), which
+    * makes every plane measure the SAME projection up to sign —
+    * 2 effective buckets no matter how many planes (the round-1 bug).
+    * The extra multiply makes the quotient, and hence the parity,
+    * depend jointly on (i, p). Max intermediate ≈ P·48271 ≈ 1e14,
+    * comfortably inside BIGINT in both engines. */
+  private def hpSignC(dim: Column, plane: Column): Column = {
+    val v = (dim * 1103515245L + plane * 2654435761L + 12345L) % P
+    when(((v * 48271L) % P) % 2 === 1, 1.0).otherwise(-1.0)
+  }
 
-  def lshBucket(emb: Column): Column =
-    (0 until 8).map { p =>
-      val sdot = aggregate(
+  /** Signed hyperplane dot products, one per plane — the raw signal
+    * behind both the bucket id and multi-probe plane confidence.
+    * `planeOffset` selects an independent hyperplane family per hash
+    * table (table t uses planes [t·planes, (t+1)·planes)). */
+  def lshDots(emb: Column, planes: Int, planeOffset: Int = 0): Column =
+    transform(sequence(lit(planeOffset), lit(planeOffset + planes - 1)), p =>
+      aggregate(
         zip_with(emb, sequence(lit(1), size(emb)),
-          (x, i) => x.cast("double") * hpSign(i, p)),
-        lit(0.0), (acc, x) => acc + x)
-      when(sdot > 0, 1L << p).otherwise(0L)
-    }.reduce(_ + _)
+          (x, i) => x.cast("double") * hpSignC(i, p)),
+        lit(0.0), (acc, x) => acc + x))
+
+  /** Bucket id from the dots array: bit p set iff dot_p > 0. The
+    * reversed fold makes plane 0 the LSB, identical to the historical
+    * 8-plane formulation (and lshBucketSql). */
+  private def bucketFromDots(dots: Column): Column =
+    aggregate(reverse(dots), lit(0L),
+      (acc, d) => acc * 2 + when(d > 0, 1L).otherwise(0L))
+
+  /** Random-hyperplane LSH bucket over `planes` hyperplanes (2^planes
+    * buckets). More planes = smaller buckets = cheaper within-bucket
+    * scoring but lower single-probe recall — pair with multi-probe. */
+  def lshBucket(emb: Column, planes: Int = 8, planeOffset: Int = 0): Column =
+    bucketFromDots(lshDots(emb, planes, planeOffset))
+
+  /** Multi-probe bucket list: the exact bucket plus `probes` variants
+    * with the LEAST-CONFIDENT plane bits flipped (smallest |dot| — the
+    * planes most likely to disagree for a true neighbor just across
+    * the boundary). Classic multi-probe LSH: recall of many-bucket
+    * tables without extra hash tables. */
+  def lshProbeBuckets(emb: Column, planes: Int, probes: Int,
+      planeOffset: Int = 0): Column = {
+    val dots = lshDots(emb, planes, planeOffset)
+    val bucket = bucketFromDots(dots)
+    val order = transform(
+      array_sort(zip_with(dots, sequence(lit(0), lit(planes - 1)),
+        (d, p) => struct(abs(d).as("a"), p.as("p")))),
+      s => s.getField("p"))
+    val pows = array((0 until planes).map(p => lit(1L << p)): _*)
+    concat(array(bucket),
+      transform(slice(order, 1, probes),
+        p => bucket.bitwiseXOR(element_at(pows, p + 1))))
+  }
+
+  /** Library API: bucketed ANN top-k — `tables` independent hash
+    * tables (OR-construction) × multi-probe per table. Corpus vectors
+    * hash to one bucket PER TABLE (storage ×tables, the standard LSH
+    * trade); each query probes its bucket plus `probes`
+    * least-confident flips in every table. Scoring is a hash join on
+    * (table, bucket) — the 100 TB shape: candidates per query ≈
+    * tables·(probes+1)·|corpus|/2^planes, tunable without touching
+    * the corpus layout. Recall on clustered data ≈
+    * 1-(1-p^planes)^(tables·(probes+1)) for per-plane agreement p. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 8, probes: Int = 0, tables: Int = 1): DataFrame = {
+    val s = queries.sparkSession
+    val c = corpus.select(col("id").as("cand_id"), col("embedding").as("ce"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col("embedding"), planes, t * planes).as("bucket"))): _*)).as("tb"))
+      .select(col("cand_id"), col("ce"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = queries.select(col("id").as("q_id"), col("embedding").as("qe"),
+      explode(flatten(array((0 until tables).map(t =>
+        transform(lshProbeBuckets(col("embedding"), planes, probes, t * planes),
+          b => struct(lit(t).as("tbl"), b.as("bucket")))): _*))).as("tb"))
+      .select(col("q_id"), col("qe"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    broadcast(q).join(c, Seq("tbl", "bucket"))
+      .select(col("q_id"), col("qe"), col("cand_id"), col("ce")).distinct() // tables/probes can hit a candidate twice
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Library API: distributed Lloyd k-means codebook for IVF (the
+    * learned replacement for s5's deterministic first-k seed).
+    * Deterministic: init = the k vectors with the smallest
+    * xxhash64(id) (a seeded uniform sample), assignment ties break on
+    * smallest cell id. Each iteration is one broadcast join + two
+    * aggregations — no driver round-trips, no window over the corpus
+    * (assignment is max_by, map-side combinable). Returns (id,
+    * embedding) centroid rows for `ivfTopK`. */
+  def trainCodebook(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    val s = corpus.sparkSession
+    var cents = corpus.select(col("id"), col("embedding"))
+      .withColumn("__h", xxhash64(col("id"))).orderBy(col("__h")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("__h"), col("id"))).cast("long") - 1)
+      .select(col("cid"), col("embedding").as("cemb"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(col("id"), col("embedding"))
+        .join(broadcast(cents))
+        .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
+        .groupBy(col("id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("cemb"))
+        .localCheckpoint()
+    }
+    cents.select(col("cid").as("id"), col("cemb").as("embedding"))
+  }
 
   def s2(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).withColumn("bucket", lshBucket(col("embedding")))
@@ -264,9 +375,9 @@ object Similarity {
 
   /** SQL twin of lshBucket: same integer-arithmetic hyperplane signs,
     * same ascending-index dot fold — bit-identical bucket ids. */
-  def lshBucketSql(e: String): String =
-    (0 until 8).map { p =>
-      val sgn = s"(CASE WHEN ((i*2654435761 + $p*97) % $P) % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+  def lshBucketSql(e: String, planes: Int = 8): String =
+    (0 until planes).map { p =>
+      val sgn = s"(CASE WHEN ((((i*1103515245 + $p*2654435761 + 12345) % $P) * 48271) % $P) % 2 = 1 THEN 1.0 ELSE -1.0 END)"
       s"(CASE WHEN list_sum(list_transform(generate_series(1, len($e)), i -> CAST(($e)[i] AS DOUBLE) * $sgn)) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 

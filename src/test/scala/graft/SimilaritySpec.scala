@@ -66,6 +66,55 @@ class SimilaritySpec extends SparkSuite {
     assert(p1.forall(r => r.getDouble(3) <= best(r.getLong(0)) + 1e-9))
   }
 
+  // Deterministic clustered corpus: `centers` directions, points =
+  // center + bounded noise. Real embedding corpora are clustered; the
+  // driver's embeddings table is isotropic noise (measured same-label
+  // avg cos 0.001 vs cross-label 0.0), on which NO sublinear ANN can
+  // have high recall — see PLANS.md "ANN recall conditions".
+  private def clusteredCorpus(n: Int, dim: Int, centers: Int, noise: Double) =
+    spark.range(n).select(col("id"), (col("id") % centers).as("c"))
+      .select(col("id"),
+        transform(sequence(lit(1), lit(dim)), d =>
+          (sin(col("c") * 37 + d * 13) +
+            sin(col("id") * 101 + d * 7) * noise).cast("float")).as("embedding"))
+
+  test("multi-table multi-probe LSH: recall@3 >= 0.9 with 4096 buckets (12 planes)") {
+    val all = clusteredCorpus(5050, 64, 20, 0.4).localCheckpoint()
+    val queries = all.filter(col("id") < 50)
+    val corpus = all.filter(col("id") >= 50)
+    val truth = Similarity.cosineTopK(queries, corpus, 3)
+      .select("q_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annTopK(queries, corpus, 3, planes = 12, probes = 4, tables = 2)
+      .select("q_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall@3 = $recall")
+  }
+
+  test("lshBucket spreads a corpus over many buckets (hyperplanes are independent)") {
+    // regression for the separable-parity bug: the original sign
+    // formula made every plane measure the SAME projection up to sign,
+    // collapsing any corpus into exactly 2 buckets
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n8 = e.select(Similarity.lshBucket(col("embedding"), 8).as("b")).distinct().count()
+    val n12 = e.select(Similarity.lshBucket(col("embedding"), 12).as("b")).distinct().count()
+    assert(n8 > 50, s"8-plane buckets: $n8")
+    assert(n12 > n8, s"12 planes ($n12) should spread further than 8 ($n8)")
+  }
+
+  test("k-means IVF codebook: recall@3 >= 0.9 at nprobe=2 of 20 cells") {
+    val all = clusteredCorpus(5050, 64, 20, 0.4).localCheckpoint()
+    val queries = all.filter(col("id") < 50)
+    val corpus = all.filter(col("id") >= 50)
+    val codebook = Similarity.trainCodebook(corpus, k = 20, iters = 4)
+    assert(codebook.count() === 20)
+    val truth = Similarity.cosineTopK(queries, corpus, 3)
+      .select("q_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfTopK(queries, corpus, codebook, 3, nprobe = 2)
+      .select("q_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall@3 = $recall (scanning ~2/20 of the corpus)")
+  }
+
   test("custom graft_cosine expression is codegen'd into the plan and matches the fold") {
     import graft.functions.VectorFunctions
     val e = Tables.embeddings(spark, sf).limit(50)
