@@ -247,7 +247,12 @@ object Pipeline {
         yield (corrCols(i), corrCols(j))
       if (pairs.isEmpty) Seq.empty[(String, String, Double)].toDF("col_a", "col_b", "corr")
       else {
-        val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__$b") }
+        // try_divide: a constant column (zero variance — e.g. IQR-clipped
+        // to one value) yields null corr instead of an ANSI
+        // divide-by-zero error
+        val aggs = pairs.map { case (a, b) =>
+          expr(s"try_divide(covar_samp(`$a`, `$b`), stddev_samp(`$a`) * stddev_samp(`$b`))")
+            .as(s"${a}__$b") }
         val one = df.agg(aggs.head, aggs.tail: _*)
         val rows = pairs.map { case (a, b) =>
           struct(lit(a).as("col_a"), lit(b).as("col_b"),

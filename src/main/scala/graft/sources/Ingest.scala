@@ -11,12 +11,18 @@ import org.apache.spark.sql.functions._
   * opt-in (it costs an extra pass — at 100 TB always pass a schema or
   * let `inferSample` bound the pass to a fraction).
   *
-  * Excel has no distributed reader in a dependency-free build — the
-  * supported interchange formats are csv/json/parquet/orc; .xlsx
-  * ingestion is expected to land as CSV export upstream (documented
-  * reference gap, not silently dropped).
+  * .xlsx uploads are read via `readExcel` (graft.sources.Excel — a
+  * dependency-free zip+StAX parser, driver-side like every xlsx
+  * reader); convert to parquet before serious processing.
   */
 object Ingest {
+
+  /** Excel upload parity (reference main.py:402,410): one sheet of an
+    * .xlsx as a typed DataFrame. See graft.sources.Excel for the
+    * supported cell kinds and scale caveats. */
+  def readExcel(s: SparkSession, path: String, sheet: Option[String] = None,
+      header: Boolean = true, inferTypes: Boolean = true): DataFrame =
+    Excel.read(s, path, sheet, header, inferTypes)
 
   /** CSV with the reference's ergonomics: header row, type inference,
     * permissive parsing with a quarantine column for malformed rows

@@ -16,6 +16,73 @@ class IngestSpec extends SparkSuite {
     assert(back.schema("o_totalprice").dataType.typeName === "double")
   }
 
+  test("xlsx roundtrip equals the CSV twin (types, names, values)") {
+    import graft.sources.Excel
+    val orders = Tables.orders(spark, sf).limit(200)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    // CSV twin
+    val csvDir = java.nio.file.Files.createTempDirectory("graft-csvtwin").toString
+    orders.coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+    val viaCsv = Ingest.readCsv(spark, csvDir)
+    // xlsx via our writer → our reader
+    val xlsx = java.nio.file.Files.createTempDirectory("graft-xlsx").toString + "/orders.xlsx"
+    Excel.write(orders, xlsx)
+    val viaXlsx = Ingest.readExcel(spark, xlsx)
+    assert(viaXlsx.columns.toSeq === viaCsv.columns.toSeq)
+    assert(viaXlsx.schema("o_orderkey").dataType.typeName === "long")
+    assert(viaXlsx.schema("o_totalprice").dataType.typeName === "double")
+    assert(viaXlsx.schema("o_orderstatus").dataType.typeName === "string")
+    val a = viaXlsx.orderBy("o_orderkey").collect().map(_.toSeq)
+    val b = viaCsv.select(viaXlsx.columns.map(col): _*)
+      .orderBy("o_orderkey").collect().map(_.toSeq)
+    assert(a.length === 200)
+    assert(a.sameElements(b) || a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("xlsx reader handles shared strings, gaps, and sheet selection") {
+    import graft.sources.Excel
+    // hand-built workbook: sharedStrings + a skipped cell (B omitted
+    // via r= refs) + two sheets
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx2")
+    val path = dir.toString + "/t.xlsx"
+    val out = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(n: String, c: String): Unit = {
+      out.putNextEntry(new java.util.zip.ZipEntry(n)); out.write(c.getBytes("UTF-8")); out.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    part("_rels/.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="first" sheetId="1" r:id="rId1"/><sheet name="second" sheetId="2" r:id="rId2"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/></Relationships>""")
+    part("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>name</t></si><si><t>x</t></si><si><t>note</t></si><si><t>alpha</t></si><si><t>with &amp; gap</t></si></sst>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>42</v></c><c r="C2" t="inlineStr"><is><t>inline!</t></is></c></row>""" +
+        """<row r="3"><c r="A3" t="s"><v>4</v></c><c r="C3" t="b"><v>1</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    part("xl/worksheets/sheet2.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row><c t="inlineStr"><is><t>only</t></is></c></row><row><c><v>7</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    out.close()
+    val df = Excel.read(spark, path)
+    assert(df.columns.toSeq === Seq("name", "x", "note"))
+    assert(df.schema("x").dataType.typeName === "long") // "42" + a null → long
+    val rows = df.orderBy("name").collect()
+    assert(rows.length === 2)
+    val byName = rows.map(r => r.getString(0) -> (r.get(1), r.getString(2))).toMap
+    assert(byName("alpha") === ((42L, "inline!")))
+    assert(byName("with & gap") === ((null, "true")))     // B3 absent → null
+    val second = Excel.read(spark, path, sheet = Some("second"), header = false)
+    assert(second.count() === 2)
+    intercept[IllegalArgumentException] { Excel.read(spark, path, sheet = Some("nope")) }
+  }
+
   test("json roundtrip preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     Tables.customer(spark, sf).write.mode("overwrite").json(dir)

@@ -111,4 +111,48 @@ class PipelineSpec extends SparkSuite {
   test("driver entry smoke: rows > 0 on a vanilla session") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("HTML report renders all reference sections for classification and regression") {
+    // classification dataset
+    val ev = Tables.events(spark, sf).drop("props")
+      .withColumn("event_type",
+        when(col("event_type") === "error", 1.0).otherwise(0.0))
+    val rc = Pipeline.autoPipeline(ev, "event_type")
+    val htmlC = Report.render(Pipeline.vizData(rc.cleaned, "event_type"), Some(rc))
+    // regression dataset
+    val li = Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_discount", "l_tax", "l_returnflag", "l_extendedprice")
+    val rr = Pipeline.autoPipeline(li, "l_extendedprice")
+    val htmlR = Report.render(Pipeline.vizData(rr.cleaned, "l_extendedprice"), Some(rr))
+    for ((html, res) <- Seq((htmlC, rc), (htmlR, rr))) {
+      for (section <- Seq("id=\"overview\"", "id=\"distribution\"", "id=\"correlation\"",
+          "id=\"histograms\"", "id=\"metrics\"", "id=\"importances\"")) {
+        assert(html.contains(section), s"missing $section")
+      }
+      assert(html.contains(res.bestModel))
+      assert(html.contains("<svg")) // charts actually rendered
+      res.metrics.keys.foreach(k => assert(html.contains(k)))
+    }
+    assert(htmlC.contains("classification") && htmlR.contains("regression"))
+  }
+
+  test("job runner: submit -> status -> done with a report artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jobs").toString
+    val ev = Tables.events(spark, sf).drop("props")
+      .withColumn("event_type",
+        when(col("event_type") === "error", 1.0).otherwise(0.0))
+    val id = Jobs.submit(ev, "event_type", reportDir = Some(dir))
+    assert(Jobs.status(id).exists(s => s == "queued" || s == "running"))
+    val fin = Jobs.await(id)
+    assert(fin.isInstanceOf[Jobs.Done], s"job ended as $fin: ${Jobs.error(id)}")
+    assert(Jobs.result(id).exists(_.task == "classification"))
+    val report = Jobs.reportPath(id)
+    assert(report.isDefined)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(report.get)) > 1000)
+    // failed jobs surface their error instead of hanging
+    val bad = Jobs.submit(ev.limit(0), "event_type")
+    val finBad = Jobs.await(bad)
+    assert(finBad.isInstanceOf[Jobs.Failed])
+    assert(Jobs.error(bad).isDefined)
+  }
 }
