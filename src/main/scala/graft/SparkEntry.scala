@@ -13,7 +13,7 @@ import graft.operators._
   *  - q1–q16  operators/Relational.scala  (analytics core, custom as-of)
   *  - c1–c9   operators/Cleaning.scala    (impute/encode/clip/profile)
   *  - m1–m14  operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE)
-  *  - t1–t4   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint)
+  *  - t1–t6   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize)
   *  - d1–d5   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding)
   *  - s1–s5   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats)
   *  - mm1–mm3 operators/Multimodal.scala  (binary payloads, stub decode, frames)

@@ -120,11 +120,93 @@ object TextOps {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t5: PII redaction — the scrub every training-data pipeline runs
+  // before anything leaves the ingest zone. The corpus is synthetic
+  // (no real PII), so the query plants deterministic doc_id-derived
+  // emails/phones first — both engines build the identical input, so
+  // the oracle exercises the actual count+mask machinery, not zeros.
+  // Regexes are RE2-safe (no backrefs/lookahead): portable between
+  // Spark's Java regex and DuckDB's RE2.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Library API: mask emails/phones in `textCol` (map-only). */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol,
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"))
+
+  def t5(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.documents(s, dir).withColumn("t",
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+    redactPii(seeded, "t")
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit("\\[EMAIL\\]")).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit("\\[PHONE\\]")).cast("long").as("n_phones"),
+        col("t").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t5Sql: String =
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or 555-123-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents
+       |), red AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(t, '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g') AS redacted
+       |  FROM seeded)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(redacted, '\\[EMAIL\\]')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(redacted, '\\[PHONE\\]')) AS BIGINT) AS n_phones,
+       |  redacted
+       |FROM red
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t6: text normalization — casefold + whitespace collapse + trim,
+  // the canonical pre-dedup normalization pass. The query first
+  // roughens the text deterministically (leading spaces, tripled
+  // separators) so the normalizer provably collapses it; norm(messy)
+  // must equal lower(text) exactly.
+  /** Library API: lowercase, collapse runs of whitespace, trim. */
+  def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  def t6(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit("  "), regexp_replace(col("text"), " ", "   "), lit(" "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(messy).cast("long").as("len_messy"),
+        normalizeText(messy).as("norm"),
+        (normalizeText(messy) === lower(col("text"))).as("roundtrip"))
+      .withColumn("len_norm", length(col("norm")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t6Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, '  ' || replace(text, ' ', '   ') || ' ' AS messy
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(messy) AS BIGINT) AS len_messy,
+      |  trim(regexp_replace(lower(messy), '\s+', ' ', 'g')) AS norm,
+      |  trim(regexp_replace(lower(messy), '\s+', ' ', 'g')) = lower(text) AS roundtrip,
+      |  CAST(length(trim(regexp_replace(lower(messy), '\s+', ' ', 'g'))) AS BIGINT) AS len_norm
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> (t1 _), "t2_quality_score" -> (t2 _),
-    "t3_lang_id" -> (t3 _), "t4_fingerprint" -> (t4 _))
+    "t3_lang_id" -> (t3 _), "t4_fingerprint" -> (t4 _),
+    "t5_pii_redact" -> (t5 _), "t6_normalize" -> (t6 _))
 
   def oracles: Map[String, String] = Map(
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
-    "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql)
+    "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
+    "t5_pii_redact" -> t5Sql, "t6_normalize" -> t6Sql)
 }

@@ -18,6 +18,21 @@ class TextDedupSpec extends SparkSuite {
     assert(r.select("fp").distinct().count() > n * 9 / 10)
   }
 
+  test("t5 redaction leaves no live emails or phones") {
+    val r = TextOps.t5(spark, sf)
+    assert(r.filter(col("redacted").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() === 0)
+    assert(r.filter(col("redacted").rlike("\\d{3}-\\d{3}-\\d{4}")).count() === 0)
+    assert(r.filter(col("n_emails") < 1 || col("n_phones") < 1).count() === 0) // planted PII was found
+  }
+
+  test("t6 normalization round-trips messy text to lower(text) and is idempotent") {
+    val r = TextOps.t6(spark, sf)
+    assert(r.filter(!col("roundtrip")).count() === 0)
+    val again = r.select(col("doc_id"),
+      (TextOps.normalizeText(col("norm")) === col("norm")).as("idem"))
+    assert(again.filter(!col("idem")).count() === 0)
+  }
+
   test("d2 jaccard in [0, 1]") {
     val r = Dedup.d2(spark, sf)
     assert(r.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
