@@ -44,12 +44,15 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  // Pin the partition count so both children shuffle to identical
-  // layouts (and AQE cannot coalesce one side independently).
-  private def numParts = SQLConf.get.numShufflePartitions
+  // Plain ClusteredDistributions: EnsureRequirements co-partitions the
+  // two children (same mechanism as SortMergeJoin), and AQE's
+  // coalescer shrinks BOTH shuffle stages with identical partition
+  // specs because they feed one reduce stage. doExecute still asserts
+  // the zip precondition and fails loudly if an optimizer change ever
+  // breaks the alignment (instead of silently mis-joining).
   override def requiredChildDistribution: Seq[Distribution] = Seq(
-    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = Some(numParts)),
-    ClusteredDistribution(Seq(rightKey), requiredNumPartitions = Some(numParts)))
+    ClusteredDistribution(Seq(leftKey)),
+    ClusteredDistribution(Seq(rightKey)))
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
