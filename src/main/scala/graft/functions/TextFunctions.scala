@@ -76,6 +76,27 @@ object TextFunctions {
       when(simBitSum(codes, b) * 2 > size(codes), 1L << b).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Independent pseudo-random bit per (token code, bit position) —
+    * same Lehmer-style double-mod as the LSH hyperplane signs (a plain
+    * linear form's parity is separable, which would make all 64 bits
+    * measure the same token statistic). */
+  private def simBit64(codes: Column, b: Int): Column =
+    aggregate(codes, lit(0L), (acc, c) =>
+      acc + (((c * 1103515245L + lit(b) * 2654435761L + 12345L) % P) * 48271L % P) % 2)
+
+  /** 64-bit SimHash — the scale variant of simhash16: bit b set iff
+    * the majority of per-token bit-b hashes are 1. Σ of distinct
+    * powers of two equals the bit pattern (including the sign bit). */
+  def simhash64(codes: Column): Column =
+    (0 until 64).map { b =>
+      when(simBit64(codes, b) * 2 > size(codes), lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+
+  def simhash64Sql(codes: String): String =
+    (0 until 64).map { b =>
+      s"(CASE WHEN 2*CAST(list_sum(list_transform($codes, c -> (((c*1103515245 + $b*2654435761 + 12345) % $P) * 48271 % $P) % 2)) AS BIGINT) > len($codes) THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** Positional polynomial fingerprint: Σ code_i · 31^((i-1) mod 8) mod M.
     * Factors are reduced mod M BEFORE the multiply (see pow31m); the
     * per-term mod keeps partial sums well inside BIGINT range. */

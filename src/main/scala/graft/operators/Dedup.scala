@@ -223,6 +223,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Library API: 64-bit SimHash near-dup candidate pairs — the scale
+    * variant of [[simhashCandidatePairs]]. Pigeonhole over
+    * `maxHamming + 1` chunks of `64/(maxHamming+1)` bits: any pair
+    * within the radius agrees exactly on ≥1 chunk. With 16-bit chunks
+    * (radius 3) each chunk has 2^16 possible values vs the 16-bit
+    * hash's 2^4 — bucket occupancy drops ~4000× on a diverse corpus,
+    * which is what makes the self-join tractable at 100 TB. */
+  def simhash64CandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = MaxBucket): DataFrame = {
+    val chunks = maxHamming + 1
+    require(64 % chunks == 0, s"chunk count $chunks must divide 64")
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sims = docs.select(col(idCol).as("id"),
+      simhash64(tokenCodes(col(textCol))).as("sim"))
+    val chunked0 = sims.select(col("id"), col("sim"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sim"), c * bits).bitwiseAND(mask).as("cval"))): _*)).as("b"))
+      .select(col("id"), col("sim"), col("b.chunk").as("chunk"), col("b.cval").as("cval"))
+    val chunked = capBuckets(chunked0, maxBucket, col("chunk"), col("cval"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(expr("a.sim ^ b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // -------------------------------------------------------------------
   // d4: 16-bit SimHash + hamming distance on consecutive pairs
   // (near-dup iff hamming ≤ 3). SimHash is one map-side pass; at scale

@@ -126,6 +126,24 @@ class TextDedupSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("simhash64 pigeonhole finds every pair within hamming 3 and spreads buckets") {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, sf).limit(200)
+    val viaB = Dedup.simhash64CandidatePairs(docs, "text", "doc_id", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sims = docs.select(col("doc_id").as("id"), simhash64(tokenCodes(col("text"))).as("sim"))
+    val brute = sims.as("a").join(sims.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(expr("a.sim ^ b.sim")) <= 3)
+      .select(col("a.id"), col("b.id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaB === brute) // zero recall loss inside the radius
+    // 16-bit chunk values spread far beyond the 16-bit hash's 4-bit chunks
+    val spread = sims.select(
+      explode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sim"), c * 16).bitwiseAND(0xffffL)): _*)).as("cv"))
+      .distinct().count()
+    assert(spread > 100, s"chunk-value spread: $spread")
+  }
+
   test("per-bucket cap bounds candidate pairs on a degenerate hot-bucket corpus") {
     import spark.implicits._
     // 10k identical docs → ONE signature → every band key is a single
