@@ -47,6 +47,10 @@ object Ingest {
   /** Parquet (the canonical lake format for every graft table). */
   def readParquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
 
+  /** ORC (the other columnar lake format; same pushdown/pruning story
+    * as parquet). */
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
   /** Normalize column names the way the reference does
     * (strip + lowercase, main.py:200) plus de-spacing — applied at the
     * ingest boundary so every downstream operator sees stable names. */

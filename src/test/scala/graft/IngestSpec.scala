@@ -89,6 +89,15 @@ class IngestSpec extends SparkSuite {
     assert(Ingest.readJson(spark, dir).count() === Tables.customer(spark, sf).count())
   }
 
+  test("orc roundtrip preserves rows and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    Tables.customer(spark, sf).write.mode("overwrite").orc(dir)
+    val back = Ingest.readOrc(spark, dir)
+    assert(back.count() === Tables.customer(spark, sf).count())
+    val plan = back.filter(col("c_custkey") === 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_custkey"))
+  }
+
   test("salted aggregation equals plain aggregation") {
     import graft.operators.Skew
     val ev = Tables.events(spark, sf)
