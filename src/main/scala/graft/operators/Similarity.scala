@@ -175,7 +175,11 @@ object Similarity {
       cents = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
+        // decimal sum → one double division: partition-order-free means
+        // (plain avg(double) drifts with partial-agg order, which could
+        // flip near-tie assignments between runs)
+        .agg((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("cemb"))
