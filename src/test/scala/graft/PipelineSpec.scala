@@ -136,6 +136,27 @@ class PipelineSpec extends SparkSuite {
     assert(htmlC.contains("classification") && htmlR.contains("regression"))
   }
 
+  test("reference parity end to end: xlsx upload -> pipeline job -> HTML report") {
+    import graft.sources.{Excel, Ingest}
+    // the reference's complete user journey (api.py): upload an .xlsx,
+    // run the pipeline in the background, download the report
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val upload = s"$dir/upload.xlsx"
+    Excel.write(
+      Tables.orders(spark, sf).limit(500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+      upload)
+    val df = Ingest.normalizeColumns(Ingest.readExcel(spark, upload))
+    val id = Jobs.submit(df, "o_totalprice", reportDir = Some(dir))
+    val fin = Jobs.await(id)
+    assert(fin.isInstanceOf[Jobs.Done], s"job ended as $fin: ${Jobs.error(id)}")
+    assert(Jobs.result(id).exists(_.task == "regression"))
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Jobs.reportPath(id).get)), "UTF-8")
+    assert(html.contains("id=\"overview\"") && html.contains("id=\"metrics\""))
+    assert(html.contains("500 rows"))
+  }
+
   test("job runner: submit -> status -> done with a report artifact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jobs").toString
     val ev = Tables.events(spark, sf).drop("props")
