@@ -46,12 +46,12 @@ object Pipeline {
     val strCols0 = dfIn.schema.fields.filter(_.dataType == StringType).map(_.name)
     val probeAggs = dfIn.columns.map(c => count(col(c)).as(s"__nn_$c")) ++
       strCols0.map(c => count(expr(s"try_to_timestamp(`$c`)")).as(s"__ts_$c"))
-    val probe = dfIn.agg(probeAggs.head, probeAggs.tail: _*).head
+    val probe = dfIn.agg(probeAggs.head, probeAggs.tail.toSeq: _*).head()
     def nn(c: String) = probe.getAs[Long](s"__nn_$c")
     val allNull = dfIn.columns.filter(nn(_) == 0L) // dropna(axis=1, how='all')
     val dateLike = strCols0.filter(c =>
       nn(c) > 0 && probe.getAs[Long](s"__ts_$c") >= nn(c) * 0.9 && !noClip.contains(c))
-    val df = dateLike.foldLeft(dfIn.drop(allNull: _*)) { (d, c) =>
+    val df = dateLike.foldLeft(dfIn.drop(allNull.toSeq: _*)) { (d, c) =>
       d.withColumn(c, expr(s"try_to_timestamp(`$c`)"))
     }
 
@@ -66,7 +66,7 @@ object Pipeline {
         expr(s"approx_percentile($c, 0.75)").cast("double").as(s"__q3_$c"))
     }
     val withNum = if (paramAggs.isEmpty) df else {
-      val params = df.agg(paramAggs.head, paramAggs.tail: _*)
+      val params = df.agg(paramAggs.head, paramAggs.tail.toSeq: _*)
       numCols.foldLeft(df.join(broadcast(params))) { (d, c) =>
         val imputed = coalesce(col(c).cast("double"), col(s"__med_$c"))
         if (noClip.contains(c)) d.withColumn(c, imputed)
@@ -75,7 +75,7 @@ object Pipeline {
           val hi = col(s"__q3_$c") + (col(s"__q3_$c") - col(s"__q1_$c")) * 1.5
           d.withColumn(c, least(greatest(imputed, lo), hi))
         }
-      }.drop(params.columns: _*)
+      }.drop(params.columns.toSeq: _*)
     }
 
     // strings: mode-impute, then label- or frequency-encode
@@ -159,7 +159,7 @@ object Pipeline {
         sum(pow(col("prediction") - col(target), 2)).as("ssres"),
         sum(abs(col("prediction") - col(target))).as("sabs"),
         sum(col(target)).as("sy"),
-        sum(col(target) * col(target)).as("syy")).head
+        sum(col(target) * col(target)).as("syy")).head()
       val (n, ssres, sabs, sy, syy) =
         (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
       Map("mse" -> ssres / n, "mae" -> sabs / n,

@@ -62,7 +62,7 @@ object Report {
   /** Render the full report as an HTML string. */
   def render(viz: Pipeline.VizData, result: Option[Pipeline.Result],
       title: String = "graft report"): String = {
-    val ov = viz.overview.head
+    val ov = viz.overview.head()
     val (nRows, nCols) = (ov.getLong(0), ov.getLong(1))
 
     val distCols = viz.targetDistribution.columns.toSeq

@@ -93,7 +93,7 @@ object MLPrep {
     * the label; at 100 TB the per-class windows parallelize over
     * labels (salt a single dominant label if needed). */
   def stratifiedSplit(df: DataFrame, labelCol: String, testFrac: Double): DataFrame = {
-    val w = Window.partitionBy(col(labelCol)).orderBy(xxhash64(struct(df.columns.map(col): _*)))
+    val w = Window.partitionBy(col(labelCol)).orderBy(xxhash64(struct(df.columns.toSeq.map(col): _*)))
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(labelCol))))
       .withColumn("split", when(col("__rn") <= col("__n") * testFrac, "test").otherwise("train"))
@@ -113,7 +113,7 @@ object MLPrep {
   /** Imbalance test (ref main.py:235-238): minority/majority < 0.2. */
   def isImbalanced(df: DataFrame, labelCol: String): Boolean = {
     val r = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
-      .agg((min(col("n")).cast("double") / max(col("n"))).as("ratio")).head
+      .agg((min(col("n")).cast("double") / max(col("n"))).as("ratio")).head()
     r.getDouble(0) < 0.2
   }
 
@@ -126,7 +126,7 @@ object MLPrep {
     * Non-feature columns copy from the seed row. */
   def smoteOversample(df: DataFrame, labelCol: String, featureCols: Seq[String],
       minorityLabel: Any, copies: Int): DataFrame = {
-    val h = xxhash64(struct(df.columns.map(col): _*))
+    val h = xxhash64(struct(df.columns.toSeq.map(col): _*))
     val w = Window.partitionBy(col(labelCol)).orderBy(h)
     val minority = df.filter(col(labelCol) === lit(minorityLabel))
       .withColumn("__h", pmod(h, lit(97L)))
@@ -138,7 +138,7 @@ object MLPrep {
       .withColumn("__lambda", pmod(col("__h") * 31 + col("__copy"), lit(100L)).cast("double") / 100.0)
     featureCols.foldLeft(synth) { (d, c) =>
       d.withColumn(c, col(c) + col("__lambda") * (col(s"__next_$c") - col(c)))
-    }.select(df.columns.map(col): _*)
+    }.select(df.columns.toSeq.map(col): _*)
   }
 
   val m3Sql: String =
@@ -273,7 +273,7 @@ object MLPrep {
     import org.apache.spark.ml.regression.RandomForestRegressor
     val feats = Array("l_quantity", "l_discount", "l_tax")
     val li = Tables.lineitem(s, dir).select(
-      (feats.map(col) :+ col("l_extendedprice").as("label")): _*)
+      (feats.map(col) :+ col("l_extendedprice").as("label")).toSeq: _*)
     val assembled = new VectorAssembler()
       .setInputCols(feats).setOutputCol("features").transform(li)
     val model = new RandomForestRegressor()

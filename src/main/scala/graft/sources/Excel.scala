@@ -65,13 +65,13 @@ object Excel {
         StructField(n, t, nullable = true)
       })
       val converted = data.map { r =>
-        Row.fromSeq(r.zip(types).map {
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(r.zip(types).map {
           case (null, _) => null
           case (v, LongType) => v.toLong
           case (v, DoubleType) => v.toDouble
           case (v, BooleanType) => v == "true"
           case (v, _) => v
-        })
+        }))
       }
       s.createDataFrame(java.util.Arrays.asList(converted: _*), schema)
     } finally zip.close()

@@ -16,7 +16,7 @@ class CleaningSpec extends SparkSuite {
 
   test("c3 mode imputation leaves no null langs") {
     val total = Tables.documents(spark, sf).count()
-    assert(Cleaning.c3(spark, sf).agg(sum("n_docs")).head.getLong(0) === total)
+    assert(Cleaning.c3(spark, sf).agg(sum("n_docs")).head().getLong(0) === total)
   }
 
   test("c4 clipped sum bounded by raw sum range") {
@@ -42,7 +42,7 @@ class CleaningSpec extends SparkSuite {
   }
 
   test("m1 z-scores have ~zero mean") {
-    val m = MLPrep.m1(spark, sf).agg(avg("z")).head.getDouble(0)
+    val m = MLPrep.m1(spark, sf).agg(avg("z")).head().getDouble(0)
     assert(math.abs(m) < 0.01)
   }
 
@@ -53,7 +53,7 @@ class CleaningSpec extends SparkSuite {
   }
 
   test("m7 RF importances sum to ~1") {
-    val tot = MLPrep.m7(spark, sf).agg(sum("importance")).head.getDouble(0)
+    val tot = MLPrep.m7(spark, sf).agg(sum("importance")).head().getDouble(0)
     assert(math.abs(tot - 1.0) < 0.01)
   }
 
@@ -61,7 +61,7 @@ class CleaningSpec extends SparkSuite {
     val r = MLPrep.m11(spark, sf).collect()
     assert(r.nonEmpty)
     // synthetic values stay within the class's price range
-    val prices = Tables.orders(spark, sf).agg(min("o_totalprice"), max("o_totalprice")).head
+    val prices = Tables.orders(spark, sf).agg(min("o_totalprice"), max("o_totalprice")).head()
     val (lo, hi) = (prices.getDouble(0), prices.getDouble(1))
     assert(r.forall { row =>
       val v = row.getAs[Double]("synthetic_price"); v >= lo - 1e-6 && v <= hi + 1e-6
@@ -76,7 +76,7 @@ class CleaningSpec extends SparkSuite {
   }
 
   test("m13 regression metrics: r2 <= 1 and mse >= 0") {
-    val row = MLPrep.m13(spark, sf).head
+    val row = MLPrep.m13(spark, sf).head()
     assert(row.getAs[Double]("mse") >= 0)
     assert(row.getAs[Double]("mae") >= 0)
     assert(row.getAs[Double]("r2") <= 1.0)

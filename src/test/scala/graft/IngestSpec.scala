@@ -33,7 +33,7 @@ class IngestSpec extends SparkSuite {
     assert(viaXlsx.schema("o_totalprice").dataType.typeName === "double")
     assert(viaXlsx.schema("o_orderstatus").dataType.typeName === "string")
     val a = viaXlsx.orderBy("o_orderkey").collect().map(_.toSeq)
-    val b = viaCsv.select(viaXlsx.columns.map(col): _*)
+    val b = viaCsv.select(viaXlsx.columns.toSeq.map(col): _*)
       .orderBy("o_orderkey").collect().map(_.toSeq)
     assert(a.length === 200)
     assert(a.sameElements(b) || a.zip(b).forall { case (x, y) => x == y })
@@ -117,7 +117,7 @@ class IngestSpec extends SparkSuite {
     val salted = Skew.saltedJoin(ev, users, "user_id", 4)
     val plain = ev.join(users, "user_id")
     assert(salted.count() === plain.count())
-    assert(salted.agg(sum("u_events")).head.getLong(0) === plain.agg(sum("u_events")).head.getLong(0))
+    assert(salted.agg(sum("u_events")).head().getLong(0) === plain.agg(sum("u_events")).head().getLong(0))
   }
 
   test("bucketed tables join without a shuffle") {
@@ -143,9 +143,9 @@ class IngestSpec extends SparkSuite {
     val ev = Tables.events(spark, sf)
     val parsed = graft.sources.Ingest.parseJsonColumn(ev, "props",
       StructType(Seq(StructField("k", LongType))))
-    val viaJson = parsed.agg(sum(col("props_parsed.k"))).head.getLong(0)
+    val viaJson = parsed.agg(sum(col("props_parsed.k"))).head().getLong(0)
     val viaRegex = ev.agg(sum(
-      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))).head.getLong(0)
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))).head().getLong(0)
     assert(viaJson === viaRegex)
   }
 

@@ -69,7 +69,7 @@ class PipelineSpec extends SparkSuite {
     val cleaned = Pipeline.clean(df)
     assert(!cleaned.columns.contains("ghost")) // dropna(axis=1, how='all')
     assert(cleaned.columns.contains("when_str_year") && !cleaned.columns.contains("when_str"))
-    assert(cleaned.select("when_str_year").distinct().head.getDouble(0) === 2024.0)
+    assert(cleaned.select("when_str_year").distinct().head().getDouble(0) === 2024.0)
     assert(cleaned.schema("cat").dataType.typeName === "double") // label-encoded
   }
 
@@ -89,9 +89,9 @@ class PipelineSpec extends SparkSuite {
     val before = ev.filter(col("event_type") === "error").count()
     val synth = MLPrep.smoteOversample(ev, "event_type", Seq("value"), "error", 2)
     assert(synth.count() >= (before - 1) * 2) // 2 copies per seed (last seed has no neighbor)
-    assert(synth.select("event_type").distinct().head.getString(0) === "error")
+    assert(synth.select("event_type").distinct().head().getString(0) === "error")
     val mm = ev.filter(col("event_type") === "error")
-      .agg(min("value"), max("value")).head
+      .agg(min("value"), max("value")).head()
     val bad = synth.filter(col("value") < mm.getDouble(0) - 1e-9 ||
       col("value") > mm.getDouble(1) + 1e-9).count()
     assert(bad === 0) // interpolation stays inside the class hull

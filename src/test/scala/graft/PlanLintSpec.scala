@@ -42,7 +42,7 @@ class PlanLintSpec extends SparkSuite {
   test("vizData produces render-ready aggregates for any frame") {
     val ev = Tables.events(spark, sf).drop("props")
     val v = Pipeline.vizData(ev, "event_type")
-    assert(v.overview.head.getLong(0) === ev.count())
+    assert(v.overview.head().getLong(0) === ev.count())
     assert(v.targetDistribution.count() === 5) // ≤20 distinct → counts
     assert(v.corrMatrix.columns.toSeq === Seq("col_a", "col_b", "corr"))
     assert(v.histograms.groupBy("col_name").count().count() > 0)

@@ -27,7 +27,7 @@ class RelationalSpec extends SparkSuite {
   test("q11 session counts sum to total events") {
     val total = Tables.events(spark, sf).count()
     val sessions = Relational.q11(spark, sf)
-    assert(sessions.agg(sum("n_events")).head.getLong(0) === total)
+    assert(sessions.agg(sum("n_events")).head().getLong(0) === total)
     // sessions are disjoint in time per user: start <= end everywhere
     assert(sessions.filter(col("start_ms") > col("end_ms")).count() === 0)
   }
