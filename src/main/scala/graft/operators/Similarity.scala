@@ -96,8 +96,10 @@ object Similarity {
   /** Random-hyperplane LSH bucket over `planes` hyperplanes (2^planes
     * buckets). More planes = smaller buckets = cheaper within-bucket
     * scoring but lower single-probe recall — pair with multi-probe. */
-  def lshBucket(emb: Column, planes: Int = 8, planeOffset: Int = 0): Column =
+  def lshBucket(emb: Column, planes: Int = 8, planeOffset: Int = 0): Column = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
     bucketFromDots(lshDots(emb, planes, planeOffset))
+  }
 
   /** Multi-probe bucket list: the exact bucket plus `probes` variants
     * with the LEAST-CONFIDENT plane bits flipped (smallest |dot| — the
@@ -106,6 +108,8 @@ object Similarity {
     * tables without extra hash tables. */
   def lshProbeBuckets(emb: Column, planes: Int, probes: Int,
       planeOffset: Int = 0): Column = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    require(probes >= 0 && probes <= planes, s"probes must be in [0, planes], got $probes")
     val dots = lshDots(emb, planes, planeOffset)
     val bucket = bucketFromDots(dots)
     val order = transform(
