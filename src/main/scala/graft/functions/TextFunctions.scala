@@ -108,12 +108,17 @@ object TextFunctions {
       lit(0L), (acc, x) => acc + x) % FpMod
   }
 
-  /** Distinct word-3-gram shingles (guarded for short docs). */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)), element_at(toks, i + lit(2))))))
+  /** Distinct word-k-gram shingles (guarded for short docs). */
+  def shinglesK(toks: Column, k: Int): Column = {
+    require(k >= 1, s"shingle width must be >= 1, got $k")
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word-3-gram shingles (guarded for short docs). */
+  def shingles3(toks: Column): Column = shinglesK(toks, 3)
 
   // ---------------- DuckDB SQL twins (same constants) ----------------
 
@@ -150,6 +155,10 @@ object TextFunctions {
     s"CAST(list_sum(list_transform(generate_series(1, len($codes)), i -> ((($codes)[i] % $FpMod) * ($pows)[(i-1)%8 + 1]) % $FpMod)) AS BIGINT) % $FpMod"
   }
 
-  def shingles3Sql(toks: String): String =
-    s"CASE WHEN len($toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len($toks)-2), i -> ($toks)[i] || ' ' || ($toks)[i+1] || ' ' || ($toks)[i+2])) ELSE [] END"
+  def shinglesKSql(toks: String, k: Int): String = {
+    val cat = (0 until k).map(j => s"($toks)[i+$j]").mkString(" || ' ' || ")
+    s"CASE WHEN len($toks) >= $k THEN list_distinct(list_transform(generate_series(1, len($toks)-${k - 1}), i -> $cat)) ELSE [] END"
+  }
+
+  def shingles3Sql(toks: String): String = shinglesKSql(toks, 3)
 }

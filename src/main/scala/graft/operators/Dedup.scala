@@ -321,11 +321,66 @@ object Dedup {
        |ORDER BY id_a""".stripMargin
   }
 
+  /** Library API: n-gram decontamination — for every doc in `eval`,
+    * count distinct word-k-grams that also occur anywhere in `train`.
+    * The canonical train/eval contamination check before an LLM
+    * training run. Shape: explode k-grams on both sides, distinct the
+    * train side, ONE equi-join on the n-gram — never doc×doc. At
+    * 100 TB the train n-gram set is the big side; the join shuffles
+    * n-grams (bounded by corpus token count), and a bloom filter on
+    * the train side is the standard refinement. */
+  def ngramContamination(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, k: Int = 5): DataFrame = {
+    val evalG = eval.select(col(idCol).as("id"),
+      explode(shinglesK(tokens(col(textCol)), k)).as("ng"))
+    val trainG = train.select(explode(shinglesK(tokens(col(textCol)), k)).as("ng")).distinct()
+    val hits = evalG.join(trainG, Seq("ng"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared")) // evalG n-grams are per-doc distinct
+    eval.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // -------------------------------------------------------------------
+  // d6: train/eval decontamination over the documents corpus — eval =
+  // sources src0/src1, train = the rest; a doc is contaminated iff it
+  // shares ≥1 word-5-gram with any train doc (4-5 of 50 eval docs at
+  // sf0.01). The op every pretraining pipeline runs before an eval is
+  // trusted.
+  def d6(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalDocs = docs.filter(col("source").isin("src0", "src1"))
+    val trainDocs = docs.filter(!col("source").isin("src0", "src1"))
+    ngramContamination(trainDocs, evalDocs, "text", "doc_id", k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val d6Sql: String = {
+    val sh5 = graft.functions.TextFunctions.shinglesKSql(
+      graft.functions.TextFunctions.tokensSql("text"), 5)
+    s"""WITH g AS (
+       |  SELECT doc_id, source, ng
+       |  FROM documents, LATERAL (SELECT unnest($sh5) AS ng)
+       |), ev AS (SELECT doc_id, ng FROM g WHERE source IN ('src0','src1')),
+       |tr AS (SELECT DISTINCT ng FROM g WHERE source NOT IN ('src0','src1')),
+       |hits AS (
+       |  SELECT ev.doc_id, count(*) AS n_shared
+       |  FROM ev JOIN tr USING (ng) GROUP BY ev.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(hits.n_shared, 0) AS BIGINT) AS n_shared,
+       |  coalesce(hits.n_shared, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE source IN ('src0','src1')) d
+       |LEFT JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1 _), "d2_ngram_jaccard" -> (d2 _), "d3_minhash_lsh" -> (d3 _),
-    "d4_simhash" -> (d4 _), "d5_embedding_neardup" -> (d5 _))
+    "d4_simhash" -> (d4 _), "d5_embedding_neardup" -> (d5 _), "d6_decontaminate" -> (d6 _))
 
   def oracles: Map[String, String] = Map(
     "d1_dedup_exact" -> d1Sql, "d2_ngram_jaccard" -> d2Sql, "d3_minhash_lsh" -> d3Sql,
-    "d4_simhash" -> d4Sql, "d5_embedding_neardup" -> d5Sql)
+    "d4_simhash" -> d4Sql, "d5_embedding_neardup" -> d5Sql, "d6_decontaminate" -> d6Sql)
 }

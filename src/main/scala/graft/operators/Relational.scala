@@ -281,6 +281,33 @@ object Relational {
       |ORDER BY priority, status""".stripMargin
 
   // -------------------------------------------------------------------
+  // q17: CUBE over (returnflag, linestatus) — the full grouping-sets
+  // lattice (q10 covers the ROLLUP prefix subset). Same single
+  // Expand + hash-agg plan, one shuffle; grouping_id() disambiguates
+  // real NULLs from subtotal slots in both engines.
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sumd(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .select(col("gid").cast("long").as("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |       coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
   // q11: sessionization (gaps-and-islands, 30-min inactivity gap).
   // Two windows over the SAME (user_id, ts, event_id) ordering → one
   // shuffle total; Catalyst collapses them into a single Window node.
@@ -441,6 +468,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_asof_custom" -> (q16 _),
+    "q17_grouping_cube" -> (q17 _),
     "q1_pricing_summary" -> (q1 _),
     "q2_revenue_by_nation" -> (q2 _),
     "q3_top_orders" -> (q3 _),
@@ -459,6 +487,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "q16_asof_custom" -> q16Sql,
+    "q17_grouping_cube" -> q17Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders" -> q3Sql,

@@ -200,13 +200,35 @@ object TextOps {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t7: corpus n-gram statistics — top-20 word-3-grams by document
+  // frequency (each doc counts a shingle once: shinglesK dedups per
+  // doc). The contamination-audit / memorization-check primitive:
+  // explode shingles → count → top-k, one shuffle on the n-gram.
+  // Deterministic ties: ORDER BY df DESC, ngram.
+  def t7(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(shinglesK(tokens(col("text")), 3)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(20)
+  }
+
+  val t7Sql: String =
+    s"""SELECT ng AS ngram, count(*) AS doc_freq
+       |FROM documents, LATERAL (SELECT unnest(${shinglesKSql(tokensSql("text"), 3)}) AS ng)
+       |GROUP BY ng
+       |ORDER BY doc_freq DESC, ngram
+       |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> (t1 _), "t2_quality_score" -> (t2 _),
     "t3_lang_id" -> (t3 _), "t4_fingerprint" -> (t4 _),
-    "t5_pii_redact" -> (t5 _), "t6_normalize" -> (t6 _))
+    "t5_pii_redact" -> (t5 _), "t6_normalize" -> (t6 _), "t7_ngram_stats" -> (t7 _))
 
   def oracles: Map[String, String] = Map(
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
-    "t5_pii_redact" -> t5Sql, "t6_normalize" -> t6Sql)
+    "t5_pii_redact" -> t5Sql, "t6_normalize" -> t6Sql, "t7_ngram_stats" -> t7Sql)
 }

@@ -28,6 +28,11 @@ class RelationalSpec extends SparkSuite {
     val total = Tables.events(spark, sf).count()
     val sessions = Relational.q11(spark, sf)
     assert(sessions.agg(sum("n_events")).head().getLong(0) === total)
+    // q17 cube: the grand-total grouping set equals the table count
+    val cube = operators.Relational.q17(spark, sf)
+    val grand = cube.filter(col("gid") === 3).head()
+    assert(grand.getAs[Long]("n_items") === Tables.lineitem(spark, sf).count())
+    assert(cube.select("gid").distinct().count() === 4) // full lattice
     // sessions are disjoint in time per user: start <= end everywhere
     assert(sessions.filter(col("start_ms") > col("end_ms")).count() === 0)
   }

@@ -126,6 +126,26 @@ class TextDedupSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("d6 decontamination flags some-but-not-all eval docs; self-check flags everything") {
+    val r = Dedup.d6(spark, sf).collect()
+    val contaminated = r.count(_.getAs[Boolean]("contaminated"))
+    assert(r.length === 50) // src0+src1 eval slice at sf0.01
+    assert(contaminated > 0 && contaminated < r.length,
+      s"$contaminated of ${r.length} — expected discriminative flagging")
+    // a corpus checked against itself is 100% contaminated
+    val docs = Tables.documents(spark, sf).limit(50)
+    val self = Dedup.ngramContamination(docs, docs, "text", "doc_id", k = 5)
+    assert(self.filter(!col("contaminated")).count() === 0)
+  }
+
+  test("t7 returns 20 n-grams in strictly non-increasing doc-frequency order") {
+    val rows = TextOps.t7(spark, sf).collect()
+    assert(rows.length === 20)
+    val freqs = rows.map(_.getAs[Long]("doc_freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    assert(freqs.head >= 1)
+  }
+
   test("simhash64 pigeonhole finds every pair within hamming 3 and spreads buckets") {
     import graft.functions.TextFunctions._
     val docs = Tables.documents(spark, sf).limit(200)
