@@ -242,13 +242,59 @@ object Streams {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** Stream-stream interval join: each purchase inner-joins the clicks
+    * of the same user within the 30 minutes before it (click
+    * attribution). Watermarks bound BOTH state stores: clicks must be
+    * retained for the interval + the purchase watermark, so the click
+    * side carries the wider watermark. Inputs: purchases(user_id,
+    * event_id, ts), clicks(c_user, c_ts). */
+  def streamingIntervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    purchases.withWatermark("ts", "10 minutes")
+      .join(clicks.withWatermark("c_ts", "40 minutes"),
+        expr("user_id = c_user AND " +
+          "c_ts <= ts AND c_ts > ts - INTERVAL 30 MINUTES"))
+  }
+
+  // -------------------------------------------------------------------
+  // st6: interval-join attribution — batch twin of
+  // streamingIntervalJoin, aggregated per purchase: how many clicks in
+  // the 30 minutes before, and the latest one. Equi-join on user_id
+  // (hash/SMJ — the range is a post-join filter, no explosion beyond
+  // true matches); inner semantics like the stream-stream join.
+  def st6(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("purchase_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_millis(col("ts")).as("click_ms"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("click_ms") <= col("purchase_ms") &&
+        col("click_ms") > col("purchase_ms") - 1800000L)
+      .groupBy(col("user_id"), col("event_id"), col("purchase_ms"))
+      .agg(count(lit(1)).as("n_clicks_30m"), max(col("click_ms")).as("last_click_ms"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val st6Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS event_id,
+      |  epoch_ms(p.ts) AS purchase_ms,
+      |  count(*) AS n_clicks_30m,
+      |  max(epoch_ms(c.ts)) AS last_click_ms
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type='click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+      | AND epoch_ms(c.ts) > epoch_ms(p.ts) - 1800000
+      |GROUP BY p.user_id, p.event_id, epoch_ms(p.ts)
+      |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> (st1 _), "st2_sliding_window" -> (st2 _),
     "st3_stream_dedup" -> (st3 _), "st4_stateful_sessions" -> (st4 _),
-    "st5_session_window" -> (st5 _))
+    "st5_session_window" -> (st5 _), "st6_interval_join" -> (st6 _))
 
   def oracles: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql, "st2_sliding_window" -> st2Sql,
     "st3_stream_dedup" -> st3Sql, "st4_stateful_sessions" -> st4Sql,
-    "st5_session_window" -> st5Sql)
+    "st5_session_window" -> st5Sql, "st6_interval_join" -> st6Sql)
 }

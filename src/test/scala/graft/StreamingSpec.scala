@@ -95,6 +95,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch attribution twin (st6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivj").toString
+    val ev = Tables.events(spark, sf)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .write.mode("overwrite").parquet(s"$dir/p")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .write.mode("overwrite").parquet(s"$dir/c")
+    val pStream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/p").schema).parquet(s"$dir/p")
+    val cStream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/c").schema).parquet(s"$dir/c")
+    val q = Streams.streamingIntervalJoin(pStream, cStream)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("purchase_ms"), unix_millis(col("c_ts")).as("click_ms"))
+      .writeStream.outputMode("append").format("memory").queryName("ivj").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ivj")
+        .groupBy("user_id", "event_id", "purchase_ms")
+        .agg(count(lit(1)).as("n_clicks_30m"), max("click_ms").as("last_click_ms"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val batch = Streams.st6(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("st2's manual sliding-window expansion matches native window()") {
     val ev = Tables.events(spark, sf)
     val native = ev
