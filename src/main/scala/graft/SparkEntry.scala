@@ -10,14 +10,14 @@ import graft.operators._
   * rows-only in SURVEY.md §2; the set is enforced by ContractSpec).
   *
   * Family → implementation map:
-  *  - q1–q16  operators/Relational.scala  (analytics core, custom as-of)
+  *  - q1–q17  operators/Relational.scala  (analytics core, custom as-of, cube)
   *  - c1–c9   operators/Cleaning.scala    (impute/encode/clip/profile)
   *  - m1–m14  operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE)
-  *  - t1–t6   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize)
-  *  - d1–d5   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding)
+  *  - t1–t7   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams)
+  *  - d1–d6   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate)
   *  - s1–s5   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats)
   *  - mm1–mm3 operators/Multimodal.scala  (binary payloads, stub decode, frames)
-  *  - st1–st5 streaming/Streams.scala     (windows, dedup, sessions ×3)
+  *  - st1–st6 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).
   */

@@ -255,21 +255,51 @@ object Streams {
           "c_ts <= ts AND c_ts > ts - INTERVAL 30 MINUTES"))
   }
 
+  /** Library API: skew-safe batch interval join — inner-join each left
+    * row with the right rows of the same key whose time lies in
+    * `(leftTime - intervalMs, leftTime]`.
+    *
+    * Scale shape: a plain equi-join on the key with the range as a
+    * post-join filter evaluates |L_key|×|R_key| pairs per key — a hot
+    * key (one bot user with 10M clicks) makes ONE task quadratic in
+    * its history. Here time is bucketed to `intervalMs` grains and the
+    * join key is `(key, bucket)`: a right row in bucket b can only
+    * match left rows in buckets {b, b+1}, so the LEFT side explodes to
+    * its two covering buckets (fan-out exactly 2, no dedup needed —
+    * each right row carries ONE bucket) and the join shuffles on the
+    * composite key. Per-task pair count is bounded by the key's
+    * activity inside adjacent grains, not its total history; the exact
+    * range predicate then filters within the bucket-local pairs.
+    * Same result as the naive join, bounded compute on skewed keys. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTimeMs: String, rightTimeMs: String,
+      intervalMs: Long): DataFrame = {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    val b = floor(col(leftTimeMs) / intervalMs)
+    val l = left.withColumn("__bucket", explode(array(b, b - 1L)))
+    val r = right.withColumn("__bucket", floor(col(rightTimeMs) / intervalMs))
+    l.join(r,
+        l(leftKey) === r(rightKey) && l("__bucket") === r("__bucket") &&
+          r(rightTimeMs) <= l(leftTimeMs) &&
+          r(rightTimeMs) > l(leftTimeMs) - intervalMs)
+      .drop("__bucket")
+  }
+
   // -------------------------------------------------------------------
   // st6: interval-join attribution — batch twin of
   // streamingIntervalJoin, aggregated per purchase: how many clicks in
-  // the 30 minutes before, and the latest one. Equi-join on user_id
-  // (hash/SMJ — the range is a post-join filter, no explosion beyond
-  // true matches); inner semantics like the stream-stream join.
+  // the 30 minutes before, and the latest one. Uses the skew-safe
+  // bucketed intervalJoin: equi-join on (user_id, 30-min grain) with
+  // left fan-out {b, b-1}, exact range filter after — a hot user's
+  // task cost is bounded by activity per grain, not total history.
   def st6(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("purchase_ms"))
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), unix_millis(col("ts")).as("click_ms"))
-    p.join(c, col("user_id") === col("c_user") &&
-        col("click_ms") <= col("purchase_ms") &&
-        col("click_ms") > col("purchase_ms") - 1800000L)
+    intervalJoin(p, c, "user_id", "c_user", "purchase_ms", "click_ms", 1800000L)
       .groupBy(col("user_id"), col("event_id"), col("purchase_ms"))
       .agg(count(lit(1)).as("n_clicks_30m"), max(col("click_ms")).as("last_click_ms"))
       .orderBy(col("user_id"), col("event_id"))

@@ -138,6 +138,60 @@ class StreamingSpec extends SparkSuite {
     assert(manual === native)
   }
 
+  test("bucketed intervalJoin equals the naive key-join + range filter (st6 data)") {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("purchase_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_millis(col("ts")).as("click_ms"))
+    val naive = p.join(c, col("user_id") === col("c_user") &&
+        col("click_ms") <= col("purchase_ms") &&
+        col("click_ms") > col("purchase_ms") - 1800000L)
+      .select("user_id", "event_id", "purchase_ms", "click_ms")
+      .collect().map(_.toSeq).toSet
+    val bucketed = Streams.intervalJoin(p, c, "user_id", "c_user",
+        "purchase_ms", "click_ms", 1800000L)
+      .select("user_id", "event_id", "purchase_ms", "click_ms")
+      .collect().map(_.toSeq).toSet
+    assert(bucketed === naive)
+    assert(bucketed.nonEmpty)
+  }
+
+  test("intervalJoin is skew-safe: hot user joins on the bucketed key, closed-form result") {
+    import spark.implicits._
+    // ONE bot user: 100k clicks at 1-second spacing (~28 h) and 1k
+    // purchases every 100 s over the same span. The naive user_id
+    // equi-join would evaluate 100k × 1k = 10^8 range predicates in a
+    // single task; the bucketed join's per-(user, grain) pairs are
+    // 1800 clicks × ≤36 purchases — ~3 orders of magnitude less, which
+    // is what lets this test finish in seconds.
+    val clicks = spark.range(100000L)
+      .select(lit(1L).as("c_user"), (col("id") * 1000L).as("click_ms"))
+    val purchases = spark.range(1000L)
+      .select(lit(1L).as("user_id"), col("id").as("event_id"),
+        (col("id") * 100000L).as("purchase_ms"))
+    val joined = Streams.intervalJoin(purchases, clicks, "user_id", "c_user",
+      "purchase_ms", "click_ms", 1800000L)
+    // the optimizer must keep the composite (key, bucket) equi-join —
+    // a plain key join or a nested-loop join would be the quadratic
+    // shape this API exists to avoid
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__bucket"), s"bucketed join key missing from plan:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"interval join fell back to nested loop:\n$plan")
+    val agg = joined.groupBy("event_id", "purchase_ms")
+      .agg(count(lit(1)).as("n"), max("click_ms").as("last"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(agg.size === 1000)
+    // closed form: purchase j at p = j*100000 matches clicks at i*1000
+    // in (p-1800000, p] → 1800 clicks once the window is full (j ≥ 18),
+    // j*100 + 1 during warm-up; the latest click is always at p itself.
+    (0L until 1000L).foreach { j =>
+      val p = j * 100000L
+      val expectN = if (j >= 18) 1800L else j * 100L + 1L
+      assert(agg(j) === ((expectN, p)), s"purchase $j")
+    }
+  }
+
   test("st4 typed sessionization matches the window-function formulation (q11)") {
     val typed = Streams.st4(spark, sf).collect().map(_.toSeq)
     val sql = operators.Relational.q11(spark, sf).collect().map(_.toSeq)
