@@ -321,19 +321,47 @@ object Dedup {
        |ORDER BY id_a""".stripMargin
   }
 
+  /** Library API: bloom pre-filter — keep only the rows of `df` whose
+    * `c` MIGHT appear in `keys.kc` (no false negatives; false
+    * positives pass through and must be re-checked exactly). The bloom
+    * is built distributed (`bloom_filter_agg` over xxhash64) and
+    * reaches every task as a scalar subquery — the shape Spark's own
+    * runtime join filters use; no driver-side collect of the key set.
+    * `numBits` is the shipped payload (default 32 Mbit = 4 MB, ~8
+    * bits/key at the default 4M `numItems` → ~2% false positives). */
+  def bloomPrefilter(df: DataFrame, c: String, keys: DataFrame, kc: String,
+      numItems: Long = 4000000L, numBits: Long = 33554432L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val bloom = keys.agg(
+      GraftSqlBridge.bloomFilterAgg(col(kc), numItems, numBits).as("__bf"))
+    df.filter(GraftSqlBridge.bloomMightContain(bloom, col(c)))
+  }
+
   /** Library API: n-gram decontamination — for every doc in `eval`,
     * count distinct word-k-grams that also occur anywhere in `train`.
     * The canonical train/eval contamination check before an LLM
     * training run. Shape: explode k-grams on both sides, distinct the
     * train side, ONE equi-join on the n-gram — never doc×doc. At
     * 100 TB the train n-gram set is the big side; the join shuffles
-    * n-grams (bounded by corpus token count), and a bloom filter on
-    * the train side is the standard refinement. */
+    * n-grams (bounded by corpus token count).
+    *
+    * `useBloom` pre-filters eval n-grams through a bloom filter built
+    * over the train n-grams before the exact join: eval n-grams that
+    * certainly don't occur in train (the vast majority — real evals
+    * are mostly clean) never enter the shuffle. False positives are
+    * removed by the exact join, so the result is IDENTICAL either way
+    * (asserted by TextDedupSpec). The bloom costs one extra pass over
+    * the train n-grams; when the train side is so large that even the
+    * bloom's numItems budget can't represent it (≫4M distinct
+    * k-grams), the saturated filter passes everything — correct, just
+    * no savings — so disable it there. */
   def ngramContamination(train: DataFrame, eval: DataFrame,
-      textCol: String, idCol: String, k: Int = 5): DataFrame = {
-    val evalG = eval.select(col(idCol).as("id"),
+      textCol: String, idCol: String, k: Int = 5,
+      useBloom: Boolean = true): DataFrame = {
+    val evalG0 = eval.select(col(idCol).as("id"),
       explode(shinglesK(tokens(col(textCol)), k)).as("ng"))
     val trainG = train.select(explode(shinglesK(tokens(col(textCol)), k)).as("ng")).distinct()
+    val evalG = if (useBloom) bloomPrefilter(evalG0, "ng", trainG, "ng") else evalG0
     val hits = evalG.join(trainG, Seq("ng"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared")) // evalG n-grams are per-doc distinct
     eval.select(col(idCol).as("id"))

@@ -16,4 +16,30 @@ object GraftSqlBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** `bloom_filter_agg(xxhash64(c), numItems, numBits)` as a Column.
+    * The aggregate exists in Catalyst (it backs the optimizer's
+    * runtime join filters) but has no SQL registration in Spark 4, so
+    * library code builds the expression directly. */
+  def bloomFilterAgg(c: Column, numItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    classic.ExpressionUtils.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(classic.ExpressionUtils.expression(c))),
+        Literal(numItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** `might_contain(<scalar-subquery>, xxhash64(c))` as a Column.
+    * `might_contain` requires its bloom argument to be a constant or
+    * scalar subquery (not a join-produced attribute) — the same shape
+    * Spark's runtime-filter optimizer injects: the one-row aggregate
+    * in `bloomDf` executes once and its value ships to every task. */
+  def bloomMightContain(bloomDf: Dataset[_], c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, XxHash64}
+    classic.ExpressionUtils.column(
+      BloomFilterMightContain(
+        ScalarSubquery(analyzed(bloomDf)),
+        new XxHash64(Seq(classic.ExpressionUtils.expression(c)))))
+  }
 }

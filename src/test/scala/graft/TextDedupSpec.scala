@@ -138,6 +138,32 @@ class TextDedupSpec extends SparkSuite {
     assert(self.filter(!col("contaminated")).count() === 0)
   }
 
+  test("bloom pre-filter prunes non-train n-grams and leaves the d6 result unchanged") {
+    val docs = Tables.documents(spark, sf)
+    val evalDocs = docs.filter(col("source").isin("src0", "src1"))
+    val trainDocs = docs.filter(!col("source").isin("src0", "src1"))
+    // identical output with the bloom on and off (false positives are
+    // killed by the exact join; bloom has no false negatives)
+    def run(b: Boolean) =
+      Dedup.ngramContamination(trainDocs, evalDocs, "text", "doc_id", k = 5, useBloom = b)
+        .collect().map(_.toSeq).toSet
+    assert(run(true) === run(false))
+    // the mechanism: the filter passes every true match and prunes
+    // most eval n-grams that don't occur in train
+    import graft.functions.TextFunctions._
+    val evalG = evalDocs.select(col("doc_id"),
+      explode(shinglesK(tokens(col("text")), 5)).as("ng"))
+    val trainG = trainDocs.select(explode(shinglesK(tokens(col("text")), 5)).as("ng")).distinct()
+    val kept = Dedup.bloomPrefilter(evalG, "ng", trainG, "ng")
+    val total = evalG.count()
+    val keptN = kept.count()
+    val trueHits = evalG.join(trainG, Seq("ng")).count()
+    assert(keptN < total, s"bloom pruned nothing ($keptN of $total)")
+    assert(keptN >= trueHits, "bloom dropped a true match (false negative)")
+    assert(kept.join(trainG, Seq("ng")).count() === trueHits,
+      "join result changed by the pre-filter")
+  }
+
   test("t7 returns 20 n-grams in strictly non-increasing doc-frequency order") {
     val rows = TextOps.t7(spark, sf).collect()
     assert(rows.length === 20)
