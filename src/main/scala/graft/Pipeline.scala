@@ -78,22 +78,54 @@ object Pipeline {
       }.drop(params.columns.toSeq: _*)
     }
 
-    // strings: mode-impute, then label- or frequency-encode
-    val withStr = strCols.foldLeft(withNum) { (d, c) =>
-      val counts = d.filter(col(c).isNotNull)
-        .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
-      val mode = counts.orderBy(col("__cnt").desc, col(c)).limit(1)
-        .select(col(c).as("__mode"))
-      val filled = d.join(broadcast(mode))
-        .withColumn(c, coalesce(col(c), col("__mode"))).drop("__mode")
-      val nDistinct = counts.count()
-      if (nDistinct <= 32) {
-        val codes = counts.select(col(c))
-          .withColumn("__code", (row_number().over(Window.orderBy(col(c))) - 1).cast("double"))
-        filled.join(broadcast(codes), Seq(c)).withColumn(c, col("__code")).drop("__code")
-      } else {
-        val freqs = counts.select(col(c), col("__cnt").cast("double").as("__freq"))
-        filled.join(broadcast(freqs), Seq(c)).withColumn(c, col("__freq")).drop("__freq")
+    // strings: mode-impute, then label- or frequency-encode. ALL
+    // per-column statistics come from ONE pass: explode (column,
+    // value) pairs, count each pair, then derive every column's
+    // cardinality, mode, and label codes from that single counts
+    // frame — the previous version launched O(#string columns)
+    // sequential jobs here (per-column mode + distinct-count actions).
+    val withStr = if (strCols.isEmpty) withNum else {
+      val kv = df.select(explode(array(strCols.toSeq.map(c =>
+          struct(lit(c).as("c"), col(c).as("v"))): _*)).as("kv"))
+        .select(col("kv.c").as("c"), col("kv.v").as("v"))
+        .filter(col("v").isNotNull)
+      val stats = kv.groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // mode = highest count, ties → smallest value (pandas mode()[0])
+      val summary = stats.groupBy(col("c")).agg(
+          count(lit(1)).as("nd"),
+          min_by(col("v"), struct((-col("cnt")).as("nc"), col("v"))).as("mode"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+      val labelCols = strCols.filter(c => summary(c)._1 <= 32)
+      // label codes = ordinal in sorted value order (≤32 per column),
+      // shipped back into the plan as a map literal — no join at all
+      val labelCodes: Map[String, Array[(String, Int)]] =
+        if (labelCols.isEmpty) Map.empty
+        else stats.filter(col("c").isin(labelCols.toSeq: _*))
+          .withColumn("code", row_number().over(
+            Window.partitionBy(col("c")).orderBy(col("v"))) - 1)
+          .select(col("c"), col("v"), col("code")).collect()
+          .groupBy(_.getString(0))
+          .map { case (c, rs) => c -> rs.map(r => r.getString(1) -> r.getInt(2)) }
+      stats.unpersist()
+      strCols.foldLeft(withNum) { (d, c) =>
+        val (nd, mode) = summary(c)
+        val filled = d.withColumn(c, coalesce(col(c), lit(mode)))
+        if (nd <= 32) {
+          val codeMap = map(labelCodes(c).flatMap { case (v, code) =>
+            Seq(lit(v), lit(code.toDouble)) }.toSeq: _*)
+          filled.withColumn(c, element_at(codeMap, col(c)))
+        } else {
+          // frequency of the FILLED column (the reference fills the
+          // mode first, then value_counts — main.py:76-83, 98-100), as
+          // a lazy per-column agg + join: no driver-side job here, and
+          // AQE broadcasts the count table when it's small instead of
+          // an unconditional broadcast that would OOM on a billion-key
+          // column at scale
+          val freqs = filled.groupBy(col(c))
+            .agg(count(lit(1)).cast("double").as(s"__freq_$c"))
+          filled.join(freqs, Seq(c)).withColumn(c, col(s"__freq_$c")).drop(s"__freq_$c")
+        }
       }
     }
 
@@ -108,13 +140,34 @@ object Pipeline {
     }
   }
 
-  /** train_model (main.py:194-385): task detection, split, RF fit,
-    * metric computation — all on the cleaned frame. */
+  /** train_model (main.py:194-385): fuzzy target resolution, task
+    * detection, stratified split, per-family hyperparameter search
+    * (3-fold CV, like GridSearchCV), metric computation — all on the
+    * cleaned frame. */
   def autoPipeline(df: DataFrame, target: String, seed: Long = 42L,
       saveDir: Option[String] = None): Result = {
+    // Fuzzy target matching (main.py:199-207): trim/lowercase, exact
+    // match first, else the first column CONTAINING the requested name
+    // (column order, like the reference's list comprehension).
+    val req = target.trim.toLowerCase
+    val resolved = df.columns.find(_.trim.toLowerCase == req)
+      .orElse(df.columns.find(_.trim.toLowerCase.contains(req)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Target column '$target' not found. Available columns: " +
+          df.columns.mkString(", ")))
+    autoPipelineExact(df, resolved, seed, saveDir)
+  }
+
+  private def autoPipelineExact(df: DataFrame, target: String, seed: Long,
+      saveDir: Option[String]): Result = {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
     import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
+    import org.apache.spark.ml.evaluation.{Evaluator, MulticlassClassificationEvaluator, RegressionEvaluator}
+    import org.apache.spark.ml.param.ParamMap
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    import org.apache.spark.ml.{Estimator, Model}
+    import graft.operators.MLPrep
 
     val cleaned = clean(df, noClip = Set(target))
     require(cleaned.columns.contains(target), s"target $target not found after cleaning")
@@ -124,13 +177,22 @@ object Pipeline {
     val nDistinct = cleaned.select(target).distinct().count()
     val task = if (nDistinct < 20) "classification" else "regression"
 
-    val Array(train, test) = cleaned.na.fill(0.0)
-      .withColumn("__r", pmod(xxhash64(struct(featureCols.map(col): _*)), lit(100L)))
-      .randomSplitOn80_20()
+    // Split (main.py:241): classification stratifies on the target —
+    // an unconditioned hash split on an imbalanced frame can land a
+    // small class entirely in one side; regression keeps the uniform
+    // hash split.
+    val base = cleaned.na.fill(0.0)
+    val Array(train, test) =
+      if (task == "classification") {
+        val s = MLPrep.stratifiedSplit(base, target, 0.2)
+        Array(s.filter(col("split") === "train").drop("split"),
+          s.filter(col("split") === "test").drop("split"))
+      } else
+        base.withColumn("__r", pmod(xxhash64(struct(featureCols.map(col): _*)), lit(100L)))
+          .randomSplitOn80_20()
     // Imbalance handling (main.py:232-263): when the minority class is
     // <20% of the majority, oversample the training split with SMOTE
     // AND weight classes in the estimators — both, like the reference.
-    import graft.operators.MLPrep
     val imbalanced = task == "classification" && MLPrep.isImbalanced(train, target)
     val trainBalanced = if (imbalanced) {
       val counts = train.groupBy(col(target)).count().collect() // O(classes)
@@ -148,9 +210,33 @@ object Pipeline {
     val trainA = asm.transform(trainBalanced).cache()
     val testA = asm.transform(test).cache()
 
+    // Classification metrics (main.py:303-318): accuracy + WEIGHTED
+    // precision/recall/F1 from the O(classes²) confusion counts — one
+    // distributed agg, tiny collect.
     def clsMetrics(pred: DataFrame): Map[String, Double] = {
-      val n = pred.count().toDouble
-      Map("accuracy" -> pred.filter(col("prediction") === col(target)).count() / n,
+      val cm = pred.groupBy(col(target).cast("double").as("y"),
+          col("prediction").cast("double").as("p"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      val n = cm.map(_._3).sum.toDouble
+      val classes = (cm.map(_._1) ++ cm.map(_._2)).distinct
+      val per = classes.map { c =>
+        val tp = cm.filter(r => r._1 == c && r._2 == c).map(_._3).sum.toDouble
+        val fp = cm.filter(r => r._1 != c && r._2 == c).map(_._3).sum.toDouble
+        val fn = cm.filter(r => r._1 == c && r._2 != c).map(_._3).sum.toDouble
+        val support = tp + fn
+        val prec = if (tp + fp > 0) tp / (tp + fp) else 0.0
+        val rec = if (support > 0) tp / support else 0.0
+        val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
+        (support, prec, rec, f1)
+      }
+      val supTot = per.map(_._1).sum
+      def wavg(f: ((Double, Double, Double, Double)) => Double): Double =
+        if (supTot > 0) per.map(t => f(t) * t._1).sum / supTot else 0.0
+      Map("accuracy" -> cm.filter(r => r._1 == r._2).map(_._3).sum / n,
+        "weighted_precision" -> wavg(_._2),
+        "weighted_recall" -> wavg(_._3),
+        "weighted_f1" -> wavg(_._4),
         "n_test" -> n)
     }
     def regMetrics(pred: DataFrame): Map[String, Double] = {
@@ -166,49 +252,93 @@ object Pipeline {
         "r2" -> (1.0 - ssres / (syy - sy * sy / n)), "n_test" -> n)
     }
 
-    // Model selection (main.py:269-301/319-350): fit the reference's
-    // three families, evaluate each on the held-out split, keep the
-    // best (classification: accuracy ↑; regression: MSE ↓).
+    // Per-family hyperparameter search (main.py:279-281, 290, 328-331,
+    // 340: GridSearchCV(cv=3) for EACH family): a small grid per
+    // estimator, 3-fold CV on the (balanced) train split; the CV-refit
+    // best model of each family is then evaluated on the held-out test
+    // split, and families compete on weighted F1 (classification,
+    // main.py:290-295) or MSE (regression, main.py:337-350). The
+    // chosen hyperparameters + CV score land in that family's metrics.
+    // (returns AnyRef: callers immediately cast to the concrete model
+    // class, and Model[_]'s existential type can't cross a tuple)
+    def gridSearch(est: Estimator[_], grid: Array[ParamMap],
+        eval: Evaluator): (AnyRef, Map[String, Double]) = {
+      val cv = new CrossValidator().setEstimator(est).setEvaluator(eval)
+        .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(seed)
+        .setParallelism(4) // fit grid points concurrently; local[32] has headroom
+      val m = cv.fit(trainA)
+      val bestIdx = m.avgMetrics.indices.maxBy(i =>
+        if (eval.isLargerBetter) m.avgMetrics(i) else -m.avgMetrics(i))
+      val chosen = grid(bestIdx).toSeq.collect {
+        case p if p.value.isInstanceOf[Int] => p.param.name -> p.value.asInstanceOf[Int].toDouble
+        case p if p.value.isInstanceOf[Double] => p.param.name -> p.value.asInstanceOf[Double]
+      }.toMap
+      (m.bestModel, chosen + ("cv_metric" -> m.avgMetrics(bestIdx)))
+    }
+
     case class Fitted(name: String, metrics: Map[String, Double],
         importances: Seq[(String, Double)], save: String => Unit)
     val candidates: Seq[Fitted] =
       if (task == "classification") {
-        val rf = new RandomForestClassifier().setNumTrees(20).setMaxDepth(6).setSeed(seed)
-          .setWeightCol("class_weight")
-          .setLabelCol(target).setFeaturesCol("features").fit(trainA)
-        val lr = new LogisticRegression().setMaxIter(50)
-          .setWeightCol("class_weight")
-          .setLabelCol(target).setFeaturesCol("features").fit(trainA)
-        val gbt = if (nDistinct == 2)
-          Some(new GBTClassifier().setMaxIter(20).setMaxDepth(5).setSeed(seed)
-            .setWeightCol("class_weight")
-            .setLabelCol(target).setFeaturesCol("features").fit(trainA))
-        else None // GBTClassifier is binary-only
+        // MulticlassClassificationEvaluator's "f1" IS weighted F1 —
+        // the reference's GridSearchCV scoring='f1_weighted'
+        val mc = new MulticlassClassificationEvaluator()
+          .setLabelCol(target).setMetricName("f1")
+        val rfE = new RandomForestClassifier().setSeed(seed)
+          .setWeightCol("class_weight").setLabelCol(target).setFeaturesCol("features")
+        val (rfM, rfCv) = gridSearch(rfE, new ParamGridBuilder()
+          .addGrid(rfE.numTrees, Array(20, 50))
+          .addGrid(rfE.maxDepth, Array(4, 8)).build(), mc)
+        val rf = rfM.asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
+        val lrE = new LogisticRegression().setMaxIter(50)
+          .setWeightCol("class_weight").setLabelCol(target).setFeaturesCol("features")
+        val (lrM, lrCv) = gridSearch(lrE, new ParamGridBuilder()
+          .addGrid(lrE.regParam, Array(0.0, 0.01, 0.1)).build(), mc)
+        val lr = lrM.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+        val gbt = if (nDistinct == 2) {
+          val gbtE = new GBTClassifier().setSeed(seed)
+            .setWeightCol("class_weight").setLabelCol(target).setFeaturesCol("features")
+          val (m, cvInfo) = gridSearch(gbtE, new ParamGridBuilder()
+            .addGrid(gbtE.maxIter, Array(10, 20))
+            .addGrid(gbtE.stepSize, Array(0.01, 0.1)).build(), mc)
+          Some((m.asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel], cvInfo))
+        } else None // GBTClassifier is binary-only
         Seq(
-          Fitted("RandomForest", clsMetrics(rf.transform(testA)),
+          Fitted("RandomForest", clsMetrics(rf.transform(testA)) ++ rfCv,
             featureCols.zip(rf.featureImportances.toArray), d => rf.write.overwrite().save(d)),
-          Fitted("LogisticRegression", clsMetrics(lr.transform(testA)),
+          Fitted("LogisticRegression", clsMetrics(lr.transform(testA)) ++ lrCv,
             normalizedCoefs(featureCols, lr.coefficientMatrix.toArray),
             d => lr.write.overwrite().save(d))) ++
-          gbt.map(m => Fitted("GradientBoosting", clsMetrics(m.transform(testA)),
-            featureCols.zip(m.featureImportances.toArray), d => m.write.overwrite().save(d)))
+          gbt.map { case (m, cvInfo) =>
+            Fitted("GradientBoosting", clsMetrics(m.transform(testA)) ++ cvInfo,
+              featureCols.zip(m.featureImportances.toArray), d => m.write.overwrite().save(d)) }
       } else {
-        val rf = new RandomForestRegressor().setNumTrees(20).setMaxDepth(6).setSeed(seed)
-          .setLabelCol(target).setFeaturesCol("features").fit(trainA)
-        val gbt = new GBTRegressor().setMaxIter(20).setMaxDepth(5).setSeed(seed)
-          .setLabelCol(target).setFeaturesCol("features").fit(trainA)
+        val re = new RegressionEvaluator().setLabelCol(target).setMetricName("mse")
+        val rfE = new RandomForestRegressor().setSeed(seed)
+          .setLabelCol(target).setFeaturesCol("features")
+        val (rfM, rfCv) = gridSearch(rfE, new ParamGridBuilder()
+          .addGrid(rfE.numTrees, Array(20, 50))
+          .addGrid(rfE.maxDepth, Array(4, 8)).build(), re)
+        val rf = rfM.asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
+        val gbtE = new GBTRegressor().setSeed(seed)
+          .setLabelCol(target).setFeaturesCol("features")
+        val (gbtM, gbtCv) = gridSearch(gbtE, new ParamGridBuilder()
+          .addGrid(gbtE.maxIter, Array(10, 20))
+          .addGrid(gbtE.stepSize, Array(0.01, 0.1)).build(), re)
+        val gbt = gbtM.asInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel]
+        // LinearRegression: the reference's grid is empty (main.py:330)
         val lin = new LinearRegression().setMaxIter(50)
           .setLabelCol(target).setFeaturesCol("features").fit(trainA)
         Seq(
-          Fitted("RandomForest", regMetrics(rf.transform(testA)),
+          Fitted("RandomForest", regMetrics(rf.transform(testA)) ++ rfCv,
             featureCols.zip(rf.featureImportances.toArray), d => rf.write.overwrite().save(d)),
-          Fitted("GradientBoosting", regMetrics(gbt.transform(testA)),
+          Fitted("GradientBoosting", regMetrics(gbt.transform(testA)) ++ gbtCv,
             featureCols.zip(gbt.featureImportances.toArray), d => gbt.write.overwrite().save(d)),
           Fitted("LinearRegression", regMetrics(lin.transform(testA)),
             normalizedCoefs(featureCols, lin.coefficients.toArray), d => lin.write.overwrite().save(d)))
       }
     val best =
-      if (task == "classification") candidates.maxBy(_.metrics("accuracy"))
+      if (task == "classification") candidates.maxBy(_.metrics("weighted_f1"))
       else candidates.minBy(_.metrics("mse"))
     val path = saveDir.map { d => best.save(s"$d/model"); s"$d/model" }
     trainA.unpersist(); testA.unpersist()

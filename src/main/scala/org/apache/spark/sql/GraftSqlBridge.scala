@@ -17,6 +17,11 @@ object GraftSqlBridge {
   def analyzed(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** Test aid: block until the listener bus has delivered every queued
+    * event, so a spec can assert on listener-observed job counts. */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(30000L)
+
   /** `bloom_filter_agg(xxhash64(c), numItems, numBits)` as a Column.
     * The aggregate exists in Catalyst (it backs the optimizer's
     * runtime join filters) but has no SQL registration in Spark 4, so

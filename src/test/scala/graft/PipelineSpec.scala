@@ -15,8 +15,16 @@ class PipelineSpec extends SparkSuite {
     assert(r.train.count() + r.test.count() === ev.count())
     // model selection tried all three reference families (binary target)
     assert(r.modelMetrics.keySet === Set("RandomForest", "LogisticRegression", "GradientBoosting"))
-    assert(r.modelMetrics(r.bestModel)("accuracy") ===
-      r.modelMetrics.values.map(_("accuracy")).max)
+    // selection metric is weighted F1 (ref main.py:290-295), and the
+    // reference's weighted P/R/F1 are all reported
+    assert(r.modelMetrics(r.bestModel)("weighted_f1") ===
+      r.modelMetrics.values.map(_("weighted_f1")).max)
+    for (k <- Seq("weighted_precision", "weighted_recall", "weighted_f1"))
+      assert(r.metrics(k) >= 0.0 && r.metrics(k) <= 1.0, s"$k out of range")
+    // every family records its CV score (grid-searched families also
+    // record the chosen hyperparameters)
+    assert(r.modelMetrics.values.forall(_.contains("cv_metric")))
+    assert(r.modelMetrics("RandomForest").contains("maxDepth"))
   }
 
   test("autoPipeline regresses a price target end to end") {
@@ -42,7 +50,7 @@ class PipelineSpec extends SparkSuite {
   }
 
   test("model persistence: saved model reloads and reproduces predictions") {
-    import org.apache.spark.ml.classification.RandomForestClassificationModel
+    import org.apache.spark.ml.classification.{GBTClassificationModel, LogisticRegressionModel, RandomForestClassificationModel}
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
     val ev = Tables.events(spark, sf).drop("props")
       .withColumn("event_type",
@@ -54,8 +62,13 @@ class PipelineSpec extends SparkSuite {
     val impSum = r.featureImportances.map(_._2).sum
     assert(impSum >= 0 && impSum < 1.01)
     assert(r.featureImportances.forall(_._2 >= 0))
-    val reloaded = RandomForestClassificationModel.load(r.modelPath.get)
-    assert(reloaded.numFeatures === r.featureCols.length)
+    // the saved artifact belongs to whichever family won selection
+    val numFeatures = r.bestModel match {
+      case "RandomForest" => RandomForestClassificationModel.load(r.modelPath.get).numFeatures
+      case "GradientBoosting" => GBTClassificationModel.load(r.modelPath.get).numFeatures
+      case _ => LogisticRegressionModel.load(r.modelPath.get).numFeatures
+    }
+    assert(numFeatures === r.featureCols.length)
   }
 
   test("clean drops all-null columns and detects datetime strings") {
@@ -106,6 +119,93 @@ class PipelineSpec extends SparkSuite {
     assert(r.task === "classification")
     assert(r.modelMetrics.nonEmpty)
     assert(r.metrics("accuracy") > 0)
+  }
+
+  test("per-family grid search picks the hyperparameters the data prefers") {
+    import spark.implicits._
+    // y = floor(x/4)² staircase with 256 steps: a depth-8 tree fits the
+    // steps exactly, a depth-4 tree (16 leaves) can't, and a linear fit
+    // is poor on the quadratic staircase — so CV must pick maxDepth=8
+    // (not MLlib's default 5, not the shallow grid point) and a tree
+    // family must beat LinearRegression.
+    val df = (0 until 4096).map { i =>
+      val x = i % 1024
+      (x.toDouble, math.pow((x / 4).toDouble, 2))
+    }.toDF("x", "y")
+    val r = Pipeline.autoPipeline(df, "y")
+    assert(r.task === "regression")
+    assert(r.modelMetrics("RandomForest")("maxDepth") === 8.0)
+    assert(r.modelMetrics("GradientBoosting").contains("cv_metric"))
+    assert(r.bestModel !== "LinearRegression")
+    assert(r.modelMetrics(r.bestModel)("mse") < r.modelMetrics("LinearRegression")("mse"))
+  }
+
+  test("autoPipeline stratifies the classification split per class") {
+    import spark.implicits._
+    // ~3% minority (90 of 3000): an unconditioned hash split can land
+    // far from 20% minority in test; the stratified split is exact.
+    val df = (1 to 3000).map(i => (i.toLong, (i * 7 % 100).toDouble,
+      if (i % 33 == 0) 1.0 else 0.0)).toDF("id", "f", "label")
+    val r = Pipeline.autoPipeline(df, "label")
+    val totPos = 3000 / 33 // 90
+    val testPos = r.test.filter(col("label") === 1.0).count()
+    val trainPos = r.train.filter(col("label") === 1.0).count()
+    assert(testPos + trainPos === totPos)
+    assert(math.abs(testPos - totPos * 0.2) <= 1, s"test got $testPos of $totPos positives")
+    val testFrac = r.test.count().toDouble / 3000
+    assert(math.abs(testFrac - 0.2) < 0.01)
+  }
+
+  test("clean's string statistics run in O(1) jobs regardless of column count") {
+    import spark.implicits._
+    // the r2 implementation launched ~2 jobs per string column (mode +
+    // distinct-count actions); the one-pass version's eager job count
+    // must not grow with the column count (AQE splits the fixed stats
+    // queries into a few stage-jobs — that constant is fine)
+    def frame(nStr: Int) = {
+      val base = (1 to 500).map(i => (i.toLong, i.toDouble)).toDF("id", "num")
+      (1 to nStr).foldLeft(base)((d, k) =>
+          d.withColumn(s"s$k", concat(lit("v"), (col("id") % (k + 2)).cast("string"))))
+        .withColumn("hc", concat(lit("u"), (col("id") % 400).cast("string")))
+    }
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    countJobs(Pipeline.clean(frame(2))) // warm AQE/codegen paths
+    val j3 = countJobs(Pipeline.clean(frame(3)))
+    val j9 = countJobs(Pipeline.clean(frame(9)))
+    assert(j9 === j3, s"job count grew with string columns: $j3 -> $j9")
+    assert(j9 <= 10, s"clean launched $j9 eager jobs")
+    // and the encodings themselves are right: label codes are
+    // ordinals, the frequency column counts filled occurrences
+    val cleaned = Pipeline.clean(frame(3))
+    assert(cleaned.schema("s1").dataType.typeName === "double")
+    assert(cleaned.select(max(col("s1"))).head().getDouble(0) === 2.0) // 3 distinct → codes 0,1,2
+    assert(cleaned.select(min(col("hc"))).head().getDouble(0) >= 1.0) // frequencies
+  }
+
+  test("fuzzy target matching resolves trimmed/cased/partial names (ref main.py:199-207)") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, (i % 7).toDouble, (i * 3 % 50).toDouble))
+      .toDF("id", "f1", "Total_Price")
+    // case-insensitive exact match
+    assert(Pipeline.autoPipeline(df, "  total_price  ").task === "regression")
+    // substring match picks the containing column
+    assert(Pipeline.autoPipeline(df, "price").task === "regression")
+    // no match → the reference's error with available columns
+    val err = intercept[IllegalArgumentException](Pipeline.autoPipeline(df, "ghost"))
+    assert(err.getMessage.contains("Available columns"))
   }
 
   test("driver entry smoke: rows > 0 on a vanilla session") {
