@@ -190,25 +190,33 @@ object Pipeline {
       } else
         base.withColumn("__r", pmod(xxhash64(struct(featureCols.map(col): _*)), lit(100L)))
           .randomSplitOn80_20()
+    // StandardScaler parity (main.py:244-246): z-scale the features
+    // with TRAIN moments, transform both splits; the reference scales
+    // FIRST and SMOTEs the scaled matrix, so same order here. Trees
+    // are invariant to it; LR/LinearRegression genuinely converge
+    // differently on unscaled features, which is where graft's models
+    // used to diverge from the reference's.
+    val trainS = MLPrep.standardScaleWith(train, train, featureCols)
+    val testS = MLPrep.standardScaleWith(train, test, featureCols)
     // Imbalance handling (main.py:232-263): when the minority class is
     // <20% of the majority, oversample the training split with SMOTE
     // AND weight classes in the estimators — both, like the reference.
-    val imbalanced = task == "classification" && MLPrep.isImbalanced(train, target)
+    val imbalanced = task == "classification" && MLPrep.isImbalanced(trainS, target)
     val trainBalanced = if (imbalanced) {
-      val counts = train.groupBy(col(target)).count().collect() // O(classes)
+      val counts = trainS.groupBy(col(target)).count().collect() // O(classes)
       val minRow = counts.minBy(_.getLong(1))
       val copies = math.min(5,
         (counts.map(_.getLong(1)).max / math.max(1L, minRow.getLong(1))).toInt - 1)
       val smoted = if (copies >= 1)
-        train.unionByName(MLPrep.smoteOversample(train, target, featureCols, minRow.get(0), copies))
-      else train
+        trainS.unionByName(MLPrep.smoteOversample(trainS, target, featureCols, minRow.get(0), copies))
+      else trainS
       MLPrep.withClassWeights(smoted, target)
-    } else train.withColumn("class_weight", lit(1.0))
+    } else trainS.withColumn("class_weight", lit(1.0))
 
     val asm = new VectorAssembler().setInputCols(featureCols.toArray)
       .setOutputCol("features").setHandleInvalid("keep")
     val trainA = asm.transform(trainBalanced).cache()
-    val testA = asm.transform(test).cache()
+    val testA = asm.transform(testS).cache()
 
     // Classification metrics (main.py:303-318): accuracy + WEIGHTED
     // precision/recall/F1 from the O(classes²) confusion counts — one
@@ -342,7 +350,12 @@ object Pipeline {
       else candidates.minBy(_.metrics("mse"))
     val path = saveDir.map { d => best.save(s"$d/model"); s"$d/model" }
     trainA.unpersist(); testA.unpersist()
-    Result(cleaned, train, test, task, best.metrics, featureCols,
+    // reference's metric dict also reports Imbalanced + Classes
+    // (main.py:311-317)
+    val extra = if (task == "classification")
+      Map("n_classes" -> nDistinct.toDouble, "imbalanced" -> (if (imbalanced) 1.0 else 0.0))
+    else Map.empty[String, Double]
+    Result(cleaned, train, test, task, best.metrics ++ extra, featureCols,
       best.importances.sortBy(-_._2), path,
       best.name, candidates.map(c => c.name -> c.metrics).toMap)
   }

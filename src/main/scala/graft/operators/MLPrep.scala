@@ -100,6 +100,24 @@ object MLPrep {
       .drop("__rn", "__n")
   }
 
+  /** Library API: z-scale `cols` of `apply` using `fit`'s moments —
+    * the reference's scaler.fit(X_train); scaler.transform(X)
+    * (main.py:244-246). One agg over `fit`, broadcast back; constant
+    * columns (std 0 or undefined) map to 0 like sklearn's guarded
+    * variance. */
+  def standardScaleWith(fit: DataFrame, apply: DataFrame, cols: Seq[String]): DataFrame = {
+    if (cols.isEmpty) apply
+    else {
+      val aggs = cols.flatMap(c => Seq(
+        avg(col(c)).as(s"__mu_$c"), stddev_samp(col(c)).as(s"__sd_$c")))
+      val m = fit.agg(aggs.head, aggs.tail: _*)
+      cols.foldLeft(apply.join(broadcast(m))) { (d, c) =>
+        d.withColumn(c, when(col(s"__sd_$c") > 0,
+          (col(c) - col(s"__mu_$c")) / col(s"__sd_$c")).otherwise(lit(0.0)))
+      }.drop(m.columns.toSeq: _*)
+    }
+  }
+
   /** Balanced class weights (ref main.py:250-252, sklearn 'balanced'):
     * adds `class_weight` = n/(k·n_c), broadcast-joined back. */
   def withClassWeights(df: DataFrame, labelCol: String): DataFrame = {

@@ -195,6 +195,25 @@ class PipelineSpec extends SparkSuite {
     assert(cleaned.select(min(col("hc"))).head().getDouble(0) >= 1.0) // frequencies
   }
 
+  test("standardScaleWith: train moments, applied to both splits, constants to 0") {
+    import spark.implicits._
+    import graft.operators.MLPrep
+    val train = (1 to 100).map(i => (i.toDouble, 7.0)).toDF("x", "const")
+    val test = (101 to 120).map(i => (i.toDouble, 7.0)).toDF("x", "const")
+    val sTrain = MLPrep.standardScaleWith(train, train, Seq("x", "const"))
+    val m = sTrain.agg(avg("x"), stddev_samp("x"), max(abs(col("const")))).head()
+    assert(math.abs(m.getDouble(0)) < 1e-9)       // mean 0
+    assert(math.abs(m.getDouble(1) - 1.0) < 1e-9) // std 1
+    assert(m.getDouble(2) === 0.0)                // constant column → 0
+    // test is scaled with TRAIN's moments (its own mean is not 0)
+    val sTest = MLPrep.standardScaleWith(train, test, Seq("x", "const"))
+    val trainMean = (1 to 100).sum / 100.0
+    val trainStd = math.sqrt((1 to 100).map(i => math.pow(i - trainMean, 2)).sum / 99.0)
+    val got = sTest.agg(avg("x")).head().getDouble(0)
+    val want = ((101 to 120).sum / 20.0 - trainMean) / trainStd
+    assert(math.abs(got - want) < 1e-9)
+  }
+
   test("fuzzy target matching resolves trimmed/cased/partial names (ref main.py:199-207)") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i.toLong, (i % 7).toDouble, (i * 3 % 50).toDouble))
