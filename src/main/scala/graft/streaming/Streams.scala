@@ -276,9 +276,16 @@ object Streams {
       leftTimeMs: String, rightTimeMs: String,
       intervalMs: Long): DataFrame = {
     require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
-    val b = floor(col(leftTimeMs) / intervalMs)
+    // pure-integer floor division ((t - pmod) is an exact multiple, so
+    // `div`'s truncation IS the floor) — `floor(t / interval)` goes
+    // through a double and can mis-bucket once |quotient| outgrows the
+    // 53-bit mantissa; epoch millis are safe but the API shouldn't
+    // depend on the caller's time unit
+    def bucket(t: String) =
+      expr(s"(`$t` - pmod(`$t`, ${intervalMs}L)) div ${intervalMs}L")
+    val b = bucket(leftTimeMs)
     val l = left.withColumn("__bucket", explode(array(b, b - 1L)))
-    val r = right.withColumn("__bucket", floor(col(rightTimeMs) / intervalMs))
+    val r = right.withColumn("__bucket", bucket(rightTimeMs))
     l.join(r,
         l(leftKey) === r(rightKey) && l("__bucket") === r("__bucket") &&
           r(rightTimeMs) <= l(leftTimeMs) &&

@@ -192,6 +192,34 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("intervalJoin equals the naive join on randomized data incl. negatives and boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val interval = 1000L
+    // keys 0-4, times drawn from {random, exact bucket boundaries,
+    // boundary±1, negatives} — the cases where bucketing math can slip
+    def times(n: Int): Seq[Long] = Seq.fill(n) {
+      val base = rnd.nextLong() % 50000L
+      rnd.nextInt(4) match {
+        case 0 => base
+        case 1 => (base / interval) * interval       // on a boundary
+        case 2 => (base / interval) * interval + 1L
+        case _ => (base / interval) * interval - 1L
+      }
+    }
+    val lhs = times(400).zipWithIndex
+      .map { case (t, i) => (i.toLong % 5, i.toLong, t) }.toDF("k", "lid", "lt")
+    val rhs = times(400).zipWithIndex
+      .map { case (t, i) => (i.toLong % 5, t) }.toDF("rk", "rt")
+    val naive = lhs.join(rhs, col("k") === col("rk") &&
+        col("rt") <= col("lt") && col("rt") > col("lt") - interval)
+      .select("lid", "rt").collect().map(_.toSeq).toSet
+    val bucketed = Streams.intervalJoin(lhs, rhs, "k", "rk", "lt", "rt", interval)
+      .select("lid", "rt").collect().map(_.toSeq).toSet
+    assert(bucketed === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("st4 typed sessionization matches the window-function formulation (q11)") {
     val typed = Streams.st4(spark, sf).collect().map(_.toSeq)
     val sql = operators.Relational.q11(spark, sf).collect().map(_.toSeq)
