@@ -55,42 +55,72 @@ object TextFunctions {
   def shingleCodes(text: Column): Column =
     transform(shingles3(tokens(text)), t => tcode(t))
 
-  /** i-th MinHash: min over token codes of (A_i*c + B_i) mod P. */
-  def minhash(codes: Column, i: Int): Column =
-    array_min(transform(codes, c => (c * permA(i) + permB(i)) % P))
+  /** Full MinHash signature (all [[MinhashK]] minima) in ONE pass: the
+    * accumulator carries 16 running minima; per token, zip_with folds
+    * in that token's 16 permuted hashes. The per-index formulation
+    * (array_min of a transform per minhash) traverses the codes array
+    * 16× in the interpreted higher-order-function path — this is the
+    * same one-traversal rewrite that made simhash 3-4× faster.
+    * Empty codes → null signature (array_min of empty is null in both
+    * engines; short docs must NOT share a common bucketable key). */
+  def minhashSignature(codes: Column): Column = {
+    val a = array((0 until MinhashK).map(i => lit(permA(i))): _*)
+    val b = array((0 until MinhashK).map(i => lit(permB(i))): _*)
+    when(size(codes) > 0,
+      aggregate(codes, array_repeat(lit(P), MinhashK),
+        (acc, c) => zip_with(acc,
+          transform(sequence(lit(0), lit(MinhashK - 1)),
+            i => (c * element_at(a, i + 1) + element_at(b, i + 1)) % P),
+          (m, x) => least(m, x))))
+      .otherwise(lit(null).cast("array<bigint>"))
+  }
 
-  /** LSH band key: 4 consecutive minhashes packed base-P' (31-bit each,
-    * combined with *31 chaining — fits in a BIGINT). */
-  def bandKey(codes: Column, band: Int): Column =
-    (0 until MinhashK / Bands).map(r => minhash(codes, band * (MinhashK / Bands) + r))
+  /** LSH band key from a (bound) signature column: 4 consecutive
+    * minhashes packed with *31 chaining (31-bit each — fits a BIGINT).
+    * Bind [[minhashSignature]] to a column first so the aggregate runs
+    * once per row, not once per band. */
+  def bandKeyFromSig(sig: Column, band: Int): Column =
+    (0 until MinhashK / Bands).map(r =>
+      element_at(sig, band * (MinhashK / Bands) + r + 1))
       .reduce((acc, h) => acc * 31L + h)
 
-  /** SimHash bit-majority sum for bit b: Σ over tokens of bit_b(g(c)). */
-  private def simBitSum(codes: Column, b: Int): Column =
-    aggregate(codes, lit(0L),
-      (acc, c) => acc + shiftright((c * 1103515245L + 12345L) % P, b).bitwiseAND(1L))
+  private val pow2_16: Column = array((0 until SimBits).map(i => lit(1L << i)): _*)
 
-  /** 16-bit SimHash: bit b set iff the majority of token-hash bits are 1. */
+  /** 16-bit SimHash: bit b set iff the majority of token-hash bits are
+    * 1. ONE aggregate pass: a 17-slot accumulator carries all 16
+    * bit-sums plus the token count, and the finish lambda packs the
+    * majority bits (16 separate per-bit aggregates re-traverse the
+    * array 16× interpreted — measured 3.3× slower at sf0.1). */
   def simhash16(codes: Column): Column =
-    (0 until SimBits).map { b =>
-      when(simBitSum(codes, b) * 2 > size(codes), 1L << b).otherwise(0L)
-    }.reduce(_ + _)
+    aggregate(codes,
+      array_repeat(lit(0L), SimBits + 1),
+      (acc, c) => zip_with(acc,
+        concat(transform(sequence(lit(0), lit(SimBits - 1)),
+          b => when(((c * 1103515245L + 12345L) % P)
+            .bitwiseAND(element_at(pow2_16, b + 1)) > 0, lit(1L)).otherwise(0L)),
+          array(lit(1L))),
+        (s, x) => s + x),
+      acc => (0 until SimBits).map(b =>
+        when(element_at(acc, b + 1) * 2 > element_at(acc, SimBits + 1), lit(1L << b))
+          .otherwise(0L)).reduce(_ + _))
 
-  /** Independent pseudo-random bit per (token code, bit position) —
-    * same Lehmer-style double-mod as the LSH hyperplane signs (a plain
+  /** 64-bit SimHash — the scale variant of simhash16, same single-pass
+    * shape (65-slot accumulator, 4× faster than per-bit aggregates).
+    * Per-(token, bit) hashes use the Lehmer-style double-mod (a plain
     * linear form's parity is separable, which would make all 64 bits
-    * measure the same token statistic). */
-  private def simBit64(codes: Column, b: Int): Column =
-    aggregate(codes, lit(0L), (acc, c) =>
-      acc + (((c * 1103515245L + lit(b) * 2654435761L + 12345L) % P) * 48271L % P) % 2)
-
-  /** 64-bit SimHash — the scale variant of simhash16: bit b set iff
-    * the majority of per-token bit-b hashes are 1. Σ of distinct
-    * powers of two equals the bit pattern (including the sign bit). */
+    * measure the same token statistic). Σ of distinct powers of two
+    * equals the bit pattern (including the sign bit). */
   def simhash64(codes: Column): Column =
-    (0 until 64).map { b =>
-      when(simBit64(codes, b) * 2 > size(codes), lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+    aggregate(codes,
+      array_repeat(lit(0L), 65),
+      (acc, c) => zip_with(acc,
+        concat(transform(sequence(lit(0), lit(63)),
+          b => (((c * 1103515245L + b * 2654435761L + 12345L) % P) * 48271L % P) % 2),
+          array(lit(1L))),
+        (s, x) => s + x),
+      acc => (0 until 64).map(b =>
+        when(element_at(acc, b + 1) * 2 > element_at(acc, 65), lit(1L << b))
+          .otherwise(0L)).reduce(_ + _))
 
   def simhash64Sql(codes: String): String =
     (0 until 64).map { b =>

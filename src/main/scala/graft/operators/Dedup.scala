@@ -48,10 +48,13 @@ object Dedup {
     * of true near-dup clusters. */
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val codes = shingleCodes(col(textCol))
-    val withBands = docs.select(col(idCol).as("id"),
-      explode(array((0 until Bands).map(b =>
-        struct(lit(b).as("band"), bandKey(codes, b).as("key"))): _*)).as("bk"))
+    // signature bound to a column FIRST: the one-pass minhash aggregate
+    // runs once per doc; band keys are then cheap element_at packs
+    val withBands = docs
+      .select(col(idCol).as("id"), minhashSignature(shingleCodes(col(textCol))).as("sig"))
+      .select(col("id"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band"), bandKeyFromSig(col("sig"), b).as("key"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val capped = capBuckets(withBands, maxBucket, col("band"), col("key"))
     capped.as("a").join(capped.as("b"),
@@ -178,9 +181,10 @@ object Dedup {
   // the 3-gram SHINGLES (see TextFunctions.shingleCodes) so bucket
   // collisions estimate the shingle Jaccard the verify step uses.
   def d3(s: SparkSession, dir: String): DataFrame = {
-    val codes = shingleCodes(col("text"))
-    val withKeys = Tables.documents(s, dir).select(
-      (col("doc_id") +: (0 until Bands).map(b => bandKey(codes, b).as(s"b$b"))): _*)
+    val withKeys = Tables.documents(s, dir)
+      .select(col("doc_id"), minhashSignature(shingleCodes(col("text"))).as("sig"))
+      .select(
+        (col("doc_id") +: (0 until Bands).map(b => bandKeyFromSig(col("sig"), b).as(s"b$b"))): _*)
     val withSizes = (0 until Bands).foldLeft(withKeys) { (df, b) =>
       df.withColumn(s"sz$b", count(lit(1)).over(Window.partitionBy(col(s"b$b"))))
     }
