@@ -10,7 +10,7 @@ import graft.operators._
   * rows-only in SURVEY.md §2; the set is enforced by ContractSpec).
   *
   * Family → implementation map:
-  *  - q1–q17  operators/Relational.scala  (analytics core, custom as-of, cube)
+  *  - q1–q19  operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join)
   *  - c1–c9   operators/Cleaning.scala    (impute/encode/clip/profile)
   *  - m1–m14  operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE)
   *  - t1–t7   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams)

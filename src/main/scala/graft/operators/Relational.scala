@@ -308,6 +308,74 @@ object Relational {
       |ORDER BY gid, returnflag, linestatus""".stripMargin
 
   // -------------------------------------------------------------------
+  // q18: exact group quantiles. Spark's `percentile` is a mergeable
+  // partial aggregate over a per-group value→count map — one shuffle,
+  // no sort. Memory is O(distinct values per group), so this exact
+  // form is the 100 TB plan only for bounded-domain columns
+  // (l_quantity: 50 values); for unbounded domains (l_extendedprice)
+  // the scale path is approx_percentile (fixed-memory sketch) —
+  // PercentileSpec asserts approx stays within its accuracy bound of
+  // this exact baseline. Both engines interpolate at rank q*(n-1)
+  // (type-7); round(…,6) absorbs the last-ulp formula difference.
+  // Ref: /root/reference/main.py:154-160 (describe() percentiles).
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("price_p75"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q18Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6)  AS price_p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 6) AS price_p75,
+      |  round(quantile_cont(l_quantity, 0.5), 6)       AS qty_p50,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q19: skew-safe fact⋈dim join via Skew.saltedJoin — lineitem rows
+  // scatter over (suppkey, salt) while the 4-column supplier side
+  // replicates nSalts×, so a hot supplier spreads over 8 reducer
+  // tasks instead of one straggler. The oracle is the PLAIN join+agg
+  // SQL: the gate proves salting is result-transparent. Use when the
+  // small side is too big to broadcast and AQE's skew split can't
+  // help (e.g. a following skewed aggregation).
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"), col("l_discount"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, dir)
+    Skew.saltedJoin(li, supp, "suppkey", nSalts = 8)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val q19Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------------------------
   // q11: sessionization (gaps-and-islands, 30-min inactivity gap).
   // Two windows over the SAME (user_id, ts, event_id) ordering → one
   // shuffle total; Catalyst collapses them into a single Window node.
@@ -469,6 +537,8 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_asof_custom" -> (q16 _),
     "q17_grouping_cube" -> (q17 _),
+    "q18_percentiles" -> (q18 _),
+    "q19_salted_join" -> (q19 _),
     "q1_pricing_summary" -> (q1 _),
     "q2_revenue_by_nation" -> (q2 _),
     "q3_top_orders" -> (q3 _),
@@ -488,6 +558,8 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q16_asof_custom" -> q16Sql,
     "q17_grouping_cube" -> q17Sql,
+    "q18_percentiles" -> q18Sql,
+    "q19_salted_join" -> q19Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders" -> q3Sql,

@@ -82,4 +82,39 @@ class RelationalSpec extends SparkSuite {
     val plan = Relational.q6(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
   }
+
+  test("q18 quartiles are ordered and approx_percentile stays within its bound of exact") {
+    val r = Relational.q18(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (p25, p50, p75) = (row.getAs[Double]("price_p25"),
+        row.getAs[Double]("price_p50"), row.getAs[Double]("price_p75"))
+      assert(p25 <= p50 && p50 <= p75)
+    }
+    // scale path: the fixed-memory sketch must land within rank-error
+    // accuracy of the exact baseline (accuracy=100 → ±1% of rank;
+    // translate to value space via a generous 5% relative bound).
+    val both = Tables.lineitem(spark, sf)
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 100)").as("approx"))
+      .head()
+    val (exact, approx) = (both.getAs[Double]("exact"), both.getAs[Double]("approx"))
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("q19 salted join result equals the plain join+agg") {
+    val salted = Relational.q19(spark, sf).collect().map(_.toSeq)
+    val li = Tables.lineitem(spark, sf)
+    val supp = Tables.supplier(spark, sf)
+    val n = Tables.nation(spark, sf)
+    val plain = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name")).collect().map(_.toSeq)
+    assert(salted.toSeq === plain.toSeq)
+  }
 }
