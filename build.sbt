@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through (no "[info] " logger prefix):
+// the bench driver parses a bare JSON line from the output tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -29,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 ThisBuild / scalacOptions += "-deprecation"
+// Keep sbt's "[success] Total time ..." trailer out of stdout: the bench
+// driver parses a JSON line from the last ~2000 chars of output, and the
+// trailer would land after (and crowd out) Bench's JSON line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

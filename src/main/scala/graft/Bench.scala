@@ -52,10 +52,19 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only the LAST ~2000 chars of output and parses
+    // the JSON line out of that tail — rounds 1-3 emitted ~2600-char lines
+    // (full float precision) whose head fell outside the buffer, so the
+    // driver recorded parsed:null. Keep this line compact (3-decimal
+    // times, short keys, basename sf) and print it after spark.stop() so
+    // nothing (shutdown warnings, sbt chatter) lands between it and EOF.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     spark.stop()
+    println(line)
   }
 }

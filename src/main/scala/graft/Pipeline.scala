@@ -267,6 +267,19 @@ object Pipeline {
     // split, and families compete on weighted F1 (classification,
     // main.py:290-295) or MSE (regression, main.py:337-350). The
     // chosen hyperparameters + CV score land in that family's metrics.
+    //
+    // DELIBERATE grid-value deviation from the reference (the search
+    // STRUCTURE — per-family, cv=3, refit best — is parity; the values
+    // are adapted to MLlib semantics and distributed cost):
+    //  - RF: ref n_estimators [50,100] × max_depth [None,10,20]. MLlib
+    //    has no depth=None (hard cap 30) and trains each tree over the
+    //    cluster, so we grid [20,50]×[4,8] — same axes, cheaper points.
+    //  - GBT: ref n_estimators [50,100] (sequential boosting rounds);
+    //    we grid maxIter [10,20] × stepSize [0.01,0.1].
+    //  - LogisticRegression: ref C [0.1,1,10]; MLlib regularizes with
+    //    regParam ≈ 1/(C·n) (inverted AND averaged over rows), so the
+    //    values cannot map 1:1 — we grid regParam [0, 0.01, 0.1]
+    //    spanning none→strong regularization.
     // (returns AnyRef: callers immediately cast to the concrete model
     // class, and Model[_]'s existential type can't cross a tuple)
     def gridSearch(est: Estimator[_], grid: Array[ParamMap],
@@ -334,15 +347,21 @@ object Pipeline {
           .addGrid(gbtE.maxIter, Array(10, 20))
           .addGrid(gbtE.stepSize, Array(0.01, 0.1)).build(), re)
         val gbt = gbtM.asInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel]
-        // LinearRegression: the reference's grid is empty (main.py:330)
-        val lin = new LinearRegression().setMaxIter(50)
-          .setLabelCol(target).setFeaturesCol("features").fit(trainA)
+        // LinearRegression: the reference's grid is EMPTY but it still
+        // goes through GridSearchCV (main.py:330, 340), so it reports a
+        // CV score; mirror that with a single-candidate CrossValidator
+        // (default params, 3-fold) so cv_metric is recorded here too.
+        val linE = new LinearRegression().setMaxIter(50)
+          .setLabelCol(target).setFeaturesCol("features")
+        val (linM, linCv) =
+          gridSearch(linE, new ParamGridBuilder().build(), re)
+        val lin = linM.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
         Seq(
           Fitted("RandomForest", regMetrics(rf.transform(testA)) ++ rfCv,
             featureCols.zip(rf.featureImportances.toArray), d => rf.write.overwrite().save(d)),
           Fitted("GradientBoosting", regMetrics(gbt.transform(testA)) ++ gbtCv,
             featureCols.zip(gbt.featureImportances.toArray), d => gbt.write.overwrite().save(d)),
-          Fitted("LinearRegression", regMetrics(lin.transform(testA)),
+          Fitted("LinearRegression", regMetrics(lin.transform(testA)) ++ linCv,
             normalizedCoefs(featureCols, lin.coefficients.toArray), d => lin.write.overwrite().save(d)))
       }
     val best =

@@ -155,7 +155,11 @@ object TextFunctions {
       slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))))
     val grams = shifted.foldLeft(toks)((acc, s) =>
       zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
-    array_distinct(filter(grams, g => g.isNotNull))
+    // A null `toks` null-propagates through slice/zip_with/filter; keep
+    // the original empty-array contract (callers use size()/array ops
+    // on the result, and explode of [] vs null is the same zero rows).
+    coalesce(array_distinct(filter(grams, g => g.isNotNull)),
+      array().cast("array<string>"))
   }
 
   /** Distinct word-3-gram shingles (guarded for short docs). */

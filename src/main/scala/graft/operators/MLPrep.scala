@@ -104,12 +104,14 @@ object MLPrep {
     * the reference's scaler.fit(X_train); scaler.transform(X)
     * (main.py:244-246). One agg over `fit`, broadcast back; constant
     * columns (std 0 or undefined) map to 0 like sklearn's guarded
-    * variance. */
+    * variance. Uses POPULATION stddev (ddof=0) to match sklearn's
+    * StandardScaler exactly (m1's SQL-twin query documents ddof=1
+    * separately; this API is the sklearn-parity path). */
   def standardScaleWith(fit: DataFrame, apply: DataFrame, cols: Seq[String]): DataFrame = {
     if (cols.isEmpty) apply
     else {
       val aggs = cols.flatMap(c => Seq(
-        avg(col(c)).as(s"__mu_$c"), stddev_samp(col(c)).as(s"__sd_$c")))
+        avg(col(c)).as(s"__mu_$c"), stddev_pop(col(c)).as(s"__sd_$c")))
       val m = fit.agg(aggs.head, aggs.tail: _*)
       cols.foldLeft(apply.join(broadcast(m))) { (d, c) =>
         d.withColumn(c, when(col(s"__sd_$c") > 0,

@@ -270,12 +270,26 @@ object Streams {
     * composite key. Per-task pair count is bounded by the key's
     * activity inside adjacent grains, not its total history; the exact
     * range predicate then filters within the bucket-local pairs.
-    * Same result as the naive join, bounded compute on skewed keys. */
+    * Same result as the naive join, bounded compute on skewed keys.
+    *
+    * Column-name contract: the key and time column names must DIFFER
+    * between the two sides (rename one side before calling, as st6
+    * does) — with equal names the post-join output would be ambiguous
+    * on every reference. Enforced with a loud require. The internal
+    * bucket column is picked to not collide with any caller column. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTimeMs: String, rightTimeMs: String,
       intervalMs: Long): DataFrame = {
     require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    require(leftKey != rightKey && leftTimeMs != rightTimeMs,
+      s"intervalJoin needs distinct column names per side (got key " +
+        s"'$leftKey'/'$rightKey', time '$leftTimeMs'/'$rightTimeMs'); " +
+        "rename one side before joining")
+    // internal bucket column: never silently overwrite a caller column
+    val taken = (left.columns ++ right.columns).toSet
+    val bcol = Iterator.from(0).map(i => s"__graft_bucket$i")
+      .find(!taken.contains(_)).get
     // pure-integer floor division ((t - pmod) is an exact multiple, so
     // `div`'s truncation IS the floor) — `floor(t / interval)` goes
     // through a double and can mis-bucket once |quotient| outgrows the
@@ -284,13 +298,13 @@ object Streams {
     def bucket(t: String) =
       expr(s"(`$t` - pmod(`$t`, ${intervalMs}L)) div ${intervalMs}L")
     val b = bucket(leftTimeMs)
-    val l = left.withColumn("__bucket", explode(array(b, b - 1L)))
-    val r = right.withColumn("__bucket", bucket(rightTimeMs))
+    val l = left.withColumn(bcol, explode(array(b, b - 1L)))
+    val r = right.withColumn(bcol, bucket(rightTimeMs))
     l.join(r,
-        l(leftKey) === r(rightKey) && l("__bucket") === r("__bucket") &&
+        l(leftKey) === r(rightKey) && l(bcol) === r(bcol) &&
           r(rightTimeMs) <= l(leftTimeMs) &&
           r(rightTimeMs) > l(leftTimeMs) - intervalMs)
-      .drop("__bucket")
+      .drop(bcol)
   }
 
   // -------------------------------------------------------------------

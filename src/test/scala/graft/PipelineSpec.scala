@@ -201,14 +201,16 @@ class PipelineSpec extends SparkSuite {
     val train = (1 to 100).map(i => (i.toDouble, 7.0)).toDF("x", "const")
     val test = (101 to 120).map(i => (i.toDouble, 7.0)).toDF("x", "const")
     val sTrain = MLPrep.standardScaleWith(train, train, Seq("x", "const"))
-    val m = sTrain.agg(avg("x"), stddev_samp("x"), max(abs(col("const")))).head()
+    // sklearn StandardScaler is ddof=0: population stddev of the scaled
+    // train column is exactly 1
+    val m = sTrain.agg(avg("x"), stddev_pop("x"), max(abs(col("const")))).head()
     assert(math.abs(m.getDouble(0)) < 1e-9)       // mean 0
-    assert(math.abs(m.getDouble(1) - 1.0) < 1e-9) // std 1
+    assert(math.abs(m.getDouble(1) - 1.0) < 1e-9) // population std 1
     assert(m.getDouble(2) === 0.0)                // constant column → 0
     // test is scaled with TRAIN's moments (its own mean is not 0)
     val sTest = MLPrep.standardScaleWith(train, test, Seq("x", "const"))
     val trainMean = (1 to 100).sum / 100.0
-    val trainStd = math.sqrt((1 to 100).map(i => math.pow(i - trainMean, 2)).sum / 99.0)
+    val trainStd = math.sqrt((1 to 100).map(i => math.pow(i - trainMean, 2)).sum / 100.0)
     val got = sTest.agg(avg("x")).head().getDouble(0)
     val want = ((101 to 120).sum / 20.0 - trainMean) / trainStd
     assert(math.abs(got - want) < 1e-9)

@@ -176,7 +176,7 @@ class StreamingSpec extends SparkSuite {
     // a plain key join or a nested-loop join would be the quadratic
     // shape this API exists to avoid
     val plan = joined.queryExecution.optimizedPlan.toString
-    assert(plan.contains("__bucket"), s"bucketed join key missing from plan:\n$plan")
+    assert(plan.contains("__graft_bucket"), s"bucketed join key missing from plan:\n$plan")
     assert(!plan.contains("NestedLoop"), s"interval join fell back to nested loop:\n$plan")
     val agg = joined.groupBy("event_id", "purchase_ms")
       .agg(count(lit(1)).as("n"), max("click_ms").as("last"))
