@@ -10,11 +10,11 @@ import graft.operators._
   * rows-only in SURVEY.md §2; the set is enforced by ContractSpec).
   *
   * Family → implementation map:
-  *  - q1–q19  operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join)
-  *  - c1–c9   operators/Cleaning.scala    (impute/encode/clip/profile)
-  *  - m1–m14  operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE)
-  *  - t1–t7   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams)
-  *  - d1–d6   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate)
+  *  - q1–q20  operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window)
+  *  - c1–c10  operators/Cleaning.scala    (impute/encode/clip/profile/type-infer)
+  *  - m1–m15  operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample)
+  *  - t1–t8   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM)
+  *  - d1–d7   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters)
   *  - s1–s5   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats)
   *  - mm1–mm3 operators/Multimodal.scala  (binary payloads, stub decode, frames)
   *  - st1–st6 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join)

@@ -283,13 +283,73 @@ object Cleaning {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c10: string-column type inference — the reference's dtype
+  // detection (clean_data probes object columns for parseability,
+  // main.py:107-118) as a distributed profile: for each string column,
+  // how many values survive try_cast to DOUBLE, and the inferred type
+  // at a 95% threshold. The frame under test is documents with
+  // n_chars stringified — a numeric-as-text column alongside genuinely
+  // textual ones, the exact mix upload ingestion sees.
+  //
+  // Scale shape: ONE full-table agg computes every column's counters
+  // (no per-column jobs — the Pipeline.clean lesson from round 3);
+  // try_cast is codegen'd per row, the result is O(columns) rows.
+  def c10(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars").cast("string").as("n_chars_str"))
+    val cols = Seq("lang", "source", "n_chars_str")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      count(expr(s"try_cast($c AS DOUBLE)")).as(s"${c}__num")))
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(lit(c).as("col_name"),
+      col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
+      col(s"${c}__num").as("n_numeric"),
+      round(col(s"${c}__num").cast("double") / col(s"${c}__nn"), 4).as("pct_numeric"),
+      when(col(s"${c}__num") >= col(s"${c}__nn") * 0.95, "numeric")
+        .otherwise("string").as("inferred_type")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy(col("col_name"))
+  }
+
+  val c10Sql: String =
+    """WITH d AS (SELECT lang, source, CAST(n_chars AS VARCHAR) AS n_chars_str
+      |           FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'lang' AS col_name, count(lang) AS n_nonnull,
+      |         count(DISTINCT lang) AS n_distinct,
+      |         count(try_cast(lang AS DOUBLE)) AS n_numeric,
+      |         round(CAST(count(try_cast(lang AS DOUBLE)) AS DOUBLE) / count(lang), 4) AS pct_numeric,
+      |         CASE WHEN count(try_cast(lang AS DOUBLE)) >= count(lang) * 0.95
+      |              THEN 'numeric' ELSE 'string' END AS inferred_type
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 'source', count(source), count(DISTINCT source),
+      |         count(try_cast(source AS DOUBLE)),
+      |         round(CAST(count(try_cast(source AS DOUBLE)) AS DOUBLE) / count(source), 4),
+      |         CASE WHEN count(try_cast(source AS DOUBLE)) >= count(source) * 0.95
+      |              THEN 'numeric' ELSE 'string' END
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 'n_chars_str', count(n_chars_str), count(DISTINCT n_chars_str),
+      |         count(try_cast(n_chars_str AS DOUBLE)),
+      |         round(CAST(count(try_cast(n_chars_str AS DOUBLE)) AS DOUBLE) / count(n_chars_str), 4),
+      |         CASE WHEN count(try_cast(n_chars_str AS DOUBLE)) >= count(n_chars_str) * 0.95
+      |              THEN 'numeric' ELSE 'string' END
+      |  FROM d
+      |) ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_profile" -> (c1 _), "c2_impute_median" -> (c2 _), "c3_impute_mode" -> (c3 _),
     "c4_outlier_clip" -> (c4 _), "c5_label_encode" -> (c5 _), "c6_freq_encode" -> (c6 _),
-    "c7_date_features" -> (c7 _), "c8_drop_allnull" -> (c8 _), "c9_dedup_rows" -> (c9 _))
+    "c7_date_features" -> (c7 _), "c8_drop_allnull" -> (c8 _), "c9_dedup_rows" -> (c9 _),
+    "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
     "c1_profile" -> c1Sql, "c2_impute_median" -> c2Sql, "c3_impute_mode" -> c3Sql,
     "c4_outlier_clip" -> c4Sql, "c5_label_encode" -> c5Sql, "c6_freq_encode" -> c6Sql,
-    "c7_date_features" -> c7Sql, "c8_drop_allnull" -> c8Sql, "c9_dedup_rows" -> c9Sql)
+    "c7_date_features" -> c7Sql, "c8_drop_allnull" -> c8Sql, "c9_dedup_rows" -> c9Sql,
+    "c10_type_infer" -> c10Sql)
 }

@@ -64,12 +64,20 @@ object Dedup {
   }
 
   /** Library API: connected components over near-dup pairs (minId
-    * label propagation). Near-dup is transitive in effect — A≈B≈C must
-    * collapse to ONE kept doc even when A,C were never a candidate
-    * pair — so clustering is required between pair generation and
-    * keep-one selection. Iterations ≈ cluster diameter (near-dup
-    * clusters are near-cliques, so 2-3 rounds); each round is two
-    * shuffles on the pair edges only, never the corpus.
+    * label propagation + pointer jumping). Near-dup is transitive in
+    * effect — A≈B≈C must collapse to ONE kept doc even when A,C were
+    * never a candidate pair — so clustering is required between pair
+    * generation and keep-one selection.
+    *
+    * Each round does (a) neighbor-min propagation (labels flow one hop
+    * along edges) and (b) pointer jumping (each label is replaced by
+    * its label's label — path halving). (a) alone needs DIAMETER
+    * rounds, which on chain-shaped components (e.g. consecutive-id
+    * near-dup runs) is O(component size); with (b) the label graph's
+    * depth halves per round, so convergence is O(log diameter) — a
+    * 2^20-long chain converges inside the default 20 iterations. Each
+    * round is a constant number of shuffles on the pair edges only,
+    * never the corpus.
     * Input: (id_a, id_b) pairs. Output: (id, cluster) — cluster =
     * smallest member id; singletons omitted. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -87,8 +95,17 @@ object Dedup {
     while (!converged && i < maxIter) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("cluster"))
-      val next = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster")).localCheckpoint()
+      val prop = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+      // pointer jumping: a label is always the id of some member node
+      // (initially itself; mins of member labels stay member ids), so
+      // label(label(x)) exists and is ≤ label(x) — substituting it
+      // halves label-chain depth each round (coalesce is defensive:
+      // the root's label is itself, so the join always matches)
+      val parents = prop.select(col("id").as("__pid"), col("cluster").as("__pcluster"))
+      val next = prop.join(parents, prop("cluster") === col("__pid"), "left")
+        .select(prop("id"), coalesce(col("__pcluster"), prop("cluster")).as("cluster"))
+        .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).isEmpty
       labels = next
@@ -408,11 +425,54 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // d7: near-dup CLUSTERS — the step between pair generation and
+  // keep-one that d1-d5 stop short of. Edges are d4's simhash pairs at
+  // hamming ≤ 3 (consecutive-id candidates, so components are runs of
+  // consecutive near-dup docs); `connectedComponents` labels each
+  // member with its component's smallest doc_id. The oracle can label
+  // these chain components exactly with a gaps-and-islands window (a
+  // member starts a new island iff no edge arrives from id-1), so the
+  // distributed iterative clustering is hash-checked against closed-
+  // form SQL — general-graph behavior is property-tested in
+  // TextDedupSpec against a driver-side union-find.
+  def d7(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), simhash16(tokenCodes(col("text"))).as("sim"))
+    val a = d.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    val edges = a.join(b, col("id_b") === col("id_a") + 1)
+      .filter(bit_count(expr("sim_a ^ sim_b")) <= 3)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(edges)
+      .select(col("id").cast("long").as("id"), col("cluster").cast("long").as("cluster"))
+      .orderBy(col("id"))
+  }
+
+  val d7Sql: String = {
+    val codes = tokenCodesSql("text")
+    s"""WITH c AS (SELECT doc_id, $codes AS codes FROM documents),
+       |s AS (SELECT doc_id, ${simhash16Sql("codes")} AS sim FROM c),
+       |e AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+       |      WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+       |m AS (SELECT DISTINCT id FROM
+       |        (SELECT da AS id FROM e UNION ALL SELECT db AS id FROM e)),
+       |f AS (SELECT id, CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.db = m.id)
+       |                      THEN 0 ELSE 1 END AS brk FROM m),
+       |i AS (SELECT id, sum(brk) OVER (ORDER BY id) AS g FROM f)
+       |SELECT CAST(id AS BIGINT) AS id,
+       |       CAST(min(id) OVER (PARTITION BY g) AS BIGINT) AS cluster
+       |FROM i ORDER BY id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1 _), "d2_ngram_jaccard" -> (d2 _), "d3_minhash_lsh" -> (d3 _),
-    "d4_simhash" -> (d4 _), "d5_embedding_neardup" -> (d5 _), "d6_decontaminate" -> (d6 _))
+    "d4_simhash" -> (d4 _), "d5_embedding_neardup" -> (d5 _), "d6_decontaminate" -> (d6 _),
+    "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
     "d1_dedup_exact" -> d1Sql, "d2_ngram_jaccard" -> d2Sql, "d3_minhash_lsh" -> d3Sql,
-    "d4_simhash" -> d4Sql, "d5_embedding_neardup" -> d5Sql, "d6_decontaminate" -> d6Sql)
+    "d4_simhash" -> d4Sql, "d5_embedding_neardup" -> d5Sql, "d6_decontaminate" -> d6Sql,
+    "d7_neardup_clusters" -> d7Sql)
 }

@@ -587,7 +587,47 @@ object MLPrep {
       .orderBy(col("reg_param"))
   }
 
+  // -------------------------------------------------------------------
+  // m15: balanced stratified downsampling — the class-rebalance a
+  // 100 TB training-data build uses when the majority class must
+  // SHRINK (m11's SMOTE grows the minority; this is the converse).
+  //
+  // Scale shape: NO per-class window/rank (partitionBy(class) over the
+  // full table puts a whole class in one task — the skew m11's verdict
+  // fix was about). Instead: one small agg for per-class counts, a
+  // per-class integer keep-threshold broadcast back, and a map-side
+  // filter on a deterministic 20-bit multiplicative hash of the row
+  // key. Every row is decided locally; the only shuffle is the
+  // O(#classes) count agg. The sample size per class is then
+  // target ± binomial noise, which is the standard trade at scale.
+  //
+  // All arithmetic is 64-bit integer (Knuth multiplicative hash, `div`
+  // floor-division) so DuckDB replays it bit-for-bit.
+  def m15(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val counts = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("__n_c"))
+    val target = counts.agg(expr("(min(__n_c) + 1L) div 2L").as("__target"))
+    val thr = counts.crossJoin(broadcast(target))
+      .select(col("o_orderpriority"),
+        expr("(1048576L * __target) div __n_c").as("__thr"))
+    o.join(broadcast(thr), Seq("o_orderpriority"))
+      .filter(expr("pmod(o_orderkey * 2654435761L + 40503L, 1048576L)") < col("__thr"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val m15Sql: String =
+    """WITH n AS (SELECT o_orderpriority, count(*) AS n_c FROM orders GROUP BY 1),
+      |t AS (SELECT o_orderpriority, n_c,
+      |        (1048576 * ((SELECT min(n_c) + 1 FROM n) // 2)) // n_c AS thr
+      |      FROM n)
+      |SELECT o.o_orderkey, o.o_orderpriority
+      |FROM orders o JOIN t USING (o_orderpriority)
+      |WHERE (o.o_orderkey * 2654435761 + 40503) % 1048576 < t.thr
+      |ORDER BY o.o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_stratified_sample" -> (m15 _),
     "m1_standard_scale" -> (m1 _), "m2_minmax_scale" -> (m2 _), "m3_split" -> (m3 _),
     "m4_class_balance" -> (m4 _), "m5_corr_matrix" -> (m5 _), "m6_target_corr" -> (m6 _),
     "m7_feature_importance" -> (m7 _), "m8_histogram" -> (m8 _), "m9_value_counts" -> (m9 _),
@@ -596,6 +636,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m15_stratified_sample" -> m15Sql,
     "m1_standard_scale" -> m1Sql, "m2_minmax_scale" -> m2Sql, "m3_split" -> m3Sql,
     "m4_class_balance" -> m4Sql, "m5_corr_matrix" -> m5Sql, "m6_target_corr" -> m6Sql,
     "m8_histogram" -> m8Sql, "m9_value_counts" -> m9Sql, "m10_task_detect" -> m10Sql,

@@ -534,7 +534,42 @@ object Relational {
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY user_id, event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q20: event-time RANGE-frame window — 30-day trailing sum/count of
+  // purchase value per user, frame defined by TIME (every event in the
+  // preceding 30 days), not row offsets; q8's ROWS frame can't express
+  // this when event spacing is irregular.
+  //
+  // Scale shape: single shuffle on user_id; Spark's WindowExec
+  // evaluates a sliding RANGE frame incrementally (add rows entering
+  // the bound, remove rows leaving), so each partition is one ordered
+  // O(n) pass, not O(n·frame). The frame sum is a decimal (exact,
+  // order-free) cast to double at the end (SURVEY §6.1).
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-2592000000L, 0L) // 30 days in ms, inclusive
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("value"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("sum_30d", sum(dec2(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ms"), col("n_30d"), col("sum_30d"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q20Sql: String =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |  count(*) OVER w AS n_30d,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30d
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_range_window" -> (q20 _),
     "q16_asof_custom" -> (q16 _),
     "q17_grouping_cube" -> (q17 _),
     "q18_percentiles" -> (q18 _),
@@ -556,6 +591,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q20_range_window" -> q20Sql,
     "q16_asof_custom" -> q16Sql,
     "q17_grouping_cube" -> q17Sql,
     "q18_percentiles" -> q18Sql,

@@ -222,13 +222,60 @@ object TextOps {
        |ORDER BY doc_freq DESC, ngram
        |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t8: corpus unigram-LM document scoring — the CCNet-style quality
+  // filter: score each document by the average log-probability of its
+  // tokens under the corpus's own unigram distribution (low = unusual
+  // token mix = candidate junk), plus a rare-token count (tf < 5).
+  //
+  // Scale shape: ONE shuffle builds the term-frequency table (explode
+  // → groupBy token, map-side combine collapses each partition to its
+  // vocabulary first); the tf table is vocabulary-sized so it
+  // BROADCASTS back onto the exploded tokens — per-doc scoring is then
+  // a map-side join + one groupBy(doc_id). Hot tokens skew nothing:
+  // the broadcast join has no shuffle to skew.
+  //
+  // FP discipline (SURVEY §6.5): tf and totals are exact integers; the
+  // per-token log10 is one deterministic FP op on a small-integer
+  // double, and the per-doc mean is rounded at 4 decimals — engine
+  // summation-order differences (~1e-13 relative) sit far below the
+  // rounding scale.
+  def t8(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    toks.join(broadcast(tf), Seq("tok")).crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("tf") < 5, 1L).otherwise(0L)).as("n_rare"),
+        round(avg(log10(col("tf").cast("double"))) -
+          first(log10(col("total").cast("double"))), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t8Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf)
+       |SELECT doc_id, count(*) AS n_toks,
+       |  CAST(sum(CASE WHEN tf < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |  round(avg(log10(CAST(tf AS DOUBLE))) - log10(CAST(total AS DOUBLE)), 4)
+       |    AS avg_logprob
+       |FROM toks JOIN tf USING (tok), tot
+       |GROUP BY doc_id, total
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> (t1 _), "t2_quality_score" -> (t2 _),
     "t3_lang_id" -> (t3 _), "t4_fingerprint" -> (t4 _),
-    "t5_pii_redact" -> (t5 _), "t6_normalize" -> (t6 _), "t7_ngram_stats" -> (t7 _))
+    "t5_pii_redact" -> (t5 _), "t6_normalize" -> (t6 _), "t7_ngram_stats" -> (t7 _),
+    "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
-    "t5_pii_redact" -> t5Sql, "t6_normalize" -> t6Sql, "t7_ngram_stats" -> t7Sql)
+    "t5_pii_redact" -> t5Sql, "t6_normalize" -> t6Sql, "t7_ngram_stats" -> t7Sql,
+    "t8_unigram_logprob" -> t8Sql)
 }

@@ -95,4 +95,23 @@ class CleaningSpec extends SparkSuite {
     val t = df.filter(col("split") === "test").count().toDouble
     assert(math.abs(t / n - 0.2) < 0.05)
   }
+
+  test("c10 infers numeric for stringified n_chars, string for lang/source") {
+    val r = Cleaning.c10(spark, sf).collect()
+      .map(row => row.getAs[String]("col_name") -> row.getAs[String]("inferred_type")).toMap
+    assert(r === Map("lang" -> "string", "source" -> "string", "n_chars_str" -> "numeric"))
+  }
+
+  test("m15 balanced sample: every class lands near the common target") {
+    val df = MLPrep.m15(spark, sf)
+    val by = df.groupBy(col("o_orderpriority")).count().collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("count")).toMap
+    assert(by.size === 5, "all classes survive sampling")
+    // target = ceil(min_class/2) = 137 at sf0.001; hash thresholding is
+    // binomial around it — assert within ±40%
+    val target = 137.0
+    by.values.foreach(c => assert(math.abs(c - target) / target < 0.4, s"class count $c vs $target"))
+    // deterministic: same result on re-run
+    assert(MLPrep.m15(spark, sf).collect().length === df.collect().length)
+  }
 }

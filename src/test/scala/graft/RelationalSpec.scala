@@ -102,6 +102,23 @@ class RelationalSpec extends SparkSuite {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("q20 range window equals the brute-force time self-join") {
+    val got = Relational.q20(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4))).toMap
+    val p = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = p.map { case (u, e, ms, _) =>
+      val in = p.filter(q => q._1 == u && q._3 <= ms && q._3 >= ms - 2592000000L)
+      (u, e) -> (in.length.toLong, in.map(q => math.rint(q._4 * 100) / 100).sum)
+    }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert(n === want(k)._1, s"count at $k")
+      assert(math.abs(s - want(k)._2) < 1e-6, s"sum at $k")
+    }
+  }
+
   test("q19 salted join result equals the plain join+agg") {
     val salted = Relational.q19(spark, sf).collect().map(_.toSeq)
     val li = Tables.lineitem(spark, sf)

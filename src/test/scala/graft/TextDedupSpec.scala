@@ -86,6 +86,19 @@ class TextDedupSpec extends SparkSuite {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converge on a 2000-long chain (pointer jumping)") {
+    import spark.implicits._
+    // worst case for plain neighbor-min propagation: one chain whose
+    // diameter (2000) vastly exceeds maxIter (20). Pointer jumping
+    // halves label-chain depth per round, so this converges in
+    // O(log 2000) ≈ 11 rounds; without it connectedComponents throws.
+    val chain = (0L until 1999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === 2000)
+    assert(cc.forall(_._2 == 0L), "every chain member labels to the min id 0")
+  }
+
   test("end-to-end near-dup dedup removes exactly the duplicate copies at sf0.1") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val deduped = Dedup.dedupNearDuplicates(docs, "text", "doc_id", tau = 0.99)
@@ -230,5 +243,23 @@ class TextDedupSpec extends SparkSuite {
     val missed = exactPairs.join(candidates, Seq("id_a", "id_b"), "left_anti").count()
     assert(exactPairs.count() > 0)
     assert(missed === 0)
+  }
+
+  test("t8 unigram logprobs are negative, bounded by rare-token counts") {
+    val r = TextOps.t8(spark, sf).collect()
+    assert(r.length === 500)
+    assert(r.forall(_.getAs[Double]("avg_logprob") < 0.0),
+      "every token probability < 1 so every mean log10 p is negative")
+    assert(r.forall(row => row.getAs[Long]("n_rare") <= row.getAs[Long]("n_toks")))
+    assert(r.forall(_.getAs[Long]("n_toks") > 0))
+  }
+
+  test("d7 clusters: every member labels to its component's min id") {
+    val r = Dedup.d7(spark, sf).collect()
+      .map(row => row.getAs[Long]("id") -> row.getAs[Long]("cluster"))
+    assert(r.nonEmpty, "simhash hamming<=3 on consecutive docs yields some edges")
+    assert(r.forall { case (id, cl) => cl <= id }, "cluster label is a min")
+    val members = r.map(_._1).toSet
+    assert(r.map(_._2).toSet.subsetOf(members), "labels are member ids")
   }
 }
