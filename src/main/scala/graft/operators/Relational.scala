@@ -552,9 +552,12 @@ object Relational {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
         col("value"))
-      .withColumn("n_30d", count(lit(1)).over(w))
-      .withColumn("sum_30d", sum(dec2(col("value"))).over(w).cast("double"))
-      .select(col("user_id"), col("event_id"), col("ms"), col("n_30d"), col("sum_30d"))
+      // both window functions in ONE select: separate withColumn calls
+      // extract into separate Window operators (two passes over each
+      // partition); a single projection collapses them into one
+      .select(col("user_id"), col("event_id"), col("ms"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(dec2(col("value"))).over(w).cast("double").as("sum_30d"))
       .orderBy(col("user_id"), col("event_id"))
   }
 

@@ -243,8 +243,15 @@ object TextOps {
   def t8(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val total = tf.agg(sum(col("tf")).as("total"))
+    // ONE rollup aggregation yields the per-token counts AND the grand
+    // total (the null-tok row): the two consumers below share an
+    // identical shuffle subtree, so ReuseExchange materializes it once
+    // — deriving the total independently would re-scan the corpus a
+    // third time (tokens are never null, so the null row is
+    // unambiguously the total)
+    val tfAll = toks.rollup(col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = tfAll.filter(col("tok").isNotNull)
+    val total = tfAll.filter(col("tok").isNull).select(col("tf").as("total"))
     toks.join(broadcast(tf), Seq("tok")).crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(

@@ -71,9 +71,14 @@ class TextDedupSpec extends SparkSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val want = parent.keys.map(v => v -> find(v)).toMap
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+      // both the single-task union-find path and the distributed
+      // iterative path must match the reference union-find
+      val gotLocal = Dedup.connectedComponentsLocal(edges.toDF("id_a", "id_b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === want, s"trial $trial")
+      val gotIter = Dedup.connectedComponentsIterative(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLocal === want, s"local path, trial $trial")
+      assert(gotIter === want, s"iterative path, trial $trial")
     }
   }
 
@@ -91,9 +96,11 @@ class TextDedupSpec extends SparkSuite {
     // worst case for plain neighbor-min propagation: one chain whose
     // diameter (2000) vastly exceeds maxIter (20). Pointer jumping
     // halves label-chain depth per round, so this converges in
-    // O(log 2000) ≈ 11 rounds; without it connectedComponents throws.
+    // O(log 2000) ≈ 11 rounds; without it the iterative path throws.
+    // (Called directly: the dispatcher would route a 2000-edge graph
+    // to the single-task union-find.)
     val chain = (0L until 1999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain).collect()
+    val cc = Dedup.connectedComponentsIterative(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(cc.length === 2000)
     assert(cc.forall(_._2 == 0L), "every chain member labels to the min id 0")
