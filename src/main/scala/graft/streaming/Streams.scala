@@ -339,13 +339,36 @@ object Streams {
       |GROUP BY p.user_id, p.event_id, epoch_ms(p.ts)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // st7: the stateful as-of enrichment run in BATCH mode — the THIRD
+  // independent as-of implementation (q14 union+window, q16 custom
+  // Catalyst merge, st7 flatMapGroupsWithState), all hash-equal to
+  // DuckDB's native ASOF LEFT JOIN. flatMapGroupsWithState executes on
+  // a batch Dataset with empty initial state (the analyzer strips the
+  // watermark node), so the exact production streaming logic — one
+  // long of state per user — is oracle-checked, not just spec'd.
+  // Safe at ms granularity: every event in the dataset is distinct at
+  // the millisecond, so ms/micro/nano comparisons order identically.
+  def st7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[TypedEvent]
+    streamingAsOfEnrich(ev).toDF()
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val st7Sql: String = graft.operators.Relational.q14Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> (st1 _), "st2_sliding_window" -> (st2 _),
     "st3_stream_dedup" -> (st3 _), "st4_stateful_sessions" -> (st4 _),
-    "st5_session_window" -> (st5 _), "st6_interval_join" -> (st6 _))
+    "st5_session_window" -> (st5 _), "st6_interval_join" -> (st6 _),
+    "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql, "st2_sliding_window" -> st2Sql,
     "st3_stream_dedup" -> st3Sql, "st4_stateful_sessions" -> st4Sql,
-    "st5_session_window" -> st5Sql, "st6_interval_join" -> st6Sql)
+    "st5_session_window" -> st5Sql, "st6_interval_join" -> st6Sql,
+    "st7_stream_asof" -> st7Sql)
 }
