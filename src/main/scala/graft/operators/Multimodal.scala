@@ -103,10 +103,45 @@ object Multimodal {
       |FROM documents, LATERAL (SELECT unnest(generate_series(0, n_chars-1, 10)) AS f)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm4: corpus modality composition — the per-modality storage report
+  // (counts, total/avg bytes, size extremes) a multimodal-corpus build
+  // publishes before deciding shard layouts and decode budgets.
+  // Reuses mm1's metadata pass (size + kind WITHOUT decoding) and
+  // reduces to O(modalities) rows: scan → map-side partial agg →
+  // 3-key shuffle. Byte totals are exact integers.
+  def mm4(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (ascii(col("text")) % 3 + 1).cast("int")).as("kind"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        round(sum(col("n_bytes")).cast("double") / count(lit(1)), 2).as("avg_bytes"))
+      .orderBy(col("kind"))
+  }
+
+  val mm4Sql: String =
+    """SELECT (['image', 'audio', 'video'])[ascii(text) % 3 + 1] AS kind,
+      |  count(*) AS n_items,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+      |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+      |  round(CAST(sum(octet_length(encode(text))) AS DOUBLE) / count(*), 2) AS avg_bytes
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY kind""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm1_binary_meta" -> (mm1 _), "mm2_feature_extract" -> (mm2 _), "mm3_frame_sample" -> (mm3 _))
+    "mm1_binary_meta" -> (mm1 _), "mm2_feature_extract" -> (mm2 _), "mm3_frame_sample" -> (mm3 _),
+    "mm4_modality_stats" -> (mm4 _))
 
   def oracles: Map[String, String] = Map(
     "mm1_binary_meta" -> mm1Sql, "mm2_feature_extract" -> mm2Sql,
-    "mm3_frame_sample" -> mm3Sql)
+    "mm3_frame_sample" -> mm3Sql, "mm4_modality_stats" -> mm4Sql)
 }
