@@ -58,12 +58,15 @@ object Bench {
     // driver recorded parsed:null. Keep this line compact (3-decimal
     // times, short keys, basename sf) and print it after spark.stop() so
     // nothing (shutdown warnings, sbt chatter) lands between it and EOF.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    def fmt(dec: Int): String = {
+      val qs = results.map { case (k, v) => s""""$k":${s"%.${dec}f".format(v)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    // stay well inside the 2000-char tail as the query count grows
+    val line = if (fmt(3).length <= 1900) fmt(3) else fmt(2)
     spark.stop()
     println(line)
   }

@@ -571,7 +571,64 @@ object Relational {
       |             RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q21: TPC-H Q7-style volume shipping — bilateral trade between two
+  // nations broken down by supplier-nation / customer-nation / ship
+  // year. The deepest join in the suite: lineitem⋈supplier⋈orders⋈
+  // customer⋈nation×2 with a disjunctive cross-nation predicate.
+  //
+  // Scale shape: the two nation dims broadcast (the disjunction is
+  // evaluated map-side AFTER both broadcast joins — no shuffle carries
+  // it); the ship-date range filter pushes to the lineitem scan, and
+  // the two fact-fact joins (li⋈orders via orderkey, ⋈customer via
+  // custkey) shuffle on their keys with AQE. Supplier is dim-sized →
+  // broadcast. The final agg is 2·years·2 groups.
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        // cast: Spark's year() is int, DuckDB's is BIGINT, and the
+        // oracle gate is dtype-strict
+        col("l_discount"), year(col("l_shipdate")).cast("long").as("l_year"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q21Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier  ON l_suppkey = s_suppkey
+      |JOIN orders    ON l_orderkey = o_orderkey
+      |JOIN customer  ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+      |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_volume_shipping" -> (q21 _),
     "q20_range_window" -> (q20 _),
     "q16_asof_custom" -> (q16 _),
     "q17_grouping_cube" -> (q17 _),
@@ -594,6 +651,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q21_volume_shipping" -> q21Sql,
     "q20_range_window" -> q20Sql,
     "q16_asof_custom" -> q16Sql,
     "q17_grouping_cube" -> q17Sql,
