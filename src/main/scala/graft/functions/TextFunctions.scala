@@ -165,6 +165,49 @@ object TextFunctions {
   /** Distinct word-3-gram shingles (guarded for short docs). */
   def shingles3(toks: Column): Column = shinglesK(toks, 3)
 
+  /** Stopword list shared by the quality score (t2), language ID (t3)
+    * and Corpus.curate. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** Per-language marker words for the language-ID heuristic, with a
+    * deterministic tie order (en > es > de > und). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "die", "das"))
+
+  /** Quality heuristic (t2's formula): length saturation × (1 − punct
+    * ratio) × (1 − stopword ratio). Unrounded — callers round for
+    * display/oracle parity. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+    val nPunct = regexp_count(text, lit("[^a-z0-9 ]")).cast("long")
+    least(lit(1.0), length(text) / 500.0) *
+      (lit(1.0) - nPunct.cast("double") / length(text)) *
+      (lit(1.0) - nStop.cast("double") / nTok)
+  }
+
+  /** Marker count for one language of [[LangMarkers]]. */
+  def langMarkerCount(text: Column, lang: String): Column = {
+    val ws = LangMarkers.toMap.apply(lang)
+    size(filter(tokens(text), t => t.isin(ws: _*))).cast("long")
+  }
+
+  /** Language-ID argmax over [[LangMarkers]] (t3's rule): highest
+    * marker count wins, earlier language wins ties, zero counts →
+    * "und". */
+  def predLang(text: Column): Column = {
+    val en = langMarkerCount(text, "en")
+    val es = langMarkerCount(text, "es")
+    val de = langMarkerCount(text, "de")
+    when(en >= es && en >= de && en > 0, "en")
+      .when(es >= de && es > 0, "es")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
   // ---------------- DuckDB SQL twins (same constants) ----------------
 
   /** SQL: token list of column `c`. */

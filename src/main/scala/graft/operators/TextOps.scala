@@ -37,18 +37,15 @@ object TextOps {
   // t2: quality score — length saturation × (1 − punct ratio) ×
   // (1 − stopword ratio). The gating heuristic a pretraining pipeline
   // runs before anything expensive.
-  private val stopwords = Seq("the", "a", "of", "and", "in")
+  private val stopwords = Stopwords // shared: functions.TextFunctions
 
   def t2(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
-    val nPunct = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long")
     Tables.documents(s, dir)
       .select(col("doc_id"), nTok.as("n_tokens"), nStop.as("n_stop"),
-        round(least(lit(1.0), length(col("text")) / 500.0) *
-          (lit(1.0) - nPunct.cast("double") / length(col("text"))) *
-          (lit(1.0) - nStop.cast("double") / nTok), 6).as("quality"))
+        round(qualityScore(col("text")), 6).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -70,22 +67,15 @@ object TextOps {
   // deterministic tie order (en > es > de > und). A real pipeline uses
   // character n-gram profiles; the operator shape (per-doc marker
   // counts → argmax) is the same and stays map-only.
-  private val markers = Seq(
-    "en" -> Seq("the", "a", "of"),
-    "es" -> Seq("el", "la", "los"),
-    "de" -> Seq("der", "die", "das"))
+  private val markers = LangMarkers // shared: functions.TextFunctions
 
   def t3(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val cnt = markers.map { case (lg, ws) =>
-      lg -> size(filter(toks, t => t.isin(ws: _*))).cast("long") }.toMap
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        cnt("en").as("en_cnt"), cnt("es").as("es_cnt"), cnt("de").as("de_cnt"),
-        when(cnt("en") >= cnt("es") && cnt("en") >= cnt("de") && cnt("en") > 0, "en")
-          .when(cnt("es") >= cnt("de") && cnt("es") > 0, "es")
-          .when(cnt("de") > 0, "de")
-          .otherwise("und").as("pred_lang"))
+        langMarkerCount(col("text"), "en").as("en_cnt"),
+        langMarkerCount(col("text"), "es").as("es_cnt"),
+        langMarkerCount(col("text"), "de").as("de_cnt"),
+        predLang(col("text")).as("pred_lang"))
       .orderBy(col("doc_id"))
   }
 
