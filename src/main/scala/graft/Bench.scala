@@ -60,13 +60,18 @@ object Bench {
     // nothing (shutdown warnings, sbt chatter) lands between it and EOF.
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
-    def fmt(dec: Int): String = {
-      val qs = results.map { case (k, v) => s""""$k":${s"%.${dec}f".format(v)}""" }
-        .mkString("{", ",", "}")
+    def fmt(dec: Int, short: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (short) k.takeWhile(_ != '_') else k // family ids (q22, mm4…) are unique
+        s""""$key":${s"%.${dec}f".format(v)}"""
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    // stay well inside the 2000-char tail as the query count grows
-    val line = if (fmt(3).length <= 1900) fmt(3) else fmt(2)
+    // stay well inside the 2000-char tail as the query count grows:
+    // full keys at 3 then 2 decimals; past ~78 queries even that
+    // overflows, so fall back to the (unique) short family ids.
+    val line = Seq(fmt(3, false), fmt(2, false), fmt(3, true), fmt(2, true))
+      .find(_.length <= 1900).getOrElse(fmt(2, true))
     spark.stop()
     println(line)
   }

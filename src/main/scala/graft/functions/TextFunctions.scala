@@ -149,7 +149,14 @@ object TextFunctions {
     * (3.7 s → 0.55 s). Here `toks` appears O(k) times per ROW; the
     * zip_with null-pads the shorter slice and concat null-propagates,
     * so the trailing k-1 partial grams drop out in the filter. */
-  def shinglesK(toks: Column, k: Int): Column = {
+  def shinglesK(toks: Column, k: Int): Column =
+    array_distinct(shinglesAllK(toks, k))
+
+  /** Every word-k-gram occurrence in document order (NOT deduped) —
+    * for repetition statistics (t9) where multiplicity IS the signal.
+    * Same zip_with-over-shifted-slices construction as [[shinglesK]]
+    * (see that scaladoc for why a transform lambda is 7× slower). */
+  def shinglesAllK(toks: Column, k: Int): Column = {
     require(k >= 1, s"shingle width must be >= 1, got $k")
     val shifted = (1 until k).map(j =>
       slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))))
@@ -158,7 +165,7 @@ object TextFunctions {
     // A null `toks` null-propagates through slice/zip_with/filter; keep
     // the original empty-array contract (callers use size()/array ops
     // on the result, and explode of [] vs null is the same zero rows).
-    coalesce(array_distinct(filter(grams, g => g.isNotNull)),
+    coalesce(filter(grams, g => g.isNotNull),
       array().cast("array<string>"))
   }
 
@@ -243,9 +250,13 @@ object TextFunctions {
     s"CAST(list_sum(list_transform(generate_series(1, len($codes)), i -> ((($codes)[i] % $FpMod) * ($pows)[(i-1)%8 + 1]) % $FpMod)) AS BIGINT) % $FpMod"
   }
 
-  def shinglesKSql(toks: String, k: Int): String = {
+  def shinglesKSql(toks: String, k: Int): String =
+    s"list_distinct(${shinglesAllKSql(toks, k)})"
+
+  /** DuckDB twin of [[shinglesAllK]] (all occurrences, no dedup). */
+  def shinglesAllKSql(toks: String, k: Int): String = {
     val cat = (0 until k).map(j => s"($toks)[i+$j]").mkString(" || ' ' || ")
-    s"CASE WHEN len($toks) >= $k THEN list_distinct(list_transform(generate_series(1, len($toks)-${k - 1}), i -> $cat)) ELSE [] END"
+    s"CASE WHEN len($toks) >= $k THEN list_transform(generate_series(1, len($toks)-${k - 1}), i -> $cat) ELSE [] END"
   }
 
   def shingles3Sql(toks: String): String = shinglesKSql(toks, 3)

@@ -626,7 +626,49 @@ object MLPrep {
       |WHERE (o.o_orderkey * 2654435761 + 40503) % 1048576 < t.thr
       |ORDER BY o.o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m16: token-budget domain mixing — the sampler that turns a raw
+  // multi-source corpus into a training mix: spend HALF the corpus's
+  // token budget, split uniformly across sources, by downsampling
+  // over-represented sources to their share (sources already at or
+  // under their share keep everything). The document-level knob every
+  // published data recipe (Pile/ROOTS/Dolma weights) turns at 100 TB.
+  //
+  // Scale shape: token totals per source are ONE O(#sources) agg; the
+  // per-source keep-threshold table broadcasts back, and every row is
+  // decided by a map-side filter on a deterministic multiplicative
+  // hash of doc_id (m15's machinery) — kept tokens per source are then
+  // target ± binomial noise, the standard trade at scale. All
+  // threshold arithmetic is 64-bit integer (`div` floor division), so
+  // DuckDB replays it bit-for-bit.
+  def m16(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+    val per = d.groupBy(col("source")).agg(sum(col("n_toks")).as("__src_toks"))
+    val tgt = per.agg(expr("(sum(__src_toks) div 2L) div count(*)").as("__target"))
+    val thr = per.crossJoin(broadcast(tgt))
+      .select(col("source"),
+        least(lit(1048576L), expr("(1048576L * __target) div __src_toks")).as("__thr"))
+    d.join(broadcast(thr), Seq("source"))
+      .filter(expr("pmod(doc_id * 2654435761L + 40503L, 1048576L)") < col("__thr"))
+      .select(col("doc_id"), col("source"), col("n_toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m16Sql: String = {
+    val toks = graft.functions.TextFunctions.tokensSql("text")
+    s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_toks FROM documents),
+       |p AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks FROM d GROUP BY 1),
+       |tgt AS (SELECT (CAST(sum(src_toks) AS BIGINT) // 2) // count(*) AS target FROM p),
+       |thr AS (SELECT source, least(1048576, (1048576 * target) // src_toks) AS thr FROM p, tgt)
+       |SELECT d.doc_id, d.source, d.n_toks
+       |FROM d JOIN thr USING (source)
+       |WHERE (d.doc_id * 2654435761 + 40503) % 1048576 < thr.thr
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_domain_mix" -> (m16 _),
     "m15_stratified_sample" -> (m15 _),
     "m1_standard_scale" -> (m1 _), "m2_minmax_scale" -> (m2 _), "m3_split" -> (m3 _),
     "m4_class_balance" -> (m4 _), "m5_corr_matrix" -> (m5 _), "m6_target_corr" -> (m6 _),
@@ -636,6 +678,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m16_domain_mix" -> m16Sql,
     "m15_stratified_sample" -> m15Sql,
     "m1_standard_scale" -> m1Sql, "m2_minmax_scale" -> m2Sql, "m3_split" -> m3Sql,
     "m4_class_balance" -> m4Sql, "m5_corr_matrix" -> m5Sql, "m6_target_corr" -> m6Sql,

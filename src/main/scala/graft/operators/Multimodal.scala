@@ -137,11 +137,61 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY kind""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm5: content-hash payload dedup report — the storage-level dedup a
+  // media lake runs BEFORE any decode: identical blobs (re-uploads,
+  // mirror crawls) collapse on a content hash, and the report prices
+  // what dedup would reclaim per modality. No decode, no pairwise
+  // compare — one hash per blob, one shuffle at group cardinality.
+  //
+  // Scale shape: groupBy(kind, md5(payload)) with map-side combine
+  // (duplicate blobs on the same executor collapse before the
+  // shuffle); a hash group is a duplicate-set so its size is bounded
+  // by the corpus's true duplication, never by a hot key. The second
+  // agg is O(#kinds). wasted_bytes = (copies−1)·size summed per kind —
+  // payload size is constant within a hash group by construction.
+  def mm5(s: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.documents(s, dir)
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (ascii(col("text")) % 3 + 1).cast("int")).as("kind"),
+        md5(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("kind"), col("h"))
+      .agg(count(lit(1)).as("copies"), first(col("n_bytes")).as("sz"))
+    groups.groupBy(col("kind"))
+      .agg(sum(col("copies")).as("n_blobs"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("copies")) - count(lit(1))).as("n_dup_blobs"),
+        sum((col("copies") - 1) * col("sz")).as("wasted_bytes"))
+      .orderBy(col("kind"))
+  }
+
+  val mm5Sql: String =
+    """WITH g AS (
+      |  SELECT (['image', 'audio', 'video'])[ascii(text) % 3 + 1] AS kind,
+      |    md5(text) AS h,  -- this DuckDB's md5 is VARCHAR-only; the digest of the
+      |                     -- utf-8 payload equals the digest of the string
+      |    count(*) AS copies,
+      |    min(octet_length(encode(text))) AS sz
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT kind,
+      |  CAST(sum(copies) AS BIGINT) AS n_blobs,
+      |  count(*) AS n_unique,
+      |  CAST(sum(copies) - count(*) AS BIGINT) AS n_dup_blobs,
+      |  CAST(sum((copies - 1) * sz) AS BIGINT) AS wasted_bytes
+      |FROM g
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm5_payload_dedup" -> (mm5 _),
     "mm1_binary_meta" -> (mm1 _), "mm2_feature_extract" -> (mm2 _), "mm3_frame_sample" -> (mm3 _),
     "mm4_modality_stats" -> (mm4 _))
 
   def oracles: Map[String, String] = Map(
+    "mm5_payload_dedup" -> mm5Sql,
     "mm1_binary_meta" -> mm1Sql, "mm2_feature_extract" -> mm2Sql,
     "mm3_frame_sample" -> mm3Sql, "mm4_modality_stats" -> mm4Sql)
 }

@@ -627,7 +627,107 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q22: TPC-H Q17-style small-quantity revenue — sum the revenue of
+  // lineitems whose quantity is below 20% of their part's average
+  // quantity (a correlated scalar subquery in SQL), per brand.
+  //
+  // Scale shape: the correlated subquery decorrelates into ONE
+  // aggregation of lineitem at part cardinality (groupBy l_partkey;
+  // map-side partial agg collapses each partition to its part set
+  // first), then an equi-join back on l_partkey — both sides shuffle
+  // on the same key, so AQE picks a co-partitioned join. Neither the
+  // per-part aggregate nor `part` is force-broadcast: at test SF Spark
+  // broadcasts them on its own (they're under the threshold), and at
+  // 100 TB — where part is ~20B rows — the identical plan degrades to
+  // a co-located shuffle join instead of OOMing a forced broadcast.
+  // The threshold test is exact decimal cross-multiplication
+  // (qty·5·cnt < sum_qty ⟺ qty < 0.2·avg for cnt>0): no FP division,
+  // so both engines agree bit-for-bit on knife-edge rows.
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("__sum_qty"), count(lit(1)).as("__cnt"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(dec2(col("l_quantity")) * lit(5) * col("__cnt") < col("__sum_qty"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sumd(col("l_extendedprice")).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q22Sql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN pp   USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q23: TPC-H Q11-style share-of-total — nations whose revenue
+  // exceeds 4% of GLOBAL revenue (in SQL, a scalar subquery over the
+  // same aggregation the outer query groups).
+  //
+  // Scale shape: ONE rollup produces both the per-nation rows and the
+  // grand-total row from a single shuffle subtree (the two filters
+  // below share an identical child, so ReuseExchange materializes the
+  // aggregation once — the t8 trick); the total is then a 1-row
+  // broadcast. Revenue is exact decimal; the 4% gate is evaluated in
+  // double, which is deterministic across engines because both cast
+  // the SAME exact decimal and run the SAME IEEE multiply/compare.
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o  = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c  = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n  = Tables.nation(s, dir)
+    val rolled = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .as("__rev"))
+    val per   = rolled.filter(col("n_name").isNotNull)
+    val total = rolled.filter(col("n_name").isNull).select(col("__rev").as("__total"))
+    per.crossJoin(broadcast(total))
+      .filter(col("__rev").cast("double") > lit(0.04) * col("__total").cast("double"))
+      .select(col("n_name"),
+        col("__rev").cast("double").as("nation_revenue"),
+        round(col("__rev").cast("double") / col("__total").cast("double"), 6).as("rev_share"))
+      .orderBy(col("nation_revenue").desc, col("n_name"))
+  }
+
+  val q23Sql: String =
+    """WITH rev AS (
+      |  SELECT n_name,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(r) AS t FROM rev)
+      |SELECT n_name,
+      |  CAST(r AS DOUBLE) AS nation_revenue,
+      |  round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 6) AS rev_share
+      |FROM rev, tot
+      |WHERE CAST(r AS DOUBLE) > 0.04 * CAST(t AS DOUBLE)
+      |ORDER BY nation_revenue DESC, n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_small_qty_revenue" -> (q22 _),
+    "q23_revenue_share" -> (q23 _),
     "q21_volume_shipping" -> (q21 _),
     "q20_range_window" -> (q20 _),
     "q16_asof_custom" -> (q16 _),
@@ -651,6 +751,8 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q22_small_qty_revenue" -> q22Sql,
+    "q23_revenue_share" -> q23Sql,
     "q21_volume_shipping" -> q21Sql,
     "q20_range_window" -> q20Sql,
     "q16_asof_custom" -> q16Sql,

@@ -403,11 +403,60 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // s6: maximum-inner-product top-k (MIPS) — retrieval where MAGNITUDE
+  // matters: un-normalized embeddings whose norms encode popularity or
+  // confidence (recommender item vectors, learned sparse terms). The
+  // dot ordering genuinely differs from s1's cosine ordering unless
+  // all norms are equal.
+  //
+  // Scale shape: identical to s1 — queries broadcast, per-candidate
+  // score map-side, rank pushed below the shuffle (WindowGroupLimit
+  // keeps only k rows per query per partition). The ANN scale path for
+  // MIPS is the standard norm-augmentation reduction: append
+  // sqrt(M² − ‖x‖²) to every corpus vector and 0 to queries (M = max
+  // corpus norm) — inner product then orders like cosine in d+1 dims,
+  // so s2/s5's LSH/IVF machinery applies unchanged.
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val pairs = broadcast(queries.select(col("id").as("q_id"), col("embedding").as("qe")))
+      .join(corpus.select(col("id").as("cand_id"), col("embedding").as("ce")))
+      .withColumn("dp", dot(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dp").desc, col("cand_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"), round(col("dp"), 6).as("dp"))
+  }
+
+  def s6(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    mipsTopK(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") >= 5).select(col("vec_id").as("id"), col("embedding")),
+      3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val s6Sql: String = {
+    val dp = dotSql("q.embedding", "c.embedding")
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $dp AS dp
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < 5 AND c.vec_id >= 5
+       |), ranked AS (
+       |  SELECT q_id, cand_id, dp,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, cand_id) AS rk
+       |  FROM pairs)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand_id, round(dp, 6) AS dp
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_mips_topk" -> (s6 _),
     "s1_cosine_topk" -> (s1 _), "s2_ann_lsh" -> (s2 _),
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s6_mips_topk" -> s6Sql,
     "s1_cosine_topk" -> s1Sql, "s2_ann_lsh" -> s2Sql, "s3_vector_stats" -> s3Sql,
     "s4_knn_classify" -> s4Sql, "s5_ivf_ann" -> s5Sql)
 }

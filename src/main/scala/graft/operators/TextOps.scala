@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions._
 
@@ -264,13 +265,66 @@ object TextOps {
        |GROUP BY doc_id, total
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t9: repetition signals — the Gopher/Dolma repetition filters: the
+  // fraction of a document claimed by its single most frequent token,
+  // and the fraction of its word-3-grams that are repeats. Boilerplate,
+  // keyword-stuffed, and template-generated pages light up on exactly
+  // these two numbers before any model-based scoring runs.
+  //
+  // Scale shape: two aggregations, both keyed by doc-local keys so
+  // map-side partial agg bounds every shuffle: (doc_id, tok) counts
+  // feed a per-doc window (partition = one doc's VOCABULARY, never the
+  // corpus) for the arg-max token; (doc_id, trigram) partial-distinct
+  // feeds count/count_distinct per doc. No corpus-wide hot key exists
+  // by construction. Ties on the max count break lexicographically so
+  // both engines pick the same token.
+  def t9(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tok"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val top = tc.select(col("doc_id"), col("tok"), col("cnt"),
+        sum(col("cnt")).over(wDoc).as("n_toks"),
+        row_number().over(wRank).as("__rn"))
+      .filter(col("__rn") === 1)
+    val tri = docs.select(col("doc_id"), explode(shinglesAllK(tokens(col("text")), 3)).as("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_tri"), countDistinct(col("ng")).as("__n_tri_d"))
+    top.join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), col("tok").as("top_tok"),
+        round(col("cnt").cast("double") / col("n_toks"), 6).as("top_tok_frac"),
+        round(lit(1.0) - col("__n_tri_d").cast("double") / col("__n_tri"), 6)
+          .as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t9Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |top AS (SELECT doc_id, tok, cnt,
+       |          CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_toks,
+       |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+       |        FROM tc),
+       |tri AS (SELECT doc_id, unnest(${shinglesAllKSql(tokensSql("text"), 3)}) AS ng FROM documents),
+       |td AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT ng) AS n_tri_d FROM tri GROUP BY 1)
+       |SELECT t.doc_id, t.n_toks, t.tok AS top_tok,
+       |  round(CAST(t.cnt AS DOUBLE) / t.n_toks, 6) AS top_tok_frac,
+       |  round(1.0 - CAST(td.n_tri_d AS DOUBLE) / td.n_tri, 6) AS dup_trigram_frac
+       |FROM top t LEFT JOIN td USING (doc_id)
+       |WHERE t.rn = 1
+       |ORDER BY t.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_repetition" -> (t9 _),
     "t1_token_count" -> (t1 _), "t2_quality_score" -> (t2 _),
     "t3_lang_id" -> (t3 _), "t4_fingerprint" -> (t4 _),
     "t5_pii_redact" -> (t5 _), "t6_normalize" -> (t6 _), "t7_ngram_stats" -> (t7 _),
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t9_repetition" -> t9Sql,
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
     "t5_pii_redact" -> t5Sql, "t6_normalize" -> t6Sql, "t7_ngram_stats" -> t7Sql,

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
 import graft.functions.ExactNum._
@@ -360,13 +361,60 @@ object Streams {
 
   val st7Sql: String = graft.operators.Relational.q14Sql
 
+  // -------------------------------------------------------------------
+  // st8: per-window top-k — the streaming leaderboard (top event types
+  // per 5-minute window). Structured Streaming cannot rank INSIDE an
+  // incremental aggregation (window functions over a streaming agg are
+  // unsupported by design — ranks are not incrementally maintainable),
+  // so the production shape is: watermarked windowed counts (st1's
+  // streaming form, incremental state) → foreachBatch applies
+  // [[topKPerWindow]] to each emitted batch of CLOSED windows. The
+  // batch query below is that same composition on the full table —
+  // which is exactly the streaming contract's reference semantics.
+  //
+  // Scale shape: the counts agg carries ≤ |windows×types| rows out of
+  // the scan (map-side combine); the rank's window partition is one
+  // time-window's type set (≤ |types| rows), so no task ever sees more
+  // than a bounded group. Ties break lexicographically on event_type.
+  def topKPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("window_start_ms"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  def st8(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .withColumn("window_start_ms", expr("(unix_millis(ts) div 300000) * 300000"))
+      .groupBy(col("window_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    topKPerWindow(counts, 3)
+      .select(col("window_start_ms"), col("rk"), col("event_type"), col("n"))
+      .orderBy(col("window_start_ms"), col("rk"))
+  }
+
+  val st8Sql: String =
+    """WITH counts AS (
+      |  SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT window_start_ms, event_type, n,
+      |    row_number() OVER (PARTITION BY window_start_ms ORDER BY n DESC, event_type) AS rk
+      |  FROM counts)
+      |SELECT window_start_ms, CAST(rk AS BIGINT) AS rk, event_type, n
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY window_start_ms, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_windowed_topk" -> (st8 _),
     "st1_tumbling_window" -> (st1 _), "st2_sliding_window" -> (st2 _),
     "st3_stream_dedup" -> (st3 _), "st4_stateful_sessions" -> (st4 _),
     "st5_session_window" -> (st5 _), "st6_interval_join" -> (st6 _),
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st8_windowed_topk" -> st8Sql,
     "st1_tumbling_window" -> st1Sql, "st2_sliding_window" -> st2Sql,
     "st3_stream_dedup" -> st3Sql, "st4_stateful_sessions" -> st4Sql,
     "st5_session_window" -> st5Sql, "st6_interval_join" -> st6Sql,

@@ -114,4 +114,24 @@ class CleaningSpec extends SparkSuite {
     // deterministic: same result on re-run
     assert(MLPrep.m15(spark, sf).collect().length === df.collect().length)
   }
+
+  test("m16 domain mix: under-budget sources keep everything, over-budget sources downsample to share") {
+    import spark.implicits._
+    // srcA: 1000 tokens across 100 docs; srcB: 100 tokens across 10.
+    // budget = 1100/2 = 550, uniform target = 275/source → srcB (100 ≤
+    // 275) keeps ALL docs; srcA keeps ≈ 275/1000 of its docs.
+    val dir = java.nio.file.Files.createTempDirectory("graft-m16").toString
+    val text10 = (1 to 10).map(j => s"w$j").mkString(" ")
+    ((1 to 100).map(i => (i.toLong, text10, "srcA")) ++
+      (101 to 110).map(i => (i.toLong, text10, "srcB")))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val r = MLPrep.m16(spark, dir)
+    val by = r.groupBy(col("source")).count().collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("count")).toMap
+    assert(by("srcB") === 10L, "source under its share is untouched")
+    assert(by("srcA") >= 15L && by("srcA") <= 40L,
+      s"srcA keeps ~27.5% ± binomial noise of 100 docs, got ${by("srcA")}")
+    // deterministic: the hash filter replays identically
+    assert(MLPrep.m16(spark, dir).collect().toSeq === r.collect().toSeq)
+  }
 }

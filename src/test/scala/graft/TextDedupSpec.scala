@@ -261,6 +261,27 @@ class TextDedupSpec extends SparkSuite {
     assert(r.forall(_.getAs[Long]("n_toks") > 0))
   }
 
+  test("t9 repetition: arg-max token with lexicographic ties; dup-trigram fraction counts repeats") {
+    import spark.implicits._
+    // the sf corpus has dup_trigram_frac = 0 everywhere (diverse
+    // synthetic text), so the repeat path needs a purpose-built corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-t9").toString
+    Seq(
+      (1L, "a a a b"),                // top a (3/4); trigrams {a a a, a a b} all distinct
+      (2L, "x y x y x y x y"),        // x/y tie at 4 → lexicographic → x; 6 trigrams, 2 distinct
+      (3L, "p q"))                    // too short for trigrams → NULL fraction
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.t9(spark, dir).collect()
+      .map(row => row.getAs[Long]("doc_id") ->
+        (row.getAs[Long]("n_toks"), row.getAs[String]("top_tok"),
+         row.getAs[Double]("top_tok_frac"), row.getAs[java.lang.Double]("dup_trigram_frac"))).toMap
+    assert(r(1L) === ((4L, "a", 0.75, java.lang.Double.valueOf(0.0))))
+    assert(r(2L)._2 === "x")
+    assert(r(2L)._3 === 0.5)
+    assert(r(2L)._4 === java.lang.Double.valueOf(0.666667)) // 1 - 2/6 rounded at 6
+    assert(r(3L)._4 === null, "docs shorter than the shingle width report NULL")
+  }
+
   test("d7 clusters: every member labels to its component's min id") {
     val r = Dedup.d7(spark, sf).collect()
       .map(row => row.getAs[Long]("id") -> row.getAs[Long]("cluster"))
