@@ -645,10 +645,12 @@ object MLPrep {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
       size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
     val per = d.groupBy(col("source")).agg(sum(col("n_toks")).as("__src_toks"))
-    val tgt = per.agg(expr("(sum(__src_toks) div 2L) div count(*)").as("__target"))
-    val thr = per.crossJoin(broadcast(tgt))
-      .select(col("source"),
-        least(lit(1048576L), expr("(1048576L * __target) div __src_toks")).as("__thr"))
+    // budget/target via an empty-partition window over the |sources|
+    // aggregate rows — a separate agg-of-agg branch would re-scan the
+    // corpus (the q23 lesson: branch + filter defeats ReuseExchange)
+    val thr = per.select(col("source"),
+      expr("least(1048576L, (1048576L * (((sum(__src_toks) over ()) div 2L) div (count(1) over ()))) div __src_toks)")
+        .as("__thr"))
     d.join(broadcast(thr), Seq("source"))
       .filter(expr("pmod(doc_id * 2654435761L + 40503L, 1048576L)") < col("__thr"))
       .select(col("doc_id"), col("source"), col("n_toks"))
@@ -659,8 +661,9 @@ object MLPrep {
     val toks = graft.functions.TextFunctions.tokensSql("text")
     s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_toks FROM documents),
        |p AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks FROM d GROUP BY 1),
-       |tgt AS (SELECT (CAST(sum(src_toks) AS BIGINT) // 2) // count(*) AS target FROM p),
-       |thr AS (SELECT source, least(1048576, (1048576 * target) // src_toks) AS thr FROM p, tgt)
+       |thr AS (SELECT source, least(1048576,
+       |          (1048576 * ((CAST(sum(src_toks) OVER () AS BIGINT) // 2) // (count(*) OVER ()))) // src_toks) AS thr
+       |        FROM p)
        |SELECT d.doc_id, d.source, d.n_toks
        |FROM d JOIN thr USING (source)
        |WHERE (d.doc_id * 2654435761 + 40503) % 1048576 < thr.thr

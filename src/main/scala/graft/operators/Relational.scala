@@ -680,27 +680,29 @@ object Relational {
   // exceeds 4% of GLOBAL revenue (in SQL, a scalar subquery over the
   // same aggregation the outer query groups).
   //
-  // Scale shape: ONE rollup produces both the per-nation rows and the
-  // grand-total row from a single shuffle subtree (the two filters
-  // below share an identical child, so ReuseExchange materializes the
-  // aggregation once — the t8 trick); the total is then a 1-row
-  // broadcast. Revenue is exact decimal; the 4% gate is evaluated in
-  // double, which is deterministic across engines because both cast
-  // the SAME exact decimal and run the SAME IEEE multiply/compare.
+  // Scale shape: the facts are scanned and joined ONCE into the
+  // per-nation aggregate; the grand total is then an empty-partition
+  // window over those |nations| rows — a single-partition pass over
+  // group-count-many rows, which is the inherent minimum for a
+  // share-of-total (every group must meet the total). A first cut
+  // derived the total by re-filtering a rollup, but the pushed
+  // isNull/isNotNull filters made the two agg subtrees structurally
+  // different, defeating ReuseExchange — the plan scanned and joined
+  // everything TWICE. Revenue is exact decimal; the 4% gate is
+  // evaluated in double, deterministic across engines because both
+  // cast the SAME exact decimal and run the SAME IEEE multiply/compare.
   def q23(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val o  = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val c  = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
     val n  = Tables.nation(s, dir)
-    val rolled = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val per = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .rollup(col("n_name"))
+      .groupBy(col("n_name"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
         .as("__rev"))
-    val per   = rolled.filter(col("n_name").isNotNull)
-    val total = rolled.filter(col("n_name").isNull).select(col("__rev").as("__total"))
-    per.crossJoin(broadcast(total))
+    per.withColumn("__total", sum(col("__rev")).over(Window.partitionBy()))
       .filter(col("__rev").cast("double") > lit(0.04) * col("__total").cast("double"))
       .select(col("n_name"),
         col("__rev").cast("double").as("nation_revenue"),
@@ -717,11 +719,11 @@ object Relational {
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation   ON c_nationkey = n_nationkey
       |  GROUP BY 1),
-      |tot AS (SELECT sum(r) AS t FROM rev)
+      |w AS (SELECT n_name, r, sum(r) OVER () AS t FROM rev)
       |SELECT n_name,
       |  CAST(r AS DOUBLE) AS nation_revenue,
       |  round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 6) AS rev_share
-      |FROM rev, tot
+      |FROM w
       |WHERE CAST(r AS DOUBLE) > 0.04 * CAST(t AS DOUBLE)
       |ORDER BY nation_revenue DESC, n_name""".stripMargin
 
