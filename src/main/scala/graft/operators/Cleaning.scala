@@ -341,13 +341,56 @@ object Cleaning {
       |  FROM d
       |) ORDER BY col_name""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c11: sentinel-null standardization — real ingests encode "missing"
+  // as ''/'NA'/'N/A'/'null'/whitespace, which silently defeats every
+  // downstream null-aware step (impute, drop-allnull, profile). The
+  // operator maps the sentinel family to true NULL in one map-side
+  // pass (trim+casefold+set membership, whole-stage codegen — no
+  // shuffle until the report agg). Sentinels are planted
+  // deterministically on c_custkey so both engines clean the same
+  // dirt; the report groups the cleaned column with NULL shown as
+  // '(missing)'.
+  def c11(s: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.customer(s, dir).select(col("c_custkey"),
+      when(pmod(col("c_custkey"), lit(19)) === 0, lit("N/A"))
+        .when(pmod(col("c_custkey"), lit(19)) === 1, lit(""))
+        .when(pmod(col("c_custkey"), lit(19)) === 2, lit("null"))
+        .when(pmod(col("c_custkey"), lit(19)) === 3, lit("  "))
+        .otherwise(col("c_mktsegment")).as("seg"))
+    dirty
+      .withColumn("seg",
+        when(trim(lower(col("seg"))).isin("", "na", "n/a", "null", "?"), lit(null))
+          .otherwise(col("seg")))
+      .groupBy(coalesce(col("seg"), lit("(missing)")).as("segment"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("segment"))
+  }
+
+  val c11Sql: String =
+    """WITH dirty AS (
+      |  SELECT CASE c_custkey % 19
+      |    WHEN 0 THEN 'N/A' WHEN 1 THEN '' WHEN 2 THEN 'null' WHEN 3 THEN '  '
+      |    ELSE c_mktsegment END AS seg
+      |  FROM customer),
+      |clean AS (
+      |  SELECT CASE WHEN trim(lower(seg)) IN ('', 'na', 'n/a', 'null', '?')
+      |    THEN NULL ELSE seg END AS seg
+      |  FROM dirty)
+      |SELECT coalesce(seg, '(missing)') AS segment, count(*) AS n_rows
+      |FROM clean
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c11_null_standardize" -> (c11 _),
     "c1_profile" -> (c1 _), "c2_impute_median" -> (c2 _), "c3_impute_mode" -> (c3 _),
     "c4_outlier_clip" -> (c4 _), "c5_label_encode" -> (c5 _), "c6_freq_encode" -> (c6 _),
     "c7_date_features" -> (c7 _), "c8_drop_allnull" -> (c8 _), "c9_dedup_rows" -> (c9 _),
     "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
+    "c11_null_standardize" -> c11Sql,
     "c1_profile" -> c1Sql, "c2_impute_median" -> c2Sql, "c3_impute_mode" -> c3Sql,
     "c4_outlier_clip" -> c4Sql, "c5_label_encode" -> c5Sql, "c6_freq_encode" -> c6Sql,
     "c7_date_features" -> c7Sql, "c8_drop_allnull" -> c8Sql, "c9_dedup_rows" -> c9Sql,

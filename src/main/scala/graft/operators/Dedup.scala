@@ -527,12 +527,72 @@ object Dedup {
        |FROM i ORDER BY id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // d8: duplicated-passage detection — flag documents whose content is
+  // mostly SPANS (word-8-grams, multiplicity-preserving) that also
+  // appear in other documents: boilerplate, mirrored passages,
+  // template pages. This is the passage-level complement to d1 (whole-
+  // doc exact) and d2–d4 (whole-doc near): a doc that is 80% stitched
+  // from other docs' text has low whole-doc similarity to ANY single
+  // doc but a high shared-span fraction.
+  //
+  // Scale shape: spans shuffle as 8-byte xxhash64 keys, never as raw
+  // strings (the t7 lesson — the key IS most of the bytes otherwise);
+  // the span document-frequency is countDistinct (partial dedup
+  // map-side), a span group is bounded by its true corpus frequency,
+  // and the join back is hash-key equi — no doc×doc anywhere. The
+  // DuckDB twin groups the raw span strings: identical up to a 64-bit
+  // hash collision (~1e-8 at 1M spans).
+  def d8(s: SparkSession, dir: String): DataFrame = {
+    // Materialize the narrow (doc_id, hash) frame ONCE (the d7 lesson):
+    // its two consumers shuffle on different key sets ((sh) for the
+    // join, (sh, doc_id) for countDistinct's partial dedup), so
+    // ReuseExchange can NOT serve both and the corpus would be
+    // re-scanned and re-exploded per consumer. The repartition sets
+    // explode parallelism from the split count (one file at small SF)
+    // to the core count; at 100 TB swap localCheckpoint for
+    // persist(DISK_ONLY) — same plan, spill-backed.
+    val spans = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(shinglesAllK(tokens(col("text")), 8)).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("sh"))
+      .localCheckpoint()
+    val df = spans.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("__ndocs"))
+    spans.join(df, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).as("n_shared_spans"))
+      .withColumn("shared_frac",
+        round(col("n_shared_spans").cast("double") / col("n_spans"), 6))
+      .filter(col("shared_frac") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val d8Sql: String = {
+    val sp = shinglesAllKSql(tokensSql("text"), 8)
+    s"""WITH sp AS (
+       |  SELECT doc_id, unnest($sp) AS span FROM documents),
+       |df AS (SELECT span, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans
+       |  FROM sp JOIN df USING (span)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_spans, n_shared_spans,
+       |  round(CAST(n_shared_spans AS DOUBLE) / n_spans, 6) AS shared_frac
+       |FROM per
+       |WHERE round(CAST(n_shared_spans AS DOUBLE) / n_spans, 6) >= 0.5
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_span_dedup" -> (d8 _),
     "d1_dedup_exact" -> (d1 _), "d2_ngram_jaccard" -> (d2 _), "d3_minhash_lsh" -> (d3 _),
     "d4_simhash" -> (d4 _), "d5_embedding_neardup" -> (d5 _), "d6_decontaminate" -> (d6 _),
     "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
+    "d8_span_dedup" -> d8Sql,
     "d1_dedup_exact" -> d1Sql, "d2_ngram_jaccard" -> d2Sql, "d3_minhash_lsh" -> d3Sql,
     "d4_simhash" -> d4Sql, "d5_embedding_neardup" -> d5Sql, "d6_decontaminate" -> d6Sql,
     "d7_neardup_clusters" -> d7Sql)

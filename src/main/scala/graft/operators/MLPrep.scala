@@ -670,7 +670,59 @@ object MLPrep {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // m17: equal-frequency (quantile) binning — the discretizer feature
+  // pipelines use where m8's equal-WIDTH histogram misrepresents
+  // skewed columns. The tempting formulation is ntile(4) OVER
+  // (ORDER BY price): a global-sort window, i.e. ONE task holding the
+  // whole table — the single worst shape at 100 TB. Instead the three
+  // interior quartile boundaries come from one aggregate (exact
+  // `percentile` here; swap in percentile_approx at unbounded-domain
+  // scale — same plan, bounded memory), broadcast back, and every row
+  // is binned map-side by two comparisons. Final agg is O(bins).
+  // Knife-edge safety: boundaries interpolate between adjacent
+  // 2-decimal order statistics, so they sit ≥0.0025 from any data
+  // value (or exactly ON one, computed identically by both engines) —
+  // a 1-ulp interpolation divergence can never flip a bin.
+  def m17(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_totalprice"))
+    val b = o.agg(
+      expr("percentile(o_totalprice, 0.25)").as("__b1"),
+      expr("percentile(o_totalprice, 0.5)").as("__b2"),
+      expr("percentile(o_totalprice, 0.75)").as("__b3"))
+    o.crossJoin(broadcast(b))
+      .withColumn("bin",
+        when(col("o_totalprice") <= col("__b1"), 1)
+          .when(col("o_totalprice") <= col("__b2"), 2)
+          .when(col("o_totalprice") <= col("__b3"), 3)
+          .otherwise(4))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        round(meand(col("o_totalprice")), 6).as("avg_price"))
+      .orderBy(col("bin"))
+  }
+
+  val m17Sql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(o_totalprice, 0.25) AS b1,
+      |         quantile_cont(o_totalprice, 0.5)  AS b2,
+      |         quantile_cont(o_totalprice, 0.75) AS b3
+      |  FROM orders)
+      |SELECT CASE WHEN o_totalprice <= b1 THEN 1
+      |            WHEN o_totalprice <= b2 THEN 2
+      |            WHEN o_totalprice <= b3 THEN 3 ELSE 4 END AS bin,
+      |  count(*) AS n,
+      |  min(o_totalprice) AS lo,
+      |  max(o_totalprice) AS hi,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
+      |FROM orders, b
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m17_quantile_bin" -> (m17 _),
     "m16_domain_mix" -> (m16 _),
     "m15_stratified_sample" -> (m15 _),
     "m1_standard_scale" -> (m1 _), "m2_minmax_scale" -> (m2 _), "m3_split" -> (m3 _),
@@ -681,6 +733,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m17_quantile_bin" -> m17Sql,
     "m16_domain_mix" -> m16Sql,
     "m15_stratified_sample" -> m15Sql,
     "m1_standard_scale" -> m1Sql, "m2_minmax_scale" -> m2Sql, "m3_split" -> m3Sql,

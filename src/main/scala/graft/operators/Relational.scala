@@ -727,7 +727,92 @@ object Relational {
       |WHERE CAST(r AS DOUBLE) > 0.04 * CAST(t AS DOUBLE)
       |ORDER BY nation_revenue DESC, n_name""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q24: daily audience report — active users per day, NEW users per
+  // day (first-ever-seen), and the running cumulative distinct-user
+  // count. The cumulative distinct is the classic trap: a naive
+  // collect_set over a running window holds every user id in every
+  // row's frame (O(users) memory per row). Instead: distinct-over-time
+  // ≡ count of FIRST occurrences, so one agg at user cardinality finds
+  // each user's first day, one agg at day cardinality counts them, and
+  // a running sum over the ~O(days) rows finishes the job. Every
+  // shuffle is on a key whose cardinality the data bounds (users,
+  // days); the only unpartitioned window scans day-count rows.
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val active = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"), count(lit(1)).as("n_events"))
+    active.join(firstDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("active_users"), col("n_events"), col("new_users"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  val q24Sql: String =
+    """WITH fd AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      |nw AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1),
+      |act AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    count(DISTINCT user_id) AS active_users, count(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT act.day, active_users, n_events,
+      |  coalesce(new_users, 0) AS new_users,
+      |  CAST(sum(coalesce(new_users, 0)) OVER (
+      |    ORDER BY act.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM act LEFT JOIN nw ON act.day = nw.day
+      |ORDER BY act.day""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q25: TPC-H Q22-style churned high-value customers — customers
+  // whose balance beats the global positive-balance average and who
+  // placed NO order in the trailing window (2001+), summarized per
+  // market segment. Two correlated SQL subqueries, decorrelated
+  // Spark-side: the scalar average is a 1-row aggregate cross-joined
+  // back (broadcast by construction); NOT EXISTS is a left-anti join
+  // on c_custkey whose probe side is pre-filtered by the pushed date
+  // predicate — both sides shuffle on the key, AQE co-partitions, and
+  // no per-customer probe ever runs. The average is exact-decimal
+  // sum ÷ count evaluated in double, the same IEEE divide both
+  // engines run (oracle rule §6.1).
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val avgRow = c.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("__avg_bal"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+      .select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgRow))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sumd(col("c_acctbal")).as("total_balance"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q25Sql: String =
+    """WITH a AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+      |FROM customer, a
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_daily_audience" -> (q24 _),
+    "q25_idle_customers" -> (q25 _),
     "q22_small_qty_revenue" -> (q22 _),
     "q23_revenue_share" -> (q23 _),
     "q21_volume_shipping" -> (q21 _),
@@ -753,6 +838,8 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q24_daily_audience" -> q24Sql,
+    "q25_idle_customers" -> q25Sql,
     "q22_small_qty_revenue" -> q22Sql,
     "q23_revenue_share" -> q23Sql,
     "q21_volume_shipping" -> q21Sql,

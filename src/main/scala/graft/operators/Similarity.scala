@@ -450,12 +450,50 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // s7: cosine RANGE search — all corpus vectors within a similarity
+  // radius of each query (the retrieval API when the caller needs
+  // "everything at least τ-similar", not a fixed k: dedup sweeps,
+  // recall-oriented RAG, safety filters). Same broadcast-queries shape
+  // as s1 — map-side scoring, the threshold filter prunes BEFORE any
+  // shuffle, and the output is bounded by the data's true neighborhood
+  // sizes, not |queries|×|corpus|. The 100 TB path is the same
+  // composition behind the LSH/IVF candidate generators (annTopK /
+  // ivfTopK) with the range filter in place of the rank.
+  /** Library API: all `corpus` rows with cosine ≥ tau per query. */
+  def cosineRange(queries: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
+    val pairs = broadcast(queries.select(col("id").as("q_id"), col("embedding").as("qe")))
+      .join(corpus.select(col("id").as("cand_id"), col("embedding").as("ce")))
+      .withColumn("cos", cosineAuto(queries.sparkSession, col("qe"), col("ce")))
+    pairs.filter(col("cos") >= tau)
+      .select(col("q_id"), col("cand_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  def s7(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    cosineRange(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") >= 5).select(col("vec_id").as("id"), col("embedding")),
+      0.2)
+      .orderBy(col("q_id"), col("cand_id"))
+  }
+
+  val s7Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""SELECT q.vec_id AS q_id, c.vec_id AS cand_id, round($cos, 6) AS cos
+       |FROM embeddings q, embeddings c
+       |WHERE q.vec_id < 5 AND c.vec_id >= 5 AND $cos >= 0.2
+       |ORDER BY q_id, cand_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_range_search" -> (s7 _),
     "s6_mips_topk" -> (s6 _),
     "s1_cosine_topk" -> (s1 _), "s2_ann_lsh" -> (s2 _),
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s7_range_search" -> s7Sql,
     "s6_mips_topk" -> s6Sql,
     "s1_cosine_topk" -> s1Sql, "s2_ann_lsh" -> s2Sql, "s3_vector_stats" -> s3Sql,
     "s4_knn_classify" -> s4Sql, "s5_ivf_ann" -> s5Sql)

@@ -316,7 +316,67 @@ object TextOps {
        |WHERE t.rn = 1
        |ORDER BY t.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t10: the corpus quality dashboard — per (source, lang): doc count,
+  // token volume, mean quality, and the exact-duplicate rate. This is
+  // the report a curation run publishes before anyone debates
+  // filtering thresholds. Two shuffles, both at data-bounded
+  // cardinality: one on md5(text) (duplicate-set sized groups — map-
+  // side combine collapses same-executor copies first) to flag dup
+  // docs, one on (source, lang) for the rollup.
+  //
+  // Mean quality is order-independent: the per-doc double is rounded
+  // to 6dp (deterministic, same value both engines — t2's contract)
+  // and summed as DECIMAL, so partition merge order can't wiggle the
+  // corpus mean (oracle rule §6.1 applied to an FP-derived column).
+  def t10(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        round(qualityScore(col("text")), 6).cast("decimal(18,8)").as("q"),
+        md5(col("text")).as("h"))
+    val dupSets = d.groupBy(col("h")).agg(count(lit(1)).as("__copies"))
+    d.join(dupSets, Seq("h"))
+      .groupBy(col("source"), col("lang"))
+      // averages stay UNROUNDED: numerator (exact decimal / exact int)
+      // and denominator are bit-identical in both engines, so the raw
+      // IEEE divide matches exactly — while a final round() is the one
+      // step whose half-way tie-breaking differs between engines
+      // (sf0.001 hit a .5 boundary digit: 0.5145755 → 6dp divergence)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        (sum(col("q")).cast("double") / count(lit(1))).as("avg_quality"),
+        sum(when(col("__copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        (sum(when(col("__copies") > 1, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("dup_frac"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val t10Sql: String = {
+    val toks = tokensSql("text")
+    val inList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(len($toks) AS BIGINT) AS n_toks,
+       |    CAST(round(least(1.0, length(text)/500.0)
+       |      * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)/length(text))
+       |      * (1.0 - CAST(len(list_filter($toks, t -> t IN ($inList))) AS DOUBLE)/len($toks)), 6)
+       |      AS DECIMAL(18,8)) AS q,
+       |    md5(text) AS h
+       |  FROM documents),
+       |ds AS (SELECT h, count(*) AS copies FROM d GROUP BY 1)
+       |SELECT source, lang, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  CAST(sum(q) AS DOUBLE) / count(*) AS avg_quality,
+       |  CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+       |FROM d JOIN ds USING (h)
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_corpus_report" -> (t10 _),
     "t9_repetition" -> (t9 _),
     "t1_token_count" -> (t1 _), "t2_quality_score" -> (t2 _),
     "t3_lang_id" -> (t3 _), "t4_fingerprint" -> (t4 _),
@@ -324,6 +384,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t10_corpus_report" -> t10Sql,
     "t9_repetition" -> t9Sql,
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,

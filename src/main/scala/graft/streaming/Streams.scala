@@ -406,7 +406,43 @@ object Streams {
       |FROM ranked WHERE rk <= 3
       |ORDER BY window_start_ms, rk""".stripMargin
 
+  // -------------------------------------------------------------------
+  // st9: stream-static enrichment — the stateless join every event
+  // pipeline runs first: attach dimension attributes (here customer
+  // segment) to a stream. In Structured Streaming a stream⋈static join
+  // is stateless (no watermark, no state store): each micro-batch
+  // broadcast-hash-joins against the static side, which is re-resolved
+  // per batch (so dim updates are picked up). The batch query below is
+  // the same composition on the full table — the streaming contract's
+  // reference semantics; StreamingSpec drives the identical transform
+  // through a MemoryStream.
+  //
+  // Scale shape: dim is broadcast (map-side join, zero shuffle on the
+  // unbounded side); unmatched events keep flowing with an '(unknown)'
+  // segment (left join — an enrichment must never drop facts); the
+  // report agg carries ≤ |segments×types| rows out of the scan.
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
+
+  def st9(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    enrichWithDim(Tables.events(s, dir), dim, "user_id", "c_custkey")
+      .groupBy(coalesce(col("c_mktsegment"), lit("(unknown)")).as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumd(col("value")).as("total_value"))
+      .orderBy(col("segment"), col("event_type"))
+  }
+
+  val st9Sql: String =
+    """SELECT coalesce(c_mktsegment, '(unknown)') AS segment, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events LEFT JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY segment, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st9_stream_enrich" -> (st9 _),
     "st8_windowed_topk" -> (st8 _),
     "st1_tumbling_window" -> (st1 _), "st2_sliding_window" -> (st2 _),
     "st3_stream_dedup" -> (st3 _), "st4_stateful_sessions" -> (st4 _),
@@ -414,6 +450,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st9_stream_enrich" -> st9Sql,
     "st8_windowed_topk" -> st8Sql,
     "st1_tumbling_window" -> st1Sql, "st2_sliding_window" -> st2Sql,
     "st3_stream_dedup" -> st3Sql, "st4_stateful_sessions" -> st4Sql,

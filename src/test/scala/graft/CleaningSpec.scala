@@ -134,4 +134,34 @@ class CleaningSpec extends SparkSuite {
     // deterministic: the hash filter replays identically
     assert(MLPrep.m16(spark, dir).collect().toSeq === r.collect().toSeq)
   }
+
+  test("c11 maps the whole sentinel family to NULL and keeps real values") {
+    import spark.implicits._
+    // custkeys 1..38 cover two full mod-19 cycles: residues 0..3 plant
+    // 'N/A' / '' / 'null' / '  ' (4 sentinels per cycle → 8 rows)
+    val dir = java.nio.file.Files.createTempDirectory("graft-c11").toString
+    (1L to 38L).map(k => (k, "SEGA"))
+      .toDF("c_custkey", "c_mktsegment").write.parquet(s"$dir/customer.parquet")
+    val r = Cleaning.c11(spark, dir).collect()
+      .map(x => x.getAs[String]("segment") -> x.getAs[Long]("n_rows")).toMap
+    assert(r === Map("(missing)" -> 8L, "SEGA" -> 30L))
+  }
+
+  test("m17 quantile bins are contiguous, ordered, and near-equal-frequency") {
+    val rows = MLPrep.m17(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq === Seq(1, 2, 3, 4))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(math.abs(n - total / 4.0) / (total / 4.0) < 0.05,
+        s"equal-frequency bin, got $n of $total")
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("avg_price"))
+      assert(r.getAs[Double]("avg_price") <= r.getAs[Double]("hi"))
+    }
+    // bins tile the domain in order: each hi <= next lo
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+  }
 }

@@ -119,6 +119,39 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("q24 daily audience: cumulative users = running sum of new users = total distinct") {
+    val rows = Relational.q24(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cum_users is the running sum of new_users, ending at the corpus total
+    var running = 0L
+    rows.foreach { r =>
+      running += r.getAs[Long]("new_users")
+      assert(r.getAs[Long]("cum_users") === running)
+      assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cum_users"))
+      assert(r.getAs[Long]("new_users") <= r.getAs[Long]("active_users"))
+    }
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(running === totalUsers, "new-user counts partition the user set")
+  }
+
+  test("q25 churned customers equals a direct max-order-date formulation") {
+    val got = Relational.q25(spark, sf).collect()
+      .map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Long]("n_customers")).toMap
+    val c = Tables.customer(spark, sf)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("a"))
+      .collect()(0).getAs[Double]("a")
+    val lastOrder = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_dt"))
+    val want = c.join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("c_acctbal") > avgBal &&
+        (col("last_dt").isNull || col("last_dt") < to_timestamp(lit("2001-01-01"))))
+      .groupBy(col("c_mktsegment")).count().collect()
+      .map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Long]("count")).toMap
+    assert(got === want)
+    assert(got.values.sum > 0, "the churn window is non-vacuous at this SF")
+  }
+
   test("q19 salted join result equals the plain join+agg") {
     val salted = Relational.q19(spark, sf).collect().map(_.toSeq)
     val li = Tables.lineitem(spark, sf)

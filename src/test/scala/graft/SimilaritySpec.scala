@@ -137,4 +137,24 @@ class SimilaritySpec extends SparkSuite {
     assert(r.filter(col("frame_idx") % 10 =!= 0).count() === 0)
     assert(r.count() > 0)
   }
+
+  test("s7 range search returns exactly the vectors inside the radius") {
+    import spark.implicits._
+    // hand-built geometry: query [1,0,0,0] against known-cosine corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-s7").toString
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),   // query (vec_id < 5)
+      (5L, Array(1f, 0f, 0f, 0f), 0),   // cos 1.0  → in
+      (6L, Array(0f, 1f, 0f, 0f), 0),   // cos 0.0  → out
+      (7L, Array(-1f, 0f, 0f, 0f), 0),  // cos -1.0 → out
+      (8L, Array(0.6f, 0.8f, 0f, 0f), 0), // cos 0.6 → in
+      (9L, Array(0.1f, 0.994987f, 0f, 0f), 0)) // cos ≈0.1 → out
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.s7(spark, dir).collect()
+      .map(x => x.getAs[Long]("cand_id") -> x.getAs[Double]("cos")).toMap
+    assert(r.keySet === Set(5L, 8L))
+    assert(r(5L) === 1.0)
+    assert(math.abs(r(8L) - 0.6) < 1e-6)
+  }
 }

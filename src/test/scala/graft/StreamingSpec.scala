@@ -226,4 +226,25 @@ class StreamingSpec extends SparkSuite {
     assert(typed.length === sql.length)
     assert(typed.zip(sql).forall { case (a, b) => a == b })
   }
+
+  test("streaming stream-static enrichment equals the batch twin (st9)") {
+    val (batch, stream) = stagedStream()
+    val dim = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      Streams.enrichWithDim(df, dim, "user_id", "c_custkey")
+        .groupBy(coalesce(col("c_mktsegment"), lit("(unknown)")).as("segment"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    val q = agg(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("enrich").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batched = agg(batch).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batched)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }

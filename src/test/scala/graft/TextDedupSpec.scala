@@ -282,6 +282,45 @@ class TextDedupSpec extends SparkSuite {
     assert(r(3L)._4 === null, "docs shorter than the shingle width report NULL")
   }
 
+  test("t10 corpus report: dup rate and token volume on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t10").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "srcA"),   // dup pair with doc 2
+      (2L, "alpha beta gamma", "en", "srcA"),
+      (3L, "delta epsilon", "en", "srcA"),      // unique
+      (4L, "zeta eta theta iota", "en", "srcB")) // unique
+      .toDF("doc_id", "text", "lang", "source").write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.t10(spark, dir).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[String]("lang")) ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("total_tokens"),
+         x.getAs[Long]("n_dup_docs"), x.getAs[Double]("dup_frac"))).toMap
+    assert(r(("srcA", "en")) === ((3L, 8L, 2L, 2.0 / 3)))
+    assert(r(("srcB", "en")) === ((1L, 4L, 0L, 0.0)))
+    val q = TextOps.t10(spark, dir).collect().map(_.getAs[Double]("avg_quality"))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("d8 flags stitched/duplicated docs, not docs with minor overlap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d8").toString
+    val tenToks = (1 to 10).map(i => s"w$i").mkString(" ")  // 3 8-gram spans
+    val halfShared = (1 to 8).map(i => s"w$i").mkString(" ") + " " +
+      (1 to 8).map(i => s"u$i").mkString(" ")               // 9 spans, 1 shared with doc 1
+    Seq(
+      (1L, tenToks, "en", "srcA"),
+      (2L, tenToks, "en", "srcA"),      // exact copy → shared_frac 1.0
+      (3L, halfShared, "en", "srcA"),   // 1/9 shared → below threshold
+      (4L, "only unique content here totally fresh words nine ten eleven twelve", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source").write.parquet(s"$dir/documents.parquet")
+    val r = Dedup.d8(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L))
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_spans") === 3L)
+      assert(row.getAs[Double]("shared_frac") === 1.0)
+    }
+  }
+
   test("d7 clusters: every member labels to its component's min id") {
     val r = Dedup.d7(spark, sf).collect()
       .map(row => row.getAs[Long]("id") -> row.getAs[Long]("cluster"))
