@@ -382,7 +382,60 @@ object Cleaning {
       |GROUP BY 1
       |ORDER BY segment""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c12: expectations report — declarative data-quality rules checked
+  // in ONE scan (the great-expectations/dbt-test primitive, Spark-
+  // native): every rule is a sum(CASE) inside a single aggregate, so
+  // adding a rule adds a column, never a pass. The 1-row aggregate
+  // explodes to per-rule rows (c10's struct-explode shape). At 100 TB
+  // this is the cheapest possible shape: one scan, map-side partial
+  // aggs, a 1-row merge, O(rules) output.
+  def c12(s: SparkSession, dir: String): DataFrame = {
+    val known = Seq("click", "view", "purchase", "error", "signup")
+    val e = Tables.events(s, dir)
+    val one = e.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("value").isNull || col("value") < 0, 1L).otherwise(0L)).as("v_value"),
+      sum(when(col("event_type").isNull || !col("event_type").isin(known: _*), 1L).otherwise(0L))
+        .as("v_type"),
+      sum(when(col("ts").isNull || col("ts") < to_timestamp(lit("1990-01-01")) ||
+        col("ts") >= to_timestamp(lit("2030-01-01")), 1L).otherwise(0L)).as("v_ts"),
+      sum(when(col("props").isNull || !col("props").like("{%}"), 1L).otherwise(0L)).as("v_props"))
+    val rules = Seq(
+      ("value_nonnegative", "v_value"), ("event_type_known", "v_type"),
+      ("ts_in_range", "v_ts"), ("props_wellformed", "v_props"))
+    val rows = rules.map { case (name, c) =>
+      struct(lit(name).as("rule"), col("n").as("n_checked"),
+        col(c).as("n_violations"),
+        (col(c).cast("double") / col("n")).as("violation_rate"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy(col("rule"))
+  }
+
+  val c12Sql: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS v_value,
+      |    sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+      |        ('click', 'view', 'purchase', 'error', 'signup') THEN 1 ELSE 0 END) AS v_type,
+      |    sum(CASE WHEN ts IS NULL OR ts < TIMESTAMP '1990-01-01'
+      |        OR ts >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS v_ts,
+      |    sum(CASE WHEN props IS NULL OR props NOT LIKE '{%}' THEN 1 ELSE 0 END) AS v_props
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'value_nonnegative' AS rule, n AS n_checked,
+      |    CAST(v_value AS BIGINT) AS n_violations, CAST(v_value AS DOUBLE)/n AS violation_rate FROM a
+      |  UNION ALL
+      |  SELECT 'event_type_known', n, CAST(v_type AS BIGINT), CAST(v_type AS DOUBLE)/n FROM a
+      |  UNION ALL
+      |  SELECT 'ts_in_range', n, CAST(v_ts AS BIGINT), CAST(v_ts AS DOUBLE)/n FROM a
+      |  UNION ALL
+      |  SELECT 'props_wellformed', n, CAST(v_props AS BIGINT), CAST(v_props AS DOUBLE)/n FROM a
+      |) ORDER BY rule""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_expectations" -> (c12 _),
     "c11_null_standardize" -> (c11 _),
     "c1_profile" -> (c1 _), "c2_impute_median" -> (c2 _), "c3_impute_mode" -> (c3 _),
     "c4_outlier_clip" -> (c4 _), "c5_label_encode" -> (c5 _), "c6_freq_encode" -> (c6 _),
@@ -390,6 +443,7 @@ object Cleaning {
     "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
+    "c12_expectations" -> c12Sql,
     "c11_null_standardize" -> c11Sql,
     "c1_profile" -> c1Sql, "c2_impute_median" -> c2Sql, "c3_impute_mode" -> c3Sql,
     "c4_outlier_clip" -> c4Sql, "c5_label_encode" -> c5Sql, "c6_freq_encode" -> c6Sql,

@@ -721,7 +721,42 @@ object MLPrep {
       |GROUP BY 1
       |ORDER BY bin""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m18: smoothed target (mean) encoding — the high-cardinality
+  // categorical encoder where label/frequency encoding (c5/c6) loses
+  // signal: category → (sum_c + m·global_mean)/(n_c + m), the standard
+  // m-estimate shrink toward the prior so rare categories don't
+  // memorize their few targets. Shape: ONE agg at category
+  // cardinality + a 1-row global broadcast — the encode table then
+  // broadcasts back onto the training frame as a map-side join
+  // (exactly c5/c6's deployment path). Sums are exact decimal; the
+  // final smoothing arithmetic is the same double expression in both
+  // engines (oracle rule §6.1).
+  def m18(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority"), col("o_totalprice"))
+    val g = o.agg(meand(col("o_totalprice")).as("__g"))
+    o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("__sum"))
+      .crossJoin(broadcast(g))
+      .select(col("o_orderpriority"), col("n"),
+        ((col("__sum") + lit(10) * col("__g")) / (col("n") + lit(10))).as("target_enc"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val m18Sql: String =
+    """WITH g AS (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS gm
+      |  FROM orders),
+      |p AS (
+      |  SELECT o_orderpriority, count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, n, (s + 10*gm)/(n + 10) AS target_enc
+      |FROM p, g
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m18_target_encode" -> (m18 _),
     "m17_quantile_bin" -> (m17 _),
     "m16_domain_mix" -> (m16 _),
     "m15_stratified_sample" -> (m15 _),
@@ -733,6 +768,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m18_target_encode" -> m18Sql,
     "m17_quantile_bin" -> m17Sql,
     "m16_domain_mix" -> m16Sql,
     "m15_stratified_sample" -> m15Sql,

@@ -810,7 +810,47 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q26: TPC-H Q15-style top supplier(s) — suppliers whose windowed
+  // revenue equals the GLOBAL maximum, ties included (the correctness
+  // trap a LIMIT 1 formulation silently gets wrong). Same decorrelated
+  // shape as q23: facts aggregate ONCE at supplier cardinality, the
+  // max is an empty-partition window over those |suppliers| rows, and
+  // the equality gate runs on the EXACT DECIMAL revenue — comparing
+  // doubles for equality here would be the classic FP bug; decimals
+  // make "tied" well-defined and engine-identical. Supplier names
+  // attach via broadcast after the gate (O(winners) rows).
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .as("__rev"))
+    val gated = rev
+      .withColumn("__mx", max(col("__rev")).over(Window.partitionBy()))
+      .filter(col("__rev") === col("__mx"))
+    gated.join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("__rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q26Sql: String =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1),
+      |m AS (SELECT l_suppkey, rev, max(rev) OVER () AS mx FROM r)
+      |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+      |FROM m JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev = mx
+      |ORDER BY s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_top_supplier" -> (q26 _),
     "q24_daily_audience" -> (q24 _),
     "q25_idle_customers" -> (q25 _),
     "q22_small_qty_revenue" -> (q22 _),
@@ -838,6 +878,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q26_top_supplier" -> q26Sql,
     "q24_daily_audience" -> q24Sql,
     "q25_idle_customers" -> q25Sql,
     "q22_small_qty_revenue" -> q22Sql,

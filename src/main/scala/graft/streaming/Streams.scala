@@ -407,6 +407,61 @@ object Streams {
       |ORDER BY window_start_ms, rk""".stripMargin
 
   // -------------------------------------------------------------------
+  // st10: stateful rate-limit / burst detection — flag events whose
+  // trailing-hour same-user event count crosses a threshold (the
+  // abuse/quota guardrail in front of every event API). The streaming
+  // form keeps ONE pruned buffer per user (only timestamps inside the
+  // trailing window survive — watermark-bounded, like a token bucket
+  // with memory of the active window only); the batch execution of the
+  // SAME flatMapGroupsWithState function is oracle-checked against the
+  // closed-form RANGE-window SQL, st7's pattern. Safe at ms
+  // granularity (no same-user ms collisions in the dataset — RANGE
+  // frames count ms-peers bidirectionally, arrival order doesn't).
+  case class RateFlag(user_id: Long, event_id: Long, ms: Long, n_trailing_1h: Long)
+
+  /** Streaming rate flag: each event with its trailing-window count.
+    * State per user = the in-window timestamp buffer, pruned per event. */
+  def streamingRateFlag(events: Dataset[TypedEvent], windowMs: Long): Dataset[RateFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[TypedEvent], state: GroupState[Array[Long]]) => {
+          val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          var buf = state.getOption.getOrElse(Array.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateFlag]
+          for (e <- sorted) {
+            val ms = e.ts.getTime
+            buf = (buf :+ ms).filter(_ >= ms - windowMs) // inclusive lower bound = RANGE ... PRECEDING
+            out += RateFlag(uid, e.event_id, ms, buf.length.toLong)
+          }
+          if (buf.nonEmpty) state.update(buf)
+          out.iterator
+        })
+  }
+
+  def st10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[TypedEvent]
+    streamingRateFlag(ev, 3600000L).toDF()
+      .filter(col("n_trailing_1h") >= 2)
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val st10Sql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_trailing_1h
+      |  FROM events)
+      |SELECT user_id, event_id, ms, n_trailing_1h
+      |FROM w WHERE n_trailing_1h >= 2
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // st9: stream-static enrichment — the stateless join every event
   // pipeline runs first: attach dimension attributes (here customer
   // segment) to a stream. In Structured Streaming a stream⋈static join
@@ -442,6 +497,7 @@ object Streams {
       |ORDER BY segment, event_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_rate_flag" -> (st10 _),
     "st9_stream_enrich" -> (st9 _),
     "st8_windowed_topk" -> (st8 _),
     "st1_tumbling_window" -> (st1 _), "st2_sliding_window" -> (st2 _),
@@ -450,6 +506,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st10_rate_flag" -> st10Sql,
     "st9_stream_enrich" -> st9Sql,
     "st8_windowed_topk" -> st8Sql,
     "st1_tumbling_window" -> st1Sql, "st2_sliding_window" -> st2Sql,

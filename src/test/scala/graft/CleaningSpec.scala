@@ -147,6 +147,41 @@ class CleaningSpec extends SparkSuite {
     assert(r === Map("(missing)" -> 8L, "SEGA" -> 30L))
   }
 
+  test("c12 counts exactly the planted violations per rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-c12").toString
+    def ns(iso: String): Long = java.sql.Timestamp.valueOf(iso).getTime * 1000000L
+    // ts written as INT64 nanos, the driver's events.parquet encoding
+    Seq(
+      (1L, ns("2000-01-01 00:00:00"), 7L, "click", 1.0, "{\"k\": 1}"),   // clean
+      (2L, ns("2000-01-01 00:00:01"), 7L, "click", -5.0, "{\"k\": 1}"),  // bad value
+      (3L, ns("2000-01-01 00:00:02"), 7L, "weird", 1.0, "{\"k\": 1}"),   // bad type
+      (4L, ns("1980-01-01 00:00:00"), 7L, "view", 1.0, "{\"k\": 1}"),    // bad ts
+      (5L, ns("2000-01-01 00:00:04"), 7L, "view", 1.0, "notjson"))       // bad props
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Cleaning.c12(spark, dir).collect()
+      .map(x => x.getAs[String]("rule") ->
+        (x.getAs[Long]("n_checked"), x.getAs[Long]("n_violations"))).toMap
+    assert(r === Map(
+      "value_nonnegative" -> ((5L, 1L)), "event_type_known" -> ((5L, 1L)),
+      "ts_in_range" -> ((5L, 1L)), "props_wellformed" -> ((5L, 1L))))
+  }
+
+  test("m18 shrinks rare categories toward the global mean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-m18").toString
+    Seq(("A", 10.00), ("A", 20.00), ("B", 100.00))
+      .toDF("o_orderpriority", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+    val g = 130.0 / 3
+    val r = MLPrep.m18(spark, dir).collect()
+      .map(x => x.getAs[String]("o_orderpriority") -> x.getAs[Double]("target_enc")).toMap
+    assert(math.abs(r("A") - (30.0 + 10 * g) / 12) < 1e-12)
+    assert(math.abs(r("B") - (100.0 + 10 * g) / 11) < 1e-12)
+    // shrink direction: B's raw mean (100) pulls DOWN toward g≈43.3
+    assert(r("B") < 100.0 && r("B") > g)
+  }
+
   test("m17 quantile bins are contiguous, ordered, and near-equal-frequency") {
     val rows = MLPrep.m17(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("bin")).toSeq === Seq(1, 2, 3, 4))

@@ -152,6 +152,23 @@ class RelationalSpec extends SparkSuite {
     assert(got.values.sum > 0, "the churn window is non-vacuous at this SF")
   }
 
+  test("q26 keeps ALL suppliers tied at the max revenue") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q26").toString
+    val inWin = java.sql.Timestamp.valueOf("1996-02-01 00:00:00")
+    // suppliers 1 and 2 tie exactly on decimal revenue; 3 trails
+    Seq(
+      (1L, 100.00, 0.00, inWin), (2L, 50.00, 0.00, inWin), (2L, 50.00, 0.00, inWin),
+      (3L, 99.99, 0.00, inWin))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "S1"), (2L, "S2"), (3L, "S3")).toDF("s_suppkey", "s_name")
+      .write.parquet(s"$dir/supplier.parquet")
+    val r = Relational.q26(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("s_suppkey")).toSeq === Seq(1L, 2L))
+    assert(r.forall(_.getAs[Double]("total_revenue") === 100.0))
+  }
+
   test("q19 salted join result equals the plain join+agg") {
     val salted = Relational.q19(spark, sf).collect().map(_.toSeq)
     val li = Tables.lineitem(spark, sf)

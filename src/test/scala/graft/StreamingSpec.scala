@@ -227,6 +227,26 @@ class StreamingSpec extends SparkSuite {
     assert(typed.zip(sql).forall { case (a, b) => a == b })
   }
 
+  test("streaming rate flag carries window state across micro-batches (st10)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minute: Long) = Streams.TypedEvent(
+      id, 1L, new java.sql.Timestamp(minute * 60000L), "click", 1.0)
+    val mem = MemoryStream[Streams.TypedEvent]
+    val q = Streams.streamingRateFlag(mem.toDS(), 3600000L)
+      .writeStream.outputMode("append").format("memory").queryName("rate").start()
+    try {
+      mem.addData(ev(1, 0), ev(2, 30))    // batch 1
+      q.processAllAvailable()
+      mem.addData(ev(3, 50), ev(4, 180))  // batch 2: e3 must see e1/e2 from state
+      q.processAllAvailable()
+      val n = spark.table("rate").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_trailing_1h")).toMap
+      assert(n === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming stream-static enrichment equals the batch twin (st9)") {
     val (batch, stream) = stagedStream()
     val dim = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
