@@ -41,5 +41,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarityExpr(coerce(children(0)), coerce(children(1)))
       }))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+
+    // SQL-surface parity for the text-analysis library: the same
+    // Column compositions the Scala API uses, registered as SQL
+    // functions (they expand to standard codegen'd expressions at
+    // analysis, so SQL callers get the identical plan — and identical
+    // oracle-parity semantics — as DataFrame callers).
+    def injectComposed(name: String, arity: Int)(
+        build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.TextFunctions", name),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (children.length != arity) {
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> name,
+                "expectedNum" -> arity.toString,
+                "actualNum" -> children.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          }
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            build(children.map(org.apache.spark.sql.GraftSqlBridge.columnOf)))
+        }))
+
+    import graft.functions.TextFunctions
+    injectComposed("graft_quality", 1)(cs => TextFunctions.qualityScore(cs(0)))
+    injectComposed("graft_lang_id", 1)(cs => TextFunctions.predLang(cs(0)))
+    injectComposed("graft_fingerprint", 1)(cs =>
+      TextFunctions.fingerprint(TextFunctions.tokenCodes(cs(0))))
+    injectComposed("graft_simhash64", 1)(cs =>
+      TextFunctions.simhash64(TextFunctions.tokenCodes(cs(0))))
+    injectComposed("graft_shingles", 1)(cs =>
+      TextFunctions.shingles3(TextFunctions.tokens(cs(0))))
   }
 }

@@ -22,6 +22,18 @@ object GraftSqlBridge {
   def flushListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty(30000L)
 
+  /** Column → Catalyst expression (for SQL function registration).
+    * Uses the full ColumnNode converter — ExpressionUtils.expression
+    * wraps the node in a lazy ColumnNodeExpression that the analyzer
+    * won't descend into when returned from a FunctionBuilder, leaving
+    * inner UnresolvedFunctions unresolved at execution. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Catalyst expression → Column (inverse of [[expression]]). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** `bloom_filter_agg(xxhash64(c), numItems, numBits)` as a Column.
     * The aggregate exists in Catalyst (it backs the optimizer's
     * runtime join filters) but has no SQL registration in Spark 4, so
