@@ -11,15 +11,21 @@ import graft.operators.Dedup
   *
   *  1. min_tokens      whitespace-token floor (t1's counter)
   *  2. quality         t2's heuristic ≥ threshold
-  *  3. language        t3's marker language-ID == cfg.lang
-  *  4. exact_dedup     d1's md5 keep-min, among stage-3 survivors
-  *  5. near_dedup      d3's minhash-LSH candidates → shingle-Jaccard ≥ τ
+  *  3. repetition      t9's Gopher signals: top-token fraction +
+  *                     duplicate-trigram fraction (off by default)
+  *  4. language        t3's marker language-ID == cfg.lang
+  *  5. lm_quality      t8's corpus-unigram-LM score ≥ floor — the
+  *                     CCNet-style perplexity gate (off by default)
+  *  6. exact_dedup     d1's md5 keep-min, among prior survivors
+  *  7. near_dedup      d3's minhash-LSH candidates → shingle-Jaccard ≥ τ
   *                     verify → d7's connected components → keep minima
-  *  6. decontaminated  d6's word-k-gram overlap vs a held-out eval set
-  *  7. sampled         m15's integer-hash threshold, capped per source
+  *  8. decontaminated  d6's word-k-gram overlap vs a held-out eval set
+  *  9. sampled         m15's integer-hash threshold, capped per source
   *
-  * Scale shape: the row-local stages (1-3) are boolean flags computed
-  * in ONE map-side pass; the corpus-level stages (4-6) are the same
+  * Scale shape: the row-local stages (1-2, 4, and the trigram half of
+  * 3) are boolean flags computed in ONE map-side pass; the doc-keyed
+  * stages (3's top-token, 5) shuffle only on doc_id; the corpus-level
+  * stages (6-8) are the same
   * bucket-join shapes their operators use (hash-groupBy on md5, banded
   * LSH self-join with bucket caps, n-gram equi-join with a bloom
   * pre-filter) joined back as flags; the attrition report is ONE
@@ -44,7 +50,16 @@ object Corpus {
       nearDupTau: Double = 0.9,
       evalSet: Option[DataFrame] = None,
       ngramK: Int = 5,
-      samplePerSource: Option[Long] = None)
+      samplePerSource: Option[Long] = None,
+      /** Gopher repetition gates: drop docs whose most frequent token
+        * exceeds this fraction / whose duplicate-trigram fraction
+        * exceeds this fraction. None = gate off. */
+      maxTopTokFrac: Option[Double] = None,
+      maxDupTrigramFrac: Option[Double] = None,
+      /** CCNet-style LM gate: drop docs whose average per-token log10
+        * unigram probability (under the CORPUS unigram LM, t8) is
+        * below this floor. None = gate off. */
+      minAvgLogProb: Option[Double] = None)
 
   /** `kept` = curated corpus (original columns); `flagged` = every
     * input row with its cumulative stage flags (audit trail);
@@ -55,23 +70,80 @@ object Corpus {
       sourceCol: String = "source", cfg: Config = Config()): Result = {
     val id = col(idCol)
 
-    // stages 1-3: row-local flags, one pass
+    // stages 1-2: row-local flags, one pass
     val f1 = size(tokens(col(textCol))).cast("long") >= cfg.minTokens
     val f2 = qualityScore(col(textCol)) >= cfg.minQuality
-    val f3 = cfg.lang.map(l => predLang(col(textCol)) === l).getOrElse(lit(true))
     val flagged0 = docs
       .withColumn("f_tokens", f1)
       .withColumn("f_quality", col("f_tokens") && f2)
-      .withColumn("f_lang", col("f_quality") && f3)
 
-    // stage 4: exact dedup among row-local survivors — one shuffle on
+    // stage 3: Gopher repetition gates. Duplicate-trigram fraction is
+    // row-local (HOFs over the shingle array); the top-token fraction
+    // needs only max(count)/sum(count) per doc — a doc-keyed two-level
+    // agg on survivors (t9's doc-local shuffle shape, minus the
+    // window: the arg-max TOKEN isn't needed, just its count)
+    val flaggedR = if (cfg.maxTopTokFrac.isEmpty && cfg.maxDupTrigramFrac.isEmpty)
+      flagged0.withColumn("f_repetition", col("f_quality"))
+    else {
+      val dupOk = cfg.maxDupTrigramFrac.map { m =>
+        val allk = shinglesAllK(tokens(col(textCol)), 3)
+        // docs too short for trigrams (size 0 → null frac) pass
+        coalesce(lit(1.0) - size(array_distinct(allk)).cast("double") / size(allk),
+          lit(0.0)) <= m
+      }.getOrElse(lit(true))
+      val base = flagged0.withColumn("__dup_ok", dupOk)
+      cfg.maxTopTokFrac match {
+        case None =>
+          base.withColumn("f_repetition", col("f_quality") && col("__dup_ok")).drop("__dup_ok")
+        case Some(m) =>
+          val drops = base.filter(col("f_quality"))
+            .select(id.as("__rid"), explode(tokens(col(textCol))).as("__tok"))
+            .groupBy(col("__rid"), col("__tok")).agg(count(lit(1)).as("__cnt"))
+            .groupBy(col("__rid"))
+            .agg((max(col("__cnt")).cast("double") / sum(col("__cnt"))).as("__ttf"))
+            .filter(col("__ttf") > m).select(col("__rid").as("__rdrop"))
+          base.join(drops, id === col("__rdrop"), "left")
+            .withColumn("f_repetition",
+              col("f_quality") && col("__dup_ok") && col("__rdrop").isNull)
+            .drop("__dup_ok", "__rdrop")
+      }
+    }
+
+    // stage 4: language — row-local flag on repetition survivors
+    val f3 = cfg.lang.map(l => predLang(col(textCol)) === l).getOrElse(lit(true))
+    val flaggedL = flaggedR.withColumn("f_lang", col("f_repetition") && f3)
+
+    // stage 5: corpus-unigram-LM quality (t8's shape on survivors):
+    // ONE rollup yields per-token counts and the grand total
+    // (ReuseExchange), the vocabulary-sized tf table broadcasts, and
+    // doc scoring is a doc-keyed agg — hot tokens can't skew a shuffle
+    // that doesn't exist
+    val flaggedM = cfg.minAvgLogProb match {
+      case None => flaggedL.withColumn("f_lm", col("f_lang"))
+      case Some(minLp) =>
+        val toks = flaggedL.filter(col("f_lang"))
+          .select(id.as("__lid"), explode(tokens(col(textCol))).as("__tok"))
+        val tfAll = toks.rollup(col("__tok")).agg(count(lit(1)).as("__tf"))
+        val tf = tfAll.filter(col("__tok").isNotNull)
+        val total = tfAll.filter(col("__tok").isNull).select(col("__tf").as("__total"))
+        val drops = toks.join(broadcast(tf), Seq("__tok")).crossJoin(broadcast(total))
+          .groupBy(col("__lid"))
+          .agg((avg(log10(col("__tf").cast("double"))) -
+            first(log10(col("__total").cast("double")))).as("__lp"))
+          .filter(col("__lp") < minLp).select(col("__lid").as("__ldrop"))
+        flaggedL.join(drops, id === col("__ldrop"), "left")
+          .withColumn("f_lm", col("f_lang") && col("__ldrop").isNull)
+          .drop("__ldrop")
+    }
+
+    // stage 6: exact dedup among prior survivors — one shuffle on
     // the 16-byte md5, keep-min id, flag joined back on the hash
-    val exactKeep = flagged0.filter(col("f_lang"))
+    val exactKeep = flaggedM.filter(col("f_lm"))
       .select(md5(col(textCol)).as("__h"), id.as("__kid"))
       .groupBy(col("__h")).agg(min(col("__kid")).as("__keep"))
-    val flagged1 = flagged0.withColumn("__h", md5(col(textCol)))
+    val flagged1 = flaggedM.withColumn("__h", md5(col(textCol)))
       .join(exactKeep, Seq("__h"), "left")
-      .withColumn("f_exact", col("f_lang") && col("__keep") === id)
+      .withColumn("f_exact", col("f_lm") && col("__keep") === id)
       .drop("__h", "__keep")
 
     // stage 5: near-dup dedup among exact survivors — LSH candidates,
@@ -123,7 +195,8 @@ object Corpus {
 
     val stageCols = Seq("input" -> lit(true),
       "min_tokens" -> col("f_tokens"), "quality" -> col("f_quality"),
-      "language" -> col("f_lang"), "exact_dedup" -> col("f_exact"),
+      "repetition" -> col("f_repetition"), "language" -> col("f_lang"),
+      "lm_quality" -> col("f_lm"), "exact_dedup" -> col("f_exact"),
       "near_dedup" -> col("f_neardup"), "decontaminated" -> col("f_clean"),
       "sampled" -> col("f_sampled"))
     val aggs = stageCols.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }

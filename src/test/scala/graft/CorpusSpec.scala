@@ -35,7 +35,9 @@ class CorpusSpec extends SparkSuite {
       "input" -> 11L,          // all rows
       "min_tokens" -> 10L,     // -6 (2 tokens)
       "quality" -> 9L,         // -7 (too short to saturate)
+      "repetition" -> 9L,      // gate off → pass-through
       "language" -> 8L,        // -8 (Spanish markers)
+      "lm_quality" -> 8L,      // gate off → pass-through
       "exact_dedup" -> 7L,     // -9 (byte-identical to doc 1)
       "near_dedup" -> 6L,      // -10 (1-token edit of doc 2, Jaccard ≈ 0.95)
       "decontaminated" -> 5L,  // -11 (contains an eval 5-gram)
@@ -45,6 +47,32 @@ class CorpusSpec extends SparkSuite {
     // audit trail: the near-dup victim fails exactly at its stage
     val row10 = r.flagged.filter(col("doc_id") === 10L).head()
     assert(row10.getAs[Boolean]("f_exact") && !row10.getAs[Boolean]("f_neardup"))
+  }
+
+  test("curate: repetition and LM gates drop exactly their designed victims") {
+    import spark.implicits._
+    val commonText = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = (
+      (1 to 10).map(i => (i.toLong, commonText, "src0")) ++ Seq(
+        // 20: 'spam' is 50% of tokens (> 0.4) but trigrams are distinct
+        (20L, (1 to 20).map(i => s"spam w$i").mkString(" "), "src0"),
+        // 21: top token 1/3 (≤ 0.4) but 93% duplicate trigrams (> 0.5)
+        (21L, (1 to 15).flatMap(_ => Seq("p1", "p2", "p3")).mkString(" "), "src0"),
+        // 22: all-unique tokens → avg log10 unigram prob ≈ -2.63 (< -2.0)
+        (22L, (1 to 30).map(i => s"u$i").mkString(" "), "src0")))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.curate(docs, cfg = Corpus.Config(
+      lang = None, maxTopTokFrac = Some(0.4), maxDupTrigramFrac = Some(0.5),
+      minAvgLogProb = Some(-2.0)))
+    val flags = r.flagged.collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(flags(20L).getAs[Boolean]("f_quality") && !flags(20L).getAs[Boolean]("f_repetition"),
+      "top-token gate drops the spam doc")
+    assert(flags(21L).getAs[Boolean]("f_quality") && !flags(21L).getAs[Boolean]("f_repetition"),
+      "dup-trigram gate drops the looping doc")
+    assert(flags(22L).getAs[Boolean]("f_lang") && !flags(22L).getAs[Boolean]("f_lm"),
+      "LM gate drops the rare-token doc")
+    // the ten identical common docs pass every gate, exact dedup keeps min id
+    assert(r.kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
   test("curate: per-source cap downsamples each source toward the target") {
