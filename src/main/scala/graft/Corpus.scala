@@ -154,8 +154,7 @@ object Corpus {
     val verified = pairs
       .join(sh.select(col("__sid").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
       .join(sh.select(col("__sid").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
-      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))).cast("double"))
-      .filter(col("__i") / (size(col("__sha")) + size(col("__shb")) - col("__i")) >= cfg.nearDupTau)
+      .filter(jaccardAuto(docs.sparkSession, col("__sha"), col("__shb")) >= cfg.nearDupTau)
       .select(col("id_a"), col("id_b"))
     val dropNear = Dedup.connectedComponents(verified)
       .filter(col("id") =!= col("cluster")).select(col("id").as("__drop"))

@@ -149,6 +149,23 @@ object TextFunctions {
     * (3.7 s → 0.55 s). Here `toks` appears O(k) times per ROW; the
     * zip_with null-pads the shorter slice and concat null-propagates,
     * so the trailing k-1 partial grams drop out in the filter. */
+  /** Set-Jaccard over two string arrays: distinct intersection count
+    * over raw sizes (array_intersect semantics). NaN when both empty —
+    * guarded explicitly because ANSI mode makes even double division
+    * throw on a zero divisor. */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("double")
+    val u = size(a).cast("double") + size(b) - i
+    when(u =!= 0.0, i / u).otherwise(lit(Double.NaN))
+  }
+
+  /** Prefer the fused codegen'd expression (graft.plans.JaccardExpr —
+    * one pass, no intersection array materialized per candidate pair)
+    * when GraftExtensions is installed; identical values either way. */
+  def jaccardAuto(s: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (s.catalog.functionExists("graft_jaccard")) call_function("graft_jaccard", a, b)
+    else jaccard(a, b)
+
   def shinglesK(toks: Column, k: Int): Column =
     array_distinct(shinglesAllK(toks, k))
 

@@ -181,9 +181,7 @@ object Dedup {
     val verified = candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jac", col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jac") >= tau)
+      .filter(jaccardAuto(docs.sparkSession, col("sh_a"), col("sh_b")) >= tau)
       .select(col("id_a"), col("id_b"))
     val clusters = connectedComponents(verified)
     val drop = clusters.filter(col("id") =!= col("cluster")).select(col("id"))

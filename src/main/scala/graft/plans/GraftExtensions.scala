@@ -40,6 +40,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
         CosineSimilarityExpr(coerce(children(0)), coerce(children(1)))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardExpr].getName, "graft_jaccard"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_jaccard",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        JaccardExpr(children(0), children(1))
+      }))
+
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
 
     // SQL-surface parity for the text-analysis library: the same

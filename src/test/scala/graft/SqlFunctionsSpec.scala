@@ -50,6 +50,24 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(orth === 0.0)
   }
 
+  test("graft_jaccard equals the array_intersect formulation, incl. edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c"), Seq("b", "c", "d")),   // 2/4
+      (2L, Seq("a", "b"), Seq("a", "b")),             // 1.0
+      (3L, Seq("a"), Seq("z")),                       // 0.0
+      (4L, Seq("x", "x"), Seq("x")),                  // raw sizes: 1/(2+1-1)
+      (5L, Seq.empty[String], Seq.empty[String]))     // NaN (0/0) both paths
+      .toDF("id", "a", "b")
+    val fused = df.select(col("id"), expr("graft_jaccard(a, b)").as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = df.select(col("id"), TextFunctions.jaccard(col("a"), col("b")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused(1L) === 0.5 && fused(2L) === 1.0 && fused(3L) === 0.0 && fused(4L) === 0.5)
+    assert(fused(5L).isNaN && hof(5L).isNaN)
+    assert((1L to 4L).forall(i => fused(i) === hof(i)))
+  }
+
   test("wrong arity fails analysis with a clear error") {
     val e = intercept[Exception](spark.sql("SELECT graft_quality('a', 'b')").collect())
     assert(e.getMessage.contains("graft_quality"))
