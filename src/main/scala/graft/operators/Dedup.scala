@@ -583,13 +583,66 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // d9: MinHash sketch-quality audit — for every candidate pair,
+  // compare the k=16 signature-agreement ESTIMATE against the exact
+  // shingle Jaccard it estimates (E[agreement] = J is the MinHash
+  // guarantee; sd ≈ √(J(1−J)/16) ≈ 0.125 at J=0.5). This is the
+  // "measure, don't guess" loop for the LSH path: run it on a corpus
+  // sample before trusting banding thresholds at 100 TB. Sketch built
+  // ONCE into a checkpointed narrow frame (the d7/d8 lesson); outputs
+  // are raw IEEE doubles — est is an exact multiple of 1/16, and a
+  // final round() is the one step whose tie-breaking diverges between
+  // engines (the t10 lesson: 1/128 rounds differently at 6dp).
+  def d9(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        shingles3(tokens(col("text"))).as("sh"),
+        minhashSignature(shingleCodes(col("text"))).as("sig"))
+      .localCheckpoint()
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .filter(col("sig_a").isNotNull && col("sig_b").isNotNull)
+      .withColumn("est_jac",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+          .cast("double") / MinhashK)
+      .withColumn("exact_jac", jaccardAuto(s, col("sh_a"), col("sh_b")))
+      .select(col("doc_a"), col("doc_b"), col("est_jac"), col("exact_jac"),
+        abs(col("est_jac") - col("exact_jac")).as("abs_err"))
+      .orderBy(col("doc_a"))
+  }
+
+  val d9Sql: String = {
+    val sh = shingles3Sql(tokensSql("text"))
+    val codes = shingleCodesSql("text")
+    val sig = (0 until MinhashK).map(i => minhashSql("codes", i)).mkString("[", ", ", "]")
+    val inter = "len(list_intersect(a.sh, b.sh))"
+    val exact = s"CAST($inter AS DOUBLE) / (len(a.sh) + len(b.sh) - $inter)"
+    s"""WITH c AS (SELECT doc_id, $sh AS sh, $codes AS codes FROM documents),
+       |s AS (SELECT doc_id, sh, $sig AS sig, len(codes) AS nc FROM c)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(list_sum(list_transform(generate_series(1, $MinhashK),
+       |    i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $MinhashK AS est_jac,
+       |  $exact AS exact_jac,
+       |  abs(CAST(list_sum(list_transform(generate_series(1, $MinhashK),
+       |    i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $MinhashK
+       |    - ($exact)) AS abs_err
+       |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+       |WHERE a.nc > 0 AND b.nc > 0
+       |ORDER BY doc_a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_minhash_error" -> (d9 _),
     "d8_span_dedup" -> (d8 _),
     "d1_dedup_exact" -> (d1 _), "d2_ngram_jaccard" -> (d2 _), "d3_minhash_lsh" -> (d3 _),
     "d4_simhash" -> (d4 _), "d5_embedding_neardup" -> (d5 _), "d6_decontaminate" -> (d6 _),
     "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
+    "d9_minhash_error" -> d9Sql,
     "d8_span_dedup" -> d8Sql,
     "d1_dedup_exact" -> d1Sql, "d2_ngram_jaccard" -> d2Sql, "d3_minhash_lsh" -> d3Sql,
     "d4_simhash" -> d4Sql, "d5_embedding_neardup" -> d5Sql, "d6_decontaminate" -> d6Sql,

@@ -321,6 +321,24 @@ class TextDedupSpec extends SparkSuite {
     }
   }
 
+  test("d9 minhash estimate: identical docs agree on all 16 hashes, disjoint docs on few") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d9").toString
+    val textA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val textC = (1 to 30).map(i => s"c$i").mkString(" ")
+    Seq((1L, textA), (2L, textA), (3L, textC))  // 2 = copy of 1; 3 disjoint
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = Dedup.d9(spark, dir).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")) ->
+        ((x.getAs[Double]("est_jac"), x.getAs[Double]("exact_jac")))).toMap
+    assert(r((1L, 2L)) === ((1.0, 1.0)), "identical docs: every minhash agrees")
+    val (est23, exact23) = r((2L, 3L))
+    assert(exact23 === 0.0, "disjoint shingle sets")
+    assert(est23 <= 0.25, s"estimate for disjoint docs stays near 0, got $est23")
+    // estimates are multiples of 1/16 in [0, 1]
+    r.values.foreach { case (e, _) => assert(e >= 0.0 && e <= 1.0 && (e * 16) == (e * 16).round) }
+  }
+
   test("d7 clusters: every member labels to its component's min id") {
     val r = Dedup.d7(spark, sf).collect()
       .map(row => row.getAs[Long]("id") -> row.getAs[Long]("cluster"))
