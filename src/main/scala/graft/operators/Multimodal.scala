@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** G-family: multimodal columns (SURVEY.md §2.G).
@@ -185,12 +186,50 @@ object Multimodal {
       |GROUP BY kind
       |ORDER BY kind""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm6: shard-layout plan — content-hash-assign blobs to 16 shards
+  // and report each shard's blob count and byte volume against the
+  // ideal (total/16). Content addressing (first md5 nibble) makes the
+  // assignment stable under re-runs and independent of ingest order —
+  // the property a resumable 100 TB shard-writer needs — and the skew
+  // column IS the decision output: a skew near 1.0 means hash
+  // sharding suffices; a hot shard would send the writer to a
+  // byte-aware planner instead. Map-side assign, O(shards) agg.
+  def mm6(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables.documents(s, dir)
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .select(substring(md5(col("payload")), 1, 1).as("shard"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    val per = blobs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("shard_bytes"))
+    per.withColumn("__total", sum(col("shard_bytes")).over(Window.partitionBy()))
+      .select(col("shard"), col("n_blobs"), col("shard_bytes"),
+        (col("shard_bytes").cast("double") / (col("__total").cast("double") / 16.0))
+          .as("skew_vs_ideal"))
+      .orderBy(col("shard"))
+  }
+
+  val mm6Sql: String =
+    """WITH b AS (
+      |  SELECT substr(md5(text), 1, 1) AS shard,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |p AS (SELECT shard, count(*) AS n_blobs, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
+      |      FROM b GROUP BY 1)
+      |SELECT shard, n_blobs, shard_bytes,
+      |  CAST(shard_bytes AS DOUBLE) / (CAST(sum(shard_bytes) OVER () AS DOUBLE) / 16.0)
+      |    AS skew_vs_ideal
+      |FROM p
+      |ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm6_shard_plan" -> (mm6 _),
     "mm5_payload_dedup" -> (mm5 _),
     "mm1_binary_meta" -> (mm1 _), "mm2_feature_extract" -> (mm2 _), "mm3_frame_sample" -> (mm3 _),
     "mm4_modality_stats" -> (mm4 _))
 
   def oracles: Map[String, String] = Map(
+    "mm6_shard_plan" -> mm6Sql,
     "mm5_payload_dedup" -> mm5Sql,
     "mm1_binary_meta" -> mm1Sql, "mm2_feature_extract" -> mm2Sql,
     "mm3_frame_sample" -> mm3Sql, "mm4_modality_stats" -> mm4Sql)

@@ -138,6 +138,17 @@ class SimilaritySpec extends SparkSuite {
     assert(r.count() > 0)
   }
 
+  test("mm6 shard plan partitions every blob and reports skew against the ideal") {
+    val r = Multimodal.mm6(spark, sf).collect()
+    assert(r.map(_.getAs[String]("shard")).forall(s => s.length == 1 && "0123456789abcdef".contains(s)))
+    assert(r.map(_.getAs[Long]("n_blobs")).sum === Tables.documents(spark, sf).count())
+    val skews = r.map(_.getAs[Double]("skew_vs_ideal"))
+    // hash shards over 500 docs: every shard within a loose band of ideal
+    assert(skews.forall(s => s > 0.0 && s < 4.0))
+    // skew is normalized against total/16, so the skews sum to exactly 16
+    assert(math.abs(skews.sum - 16.0) < 1e-9)
+  }
+
   test("s7 range search returns exactly the vectors inside the radius") {
     import spark.implicits._
     // hand-built geometry: query [1,0,0,0] against known-cosine corpus
