@@ -60,12 +60,18 @@ object Bench {
     // nothing (shutdown warnings, sbt chatter) lands between it and EOF.
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
+    // Locale.ROOT: StringOps.format uses the default locale, and a
+    // comma-decimal locale (de_DE, fr_FR…) would emit {"value":12,345}
+    // — invalid JSON, i.e. exactly the parsed:null failure this line
+    // exists to avoid.
+    def num(dec: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     def fmt(dec: Int, short: Boolean): String = {
       val qs = results.map { case (k, v) =>
         val key = if (short) k.takeWhile(_ != '_') else k // family ids (q22, mm4…) are unique
-        s""""$key":${s"%.${dec}f".format(v)}"""
+        s""""$key":${num(dec, v)}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     // stay well inside the 2000-char tail as the query count grows:
     // full keys at 3 then 2 decimals; past ~78 queries even that

@@ -146,7 +146,7 @@ object Corpus {
       .withColumn("f_exact", col("f_lm") && col("__keep") === id)
       .drop("__h", "__keep")
 
-    // stage 5: near-dup dedup among exact survivors — LSH candidates,
+    // stage 7: near-dup dedup among exact survivors — LSH candidates,
     // exact Jaccard verify, connected components, drop non-minima
     val surv4 = flagged1.filter(col("f_exact")).select(id, col(textCol))
     val pairs = Dedup.minhashCandidatePairs(surv4, textCol, idCol)
@@ -162,7 +162,7 @@ object Corpus {
       .withColumn("f_neardup", col("f_exact") && col("__drop").isNull)
       .drop("__drop")
 
-    // stage 6: decontamination — drop corpus docs sharing a word-k-gram
+    // stage 8: decontamination — drop corpus docs sharing a word-k-gram
     // with the eval set (ngramContamination flags its `eval` argument,
     // and overlap is symmetric, so the corpus goes in as `eval`)
     val flagged3 = cfg.evalSet match {
@@ -177,17 +177,17 @@ object Corpus {
       case None => flagged2.withColumn("f_clean", col("f_neardup"))
     }
 
-    // stage 7: per-source cap — m15's shape (per-source counts → integer
+    // stage 9: per-source cap — m15's shape (per-source counts → integer
     // hash thresholds broadcast back → map-side filter; no windows)
     val flagged4 = cfg.samplePerSource match {
       case Some(target) =>
         val counts = flagged3.filter(col("f_clean"))
           .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n_c"))
         val thr = counts.select(col(sourceCol),
-          expr(s"(1048576L * least(${target}L, __n_c)) div __n_c").as("__thr"))
+          expr(s"(${graft.functions.Sampling.Buckets}L * least(${target}L, __n_c)) div __n_c").as("__thr"))
         flagged3.join(broadcast(thr), Seq(sourceCol), "left")
           .withColumn("f_sampled", col("f_clean") &&
-            pmod(xxhash64(id), lit(1048576L)) < coalesce(col("__thr"), lit(0L)))
+            pmod(xxhash64(id), lit(graft.functions.Sampling.Buckets)) < coalesce(col("__thr"), lit(0L)))
           .drop("__thr")
       case None => flagged3.withColumn("f_sampled", col("f_clean"))
     }

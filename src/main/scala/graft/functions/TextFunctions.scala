@@ -150,13 +150,15 @@ object TextFunctions {
     * zip_with null-pads the shorter slice and concat null-propagates,
     * so the trailing k-1 partial grams drop out in the filter. */
   /** Set-Jaccard over two string arrays: distinct intersection count
-    * over raw sizes (array_intersect semantics). NaN when both empty —
-    * guarded explicitly because ANSI mode makes even double division
-    * throw on a zero divisor. */
+    * over raw sizes (array_intersect semantics). NULL when both are
+    * empty — matching what the pre-helper inline Divide produced, so
+    * a `>= tau` filter rejects empty-vs-empty pairs (NaN would pass
+    * it: Spark orders NaN above every double). The explicit guard
+    * also keeps ANSI mode from throwing on the zero divisor. */
   def jaccard(a: Column, b: Column): Column = {
     val i = size(array_intersect(a, b)).cast("double")
     val u = size(a).cast("double") + size(b) - i
-    when(u =!= 0.0, i / u).otherwise(lit(Double.NaN))
+    when(u =!= 0.0, i / u)
   }
 
   /** Prefer the fused codegen'd expression (graft.plans.JaccardExpr —

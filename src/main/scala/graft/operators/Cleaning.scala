@@ -308,7 +308,11 @@ object Cleaning {
       col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
       col(s"${c}__num").as("n_numeric"),
       round(col(s"${c}__num").cast("double") / col(s"${c}__nn"), 4).as("pct_numeric"),
-      when(col(s"${c}__num") >= col(s"${c}__nn") * 0.95, "numeric")
+      // integer cross-multiplication: num*100 >= nn*95 ⟺ num >= 0.95·nn
+      // exactly — Spark's double 0.95 and DuckDB's DECIMAL(3,2) 0.95
+      // disagree on exact-95% knife-edge columns (20·0.95 is
+      // 19.000000000000004 as a double)
+      when(col(s"${c}__num") * 100 >= col(s"${c}__nn") * 95, "numeric")
         .otherwise("string").as("inferred_type")))
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
       .orderBy(col("col_name"))
@@ -322,21 +326,21 @@ object Cleaning {
       |         count(DISTINCT lang) AS n_distinct,
       |         count(try_cast(lang AS DOUBLE)) AS n_numeric,
       |         round(CAST(count(try_cast(lang AS DOUBLE)) AS DOUBLE) / count(lang), 4) AS pct_numeric,
-      |         CASE WHEN count(try_cast(lang AS DOUBLE)) >= count(lang) * 0.95
+      |         CASE WHEN count(try_cast(lang AS DOUBLE)) * 100 >= count(lang) * 95
       |              THEN 'numeric' ELSE 'string' END AS inferred_type
       |  FROM d
       |  UNION ALL
       |  SELECT 'source', count(source), count(DISTINCT source),
       |         count(try_cast(source AS DOUBLE)),
       |         round(CAST(count(try_cast(source AS DOUBLE)) AS DOUBLE) / count(source), 4),
-      |         CASE WHEN count(try_cast(source AS DOUBLE)) >= count(source) * 0.95
+      |         CASE WHEN count(try_cast(source AS DOUBLE)) * 100 >= count(source) * 95
       |              THEN 'numeric' ELSE 'string' END
       |  FROM d
       |  UNION ALL
       |  SELECT 'n_chars_str', count(n_chars_str), count(DISTINCT n_chars_str),
       |         count(try_cast(n_chars_str AS DOUBLE)),
       |         round(CAST(count(try_cast(n_chars_str AS DOUBLE)) AS DOUBLE) / count(n_chars_str), 4),
-      |         CASE WHEN count(try_cast(n_chars_str AS DOUBLE)) >= count(n_chars_str) * 0.95
+      |         CASE WHEN count(try_cast(n_chars_str AS DOUBLE)) * 100 >= count(n_chars_str) * 95
       |              THEN 'numeric' ELSE 'string' END
       |  FROM d
       |) ORDER BY col_name""".stripMargin

@@ -91,8 +91,16 @@ object Dedup {
     * (property-tested against each other). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       localEdgeThreshold: Long = 10000000L): DataFrame = {
-    if (pairs.count() <= localEdgeThreshold) connectedComponentsLocal(pairs)
-    else connectedComponentsIterative(pairs, maxIter)
+    // Materialize the edges BEFORE the dispatch count: callers hand in
+    // a lazy plan whose upstream is the whole candidate+verify
+    // pipeline (LSH self-join + Jaccard filter — the suite's most
+    // expensive stage), and without this the count() evaluates it once
+    // and the chosen path evaluates it AGAIN from scratch. Both paths
+    // need stable edges anyway (the iterative one re-reads them every
+    // round).
+    val edges = pairs.localCheckpoint()
+    if (edges.count() <= localEdgeThreshold) connectedComponentsLocal(edges)
+    else connectedComponentsIterative(edges, maxIter)
   }
 
   /** Single-task exact union-find over the edge list — the small-graph

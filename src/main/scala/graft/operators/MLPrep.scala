@@ -609,22 +609,24 @@ object MLPrep {
     val target = counts.agg(expr("(min(__n_c) + 1L) div 2L").as("__target"))
     val thr = counts.crossJoin(broadcast(target))
       .select(col("o_orderpriority"),
-        expr("(1048576L * __target) div __n_c").as("__thr"))
+        expr(s"(${graft.functions.Sampling.Buckets}L * __target) div __n_c").as("__thr"))
     o.join(broadcast(thr), Seq("o_orderpriority"))
-      .filter(expr("pmod(o_orderkey * 2654435761L + 40503L, 1048576L)") < col("__thr"))
+      .filter(graft.functions.Sampling.bucket(col("o_orderkey")) < col("__thr"))
       .select(col("o_orderkey"), col("o_orderpriority"))
       .orderBy(col("o_orderkey"))
   }
 
-  val m15Sql: String =
-    """WITH n AS (SELECT o_orderpriority, count(*) AS n_c FROM orders GROUP BY 1),
-      |t AS (SELECT o_orderpriority, n_c,
-      |        (1048576 * ((SELECT min(n_c) + 1 FROM n) // 2)) // n_c AS thr
-      |      FROM n)
-      |SELECT o.o_orderkey, o.o_orderpriority
-      |FROM orders o JOIN t USING (o_orderpriority)
-      |WHERE (o.o_orderkey * 2654435761 + 40503) % 1048576 < t.thr
-      |ORDER BY o.o_orderkey""".stripMargin
+  val m15Sql: String = {
+    import graft.functions.Sampling._
+    s"""WITH n AS (SELECT o_orderpriority, count(*) AS n_c FROM orders GROUP BY 1),
+       |t AS (SELECT o_orderpriority, n_c,
+       |        ($Buckets * ((SELECT min(n_c) + 1 FROM n) // 2)) // n_c AS thr
+       |      FROM n)
+       |SELECT o.o_orderkey, o.o_orderpriority
+       |FROM orders o JOIN t USING (o_orderpriority)
+       |WHERE ${bucketSql("o.o_orderkey")} < t.thr
+       |ORDER BY o.o_orderkey""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // m16: token-budget domain mixing — the sampler that turns a raw
@@ -649,10 +651,10 @@ object MLPrep {
     // aggregate rows — a separate agg-of-agg branch would re-scan the
     // corpus (the q23 lesson: branch + filter defeats ReuseExchange)
     val thr = per.select(col("source"),
-      expr("least(1048576L, (1048576L * (((sum(__src_toks) over ()) div 2L) div (count(1) over ()))) div __src_toks)")
+      expr(s"least(${graft.functions.Sampling.Buckets}L, (${graft.functions.Sampling.Buckets}L * (((sum(__src_toks) over ()) div 2L) div (count(1) over ()))) div __src_toks)")
         .as("__thr"))
     d.join(broadcast(thr), Seq("source"))
-      .filter(expr("pmod(doc_id * 2654435761L + 40503L, 1048576L)") < col("__thr"))
+      .filter(graft.functions.Sampling.bucket(col("doc_id")) < col("__thr"))
       .select(col("doc_id"), col("source"), col("n_toks"))
       .orderBy(col("doc_id"))
   }
@@ -661,12 +663,12 @@ object MLPrep {
     val toks = graft.functions.TextFunctions.tokensSql("text")
     s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_toks FROM documents),
        |p AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks FROM d GROUP BY 1),
-       |thr AS (SELECT source, least(1048576,
-       |          (1048576 * ((CAST(sum(src_toks) OVER () AS BIGINT) // 2) // (count(*) OVER ()))) // src_toks) AS thr
+       |thr AS (SELECT source, least(${graft.functions.Sampling.Buckets},
+       |          (${graft.functions.Sampling.Buckets} * ((CAST(sum(src_toks) OVER () AS BIGINT) // 2) // (count(*) OVER ()))) // src_toks) AS thr
        |        FROM p)
        |SELECT d.doc_id, d.source, d.n_toks
        |FROM d JOIN thr USING (source)
-       |WHERE (d.doc_id * 2654435761 + 40503) % 1048576 < thr.thr
+       |WHERE ${graft.functions.Sampling.bucketSql("d.doc_id")} < thr.thr
        |ORDER BY d.doc_id""".stripMargin
   }
 

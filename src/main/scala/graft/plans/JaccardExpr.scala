@@ -10,11 +10,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   *
   * Drop-in equal to the builtin formulation
   * `size(array_intersect(a,b)) / (size(a)+size(b)-size(array_intersect(a,b)))`
-  * — distinct intersection count over RAW sizes, NaN when both arrays
-  * are empty — but in ONE pass with no intersection array materialized
-  * per row. The near-dup verify stage evaluates this once per
-  * CANDIDATE PAIR (billions at corpus scale), where array_intersect's
-  * per-row output allocation is pure garbage-collector pressure.
+  * — distinct intersection count over RAW sizes, NULL when both
+  * arrays are empty (as non-ANSI Divide yields on the zero divisor —
+  * NOT NaN, which Spark orders above every double and which would
+  * therefore PASS a `>= tau` near-dup filter) — but in ONE pass with
+  * no intersection array materialized per row. The near-dup verify
+  * stage evaluates this once per CANDIDATE PAIR (billions at corpus
+  * scale), where array_intersect's per-row output allocation is pure
+  * garbage-collector pressure.
   *
   * Null ELEMENTS are not expected (shingle arrays are built from
   * split/concat, never null-bearing); a null ARRAY null-propagates.
@@ -34,6 +37,8 @@ case class JaccardExpr(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard"
+  // NULL on empty∪empty even when both children are non-nullable
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
@@ -50,7 +55,8 @@ case class JaccardExpr(left: Expression, right: Expression)
       if (setB.contains(e) && seen.add(e)) inter += 1
       i += 1
     }
-    inter.toDouble / ((na + nb).toDouble - inter.toDouble)
+    if (na + nb == 0) null
+    else inter.toDouble / ((na + nb).toDouble - inter.toDouble)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -69,7 +75,11 @@ case class JaccardExpr(left: Expression, right: Expression)
          |  Object $e = $a.getUTF8String($i);
          |  if ($setB.contains($e) && $seen.add($e)) $inter++;
          |}
-         |${ev.value} = ((double) $inter) / (((double) ($na + $nb)) - ((double) $inter));
+         |if ($na + $nb == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((double) $inter) / (((double) ($na + $nb)) - ((double) $inter));
+         |}
        """.stripMargin
     })
 

@@ -57,15 +57,18 @@ class SqlFunctionsSpec extends SparkSuite {
       (2L, Seq("a", "b"), Seq("a", "b")),             // 1.0
       (3L, Seq("a"), Seq("z")),                       // 0.0
       (4L, Seq("x", "x"), Seq("x")),                  // raw sizes: 1/(2+1-1)
-      (5L, Seq.empty[String], Seq.empty[String]))     // NaN (0/0) both paths
+      (5L, Seq.empty[String], Seq.empty[String]))     // NULL — a >= tau filter must reject
       .toDF("id", "a", "b")
     val fused = df.select(col("id"), expr("graft_jaccard(a, b)").as("j"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     val hof = df.select(col("id"), TextFunctions.jaccard(col("a"), col("b")).as("j"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(fused(1L) === 0.5 && fused(2L) === 1.0 && fused(3L) === 0.0 && fused(4L) === 0.5)
-    assert(fused(5L).isNaN && hof(5L).isNaN)
-    assert((1L to 4L).forall(i => fused(i) === hof(i)))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fused === hof)
+    assert(fused(1L) === Some(0.5) && fused(2L) === Some(1.0) &&
+      fused(3L) === Some(0.0) && fused(4L) === Some(0.5))
+    assert(fused(5L) === None, "empty-vs-empty is NULL, not NaN (NaN passes >= tau)")
+    // and the filter semantics that motivated NULL: no row with empty arrays survives
+    assert(df.filter(expr("graft_jaccard(a, b) >= 0.0")).count() === 4)
   }
 
   test("wrong arity fails analysis with a clear error") {
