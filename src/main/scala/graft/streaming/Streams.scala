@@ -410,34 +410,64 @@ object Streams {
   // st10: stateful rate-limit / burst detection — flag events whose
   // trailing-hour same-user event count crosses a threshold (the
   // abuse/quota guardrail in front of every event API). The streaming
-  // form keeps ONE pruned buffer per user (only timestamps inside the
-  // trailing window survive — watermark-bounded, like a token bucket
-  // with memory of the active window only); the batch execution of the
-  // SAME flatMapGroupsWithState function is oracle-checked against the
-  // closed-form RANGE-window SQL, st7's pattern. Safe at ms
-  // granularity (no same-user ms collisions in the dataset — RANGE
-  // frames count ms-peers bidirectionally, arrival order doesn't).
+  // form keeps ONE pruned timestamp buffer per user; the batch
+  // execution of the SAME flatMapGroupsWithState function is
+  // oracle-checked against the closed-form RANGE-window SQL, st7's
+  // pattern. Late events (within the 10-min watermark) are handled
+  // exactly: the EMITTED count only considers peers in
+  // [ms − windowMs, ms] — a late event never counts future-timestamped
+  // buffer entries, matching RANGE ... PRECEDING AND CURRENT ROW.
+  // State is genuinely watermark-bounded on both axes: buffer entries
+  // are pruned once no admissible (≥ watermark) event can reach them,
+  // and idle keys are EVICTED via EventTimeTimeout once the watermark
+  // passes their last event + windowMs. Safe at ms granularity (no
+  // same-user ms collisions in the dataset — RANGE frames count
+  // ms-peers bidirectionally, arrival order doesn't).
   case class RateFlag(user_id: Long, event_id: Long, ms: Long, n_trailing_1h: Long)
 
   /** Streaming rate flag: each event with its trailing-window count.
-    * State per user = the in-window timestamp buffer, pruned per event. */
+    * State per user = the timestamp buffer, watermark-pruned; keys
+    * evicted on event-time timeout. */
   def streamingRateFlag(events: Dataset[TypedEvent], windowMs: Long): Dataset[RateFlag] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, it: Iterator[TypedEvent], state: GroupState[Array[Long]]) => {
-          val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-          var buf = state.getOption.getOrElse(Array.empty[Long])
-          val out = scala.collection.mutable.ArrayBuffer.empty[RateFlag]
-          for (e <- sorted) {
-            val ms = e.ts.getTime
-            buf = (buf :+ ms).filter(_ >= ms - windowMs) // inclusive lower bound = RANGE ... PRECEDING
-            out += RateFlag(uid, e.event_id, ms, buf.length.toLong)
+          if (state.hasTimedOut) { // idle past watermark: evict the key
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var buf = state.getOption.getOrElse(Array.empty[Long])
+            val out = scala.collection.mutable.ArrayBuffer.empty[RateFlag]
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              buf = buf :+ ms
+              // Count ONLY peers at-or-before this event inside its own
+              // trailing window — a late event must not see buffer entries
+              // from events that are in its future (the RANGE frame's
+              // upper bound is CURRENT ROW).
+              out += RateFlag(uid, e.event_id, ms,
+                buf.count(t => t >= ms - windowMs && t <= ms).toLong)
+            }
+            // Prune vs the WATERMARK, not the current event: an entry can
+            // still serve a future event only while ≥ wm − windowMs (every
+            // admissible event has ts ≥ wm). In batch execution there is
+            // no watermark (getCurrentWatermarkMs throws) — floor 0 keeps
+            // the whole buffer, which is moot there: the single per-group
+            // call discards state when it returns.
+            val wm = try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => 0L }
+            buf = buf.filter(_ >= wm - windowMs)
+            if (buf.nonEmpty) {
+              state.update(buf)
+              // Timeout must sit strictly above the current watermark.
+              state.setTimeoutTimestamp(math.max(buf.max + windowMs, wm + 1L))
+            } else state.remove()
+            out.iterator
           }
-          if (buf.nonEmpty) state.update(buf)
-          out.iterator
         })
   }
 

@@ -231,8 +231,10 @@ class StreamingSpec extends SparkSuite {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Offset past epoch 0: EventTimeTimeout's late-data filter drops
+    // rows at-or-below the watermark, and the initial watermark is 0.
     def ev(id: Long, minute: Long) = Streams.TypedEvent(
-      id, 1L, new java.sql.Timestamp(minute * 60000L), "click", 1.0)
+      id, 1L, new java.sql.Timestamp(86400000L + minute * 60000L), "click", 1.0)
     val mem = MemoryStream[Streams.TypedEvent]
     val q = Streams.streamingRateFlag(mem.toDS(), 3600000L)
       .writeStream.outputMode("append").format("memory").queryName("rate").start()
@@ -244,6 +246,37 @@ class StreamingSpec extends SparkSuite {
       val n = spark.table("rate").collect()
         .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_trailing_1h")).toMap
       assert(n === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    } finally q.stop()
+  }
+
+  test("st10 late event counts only at-or-before peers; idle keys evicted") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minute: Long, uid: Long = 1L) = Streams.TypedEvent(
+      id, uid, new java.sql.Timestamp(86400000L + minute * 60000L), "click", 1.0)
+    val mem = MemoryStream[Streams.TypedEvent]
+    val q = Streams.streamingRateFlag(mem.toDS(), 3600000L)
+      .writeStream.outputMode("append").format("memory").queryName("late_rate").start()
+    try {
+      mem.addData(ev(1, 0), ev(2, 60))  // batch 1; watermark after = 50 min
+      q.processAllAvailable()
+      // e3 is LATE (55 < 60) but admissible (55 ≥ watermark 50). Its
+      // trailing-hour count must be {0, 55} = 2 — NOT 3: the future
+      // e2@60 sits in the buffer but is after e3's CURRENT ROW bound.
+      mem.addData(ev(3, 55))
+      q.processAllAvailable()
+      val n = spark.table("late_rate").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_trailing_1h")).toMap
+      assert(n === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+      // Eviction: push the watermark far past user1's last+window; the
+      // EventTimeTimeout must remove user1's state (else key count = 3).
+      mem.addData(ev(4, 300, uid = 2L))
+      q.processAllAvailable()
+      mem.addData(ev(5, 302, uid = 3L)) // triggers timeout processing at wm≈290
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows === 2L, s"user1 state not evicted (rows=$stateRows)")
     } finally q.stop()
   }
 
