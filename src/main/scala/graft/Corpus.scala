@@ -115,18 +115,25 @@ object Corpus {
 
     // stage 5: corpus-unigram-LM quality (t8's shape on survivors):
     // ONE rollup yields per-token counts and the grand total
-    // (ReuseExchange), the vocabulary-sized tf table broadcasts, and
-    // doc scoring is a doc-keyed agg — hot tokens can't skew a shuffle
-    // that doesn't exist
+    // (ReuseExchange), and doc scoring is a doc-keyed agg. The tf join
+    // is UNHINTED (t8's rationale: AQE broadcasts from runtime size
+    // when the vocabulary is small, demotes to a token-keyed shuffle
+    // join when a web-scale vocabulary would OOM a forced broadcast).
+    // `toks` is materialized once: its two consumers (the tf rollup on
+    // __tok, the scoring groupBy on __lid) shuffle on DIFFERENT keys,
+    // so ReuseExchange can't serve both and the whole upstream flag
+    // pipeline would be re-run per consumer — d8's localCheckpoint
+    // pattern (at 100 TB, persist(DISK_ONLY) — same plan, spill-backed).
     val flaggedM = cfg.minAvgLogProb match {
       case None => flaggedL.withColumn("f_lm", col("f_lang"))
       case Some(minLp) =>
         val toks = flaggedL.filter(col("f_lang"))
           .select(id.as("__lid"), explode(tokens(col(textCol))).as("__tok"))
+          .localCheckpoint()
         val tfAll = toks.rollup(col("__tok")).agg(count(lit(1)).as("__tf"))
         val tf = tfAll.filter(col("__tok").isNotNull)
         val total = tfAll.filter(col("__tok").isNull).select(col("__tf").as("__total"))
-        val drops = toks.join(broadcast(tf), Seq("__tok")).crossJoin(broadcast(total))
+        val drops = toks.join(tf, Seq("__tok")).crossJoin(broadcast(total))
           .groupBy(col("__lid"))
           .agg((avg(log10(col("__tf").cast("double"))) -
             first(log10(col("__total").cast("double")))).as("__lp"))
@@ -185,9 +192,11 @@ object Corpus {
           .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n_c"))
         val thr = counts.select(col(sourceCol),
           expr(s"(${graft.functions.Sampling.Buckets}L * least(${target}L, __n_c)) div __n_c").as("__thr"))
+        // Sampling.bucket is the ONE sampler hash (m15/m16's); xxhash64
+        // first so non-integer id columns still key deterministically.
         flagged3.join(broadcast(thr), Seq(sourceCol), "left")
           .withColumn("f_sampled", col("f_clean") &&
-            pmod(xxhash64(id), lit(graft.functions.Sampling.Buckets)) < coalesce(col("__thr"), lit(0L)))
+            graft.functions.Sampling.bucket(xxhash64(id)) < coalesce(col("__thr"), lit(0L)))
           .drop("__thr")
       case None => flagged3.withColumn("f_sampled", col("f_clean"))
     }

@@ -221,10 +221,15 @@ object TextOps {
   //
   // Scale shape: ONE shuffle builds the term-frequency table (explode
   // → groupBy token, map-side combine collapses each partition to its
-  // vocabulary first); the tf table is vocabulary-sized so it
-  // BROADCASTS back onto the exploded tokens — per-doc scoring is then
-  // a map-side join + one groupBy(doc_id). Hot tokens skew nothing:
-  // the broadcast join has no shuffle to skew.
+  // vocabulary first). The tf join back onto the exploded tokens is
+  // deliberately UNHINTED: a forced broadcast(tf) would bypass Spark's
+  // size-based demotion, and a web-corpus vocabulary under a
+  // whitespace tokenizer is 1e8–1e9 rows (URLs, typos, code) — enough
+  // to OOM executors. AQE promotes the join to broadcast-hash from the
+  // tf shuffle's RUNTIME size when the vocabulary is genuinely small
+  // (it is at every test SF — spec'd), and keeps the plain
+  // co-partitioned shuffle join on the token key when it isn't — the
+  // same auto-degradation q2/q22 rely on.
   //
   // FP discipline (SURVEY §6.5): tf and totals are exact integers; the
   // per-token log10 is one deterministic FP op on a small-integer
@@ -243,7 +248,7 @@ object TextOps {
     val tfAll = toks.rollup(col("tok")).agg(count(lit(1)).as("tf"))
     val tf = tfAll.filter(col("tok").isNotNull)
     val total = tfAll.filter(col("tok").isNull).select(col("tf").as("total"))
-    toks.join(broadcast(tf), Seq("tok")).crossJoin(broadcast(total))
+    toks.join(tf, Seq("tok")).crossJoin(broadcast(total)) // total is provably 1 row; tf is size-gated by AQE
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_toks"),

@@ -261,6 +261,28 @@ class TextDedupSpec extends SparkSuite {
     assert(r.forall(_.getAs[Long]("n_toks") > 0))
   }
 
+  test("t8 tf join broadcasts when small and demotes to a shuffle join when it can't") {
+    // The tf join is unhinted so the broadcast decision is SIZE-GATED:
+    // a forced broadcast(tf) would OOM executors at web-corpus
+    // vocabulary (1e8–1e9 tokens). Small side → broadcast-hash (AQE or
+    // static); broadcast unavailable → the same query must degrade to
+    // a token-keyed shuffle join with identical results, not fail.
+    val promoted = TextOps.t8(spark, sf)
+    val expected = promoted.collect().map(_.toSeq)
+    assert(promoted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small tf side should broadcast")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // model an over-threshold tf
+      val demoted = TextOps.t8(spark, sf)
+      val got = demoted.collect().map(_.toSeq)
+      assert(demoted.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "over-threshold tf side must plan a shuffle join")
+      assert(got.length === expected.length)
+      assert(got.zip(expected).forall { case (a, b) => a == b })
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("t9 repetition: arg-max token with lexicographic ties; dup-trigram fraction counts repeats") {
     import spark.implicits._
     // the sf corpus has dup_trigram_frac = 0 everywhere (diverse
