@@ -814,12 +814,16 @@ object Relational {
   // q26: TPC-H Q15-style top supplier(s) — suppliers whose windowed
   // revenue equals the GLOBAL maximum, ties included (the correctness
   // trap a LIMIT 1 formulation silently gets wrong). Same decorrelated
-  // shape as q23: facts aggregate ONCE at supplier cardinality, the
-  // max is an empty-partition window over those |suppliers| rows, and
-  // the equality gate runs on the EXACT DECIMAL revenue — comparing
-  // doubles for equality here would be the classic FP bug; decimals
-  // make "tied" well-defined and engine-identical. Supplier names
-  // attach via broadcast after the gate (O(winners) rows).
+  // shape as q23: facts aggregate ONCE at supplier cardinality; the
+  // global max is a 1-ROW AGGREGATE broadcast back — NOT an
+  // empty-partition window, which would funnel all |suppliers| rows
+  // (~750M at the 100 TB TPC-H scale) through a single task. Partial
+  // max is map-side, and both consumers of `rev` share one exchange
+  // (ReuseExchange — q23's pattern). The equality gate runs on the
+  // EXACT DECIMAL revenue — comparing doubles for equality here would
+  // be the classic FP bug; decimals make "tied" well-defined and
+  // engine-identical. Supplier names attach via broadcast after the
+  // gate (O(winners) rows).
   def q26(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
@@ -827,8 +831,8 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
         .as("__rev"))
-    val gated = rev
-      .withColumn("__mx", max(col("__rev")).over(Window.partitionBy()))
+    val mx = rev.agg(max(col("__rev")).as("__mx"))
+    val gated = rev.crossJoin(broadcast(mx)) // provably 1 row
       .filter(col("__rev") === col("__mx"))
     gated.join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))

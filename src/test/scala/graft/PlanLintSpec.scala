@@ -18,7 +18,14 @@ class PlanLintSpec extends SparkSuite {
     // Window with an empty partition spec funnels the whole input
     // through ONE task — the round-1 m11 bug. A window whose input is
     // already bounded (below an Aggregate or Limit, e.g. c5's
-    // distinct-values encoder) is fine.
+    // distinct-values encoder) is fine — PROVIDED the aggregate's key
+    // cardinality is bounded by the SCHEMA, not the data. Audit of the
+    // empty-partition windows this lint admits: q23 (25 nations), q24
+    // (calendar days), m16 (corpus sources), mm6 (16 hex shards) are
+    // all schema/domain-bounded. q26 was NOT (suppliers scale with SF,
+    // ~750M rows at 100 TB) and was rewritten as a 1-row agg +
+    // broadcast join; any new empty-partition window over a
+    // data-cardinality aggregate needs the same rewrite.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val hits = fn(spark, sf).queryExecution.optimizedPlan.collect {
