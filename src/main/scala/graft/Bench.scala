@@ -39,19 +39,38 @@ object Bench {
       .collect()
     catch { case _: Throwable => () }
 
-    // min of two runs per query: run 1 absorbs per-query codegen/JIT
+    // Contention calibration: the SAME fixed CPU-bound job timed before
+    // and after the query sweep. Min-of-N can't defend against machine
+    // contention spanning the whole run (the round-4 driver bench
+    // recorded ~2.4× near-uniform inflation that a same-machine re-run
+    // couldn't reproduce); the `cal` pair makes a loaded machine
+    // visible IN the bench line itself, so a reader can normalize
+    // instead of mistaking contention for a code regression.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 2 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // throwaway: JITs the calibration kernel itself
+    val calStart = calibrate()
+
+    // min of N runs per query: run 1 absorbs per-query codegen/JIT
     // compile and any transient machine contention (round-1 driver bench
     // showed a ~40s contention window that inflated q2/q3/q4 to 7-12s
     // vs 1.0-1.4s reproduced single-run on the same machine/data —
-    // PLANS.md "bench conditions"); min-of-2 reports steady-state cost.
+    // PLANS.md "bench conditions"); min-of-N reports steady-state cost.
+    // The two MLlib queries get a third run: iterative training has the
+    // widest run-to-run variance (m14's 3-fold CV spans many jobs).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = if (name == "m14_grid_search" || name == "m7_feature_importance") 3 else 2
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
+    val calEnd = calibrate()
     // The driver captures only the LAST ~2000 chars of output and parses
     // the JSON line out of that tail — rounds 1-3 emitted ~2600-char lines
     // (full float precision) whose head fell outside the buffer, so the
@@ -71,7 +90,7 @@ object Bench {
         val key = if (short) k.takeWhile(_ != '_') else k // family ids (q22, mm4…) are unique
         s""""$key":${num(dec, v)}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":[${num(2, calStart)},${num(2, calEnd)}]}"""
     }
     // stay well inside the 2000-char tail as the query count grows:
     // full keys at 3 then 2 decimals; past ~78 queries even that
