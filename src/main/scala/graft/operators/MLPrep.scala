@@ -142,14 +142,50 @@ object MLPrep {
     * same-class neighbor in hash order — x + λ(y−x) with λ derived
     * deterministically from (hash, copy). Neighbor discovery is a
     * single per-class window (hash order ≈ random projection); at
-    * 100 TB swap the window for LSH-bucket neighbors (d3 machinery).
-    * Non-feature columns copy from the seed row. */
+    * extreme scale use [[smoteOversampleLsh]], which bounds every
+    * window partition. Non-feature columns copy from the seed row. */
   def smoteOversample(df: DataFrame, labelCol: String, featureCols: Seq[String],
-      minorityLabel: Any, copies: Int): DataFrame = {
+      minorityLabel: Any, copies: Int): DataFrame =
+    smoteInterpolate(df, labelCol, featureCols, minorityLabel, copies, bucketCol = None)
+
+  /** SMOTE for the 100 TB regime: neighbor discovery via
+    * random-hyperplane LSH buckets (s2's sign-hash machinery applied
+    * to the raw feature columns) instead of one per-class window —
+    * the window variant funnels the entire minority class through a
+    * single task per class, while here each window partition is a
+    * (class, bucket) slice of ~|minority|/2^planes rows. Neighbors
+    * come from the same bucket, so synthetics interpolate between
+    * geometrically CLOSE rows — closer to classic SMOTE's k-NN
+    * semantics than hash order, as well as scale-safe. Plane
+    * coefficients are seeded driver-side constants (O(planes×dims),
+    * baked into the plan — no data-dependent second pass). Rows alone
+    * in their bucket emit nothing (no neighbor), matching the window
+    * variant's treatment of the last row in hash order. */
+  def smoteOversampleLsh(df: DataFrame, labelCol: String, featureCols: Seq[String],
+      minorityLabel: Any, copies: Int, planes: Int = 4, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val coef = Array.fill(planes, featureCols.size)(rnd.nextGaussian())
+    val bucket = (0 until planes).map { p =>
+      val dot = featureCols.zipWithIndex
+        .map { case (c, j) => col(c).cast("double") * lit(coef(p)(j)) }
+        .reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    smoteInterpolate(df, labelCol, featureCols, minorityLabel, copies, Some(bucket))
+  }
+
+  /** Shared interpolation core of the two SMOTE variants: window over
+    * (class [, bucket]) in hash order, lead-neighbor, x + λ(y−x). */
+  private def smoteInterpolate(df: DataFrame, labelCol: String, featureCols: Seq[String],
+      minorityLabel: Any, copies: Int, bucketCol: Option[Column]): DataFrame = {
     val h = xxhash64(struct(df.columns.toSeq.map(col): _*))
-    val w = Window.partitionBy(col(labelCol)).orderBy(h)
-    val minority = df.filter(col(labelCol) === lit(minorityLabel))
+    val minority0 = df.filter(col(labelCol) === lit(minorityLabel))
       .withColumn("__h", pmod(h, lit(97L)))
+    val (minority, partCols) = bucketCol match {
+      case Some(b) => (minority0.withColumn("__b", b), Seq(col(labelCol), col("__b")))
+      case None    => (minority0, Seq(col(labelCol)))
+    }
+    val w = Window.partitionBy(partCols: _*).orderBy(h)
     val withNext = featureCols.foldLeft(minority) { (d, c) =>
       d.withColumn(s"__next_$c", lead(col(c), 1).over(w))
     }.filter(col(s"__next_${featureCols.head}").isNotNull)

@@ -110,6 +110,34 @@ class PipelineSpec extends SparkSuite {
     assert(bad === 0) // interpolation stays inside the class hull
   }
 
+  test("LSH-bucketed SMOTE interpolates within-bucket on a clustered frame") {
+    import spark.implicits._
+    import graft.operators.MLPrep
+    // Two minority clusters on opposite sides of the origin: every
+    // hyperplane through the origin whose coefficients don't cancel
+    // assigns them opposite sign bits, so they land in different LSH
+    // buckets. Within-bucket interpolation must keep every synthetic
+    // point inside its own cluster's hull — a cross-cluster neighbor
+    // (possible under plain hash order) would land between clusters.
+    val rnd = new scala.util.Random(7)
+    def jig() = rnd.nextDouble() * 2 - 1 // cluster spread ±1 around ±10
+    val rows =
+      (1 to 40).map(i => (i.toLong, 10.0 + jig(), 10.0 + jig(), "min")) ++
+      (41 to 80).map(i => (i.toLong, -10.0 + jig(), -10.0 + jig(), "min")) ++
+      (81 to 400).map(i => (i.toLong, jig() * 100, jig() * 100, "maj"))
+    val df = rows.toDF("id", "x", "y", "label")
+    val synth = MLPrep.smoteOversampleLsh(df, "label", Seq("x", "y"), "min", 2).collect()
+    // 80 seeds × 2 copies, minus 2 per occupied bucket (its hash-order
+    // last row has no lead neighbor) — ≥120 allows up to 20 buckets
+    assert(synth.length >= 120, s"expected ~2 synthetics per seed, got ${synth.length}")
+    val crossCluster = synth.count { r =>
+      val (x, y) = (r.getAs[Double]("x"), r.getAs[Double]("y"))
+      !((x > 8 && x < 12 && y > 8 && y < 12) || (x > -12 && x < -8 && y > -12 && y < -8))
+    }
+    assert(crossCluster === 0,
+      "every synthetic row must interpolate within one cluster's bucket")
+  }
+
   test("imbalanced classification triggers SMOTE + class weights and still trains") {
     import spark.implicits._
     // 4% positives → ratio < 0.2 → imbalance path
