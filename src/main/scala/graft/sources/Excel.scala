@@ -35,6 +35,7 @@ object Excel {
     * otherwise everything is string. */
   def read(s: SparkSession, path: String, sheet: Option[String] = None,
       header: Boolean = true, inferTypes: Boolean = true): DataFrame = {
+    rejectLegacyXls(path)
     val zip = new ZipFile(path)
     try {
       val shared = readSharedStrings(zip)
@@ -75,6 +76,24 @@ object Excel {
       }
       s.createDataFrame(java.util.Arrays.asList(converted: _*), schema)
     } finally zip.close()
+  }
+
+  /** Legacy .xls (BIFF / OLE2 compound file, magic D0 CF 11 E0) is not
+    * a zip — without this check a user uploading an old-format
+    * workbook gets an opaque "zip END header not found" instead of an
+    * actionable message. The reference accepts both formats via
+    * pd.read_excel (main.py:409); this library supports .xlsx only
+    * and says so crisply. */
+  private def rejectLegacyXls(path: String): Unit = {
+    val in = new java.io.FileInputStream(path)
+    val magic = try {
+      val b = new Array[Byte](4)
+      val n = in.read(b)
+      if (n == 4) b else Array.empty[Byte]
+    } finally in.close()
+    if (magic.sameElements(Array(0xD0, 0xCF, 0x11, 0xE0).map(_.toByte)))
+      throw new IllegalArgumentException(
+        s"legacy .xls (BIFF) workbook not supported — convert to .xlsx or CSV: $path")
   }
 
   /** Write a DataFrame to a single .xlsx (driver-side collect — for

@@ -83,6 +83,18 @@ class IngestSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Excel.read(spark, path, sheet = Some("nope")) }
   }
 
+  test("legacy .xls (BIFF) is rejected with an actionable message, not a zip error") {
+    import graft.sources.Excel
+    val path = java.nio.file.Files.createTempFile("graft-legacy", ".xls").toString
+    val out = new java.io.FileOutputStream(path)
+    out.write(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)) // OLE2 magic
+    out.write(new Array[Byte](512))
+    out.close()
+    val e = intercept[IllegalArgumentException] { Excel.read(spark, path) }
+    assert(e.getMessage.contains("legacy .xls"))
+    assert(e.getMessage.contains("convert to .xlsx or CSV"))
+  }
+
   test("json roundtrip preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     Tables.customer(spark, sf).write.mode("overwrite").json(dir)
