@@ -239,6 +239,18 @@ object TextFunctions {
   /** SQL: token list of column `c`. */
   def tokensSql(c: String): String = s"string_split($c, ' ')"
 
+  /** SQL: [[qualityScore]]'s DuckDB twin over a text column `c` —
+    * the ONE statement of the length/punct/stopword formula (t2Sql
+    * and t10Sql both call this; a third restated copy is how the
+    * engines silently desync). Unrounded, like the Column version. */
+  def qualityScoreSql(c: String): String = {
+    val toks = tokensSql(c)
+    val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""least(1.0, length($c)/500.0)
+       |    * (1.0 - CAST(len(regexp_extract_all($c, '[^a-z0-9 ]')) AS DOUBLE)/length($c))
+       |    * (1.0 - CAST(len(list_filter($toks, t -> t IN ($inList))) AS DOUBLE)/len($toks))""".stripMargin
+  }
+
   /** SQL: tcode of a scalar token expression `t`. */
   def tcodeSql(t: String): String =
     s"(length($t)*1000003 + ascii($t)*81761 + ascii(reverse($t))*3119 + ascii(substr($t || 'xx', 2, 1))*31)"

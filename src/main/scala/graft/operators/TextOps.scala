@@ -56,9 +56,7 @@ object TextOps {
     s"""SELECT doc_id,
        |  CAST(len($toks) AS BIGINT) AS n_tokens,
        |  CAST(len(list_filter($toks, t -> t IN ($inList))) AS BIGINT) AS n_stop,
-       |  round(least(1.0, length(text)/500.0)
-       |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)/length(text))
-       |    * (1.0 - CAST(len(list_filter($toks, t -> t IN ($inList))) AS DOUBLE)/len($toks)), 6) AS quality
+       |  round(${qualityScoreSql("text")}, 6) AS quality
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
@@ -213,6 +211,29 @@ object TextOps {
        |ORDER BY doc_freq DESC, ngram
        |LIMIT 20""".stripMargin
 
+  /** t7's documented scale path: the same top-k n-gram document
+    * frequencies, but the corpus-wide aggregation keys on
+    * xxhash64(ngram) — a fixed-width 8-byte shuffle/sort key — with
+    * min(ngram) carried as the exemplar (d8's hashed-key shape,
+    * deterministic where first() isn't). At sf0.1 t7 is
+    * expression-bound, not shuffle-bound (measured, PLANS.md), so the
+    * oracle query keeps the readable raw-string groupBy; at corpus
+    * scale (~1e9 distinct n-grams) the raw-string variant's shuffle
+    * compares and sorts variable-length keys, and this one wins.
+    * xxhash64 collisions would merge two n-grams' counts; at 1e9
+    * distinct keys the birthday bound is ~3% chance of ONE collision
+    * corpus-wide — fine for a frequency diagnostic (and spec'd
+    * identical to t7 at test scale). */
+  def ngramStatsHashed(docs: DataFrame, textCol: String = "text",
+      k: Int = 3, topK: Int = 20): DataFrame = {
+    docs.select(explode(shinglesK(tokens(col(textCol)), k)).as("ngram"))
+      .groupBy(xxhash64(col("ngram")).as("__h"))
+      .agg(min(col("ngram")).as("ngram"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(topK)
+      .select(col("ngram"), col("doc_freq"))
+  }
+
   // -------------------------------------------------------------------
   // t8: corpus unigram-LM document scoring — the CCNet-style quality
   // filter: score each document by the average log-probability of its
@@ -359,13 +380,10 @@ object TextOps {
 
   val t10Sql: String = {
     val toks = tokensSql("text")
-    val inList = stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH d AS (
        |  SELECT doc_id, source, lang,
        |    CAST(len($toks) AS BIGINT) AS n_toks,
-       |    CAST(round(least(1.0, length(text)/500.0)
-       |      * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)/length(text))
-       |      * (1.0 - CAST(len(list_filter($toks, t -> t IN ($inList))) AS DOUBLE)/len($toks)), 6)
+       |    CAST(round(${qualityScoreSql("text")}, 6)
        |      AS DECIMAL(18,8)) AS q,
        |    md5(text) AS h
        |  FROM documents),

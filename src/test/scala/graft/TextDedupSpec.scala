@@ -252,6 +252,13 @@ class TextDedupSpec extends SparkSuite {
     assert(missed === 0)
   }
 
+  test("hashed-key ngram stats return t7's exact top-k") {
+    val viaString = TextOps.t7(spark, sf).collect().map(_.toSeq)
+    val viaHash = TextOps.ngramStatsHashed(Tables.documents(spark, sf)).collect().map(_.toSeq)
+    assert(viaHash.length === 20)
+    assert(viaHash.zip(viaString).forall { case (a, b) => a == b })
+  }
+
   test("t8 unigram logprobs are negative, bounded by rare-token counts") {
     val r = TextOps.t8(spark, sf).collect()
     assert(r.length === 500)
