@@ -9,11 +9,18 @@ import org.apache.spark.sql.SparkSession
   * numbers in PLANS.md are written down.
   *
   * Usage: runMain graft.PlanDump /root/testdata/sf0.01 q20_range_window t8_unigram_logprob
+  *
+  * With `--exec` as the second arg, each query is EXECUTED first and
+  * the FINAL adaptive plan is printed — AQE decisions (runtime
+  * broadcast promotion, exchange/stage reuse, skew splits) only exist
+  * there, not in the static `explain` output.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val exec = args.lift(1).contains("--exec")
+    val rest = args.drop(if (exec) 2 else 1).toSeq
+    val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +33,14 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) {
+        // collect() executes THIS DataFrame's own query execution —
+        // count() would build (and adaptively finalize) a different
+        // plan, leaving df's at isFinalPlan=false.
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

@@ -825,9 +825,14 @@ object Relational {
   // engine-identical. Supplier names attach via broadcast after the
   // gate (O(winners) rows).
   def q26(s: SparkSession, dir: String): DataFrame = {
+    // The explicit isNotNull matches the null filter the join infers on
+    // the probe side — without it the two `rev` subtrees canonicalize
+    // differently and ReuseExchange can't serve the max side from the
+    // probe side's aggregate (it would re-scan lineitem).
     val rev = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
-        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")) &&
+        col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
         .as("__rev"))
