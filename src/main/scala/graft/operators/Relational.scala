@@ -595,7 +595,11 @@ object Relational {
     val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
     val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    // supplier/customer are UNHINTED (they scale with SF — a forced
+    // broadcast OOMs at SF-1000; the threshold/AQE promotes them at
+    // small SFs, where they do broadcast). nation is schema-bounded
+    // (25 rows) so the hint is safe.
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
@@ -839,7 +843,10 @@ object Relational {
     val mx = rev.agg(max(col("__rev")).as("__mx"))
     val gated = rev.crossJoin(broadcast(mx)) // provably 1 row
       .filter(col("__rev") === col("__mx"))
-    gated.join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+    // Broadcast the GATED side (provably O(winners) rows), not the
+    // supplier table — supplier scales with SF and a forced broadcast
+    // of the build side would OOM at SF-1000.
+    broadcast(gated).join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("__rev").cast("double").as("total_revenue"))
       .orderBy(col("s_suppkey"))

@@ -502,12 +502,18 @@ object Streams {
   // reference semantics; StreamingSpec drives the identical transform
   // through a MemoryStream.
   //
-  // Scale shape: dim is broadcast (map-side join, zero shuffle on the
-  // unbounded side); unmatched events keep flowing with an '(unknown)'
-  // segment (left join — an enrichment must never drop facts); the
-  // report agg carries ≤ |segments×types| rows out of the scan.
+  // Scale shape: the dim join is UNHINTED — Spark broadcasts it from
+  // the static size estimate when it fits (it does at every test SF,
+  // giving the map-side join with zero shuffle on the unbounded side)
+  // and falls back to shuffling each micro-batch against a
+  // co-partitioned dim when a forced broadcast would OOM (customer
+  // scales with SF; streaming can't use AQE, so the hint would have
+  // no runtime demotion to save it). Unmatched events keep flowing
+  // with an '(unknown)' segment (left join — an enrichment must never
+  // drop facts); the report agg carries ≤ |segments×types| rows out
+  // of the scan.
   def enrichWithDim(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
-    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
+    stream.join(dim, stream(streamKey) === dim(dimKey), "left")
 
   def st9(s: SparkSession, dir: String): DataFrame = {
     val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
