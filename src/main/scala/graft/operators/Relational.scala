@@ -865,7 +865,88 @@ object Relational {
       |WHERE rev = mx
       |ORDER BY s_suppkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q27: TPC-H Q21-style "sole failing supplier" — suppliers who were
+  // the ONLY supplier with a returned item on a multi-supplier,
+  // fully-shipped order (the classic double-correlated EXISTS /
+  // NOT EXISTS pair; this schema has no commit/receipt dates, so
+  // l_returnflag='R' is the failure signal). Decorrelated to ONE
+  // per-order aggregate: because the gate requires EXACTLY ONE flagged
+  // supplier, max(CASE WHEN flagged THEN suppkey END) IS that supplier
+  // — no second lineitem scan, no distinct-pairs frame, no join back
+  // to lineitem. One lineitem shuffle (orderkey), one co-partitioned
+  // join with status-filtered orders, then a supplier-cardinality agg.
+  // The EXISTS pair a naive port would write runs the fact scan three
+  // times; this runs it once.
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val flagged = when(col("l_returnflag") === "R", col("l_suppkey"))
+    val perOrder = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("__n_supps"),
+        countDistinct(flagged).as("__n_flagged"),
+        max(flagged).as("__supp"))
+      .filter(col("__n_supps") > 1 && col("__n_flagged") === 1)
+    val f = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    perOrder.join(f, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("__supp").as("l_suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("l_suppkey"))
+      .limit(50)
+  }
+
+  val q27Sql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supps,
+      |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_flagged,
+      |    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS supp
+      |  FROM lineitem GROUP BY 1)
+      |SELECT supp AS l_suppkey, count(*) AS n_orders
+      |FROM po JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |WHERE n_supps > 1 AND n_flagged = 1
+      |GROUP BY 1
+      |ORDER BY n_orders DESC, l_suppkey
+      |LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q28: TPC-H Q13-style customer order-count distribution — how many
+  // customers placed 0, 1, 2, … non-urgent orders. The zero bucket is
+  // the point: it needs a LEFT join with the priority filter in the
+  // ON clause (filtering the orders INPUT, not the join output —
+  // a WHERE would silently drop the zero-order customers Q13 exists
+  // to count). Scale shape: orders filter is pushed to the scan, the
+  // join and the per-customer count share one custkey shuffle
+  // (ReuseExchange), and the final histogram agg carries
+  // ≤ max(n_orders) rows.
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders")) // count() skips the null non-matches
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+  }
+
+  val q28Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, count(o_orderkey) AS n_orders
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |SELECT n_orders, count(*) AS n_customers
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY n_customers DESC, n_orders DESC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_one_failed_supplier" -> (q27 _),
+    "q28_order_distribution" -> (q28 _),
     "q26_top_supplier" -> (q26 _),
     "q24_daily_audience" -> (q24 _),
     "q25_idle_customers" -> (q25 _),
@@ -894,6 +975,8 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q27_one_failed_supplier" -> q27Sql,
+    "q28_order_distribution" -> q28Sql,
     "q26_top_supplier" -> q26Sql,
     "q24_daily_audience" -> q24Sql,
     "q25_idle_customers" -> q25Sql,

@@ -256,6 +256,22 @@ object Streams {
           "c_ts <= ts AND c_ts > ts - INTERVAL 30 MINUTES"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like
+    * [[streamingIntervalJoin]], but purchases with NO click in the
+    * window are kept (click columns null). Structured Streaming
+    * supports this natively: matched rows emit immediately; an
+    * unmatched purchase emits with nulls once the watermark proves no
+    * admissible click can still arrive — which is why BOTH watermarks
+    * are mandatory for outer joins (the inner form only needs them to
+    * bound state). */
+  def streamingIntervalJoinOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    purchases.withWatermark("ts", "10 minutes")
+      .join(clicks.withWatermark("c_ts", "40 minutes"),
+        expr("user_id = c_user AND " +
+          "c_ts <= ts AND c_ts > ts - INTERVAL 30 MINUTES"),
+        "leftOuter")
+  }
+
   /** Library API: skew-safe batch interval join — inner-join each left
     * row with the right rows of the same key whose time lies in
     * `(leftTime - intervalMs, leftTime]`.
@@ -334,6 +350,46 @@ object Streams {
       |  max(epoch_ms(c.ts)) AS last_click_ms
       |FROM (SELECT * FROM events WHERE event_type='purchase') p
       |JOIN (SELECT * FROM events WHERE event_type='click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+      | AND epoch_ms(c.ts) > epoch_ms(p.ts) - 1800000
+      |GROUP BY p.user_id, p.event_id, epoch_ms(p.ts)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // st11: LEFT OUTER attribution — st6 with the zero-click purchases
+  // kept (n_clicks_30m = 0, last_click_ms null). The conversion-rate
+  // question st6 can't answer is "how many purchases had NO preceding
+  // click" — exactly the rows an inner join drops. Batch twin: the
+  // skew-safe bucketed INNER intervalJoin aggregated per purchase,
+  // then one left join back onto the purchase set (the outer-ness is
+  // re-introduced AFTER the bucketed join, because a left-exploded
+  // outer join would emit an unmatched purchase once per covering
+  // bucket). Streaming form: [[streamingIntervalJoinOuter]], the
+  // native watermarked outer join (spec-driven through MemoryStreams,
+  // including the watermark-gated null emission).
+  def st11(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("purchase_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_millis(col("ts")).as("click_ms"))
+    val matched = intervalJoin(p, c, "user_id", "c_user", "purchase_ms", "click_ms", 1800000L)
+      .groupBy(col("user_id"), col("event_id"), col("purchase_ms"))
+      .agg(count(lit(1)).as("__n"), max(col("click_ms")).as("last_click_ms"))
+    p.join(matched, Seq("user_id", "event_id", "purchase_ms"), "left")
+      .select(col("user_id"), col("event_id"), col("purchase_ms"),
+        coalesce(col("__n"), lit(0L)).as("n_clicks_30m"), col("last_click_ms"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val st11Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS event_id,
+      |  epoch_ms(p.ts) AS purchase_ms,
+      |  count(c.user_id) AS n_clicks_30m,
+      |  max(epoch_ms(c.ts)) AS last_click_ms
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
       |  ON p.user_id = c.user_id
       | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
       | AND epoch_ms(c.ts) > epoch_ms(p.ts) - 1800000
@@ -533,6 +589,7 @@ object Streams {
       |ORDER BY segment, event_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_interval_join_outer" -> (st11 _),
     "st10_rate_flag" -> (st10 _),
     "st9_stream_enrich" -> (st9 _),
     "st8_windowed_topk" -> (st8 _),
@@ -542,6 +599,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st11_interval_join_outer" -> st11Sql,
     "st10_rate_flag" -> st10Sql,
     "st9_stream_enrich" -> st9Sql,
     "st8_windowed_topk" -> st8Sql,

@@ -169,6 +169,36 @@ class RelationalSpec extends SparkSuite {
     assert(r.forall(_.getAs[Double]("total_revenue") === 100.0))
   }
 
+  test("q27 gates on exactly-one flagged supplier of a multi-supplier F order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q27").toString
+    Seq(
+      (10L, 1L, "R"), (10L, 2L, "N"),             // qualifies: supp 1 sole-flagged
+      (11L, 1L, "R"), (11L, 2L, "R"),             // two flagged → out
+      (12L, 3L, "R"),                             // single-supplier → out
+      (13L, 1L, "R"), (13L, 2L, "N"),             // order not 'F' → out
+      (14L, 2L, "R"), (14L, 1L, "N"), (14L, 3L, "N")) // qualifies: supp 2
+      .toDF("l_orderkey", "l_suppkey", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((10L, "F"), (11L, "F"), (12L, "F"), (13L, "O"), (14L, "F"))
+      .toDF("o_orderkey", "o_orderstatus")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = Relational.q27(spark, dir).collect()
+      .map(row => row.getAs[Long]("l_suppkey") -> row.getAs[Long]("n_orders"))
+    assert(r.toSeq === Seq(1L -> 1L, 2L -> 1L))
+  }
+
+  test("q28 counts zero-order customers in the histogram's zero bucket") {
+    val r = Relational.q28(spark, sf).collect()
+      .map(row => row.getAs[Long]("n_orders") -> row.getAs[Long]("n_customers")).toMap
+    val nCust = Tables.customer(spark, sf).count()
+    assert(r.values.sum === nCust, "every customer lands in exactly one bucket")
+    val withOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey").distinct().count()
+    assert(r.getOrElse(0L, 0L) === nCust - withOrders, "zero bucket = customers with no qualifying orders")
+  }
+
   test("q19 salted join result equals the plain join+agg") {
     val salted = Relational.q19(spark, sf).collect().map(_.toSeq)
     val li = Tables.lineitem(spark, sf)

@@ -280,6 +280,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("st11 batch twin equals the naive left join; zero-click purchases kept") {
+    val naiveSql =
+      """SELECT p.user_id, p.event_id, p.purchase_ms,
+        |  count(c.c_user) AS n_clicks_30m, max(c.click_ms) AS last_click_ms
+        |FROM p LEFT JOIN c ON p.user_id = c.c_user
+        |  AND c.click_ms <= p.purchase_ms AND c.click_ms > p.purchase_ms - 1800000
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+    val ev = Tables.events(spark, sf)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("purchase_ms"))
+      .createOrReplaceTempView("p")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_millis(col("ts")).as("click_ms"))
+      .createOrReplaceTempView("c")
+    val naive = spark.sql(naiveSql).collect().map(_.toSeq)
+    val bucketed = Streams.st11(spark, sf).collect().map(_.toSeq)
+    assert(bucketed.length === naive.length)
+    assert(bucketed.zip(naive).forall { case (a, b) => a == b })
+    assert(bucketed.exists(_(3) == 0L), "zero-click purchases must be present")
+  }
+
+  test("streaming outer interval join emits unmatched purchases after the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(minute: Long) = new java.sql.Timestamp(86400000L + minute * 60000L)
+    val pMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cMem = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = pMem.toDF().toDF("user_id", "event_id", "ts")
+    val clicks = cMem.toDF().toDF("c_user", "c_ts")
+    val q = Streams.streamingIntervalJoinOuter(purchases, clicks)
+      .select(col("user_id"), col("event_id"), col("c_ts"))
+      .writeStream.outputMode("append").format("memory").queryName("outer_ij").start()
+    try {
+      // u1's purchase has a click 5 min before; u2's has none
+      pMem.addData((1L, 101L, ts(30)), (2L, 201L, ts(31)))
+      cMem.addData((1L, ts(25)))
+      q.processAllAvailable()
+      val matched = spark.table("outer_ij").collect()
+      assert(matched.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 101L)),
+        "matched row emits immediately; unmatched must WAIT for the watermark")
+      assert(matched.head.get(2) != null)
+      // advance both watermarks far past u2's purchase + interval
+      pMem.addData((9L, 901L, ts(600))); cMem.addData((9L, ts(600)))
+      q.processAllAvailable()
+      pMem.addData((9L, 902L, ts(601))); cMem.addData((9L, ts(601)))
+      q.processAllAvailable()
+      val u2 = spark.table("outer_ij").collect()
+        .filter(_.getLong(0) == 2L)
+      assert(u2.length === 1, "u2's zero-click purchase must emit exactly once")
+      assert(u2.head.get(2) == null, "…with null click columns")
+    } finally q.stop()
+  }
+
   test("streaming stream-static enrichment equals the batch twin (st9)") {
     val (batch, stream) = stagedStream()
     val dim = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
