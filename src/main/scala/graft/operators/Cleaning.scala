@@ -438,7 +438,57 @@ object Cleaning {
       |  SELECT 'props_wellformed', n, CAST(v_props AS BIGINT), CAST(v_props AS DOUBLE)/n FROM a
       |) ORDER BY rule""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c13: referential-integrity audit — orphaned-foreign-key counts and
+  // rates for the schema's FK edges (the cross-TABLE data-quality
+  // check c12's single-table rules can't express; in a lake, broken
+  // FKs are how partial loads and late dims surface). Each edge is ONE
+  // left join + count-nulls pass (an anti-join would need a second
+  // pass for the denominator); parent keys are primary keys, so the
+  // join can't fan out. Rates are emitted as integer PARTS-PER-MILLION
+  // (n·10⁶ div total): exact in both engines, no FP rounding ties.
+  // Scale: each audit is a co-partitioned shuffle join whose compute
+  // is one boolean per child row — scan-bound, and the three audits
+  // are independent jobs.
+  def c13(s: SparkSession, dir: String): DataFrame = {
+    def audit(child: DataFrame, ckey: String, parent: DataFrame, pkey: String,
+        name: String): DataFrame =
+      child.select(col(ckey).as("__k"))
+        .join(parent.select(col(pkey).as("__p")), col("__k") === col("__p"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"),
+          expr("n_orphans * 1000000L div n_child").as("orphan_ppm"))
+    audit(Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey",
+        "lineitem.l_orderkey -> orders")
+      .unionByName(audit(Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir),
+        "c_custkey", "orders.o_custkey -> customer"))
+      .unionByName(audit(Tables.events(s, dir), "user_id", Tables.customer(s, dir),
+        "c_custkey", "events.user_id -> customer"))
+      .orderBy(col("relationship"))
+  }
+
+  val c13Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+      |    count(*) AS n_child,
+      |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+      |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) * 1000000 AS BIGINT) // count(*) AS orphan_ppm
+      |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey -> customer', count(*),
+      |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) * 1000000 AS BIGINT) // count(*)
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  UNION ALL
+      |  SELECT 'events.user_id -> customer', count(*),
+      |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) * 1000000 AS BIGINT) // count(*)
+      |  FROM events LEFT JOIN customer ON user_id = c_custkey
+      |) ORDER BY relationship""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c13_fk_audit" -> (c13 _),
     "c12_expectations" -> (c12 _),
     "c11_null_standardize" -> (c11 _),
     "c1_profile" -> (c1 _), "c2_impute_median" -> (c2 _), "c3_impute_mode" -> (c3 _),
@@ -447,6 +497,7 @@ object Cleaning {
     "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
+    "c13_fk_audit" -> c13Sql,
     "c12_expectations" -> c12Sql,
     "c11_null_standardize" -> c11Sql,
     "c1_profile" -> c1Sql, "c2_impute_median" -> c2Sql, "c3_impute_mode" -> c3Sql,

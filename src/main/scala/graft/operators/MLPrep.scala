@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.ExactNum._
+import graft.functions.TextFunctions.{tcode, tcodeSql}
 
 /** C-family: ML preprocessing (SURVEY.md §2.C) — the Spark-native
   * re-expression of the reference's `train_model` preprocessing
@@ -793,7 +794,85 @@ object MLPrep {
       |FROM p, g
       |ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m19: hashing-trick feature encoding (sklearn FeatureHasher /
+  // HashingVectorizer's idea) — category → pmod(portable hash, 16)
+  // with NO fit pass at all. That's the 100 TB story vs c5/c6/m18:
+  // label, frequency, and target encoding each need a vocabulary
+  // aggregate + a join; the hashed encode is a pure map-side
+  // expression with zero state, so new categories at inference time
+  // can't break it. The diagnostic output groups by bucket and counts
+  // distinct source values — n_values > 1 IS a measured hash
+  // collision (the trick's known cost, quantified rather than
+  // guessed). Uses tcode (TextFunctions) — the same polynomial hash
+  // both engines compute identically.
+  def m19(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("f_bucket", pmod(tcode(col("event_type")), lit(16L)))
+      .groupBy(col("f_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_type")).as("n_values"))
+      .orderBy(col("f_bucket"))
+  }
+
+  val m19Sql: String = {
+    s"""SELECT ${tcodeSql("event_type")} % 16 AS f_bucket,
+       |  count(*) AS n_rows,
+       |  count(DISTINCT event_type) AS n_values
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY f_bucket""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // m20: PSI drift audit (population stability index) between the m3
+  // train/test splits over 20 fixed-width o_totalprice bins — the
+  // standard "did my split/feature distribution shift" monitor a
+  // production scoring pipeline runs per release. Shape: bounds agg
+  // broadcast (m8), ONE scan bins both splits via conditional sums,
+  // the 20-row bucket frame self-aggregates for totals (1-row
+  // broadcast), psi terms are per-bucket expressions. Zero-count
+  // buckets clamp to 1e-6 (the PSI convention) so ln stays finite.
+  // FP: fractions are single divisions of exact counts; ln + round(6)
+  // is deterministic at these magnitudes (§6.5).
+  def m20(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("__is_test", col("o_orderkey") % 5 === 0) // m3's split rule
+    val mm = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    val b = o.join(broadcast(mm))
+      .withColumn("bucket",
+        least(floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 20)), lit(19L)))
+      .groupBy(col("bucket"))
+      .agg(sum(when(!col("__is_test"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("__is_test"), 1L).otherwise(0L)).as("n_test"))
+    val tot = b.agg(sum(col("n_train")).as("__tr"), sum(col("n_test")).as("__te"))
+    val p = greatest(col("n_train").cast("double") / col("__tr"), lit(0.000001))
+    val q = greatest(col("n_test").cast("double") / col("__te"), lit(0.000001))
+    b.crossJoin(broadcast(tot)) // provably 1 row
+      .select(col("bucket"), col("n_train"), col("n_test"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
+  val m20Sql: String =
+    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+      |b AS (
+      |  SELECT CAST(least(floor((o_totalprice - mn)/((mx - mn)/20)), 19) AS BIGINT) AS bucket,
+      |    CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+      |    CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      |  FROM orders, mm GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_train) AS BIGINT) AS tr, CAST(sum(n_test) AS BIGINT) AS te FROM b)
+      |SELECT bucket, n_train, n_test,
+      |  round((greatest(CAST(n_train AS DOUBLE)/tr, 0.000001)
+      |         - greatest(CAST(n_test AS DOUBLE)/te, 0.000001))
+      |    * ln(greatest(CAST(n_train AS DOUBLE)/tr, 0.000001)
+      |         / greatest(CAST(n_test AS DOUBLE)/te, 0.000001)), 6) AS psi_term
+      |FROM b, tot
+      |ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m19_feature_hash" -> (m19 _),
+    "m20_psi_drift" -> (m20 _),
     "m18_target_encode" -> (m18 _),
     "m17_quantile_bin" -> (m17 _),
     "m16_domain_mix" -> (m16 _),
@@ -806,6 +885,8 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m19_feature_hash" -> m19Sql,
+    "m20_psi_drift" -> m20Sql,
     "m18_target_encode" -> m18Sql,
     "m17_quantile_bin" -> m17Sql,
     "m16_domain_mix" -> m16Sql,

@@ -96,6 +96,47 @@ class CleaningSpec extends SparkSuite {
     assert(math.abs(t / n - 0.2) < 0.05)
   }
 
+  test("c13 FK audit counts planted orphans with exact ppm rates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-c13").toString
+    // lineitem: 4 children, 1 orphan (orderkey 99); orders: 2 children,
+    // 0 orphans; events: 5 children, 2 orphans (users 8, 9)
+    Seq((1L, 0), (1L, 1), (2L, 0), (99L, 0)).toDF("l_orderkey", "pad")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 10L), (2L, 11L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((10L, 0), (11L, 0)).toDF("c_custkey", "pad")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 0), (10L, 1), (11L, 0), (8L, 0), (9L, 0)).toDF("user_id", "pad")
+      .withColumn("ts", lit(1577836800L * 1000000000L)) // Tables.events expects nanos-as-long
+      .write.parquet(s"$dir/events.parquet")
+    val r = Cleaning.c13(spark, dir).collect()
+      .map(row => row.getString(0) -> ((row.getLong(1), row.getLong(2), row.getLong(3)))).toMap
+    assert(r("lineitem.l_orderkey -> orders") === ((4L, 1L, 250000L)))
+    assert(r("orders.o_custkey -> customer") === ((2L, 0L, 0L)))
+    assert(r("events.user_id -> customer") === ((5L, 2L, 400000L)))
+  }
+
+  test("m19 feature hash partitions every row statelessly; collisions measured") {
+    val r = MLPrep.m19(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("n_rows")).sum === Tables.events(spark, sf).count())
+    assert(r.map(_.getAs[Long]("n_values")).sum >= 5L, "all 5 event types land somewhere")
+    assert(r.forall(row => row.getAs[Long]("f_bucket") >= 0 && row.getAs[Long]("f_bucket") < 16))
+  }
+
+  test("m20 PSI flags a planted split drift and stays ~0 on the real split") {
+    import spark.implicits._
+    // real data: key-mod split of i.i.d. prices → tiny PSI
+    val real = MLPrep.m20(spark, sf).collect().map(_.getAs[Double]("psi_term")).sum
+    assert(math.abs(real) < 0.1, s"undrifted PSI should be ~0, got $real")
+    // planted: test rows (key%5=0) live in a disjoint price range → huge PSI
+    val dir = java.nio.file.Files.createTempDirectory("graft-m20").toString
+    (1 to 1000).map(i => (i.toLong, if (i % 5 == 0) 900.0 + i % 50 else 100.0 + i % 50))
+      .toDF("o_orderkey", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+    val drifted = MLPrep.m20(spark, dir).collect().map(_.getAs[Double]("psi_term")).sum
+    assert(drifted > 1.0, s"disjoint-range drift must dominate, got $drifted")
+  }
+
   test("c10 infers numeric for stringified n_chars, string for lang/source") {
     val r = Cleaning.c10(spark, sf).collect()
       .map(row => row.getAs[String]("col_name") -> row.getAs[String]("inferred_type")).toMap
