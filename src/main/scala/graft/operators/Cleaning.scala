@@ -28,25 +28,46 @@ object Cleaning {
   // the reference's "Dataset Overview". A single scan computes every
   // per-column aggregate; the 1-row result is exploded into long form.
   // (count(DISTINCT a), count(DISTINCT b), ... in one agg → Catalyst
-  // plans a single Expand, still one pass over the data.)
-  def c1(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
-    val str = Seq("o_orderstatus", "o_orderpriority")
+  // plans a single Expand, still one pass over the data — and the
+  // Expand is OPTIMAL here: the distinct children are different
+  // columns with no common grain, so the only Expand-free exact
+  // alternative is one scan PER column. PLANS.md "Round-5 Expand
+  // audit".)
+  def c1(s: SparkSession, dir: String): DataFrame =
+    profile(Tables.orders(s, dir),
+      numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      strCols = Seq("o_orderstatus", "o_orderpriority"),
+      exact = true)
+
+  /** Library API: one-pass column profile of ANY frame.
+    *
+    * `exact = false` (the default, and the 100 TB path) swaps
+    * countDistinct for approx_count_distinct: the HLL sketch is a
+    * plain mergeable aggregate, so the plan has NO Expand — the scan
+    * is processed once with zero row replication (the exact
+    * multi-distinct replicates every row ×(columns+1)) and the
+    * per-partition state is a fixed-size sketch instead of a distinct
+    * value set. ~2% relative error (Spark's default rsd 0.05 bound;
+    * spec-measured much tighter on real columns). `exact = true` is
+    * the oracle-parity path c1 uses. */
+  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
+      exact: Boolean = false): DataFrame = {
+    def nd(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
     val aggs =
-      num.flatMap(c => Seq(
-        count(col(c)).as(s"${c}__nn"), countDistinct(col(c)).as(s"${c}__nd"),
+      numCols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__nn"), nd(c).as(s"${c}__nd"),
         min(col(c)).cast("double").as(s"${c}__mn"), max(col(c)).cast("double").as(s"${c}__mx"))) ++
-      str.flatMap(c => Seq(
-        count(col(c)).as(s"${c}__nn"), countDistinct(col(c)).as(s"${c}__nd"),
+      strCols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__nn"), nd(c).as(s"${c}__nd"),
         min(col(c)).as(s"${c}__mns"), max(col(c)).as(s"${c}__mxs")))
-    val one = o.agg(aggs.head, aggs.tail: _*)
+    val one = df.agg(aggs.head, aggs.tail: _*)
     val rows =
-      num.map(c => struct(lit(c).as("col_name"),
+      numCols.map(c => struct(lit(c).as("col_name"),
         col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
         col(s"${c}__mn").as("min_num"), col(s"${c}__mx").as("max_num"),
         lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))) ++
-      str.map(c => struct(lit(c).as("col_name"),
+      strCols.map(c => struct(lit(c).as("col_name"),
         col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
         lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
         col(s"${c}__mns").as("min_str"), col(s"${c}__mxs").as("max_str")))

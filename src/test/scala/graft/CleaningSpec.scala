@@ -96,6 +96,23 @@ class CleaningSpec extends SparkSuite {
     assert(math.abs(t / n - 0.2) < 0.05)
   }
 
+  test("approx profile is Expand-free and within the HLL bound of exact") {
+    val o = Tables.orders(spark, sf)
+    val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val str = Seq("o_orderstatus", "o_orderpriority")
+    val approx = Cleaning.profile(o, num, str) // exact = false default
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "the sketch path must not replicate scan rows")
+    assert(Cleaning.c1(spark, sf).queryExecution.executedPlan.toString.contains("Expand"),
+      "…while the exact multi-distinct does (the documented trade)")
+    val a = approx.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val e = Cleaning.c1(spark, sf).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    e.foreach { case (c, exact) =>
+      assert(math.abs(a(c) - exact).toDouble / exact <= 0.10,
+        s"$c: approx ${a(c)} vs exact $exact")
+    }
+  }
+
   test("c13 FK audit counts planted orphans with exact ppm rates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-c13").toString
