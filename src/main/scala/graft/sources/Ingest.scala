@@ -82,4 +82,44 @@ object Ingest {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Compact a directory of small parquet files into ~`targetMB`-sized
+    * ones — THE recurring operational job of any streaming-fed or
+    * over-parallel lake (10k × 1 MB files cost 10k footer reads, 10k
+    * scheduler tasks, and NameNode/listing pressure per query; the
+    * same bytes in 80 files cost 80). Sizing comes from the actual
+    * on-disk bytes (driver-side listing, O(files)); `coalesce` (not
+    * repartition) merges without a shuffle. Returns the file count
+    * written. */
+  def compactSmallFiles(s: SparkSession, inDir: String, outDir: String,
+      targetMB: Int = 128): Int = {
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(inDir))
+    }
+    val nFiles = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
+    s.read.parquet(inDir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
+  /** Sorted parquet write: globally range-sort on `sortCols` so each
+    * file (and each row group inside it) covers a narrow slice of the
+    * key space — parquet min/max statistics then let a reader SKIP
+    * whole row groups for selective predicates on those columns.
+    * Complements partitionBy (coarse directory pruning on
+    * low-cardinality keys) for high-cardinality sort keys like
+    * timestamps or ids. The sort is one range-shuffle at write time;
+    * it buys every future scan's skipping. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Option[Int] = None): Unit = {
+    val ranged = numFiles match {
+      case Some(n) => df.repartitionByRange(n, sortCols.map(col): _*)
+      case None    => df.repartitionByRange(sortCols.map(col): _*) // session parallelism / AQE decides
+    }
+    ranged.sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

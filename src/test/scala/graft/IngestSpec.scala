@@ -95,6 +95,34 @@ class IngestSpec extends SparkSuite {
     assert(e.getMessage.contains("convert to .xlsx or CSV"))
   }
 
+  test("compaction merges a many-file directory and preserves every row") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    val src = Tables.orders(spark, sf)
+    src.repartition(40).write.mode("overwrite").parquet(inDir) // simulate small-files debris
+    val inFiles = new java.io.File(inDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(inFiles >= 30)
+    val written = Ingest.compactSmallFiles(spark, inDir, outDir, targetMB = 128)
+    val outFiles = new java.io.File(outDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(written === 1 && outFiles === 1, "tiny table compacts to one target-sized file")
+    assert(spark.read.parquet(outDir).count() === src.count())
+  }
+
+  test("sorted write clusters the key space per file (row-group skipping layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    Ingest.writeSorted(Tables.orders(spark, sf), dir, Seq("o_orderkey"), numFiles = Some(6))
+    // per-file key ranges must not overlap: each file covers one slice
+    val perFile = spark.read.parquet(dir)
+      .select(col("o_orderkey"), input_file_name().as("f"))
+      .groupBy("f").agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length > 1, "range repartition should produce several files")
+    perFile.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, "file key ranges overlap")
+      case _ =>
+    }
+  }
+
   test("json roundtrip preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     Tables.customer(spark, sf).write.mode("overwrite").json(dir)
