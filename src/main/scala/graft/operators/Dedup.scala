@@ -196,6 +196,35 @@ object Dedup {
     docs.join(drop, docs(idCol) === drop("id"), "left_anti")
   }
 
+  /** Near-dup dedup keeping the BEST row per cluster instead of the
+    * min id — what a curation pipeline actually wants (Dolma/CCNet
+    * keep the longest / highest-quality copy; min-id is an arbitrary
+    * tie-break). `scoreCol` must exist on `docs` (e.g. a t2 quality
+    * score or a length); ties break on smallest id so the result
+    * stays deterministic. Same candidate → verify → connected-
+    * components machinery as [[dedupNearDuplicates]]; the keep
+    * decision is one max_by per cluster — cluster-cardinality
+    * aggregate, clusters are near-dup-group sized (small by
+    * construction), never a corpus-wide window. */
+  def dedupKeepBest(docs: DataFrame, textCol: String, idCol: String,
+      scoreCol: String, tau: Double = 0.9): DataFrame = {
+    val candidates = minhashCandidatePairs(docs, textCol, idCol)
+    val sh = docs.select(col(idCol).as("id"), shingles3(tokens(col(textCol))).as("sh"))
+    val verified = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(jaccardAuto(docs.sparkSession, col("sh_a"), col("sh_b")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val clusters = connectedComponents(verified) // (id, cluster); singletons absent
+    val scored = docs.select(col(idCol).as("id"), col(scoreCol).as("__score"))
+      .join(clusters, Seq("id"))
+    val keep = scored.groupBy(col("cluster"))
+      .agg(max_by(col("id"), struct(col("__score"), -col("id"))).as("__keep"))
+    val drop = scored.join(keep, Seq("cluster"))
+      .filter(col("id") =!= col("__keep")).select(col("id"))
+    docs.join(drop, docs(idCol) === drop("id"), "left_anti")
+  }
+
   // -------------------------------------------------------------------
   // d1: exact-dedup summary — corpus size, distinct texts, duplicate
   // groups, removable copies. One hash-groupBy on md5(text) (dup

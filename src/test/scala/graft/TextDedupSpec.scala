@@ -259,6 +259,24 @@ class TextDedupSpec extends SparkSuite {
     assert(viaHash.zip(viaString).forall { case (a, b) => a == b })
   }
 
+  test("dedupKeepBest keeps the highest-quality copy per cluster, not the min id") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while seven wizards watch quietly from the old stone tower nearby"
+    val docs = Seq(
+      (1L, base, 0.3),   // cluster {1,2,3}: doc 2 has the best score
+      (2L, base, 0.9),
+      (3L, base, 0.5),
+      (10L, "completely different text about distributed query engines and columnar storage formats for analytical workloads at petabyte scale", 0.1))
+      .toDF("doc_id", "text", "quality")
+    val kept = Dedup.dedupKeepBest(docs, "text", "doc_id", "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 10L), s"got $kept")
+    // contrast: min-id keep drops doc 2
+    val minId = Dedup.dedupNearDuplicates(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId === Set(1L, 10L))
+  }
+
   test("t8 unigram logprobs are negative, bounded by rare-token counts") {
     val r = TextOps.t8(spark, sf).collect()
     assert(r.length === 500)
