@@ -72,10 +72,28 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(unix_millis(col("window.start")).as("window_start_ms"), col("event_type"), col("n"))
 
-  /** Watermarked exact dedup on (user_id, event_type). */
+  /** EXACT dedup on (user_id, event_type) — emits each key once,
+    * ever. State caveat, stated honestly: because the event-time
+    * column is NOT part of the key set, Spark keeps one state row per
+    * distinct key FOREVER (the watermark can't evict — an older
+    * duplicate of any key could still arrive). Correct whenever the
+    * key domain is bounded (here: |users|×|types|); for unbounded key
+    * domains use [[streamingDedupBounded]]. */
   def streamingDedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
+
+  /** Watermark-BOUNDED dedup: dropDuplicatesWithinWatermark evicts a
+    * key's state once the watermark passes its event time, so state
+    * is O(keys active per watermark window), not O(all keys ever) —
+    * the form that survives an unbounded key domain (request ids,
+    * message uuids). The documented trade: a duplicate arriving AFTER
+    * its original's state was evicted (> the watermark delay apart)
+    * is re-emitted — exactly-once dedup only within the delay, which
+    * is the guarantee upstream retry/replay storms actually need. */
+  def streamingDedupBounded(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   case class TypedEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)

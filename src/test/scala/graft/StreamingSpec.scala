@@ -280,6 +280,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bounded dedup evicts state at the watermark; re-emits only past-delay duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minute: Long) = Streams.TypedEvent(
+      id, 7L, new java.sql.Timestamp(86400000L + minute * 60000L), "click", 1.0)
+    val mem = MemoryStream[Streams.TypedEvent]
+    val q = Streams.streamingDedupBounded(mem.toDF())
+      .select(col("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("bdedup").start()
+    try {
+      mem.addData(ev(1, 0), ev(2, 1)) // duplicate key within the window
+      q.processAllAvailable()
+      mem.addData(ev(3, 5))           // still within the 10-min delay of e1
+      q.processAllAvailable()
+      // e4 is processed at the PRE-batch watermark (still ≈ −5 min), so
+      // e1's state is live and e4 dedups; after that batch the
+      // watermark jumps to ~590 and evicts the key, so e5 re-emits.
+      mem.addData(ev(4, 600))
+      q.processAllAvailable()
+      mem.addData(ev(5, 601))
+      q.processAllAvailable()
+      val emitted = spark.table("bdedup").collect().map(_.getLong(0)).toSet
+      assert(emitted.contains(1L) && !emitted.contains(2L) && !emitted.contains(3L)
+          && !emitted.contains(4L),
+        s"in-window duplicates must drop: $emitted")
+      assert(emitted.contains(5L),
+        "the key re-emits after its state was evicted — the documented trade")
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2L, s"evicted keys must leave the store (rows=$stateRows)")
+    } finally q.stop()
+  }
+
   test("st11 batch twin equals the naive left join; zero-click purchases kept") {
     val naiveSql =
       """SELECT p.user_id, p.event_id, p.purchase_ms,
