@@ -10,7 +10,7 @@ import graft.operators._
   * rows-only in SURVEY.md §2; the set is enforced by ContractSpec).
   *
   * Family → implementation map:
-  *  - q1–q28   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram)
+  *  - q1–q30   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram)
   *  - c1–c13   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit)
   *  - m1–m20   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift)
   *  - t1–t10   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report)

@@ -950,7 +950,83 @@ object Relational {
       |GROUP BY 1
       |ORDER BY n_customers DESC, n_orders DESC""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q29: TPC-H Q14-style promo revenue share per ship month — the
+  // "what did the campaign actually move" ratio. ONE fact⋈dim join
+  // (part is UNHINTED: it scales with SF — the threshold broadcasts it
+  // at test SFs and demotes at scale, q21's rule) feeding a
+  // conditional aggregation; both sums are exact decimal, and the
+  // share is one double division of exact inputs, rounded at 6
+  // (§6.5). Month keys are integer yyyymm — no date-truncation
+  // semantics to diverge between engines.
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ship_month"),
+        (dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .as("__rev"))
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("__promo"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(sum(when(col("__promo"), col("__rev")).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .as("__pr"),
+        sum(col("__rev")).as("__tr"))
+      .select(col("ship_month"),
+        col("__pr").cast("double").as("promo_revenue"),
+        col("__tr").cast("double").as("total_revenue"),
+        round((lit(100) * col("__pr")).cast("double") / col("__tr").cast("double"), 6)
+          .as("promo_share"))
+      .orderBy(col("ship_month"))
+  }
+
+  val q29Sql: String =
+    """SELECT (year(l_shipdate)*100 + month(l_shipdate)) AS ship_month,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+      |  round(CAST(100 * sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1
+      |ORDER BY ship_month""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q30: TPC-H Q19-style disjunctive promotion pricing — revenue from
+  // three (brand, size-range, quantity-range) OR-groups. The point of
+  // the shape is the PREDICATE, not the plan: a disjunction mixing
+  // columns from BOTH join sides can't all push below the join, so
+  // the part-side prunable parts (brand/size bounds) must reach the
+  // part scan while the mixed residue evaluates post-join. 1-row
+  // output, exact decimal sum.
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .as("__rev"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(5, 40) && col("l_quantity").between(20, 40)))
+      .agg(count(lit(1)).as("n_items"), sum(col("__rev")).cast("double").as("revenue"))
+  }
+
+  val q30Sql: String =
+    """SELECT count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand='Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand='Brand#7' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand='Brand#22' AND p_size BETWEEN 5 AND 40 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_promo_share" -> (q29 _),
+    "q30_promo_pricing" -> (q30 _),
     "q27_one_failed_supplier" -> (q27 _),
     "q28_order_distribution" -> (q28 _),
     "q26_top_supplier" -> (q26 _),
@@ -981,6 +1057,8 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q29_promo_share" -> q29Sql,
+    "q30_promo_pricing" -> q30Sql,
     "q27_one_failed_supplier" -> q27Sql,
     "q28_order_distribution" -> q28Sql,
     "q26_top_supplier" -> q26Sql,
