@@ -13,7 +13,7 @@ import graft.operators._
   *  - q1–q30   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram)
   *  - c1–c13   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit)
   *  - m1–m20   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift)
-  *  - t1–t10   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report)
+  *  - t1–t11   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report)
   *  - d1–d9    operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit)
   *  - s1–s7    operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search)
   *  - mm1–mm6  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan)

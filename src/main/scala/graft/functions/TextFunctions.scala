@@ -251,6 +251,20 @@ object TextFunctions {
        |    * (1.0 - CAST(len(list_filter($toks, t -> t IN ($inList))) AS DOUBLE)/len($toks))""".stripMargin
   }
 
+  /** SQL: [[predLang]]'s DuckDB twin over a text column `c` — the ONE
+    * statement of the marker-argmax rule (t3Sql and t11Sql both call
+    * this; qualityScoreSql's restated-copy rationale). */
+  def predLangSql(c: String): String = {
+    val toks = tokensSql(c)
+    def cnt(ws: Seq[String]) =
+      s"CAST(len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+    val en = cnt(LangMarkers(0)._2); val es = cnt(LangMarkers(1)._2); val de = cnt(LangMarkers(2)._2)
+    s"""CASE WHEN $en >= $es AND $en >= $de AND $en > 0 THEN 'en'
+       |       WHEN $es >= $de AND $es > 0 THEN 'es'
+       |       WHEN $de > 0 THEN 'de'
+       |       ELSE 'und' END""".stripMargin
+  }
+
   /** SQL: tcode of a scalar token expression `t`. */
   def tcodeSql(t: String): String =
     s"(length($t)*1000003 + ascii($t)*81761 + ascii(reverse($t))*3119 + ascii(substr($t || 'xx', 2, 1))*31)"

@@ -85,10 +85,7 @@ object TextOps {
     val en = c(markers(0)._2); val es = c(markers(1)._2); val de = c(markers(2)._2)
     s"""SELECT doc_id, lang AS labeled_lang,
        |  $en AS en_cnt, $es AS es_cnt, $de AS de_cnt,
-       |  CASE WHEN $en >= $es AND $en >= $de AND $en > 0 THEN 'en'
-       |       WHEN $es >= $de AND $es > 0 THEN 'es'
-       |       WHEN $de > 0 THEN 'de'
-       |       ELSE 'und' END AS pred_lang
+       |  ${predLangSql("text")} AS pred_lang
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
@@ -398,7 +395,38 @@ object TextOps {
        |ORDER BY source, lang""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t11: language-ID confusion matrix — pred_lang (t3's heuristic) vs
+  // the labeled language, with each cell's exact parts-per-million of
+  // its labeled row. The measure-don't-guess audit for the langid
+  // gate (d9's role for minhash, m20's for splits): before trusting
+  // stage 4 of Corpus.curate at a new corpus, read this matrix. Shape:
+  // map-side predLang → one groupBy at |langs|² cardinality → per-label
+  // totals joined back (broadcast — bounded by the language set).
+  // Rates are integer ppm (c13's rule): exact in both engines.
+  def t11(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("lang").as("labeled_lang"), predLang(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cells.groupBy(col("labeled_lang")).agg(sum(col("n_docs")).as("__n_lab"))
+    cells.join(broadcast(tot), Seq("labeled_lang")) // bounded: one row per language
+      .select(col("labeled_lang"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 1000000L div __n_lab").as("cell_ppm"))
+      .orderBy(col("labeled_lang"), col("pred_lang"))
+  }
+
+  val t11Sql: String =
+    s"""WITH cells AS (
+       |  SELECT lang AS labeled_lang, ${predLangSql("text")} AS pred_lang, count(*) AS n_docs
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_lab FROM cells GROUP BY 1)
+       |SELECT labeled_lang, pred_lang, n_docs,
+       |  n_docs * 1000000 // n_lab AS cell_ppm
+       |FROM cells JOIN tot USING (labeled_lang)
+       |ORDER BY labeled_lang, pred_lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_langid_confusion" -> (t11 _),
     "t10_corpus_report" -> (t10 _),
     "t9_repetition" -> (t9 _),
     "t1_token_count" -> (t1 _), "t2_quality_score" -> (t2 _),
@@ -407,6 +435,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t11_langid_confusion" -> t11Sql,
     "t10_corpus_report" -> t10Sql,
     "t9_repetition" -> t9Sql,
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
