@@ -129,13 +129,18 @@ object Pipeline {
       }
     }
 
-    // timestamps → calendar features (main.py:107-118), drop original
+    // timestamps → calendar features (main.py:107-118), drop original.
+    // weekofyear was missing until round 5 — found by the paired
+    // pandas/Spark cleaning benchmark's column-count mismatch
+    // (scripts/bench_reference.py vs PipelineBench); Spark's
+    // weekofyear() is ISO week, same as pandas isocalendar().week.
     tsCols.foldLeft(withStr) { (d, c) =>
       d.withColumn(s"${c}_year", year(col(c)).cast("double"))
         .withColumn(s"${c}_month", month(col(c)).cast("double"))
         .withColumn(s"${c}_day", dayofmonth(col(c)).cast("double"))
         .withColumn(s"${c}_hour", hour(col(c)).cast("double"))
         .withColumn(s"${c}_dow", (weekday(col(c)) + 1).cast("double"))
+        .withColumn(s"${c}_weekofyear", weekofyear(col(c)).cast("double"))
         .drop(c)
     }
   }
