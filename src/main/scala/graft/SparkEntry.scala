@@ -16,7 +16,7 @@ import graft.operators._
   *  - t1–t11   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report)
   *  - d1–d9    operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit)
   *  - s1–s7    operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search)
-  *  - mm1–mm6  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan)
+  *  - mm1–mm7  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan)
   *  - st1–st11 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).

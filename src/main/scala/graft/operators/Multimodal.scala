@@ -222,13 +222,51 @@ object Multimodal {
       |FROM p
       |ORDER BY shard""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm7: decode-budget plan — given a global frame-decode budget
+  // (decode is THE dominating multimodal cost), allocate each video a
+  // quota proportional to its frame count with a per-video floor
+  // (short clips must not starve), capped at its own length, plus the
+  // sampling stride that realizes the quota. m16's token-budget shape
+  // applied to frames: ONE 1-row total broadcast, then every quota is
+  // a map-side integer expression — exact in both engines, no FP
+  // proration drift. A mapInPandas decoder then reads `stride` as its
+  // every-k-th argument (mm3's sampling machinery).
+  def mm7(s: SparkSession, dir: String): DataFrame = {
+    val Budget = 100000L // frames per corpus pass
+    val Floor = 8L       // minimum frames per video
+    val v = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_frames"))
+    val tot = v.agg(sum(col("n_frames")).as("__tot"))
+    v.crossJoin(broadcast(tot)) // provably 1 row
+      .withColumn("quota", least(col("n_frames"),
+        greatest(lit(Floor), expr(s"(${Budget}L * n_frames) div __tot"))))
+      .select(col("doc_id"), col("n_frames"), col("quota"),
+        expr("(n_frames + quota - 1) div quota").as("stride")) // ceil division
+      .orderBy(col("doc_id"))
+  }
+
+  val mm7Sql: String =
+    """WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t FROM documents),
+      |q AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_frames,
+      |    least(CAST(n_chars AS BIGINT),
+      |          greatest(8, (100000 * CAST(n_chars AS BIGINT)) // t)) AS quota
+      |  FROM documents, tot)
+      |SELECT doc_id, n_frames, quota,
+      |  (n_frames + quota - 1) // quota AS stride
+      |FROM q
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm7_decode_budget" -> (mm7 _),
     "mm6_shard_plan" -> (mm6 _),
     "mm5_payload_dedup" -> (mm5 _),
     "mm1_binary_meta" -> (mm1 _), "mm2_feature_extract" -> (mm2 _), "mm3_frame_sample" -> (mm3 _),
     "mm4_modality_stats" -> (mm4 _))
 
   def oracles: Map[String, String] = Map(
+    "mm7_decode_budget" -> mm7Sql,
     "mm6_shard_plan" -> mm6Sql,
     "mm5_payload_dedup" -> mm5Sql,
     "mm1_binary_meta" -> mm1Sql, "mm2_feature_extract" -> mm2Sql,
