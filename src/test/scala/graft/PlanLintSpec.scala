@@ -46,6 +46,24 @@ class PlanLintSpec extends SparkSuite {
       s"q6 reads unneeded columns: $readSchema")
   }
 
+  test("results are AQE-independent on the queries that lean on it hardest") {
+    // The engine DESIGNS for AQE (unhinted joins promote from runtime
+    // sizes), but a deployment can disable it — plans may differ,
+    // results must not. Sampled: the unhinted-broadcast queries (t8,
+    // q21), the ReusedExchange one (q26), and a multi-join (q2).
+    val names = Seq("q2_revenue_by_nation", "t8_unigram_logprob",
+      "q26_top_supplier", "q21_volume_shipping")
+    val on = names.map(n => SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val off = names.map(n => SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq))
+      names.lazyZip(on).lazyZip(off).foreach { (n, a, b) =>
+        assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+          s"$n differs with AQE off")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("vizData produces render-ready aggregates for any frame") {
     val ev = Tables.events(spark, sf).drop("props")
     val v = Pipeline.vizData(ev, "event_type")
