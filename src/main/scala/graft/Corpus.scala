@@ -124,12 +124,19 @@ object Corpus {
     // so ReuseExchange can't serve both and the whole upstream flag
     // pipeline would be re-run per consumer — d8's localCheckpoint
     // pattern (at 100 TB, persist(DISK_ONLY) — same plan, spill-backed).
+    // eager = false: merely CONSTRUCTING the curate plan must not
+    // execute the upstream pipeline (the default eager=true does);
+    // materialization happens on first action. The trade stands
+    // either way: checkpointed blocks are not recomputable, so an
+    // executor loss after materialization fails the job rather than
+    // recomputing — acceptable for a batch curation run, and the
+    // DISK_ONLY persist alternative above restores recomputability.
     val flaggedM = cfg.minAvgLogProb match {
       case None => flaggedL.withColumn("f_lm", col("f_lang"))
       case Some(minLp) =>
         val toks = flaggedL.filter(col("f_lang"))
           .select(id.as("__lid"), explode(tokens(col(textCol))).as("__tok"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val tfAll = toks.rollup(col("__tok")).agg(count(lit(1)).as("__tf"))
         val tf = tfAll.filter(col("__tok").isNotNull)
         val total = tfAll.filter(col("__tok").isNull).select(col("__tf").as("__total"))

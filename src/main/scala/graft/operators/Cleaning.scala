@@ -97,13 +97,15 @@ object Cleaning {
   // -------------------------------------------------------------------
   // c2: median imputation (ref main.py:77-79). NULLs injected where
   // event_type='error'; the global median of the surviving values is
-  // broadcast back. Exact `percentile` is used for oracle parity — at
-  // 100 TB swap for approx_percentile (sketch, single pass, bounded
-  // memory); the operator shape is identical.
+  // broadcast back. Exact mode here is the ORACLE path (DuckDB
+  // quantile_cont parity); the library default for unbounded domains
+  // is the sketch — see functions.Quantiles for the memory contract
+  // (Pipeline.clean already imputes via the sketch). Operator shape
+  // is identical either way.
   def c2(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .withColumn("v", when(col("event_type") =!= "error", col("value")))
-    val med = ev.agg(expr("percentile(v, 0.5)").as("med"))
+    val med = ev.agg(graft.functions.Quantiles.quantile(col("v"), 0.5, exact = true).as("med"))
     ev.join(broadcast(med))
       .withColumn("v_imp", coalesce(col("v"), col("med")))
       .groupBy(col("event_type"))
@@ -157,12 +159,15 @@ object Cleaning {
   // c4: IQR outlier clipping (ref main.py:120-127): clip l_quantity to
   // [Q1-1.5*IQR, Q3+1.5*IQR]. Quantiles of integral values at quarter
   // fractions are exact in FP, so bounds are bit-identical across
-  // engines. Bounds broadcast back; at 100 TB use approx_percentile.
+  // engines. Bounds broadcast back. l_quantity is a BOUNDED domain
+  // (50 distinct values), so exact `percentile` IS the 100 TB plan
+  // here per functions.Quantiles' rule — not just the oracle mode.
   def c4(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    import graft.functions.Quantiles.quantile
     val q = li.agg(
-      expr("percentile(l_quantity, 0.25)").as("q1"),
-      expr("percentile(l_quantity, 0.75)").as("q3"))
+      quantile(col("l_quantity"), 0.25, exact = true).as("q1"),
+      quantile(col("l_quantity"), 0.75, exact = true).as("q3"))
       .select(col("q1"), col("q3"),
         (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))

@@ -714,32 +714,52 @@ object MLPrep {
   // pipelines use where m8's equal-WIDTH histogram misrepresents
   // skewed columns. The tempting formulation is ntile(4) OVER
   // (ORDER BY price): a global-sort window, i.e. ONE task holding the
-  // whole table — the single worst shape at 100 TB. Instead the three
-  // interior quartile boundaries come from one aggregate (exact
-  // `percentile` here; swap in percentile_approx at unbounded-domain
-  // scale — same plan, bounded memory), broadcast back, and every row
-  // is binned map-side by two comparisons. Final agg is O(bins).
-  // Knife-edge safety: boundaries interpolate between adjacent
-  // 2-decimal order statistics, so they sit ≥0.0025 from any data
-  // value (or exactly ON one, computed identically by both engines) —
-  // a 1-ulp interpolation divergence can never flip a bin.
-  def m17(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_totalprice"))
-    val b = o.agg(
-      expr("percentile(o_totalprice, 0.25)").as("__b1"),
-      expr("percentile(o_totalprice, 0.5)").as("__b2"),
-      expr("percentile(o_totalprice, 0.75)").as("__b3"))
-    o.crossJoin(broadcast(b))
-      .withColumn("bin",
-        when(col("o_totalprice") <= col("__b1"), 1)
-          .when(col("o_totalprice") <= col("__b2"), 2)
-          .when(col("o_totalprice") <= col("__b3"), 3)
-          .otherwise(4))
+  // whole table — the single worst shape at 100 TB. Instead the
+  // interior boundaries come from one aggregate broadcast back, and
+  // every row is binned map-side by O(log bins) comparisons. Final
+  // agg is O(bins). The LIBRARY DEFAULT boundary aggregate is the
+  // approx_percentile sketch (functions.Quantiles — fixed memory on
+  // unbounded domains like o_totalprice); this inventory entry runs
+  // `exact = true`, the documented ORACLE MODE (sketch answers are
+  // engine-specific). PercentileSpec proves the default plans the
+  // sketch and its bins stay within rank tolerance of n/k.
+  // Knife-edge safety (exact mode): boundaries interpolate between
+  // adjacent 2-decimal order statistics, so they sit ≥0.0025 from any
+  // data value (or exactly ON one, computed identically by both
+  // engines) — a 1-ulp interpolation divergence can never flip a bin.
+  def m17(s: SparkSession, dir: String): DataFrame =
+    quantileBin(Tables.orders(s, dir).select(col("o_totalprice")),
+      "o_totalprice", nBins = 4, exact = true)
+      .withColumnRenamed("avg_value", "avg_price")
+
+  /** Equal-frequency binning of `valueCol` into `nBins` quantile bins:
+    * per-bin count, min, max, decimal-exact mean. Boundaries from ONE
+    * aggregate broadcast back (never a global-sort window); rows with
+    * NULL values keep a NULL bin. `exact = false` (default) uses the
+    * fixed-memory sketch — the unbounded-domain 100 TB path. */
+  def quantileBin(df: DataFrame, valueCol: String, nBins: Int,
+                  exact: Boolean = false,
+                  accuracy: Int = graft.functions.Quantiles.DefaultAccuracy): DataFrame = {
+    require(nBins >= 2, s"quantileBin needs >= 2 bins, got $nBins")
+    import graft.functions.Quantiles.quantile
+    val v = col(valueCol)
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val bAggs = probs.zipWithIndex.map { case (p, i) =>
+      quantile(v, p, exact, accuracy).as(s"__b$i")
+    }
+    val b = df.agg(bAggs.head, bAggs.tail: _*)
+    val binExpr = (1 until probs.length)
+      .foldLeft(when(v <= col("__b0"), 1)) { (acc, i) =>
+        acc.when(v <= col(s"__b$i"), i + 1)
+      }
+      .otherwise(when(v.isNotNull, nBins))
+    df.crossJoin(broadcast(b))
+      .withColumn("bin", binExpr)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
-        min(col("o_totalprice")).as("lo"),
-        max(col("o_totalprice")).as("hi"),
-        round(meand(col("o_totalprice")), 6).as("avg_price"))
+        min(v).as("lo"),
+        max(v).as("hi"),
+        round(meand(v), 6).as("avg_value"))
       .orderBy(col("bin"))
   }
 

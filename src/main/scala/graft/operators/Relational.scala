@@ -308,24 +308,33 @@ object Relational {
       |ORDER BY gid, returnflag, linestatus""".stripMargin
 
   // -------------------------------------------------------------------
-  // q18: exact group quantiles. Spark's `percentile` is a mergeable
-  // partial aggregate over a per-group value→count map — one shuffle,
-  // no sort. Memory is O(distinct values per group), so this exact
-  // form is the 100 TB plan only for bounded-domain columns
-  // (l_quantity: 50 values); for unbounded domains (l_extendedprice)
-  // the scale path is approx_percentile (fixed-memory sketch) —
-  // PercentileSpec asserts approx stays within its accuracy bound of
-  // this exact baseline. Both engines interpolate at rank q*(n-1)
+  // q18: group quantiles via groupQuantiles. The LIBRARY DEFAULT is
+  // the approx_percentile sketch (fixed memory — see
+  // functions.Quantiles for the memory contract); this inventory
+  // entry runs `exact = true`, the documented ORACLE MODE, because
+  // the sketch's answers are algorithm-specific and hash-match no
+  // other engine (the same way q19 oracles salting through the plain
+  // join). PercentileSpec proves the default mode plans the sketch
+  // and stays within its rank bound of this exact baseline; the
+  // exact form's value→count map is admissible at sf-bench scale and
+  // for bounded domains only — at 100 TB over l_extendedprice you
+  // run the default. Both engines interpolate at rank q*(n-1)
   // (type-7); round(…,6) absorbs the last-ulp formula difference.
   // Ref: /root/reference/main.py:154-160 (describe() percentiles).
-  def q18(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  def q18(s: SparkSession, dir: String): DataFrame =
+    groupQuantiles(Tables.lineitem(s, dir), exact = true)
+
+  /** q18's shape as the user-facing operator: per-returnflag price
+    * quartiles + median quantity. `exact = false` (the default) is
+    * the 100 TB path. */
+  def groupQuantiles(li: DataFrame, exact: Boolean = false): DataFrame = {
+    import graft.functions.Quantiles.quantile
+    li.groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("price_p75"),
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+        round(quantile(col("l_extendedprice"), 0.25, exact), 6).as("price_p25"),
+        round(quantile(col("l_extendedprice"), 0.5, exact), 6).as("price_p50"),
+        round(quantile(col("l_extendedprice"), 0.75, exact), 6).as("price_p75"),
+        round(quantile(col("l_quantity"), 0.5, exact), 6).as("qty_p50"),
         count(lit(1)).as("n_items"))
       .orderBy(col("l_returnflag"))
   }
@@ -883,8 +892,13 @@ object Relational {
     // (one replica per distinct group — measured 2.0 s vs ~1 s at
     // sf0.1). Collapsing to (order, supplier) grain first dedups
     // map-side, and the per-order counts then need no distinct at all.
+    // l_suppkey.isNotNull: groupBy would keep a NULL-supplier group
+    // in __n_supps/__n_flagged while the oracle's count(DISTINCT
+    // l_suppkey) ignores NULLs — identical on null-free TPC-H data,
+    // divergent library semantics on nullable keys (q26's rule).
     val perPair = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .filter(col("l_suppkey").isNotNull)
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("__flagged"))
     val perOrder = perPair

@@ -96,12 +96,31 @@ object Excel {
         s"legacy .xls (BIFF) workbook not supported — convert to .xlsx or CSV: $path")
   }
 
+  /** Hard ceiling for [[write]]: one under Excel's own 1,048,576-row
+    * sheet limit (one row is the header). The real protection is for
+    * the DRIVER — write() collects, and without a cap a caller
+    * pointing it at a fact table OOMs the driver long before Excel
+    * complains. */
+  val MaxWriteRows: Int = 1048575
+
   /** Write a DataFrame to a single .xlsx (driver-side collect — for
     * report-scale exports, the inverse of the upload path; big tables
     * belong in parquet). Strings are written inline, numerics as
-    * numbers, everything else via toString. */
-  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
-    val rows = df.collect()
+    * numbers, everything else via toString. Refuses more than
+    * `maxRows` (default [[MaxWriteRows]], Excel's sheet limit):
+    * the check is limit(maxRows+1) BEFORE the collect, so an
+    * over-limit frame costs a bounded scan, not a driver OOM. */
+  def write(df: DataFrame, path: String, sheetName: String = "Sheet1",
+      maxRows: Int = MaxWriteRows): Unit = {
+    require(maxRows > 0 && maxRows <= MaxWriteRows,
+      s"maxRows must be in [1, $MaxWriteRows], got $maxRows")
+    val rows = df.limit(maxRows + 1).collect()
+    if (rows.length > maxRows)
+      throw new IllegalArgumentException(
+        s"Excel.write: DataFrame exceeds $maxRows rows — a single .xlsx sheet " +
+          s"holds at most ${MaxWriteRows + 1} rows including the header, and " +
+          "driver-side collect of a larger frame risks OOM. Write parquet/CSV " +
+          "instead, or pass a smaller frame.")
     val names = df.columns
     val out = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     def part(name: String, content: String): Unit = {

@@ -88,16 +88,29 @@ object Ingest {
     * over-parallel lake (10k × 1 MB files cost 10k footer reads, 10k
     * scheduler tasks, and NameNode/listing pressure per query; the
     * same bytes in 80 files cost 80). Sizing comes from the actual
-    * on-disk bytes (driver-side listing, O(files)); `coalesce` (not
-    * repartition) merges without a shuffle. Returns the file count
+    * on-disk bytes listed through the session's Hadoop FileSystem —
+    * so hdfs:// and s3a:// URIs size correctly, not just local paths
+    * (a java.io.File walk silently returns 0 there and everything
+    * would coalesce into ONE task). `coalesce` (not repartition)
+    * merges without a shuffle. outDir must differ from inDir:
+    * mode("overwrite") deletes the output before writing, and the
+    * lazily-read input would be gone mid-scan. Returns the file count
     * written. */
   def compactSmallFiles(s: SparkSession, inDir: String, outDir: String,
       targetMB: Int = 128): Int = {
-    val bytes = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) f.length else 0L
-      walk(new java.io.File(inDir))
+    val conf = s.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = in.getFileSystem(conf)
+    val inQ = fs.makeQualified(in)
+    require(inQ != out.getFileSystem(conf).makeQualified(out),
+      s"compactSmallFiles: outDir must differ from inDir ($inQ) — " +
+        "overwrite would delete the input while reading it")
+    var bytes = 0L
+    val it = fs.listFiles(inQ, /* recursive = */ true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) bytes += st.getLen
     }
     val nFiles = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
     s.read.parquet(inDir).coalesce(nFiles)

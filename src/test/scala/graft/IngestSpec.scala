@@ -95,6 +95,34 @@ class IngestSpec extends SparkSuite {
     assert(e.getMessage.contains("convert to .xlsx or CSV"))
   }
 
+  test("Excel.write refuses frames over the row cap instead of collecting them") {
+    import graft.sources.Excel
+    assert(Excel.MaxWriteRows == 1048575) // Excel's sheet limit minus the header row
+    val path = java.nio.file.Files.createTempFile("graft-cap", ".xlsx").toString
+    val big = spark.range(100) // tiny data, tiny cap: proves the mechanism, not the constant
+    val e = intercept[IllegalArgumentException] { Excel.write(big.toDF(), path, maxRows = 99) }
+    assert(e.getMessage.contains("exceeds 99 rows"))
+    assert(e.getMessage.contains("parquet"))
+    Excel.write(big.toDF(), path, maxRows = 100) // at the cap: succeeds
+    assert(Ingest.readExcel(spark, path).count() == 100)
+    intercept[IllegalArgumentException] {
+      Excel.write(big.toDF(), path, maxRows = Excel.MaxWriteRows + 1) // over the sheet limit
+    }
+  }
+
+  test("compactSmallFiles rejects outDir == inDir (overwrite would delete the input)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-self").toString
+    Tables.orders(spark, sf).limit(10).write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Ingest.compactSmallFiles(spark, dir, dir)
+    }
+    assert(e.getMessage.contains("outDir must differ"))
+    // trailing-slash alias of the same directory is caught by path qualification
+    intercept[IllegalArgumentException] {
+      Ingest.compactSmallFiles(spark, dir, dir + "/")
+    }
+  }
+
   test("compaction merges a many-file directory and preserves every row") {
     val inDir = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
