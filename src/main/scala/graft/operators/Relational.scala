@@ -1038,7 +1038,157 @@ object Relational {
       |   OR (p_brand='Brand#7' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
       |   OR (p_brand='Brand#22' AND p_size BETWEEN 5 AND 40 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q31: TPC-H Q2-shape min-cost supplier per part — the classic
+  // multi-level correlated scalar subquery (cheapest EUROPE offer for
+  // each filtered part; ties kept), decorrelated by hand. Shape:
+  // offers collapse to (part, supplier) grain in ONE fact scan
+  // (map-side partial agg does the heavy dedup), and the per-part
+  // regional minimum comes from a window partitioned by p_partkey —
+  // deliberately NOT the textbook min-agg + join-back, which costs
+  // two extra shuffles on top of the grain agg (agg to part grain,
+  // then re-shuffle both sides for the join) where the window costs
+  // one, and its partitions are bounded by suppliers-per-part (a
+  // schema-fixed ratio, not data-cardinality). Q2's two dimension
+  // hops (supplier→nation→region) broadcast only the schema-bounded
+  // dims; the part and supplier join sides stay unhinted for AQE.
+  // The equality gate on the minimum is safe under §6: min() SELECTS
+  // an existing double — no arithmetic, so both engines compare
+  // identical bit patterns (q26's exact-equality rule).
+  // Ref shape: TPC-H Q2 (min ps_supplycost within region).
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_type") === "ECONOMY" && col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_brand"))
+    val eu = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(eu, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("s_suppkey"), col("p_brand"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(col("l_extendedprice")).as("supply_cost"))
+    val w = Window.partitionBy(col("p_partkey"))
+    offers
+      .withColumn("__mc", min(col("supply_cost")).over(w))
+      .filter(col("supply_cost") === col("__mc"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q31Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_brand FROM part WHERE p_type = 'ECONOMY' AND p_size <= 25),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+      |offers AS (
+      |  SELECT p_partkey, s_suppkey, p_brand, s_name, s_acctbal, n_name,
+      |         min(l_extendedprice) AS supply_cost
+      |  FROM lineitem
+      |  JOIN p ON l_partkey = p_partkey
+      |  JOIN eu ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2, 3, 4, 5, 6),
+      |best AS (
+      |  SELECT *, min(supply_cost) OVER (PARTITION BY p_partkey) AS mc FROM offers)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+      |FROM best WHERE supply_cost = mc
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q32: funnel / ordered-sequence analytics — view → click →
+  // purchase conversion within a 7-day per-step horizon, the
+  // real-user-analytics staple. The naive formulation self-joins
+  // events per step (range joins that fan out on hot users); this is
+  // ONE shuffle on user_id: three chained whole-partition windows
+  // compute the stage timestamps (earliest view; earliest click
+  // strictly after it within the horizon; earliest purchase after
+  // that), Catalyst stacks them over a single exchange, and both the
+  // per-user collapse and nothing else re-shuffle (the groupBy reuses
+  // the window's hash partitioning — verified in RelationalSpec).
+  // Funnel rates ship as integer parts-per-million (c13's rule — no
+  // FP division ties); horizon arithmetic is epoch-millis both sides
+  // (§6.4). Per-step horizons chain from the PREVIOUS stage hit, so
+  // a conversion 13 days after the view still counts if the click
+  // fell within 7 — the product definition of a step funnel.
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val horizonMs = 7L * 24 * 3600 * 1000
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ms"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ms") > col("t1") && col("ms") <= col("t1") + horizonMs, col("ms"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ms") > col("t2") && col("ms") <= col("t2") + horizonMs, col("ms"))).over(w))
+    val tot = staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .agg(count(lit(1)).as("n_users"), count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click"), count(col("t3")).as("n_purchase"))
+    tot.select(col("n_users"), explode(array(
+        struct(lit(1L).as("step"), lit("view").as("stage"),
+          col("n_view").as("n"), col("n_users").as("prev")),
+        struct(lit(2L).as("step"), lit("click").as("stage"),
+          col("n_click").as("n"), col("n_view").as("prev")),
+        struct(lit(3L).as("step"), lit("purchase").as("stage"),
+          col("n_purchase").as("n"), col("n_click").as("prev")))).as("s"))
+      .select(col("s.step").as("step"), col("s.stage").as("stage"),
+        col("s.n").as("n_users_stage"),
+        expr("s.n * 1000000L div nullif(s.prev, 0L)").as("ppm_of_prev"),
+        expr("s.n * 1000000L div nullif(n_users, 0L)").as("ppm_of_users"))
+      .orderBy(col("step"))
+  }
+
+  val q32Sql: String =
+    """WITH u1 AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t1
+      |  FROM events GROUP BY 1),
+      |u2 AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+      |  FROM events e JOIN u1 ON e.user_id = u1.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND epoch_ms(e.ts) > u1.t1 AND epoch_ms(e.ts) <= u1.t1 + 604800000
+      |  GROUP BY 1),
+      |u3 AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+      |  FROM events e JOIN u2 ON e.user_id = u2.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND epoch_ms(e.ts) > u2.t2 AND epoch_ms(e.ts) <= u2.t2 + 604800000
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT count(*) FROM u1) AS n_users,
+      |         (SELECT count(t1) FROM u1) AS n_view,
+      |         (SELECT count(*) FROM u2) AS n_click,
+      |         (SELECT count(*) FROM u3) AS n_purchase)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, n_view AS n_users_stage,
+      |    CAST(n_view * 1000000 AS BIGINT) // nullif(n_users, 0) AS ppm_of_prev,
+      |    CAST(n_view * 1000000 AS BIGINT) // nullif(n_users, 0) AS ppm_of_users
+      |  FROM tot
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'click', n_click,
+      |    CAST(n_click * 1000000 AS BIGINT) // nullif(n_view, 0),
+      |    CAST(n_click * 1000000 AS BIGINT) // nullif(n_users, 0)
+      |  FROM tot
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'purchase', n_purchase,
+      |    CAST(n_purchase * 1000000 AS BIGINT) // nullif(n_click, 0),
+      |    CAST(n_purchase * 1000000 AS BIGINT) // nullif(n_users, 0)
+      |  FROM tot
+      |) ORDER BY step""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_min_cost_supplier" -> (q31 _),
+    "q32_funnel" -> (q32 _),
     "q29_promo_share" -> (q29 _),
     "q30_promo_pricing" -> (q30 _),
     "q27_one_failed_supplier" -> (q27 _),
@@ -1071,6 +1221,8 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q31_min_cost_supplier" -> q31Sql,
+    "q32_funnel" -> q32Sql,
     "q29_promo_share" -> q29Sql,
     "q30_promo_pricing" -> q30Sql,
     "q27_one_failed_supplier" -> q27Sql,

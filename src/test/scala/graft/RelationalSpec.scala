@@ -199,6 +199,74 @@ class RelationalSpec extends SparkSuite {
     assert(r.getOrElse(0L, 0L) === nCust - withOrders, "zero bucket = customers with no qualifying orders")
   }
 
+  test("q31 equals brute force (ties kept), one fact scan, no nested-loop join") {
+    val plan = Relational.q31(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert("lineitem".r.findAllIn(plan).size == 1, s"fact must be scanned once:\n$plan")
+
+    val parts = Tables.part(spark, sf)
+      .filter(col("p_type") === "ECONOMY" && col("p_size") <= 25)
+      .collect().map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_brand")).toMap
+    val nat = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> (r.getAs[String]("n_name"), r.getAs[Int]("n_regionkey"))).toMap
+    val euRegion = Tables.region(spark, sf).filter(col("r_name") === "EUROPE")
+      .head().getAs[Int]("r_regionkey")
+    val eu = Tables.supplier(spark, sf).collect().flatMap { r =>
+      val (nname, rkey) = nat(r.getAs[Int]("s_nationkey"))
+      if (rkey == euRegion)
+        Some(r.getAs[Long]("s_suppkey") -> (r.getAs[String]("s_name"), r.getAs[Double]("s_acctbal"), nname))
+      else None
+    }.toMap
+    val offers = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => parts.contains(t._1) && eu.contains(t._2))
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.map(_._3).min }
+    val minPerPart = offers.groupBy(_._1._1).map { case (p, m) => p -> m.values.min }
+    val want = offers.collect { case ((p, su), c) if c == minPerPart(p) =>
+      val (sname, bal, nname) = eu(su)
+      (bal, sname, nname, p, parts(p), c)
+    }.toSeq
+      .sortBy { case (bal, sname, nname, p, _, _) => (-bal, nname, sname, p) }
+      .take(100)
+    val got = Relational.q31(spark, sf).collect().map(r =>
+      (r.getDouble(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4), r.getDouble(5))).toSeq
+    assert(got === want)
+    // ties are a real (not vacuous) part of the contract: at least one
+    // part must keep >1 suppliers OR every min be unique — just assert
+    // the multiset of parts matches brute force, which already covers it.
+    assert(got.map(_._4).toSet === want.map(_._4).toSet)
+  }
+
+  test("q32 funnel equals brute-force chained timestamps and re-uses one user shuffle") {
+    val plan = Relational.q32(spark, sf).queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"window + per-user agg must share ONE user_id shuffle:\n$plan")
+
+    val h = 7L * 24 * 3600 * 1000
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val chains = byUser.map { case (_, es) =>
+      val t1 = es.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(a => es.filter(e => e._2 == "click" && e._3 > a && e._3 <= a + h)
+        .map(_._3).minOption)
+      val t3 = t2.flatMap(a => es.filter(e => e._2 == "purchase" && e._3 > a && e._3 <= a + h)
+        .map(_._3).minOption)
+      (t1, t2, t3)
+    }.toSeq
+    val (nU, nV, nC, nP) = (chains.size.toLong, chains.count(_._1.isDefined).toLong,
+      chains.count(_._2.isDefined).toLong, chains.count(_._3.isDefined).toLong)
+    val got = Relational.q32(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "view", nV, nV * 1000000L / nU, nV * 1000000L / nU),
+      (2L, "click", nC, nC * 1000000L / nV, nC * 1000000L / nU),
+      (3L, "purchase", nP, nP * 1000000L / nC, nP * 1000000L / nU)))
+    assert(nV > 0 && nC > 0 && nP > 0, "funnel stages must be non-vacuous at this SF")
+  }
+
   test("q19 salted join result equals the plain join+agg") {
     val salted = Relational.q19(spark, sf).collect().map(_.toSeq)
     val li = Tables.lineitem(spark, sf)
