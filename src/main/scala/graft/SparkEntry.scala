@@ -18,6 +18,7 @@ import graft.operators._
   *  - s1–s7    operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search)
   *  - mm1–mm7  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan)
   *  - st1–st11 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit)
+  *  - i1–i3    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).
   */
@@ -30,10 +31,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Cleaning.queries ++ MLPrep.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ graft.streaming.Streams.queries
+      Multimodal.queries ++ graft.streaming.Streams.queries ++ Upsert.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Cleaning.oracles ++ MLPrep.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ graft.streaming.Streams.oracles
+      Multimodal.oracles ++ graft.streaming.Streams.oracles ++ Upsert.oracles
 }

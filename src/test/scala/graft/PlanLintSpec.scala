@@ -14,28 +14,63 @@ class PlanLintSpec extends SparkSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
-  test("no query plans an un-partitioned window over unbounded input") {
-    // Window with an empty partition spec funnels the whole input
-    // through ONE task — the round-1 m11 bug. A window whose input is
-    // already bounded (below an Aggregate or Limit, e.g. c5's
-    // distinct-values encoder) is fine — PROVIDED the aggregate's key
-    // cardinality is bounded by the SCHEMA, not the data. Audit of the
-    // empty-partition windows this lint admits: q23 (25 nations), q24
-    // (calendar days), m16 (corpus sources), mm6 (16 hex shards) are
-    // all schema/domain-bounded. q26 was NOT (suppliers scale with SF,
-    // ~750M rows at 100 TB) and was rewritten as a 1-row agg +
-    // broadcast join; any new empty-partition window over a
-    // data-cardinality aggregate needs the same rewrite.
+  /** Count of windows with an EMPTY partition spec anywhere in the
+    * optimized plan — no structural excuses. */
+  private def emptySpecWindows(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.size
+  }
+
+  /** The ONLY queries allowed to plan an empty-partition window, each
+    * with its human audit. The pre-round-6 lint excused ANY window
+    * whose child contained an Aggregate/Limit — but that is exactly
+    * the q26 bug class (its scale-killer WAS a window over a
+    * supplier-cardinality aggregate, ~750M rows at 100 TB). What
+    * makes these four safe is the AUDIT — the aggregate's cardinality
+    * is bounded by the SCHEMA/domain, a fact no plan shape can prove —
+    * so the lint is an explicit allowlist: a new empty-spec window
+    * anywhere else fails this suite and forces the same review. */
+  private val auditedEmptySpecWindows = Map(
+    "q23_revenue_share" -> "25 nation rows (schema-bounded dim)",
+    "q24_daily_audience" -> "calendar days (domain-bounded)",
+    "m16_domain_mix" -> "corpus sources (contract-bounded)",
+    "mm6_shard_plan" -> "16 hex shards (construction-bounded)",
+    "c5_label_encode" -> ("distinct values of a label-encode column — " +
+      "contract-bounded: label encoding is only for low-cardinality " +
+      "columns (the reference's nunique gate; c6 frequency encoding " +
+      "is the high-cardinality path and uses a partitioned window)"))
+
+  test("empty-partition windows appear ONLY in the audited allowlist") {
+    val have = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (emptySpecWindows(fn(spark, sf)) > 0) Some(name) else None
+    }.toSet
+    val unaudited = have -- auditedEmptySpecWindows.keySet
+    assert(unaudited.isEmpty,
+      s"NEW un-audited empty-partition windows in: $unaudited — either rewrite " +
+        "(1-row agg + broadcast join back, q26's fix) or audit the bound and allowlist")
+    val stale = auditedEmptySpecWindows.keySet -- have
+    assert(stale.isEmpty, s"allowlist entries with no empty-spec window anymore: $stale")
+  }
+
+  test("the lint catches the q26 bug class the old aggregate-child excuse admitted") {
+    import org.apache.spark.sql.expressions.Window
+    // supplier-cardinality aggregate (grows with SF) + empty-spec max
+    // window — q26's original scale-killer, verbatim shape
+    val bad = Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice")).as("rev"))
+      .withColumn("mx", max(col("rev")).over(Window.partitionBy()))
+      .filter(col("rev") === col("mx"))
+    assert(emptySpecWindows(bad) == 1, "the allowlist lint must flag this shape")
+    // and the OLD predicate (excuse any window over an Aggregate) would not have:
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val hits = fn(spark, sf).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty &&
-            !w.child.exists(p => p.isInstanceOf[Aggregate] || p.isInstanceOf[GlobalLimit]) =>
-          w
-      }
-      if (hits.nonEmpty) Some(name) else None
+    val oldHits = bad.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+          !w.child.exists(p => p.isInstanceOf[Aggregate] || p.isInstanceOf[GlobalLimit]) => w
     }
-    assert(offenders.isEmpty, s"un-partitioned windows over unbounded input in: $offenders")
+    assert(oldHits.isEmpty, "(this documents the hole the allowlist closes)")
   }
 
   test("every lineitem-scanning relational query prunes its read schema") {

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** MERGE / SCD2 contract: incremental apply is rebuild-transparent
+  * and idempotent, SCD2 invariants hold, and the whole surface is
+  * one key shuffle per input. */
+class UpsertSpec extends SparkSuite {
+
+  private def key(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  private def log = Tables.events(spark, sf).select(col("user_id"), col("event_id"),
+    col("event_type"), col("value"), unix_millis(col("ts")).as("ms"))
+
+  test("i2 incremental apply equals i1 full rebuild row-for-row") {
+    assert(key(Upsert.i2(spark, sf)) === key(Upsert.i1(spark, sf)))
+  }
+
+  test("re-applying the same batch is a no-op (idempotence)") {
+    val dim = Upsert.scd2FromLog(log.filter(col("ms") < Upsert.CutoffMs),
+      Seq("user_id"), "ms", Seq("event_id"))
+    val batch = log.filter(col("ms") >= Upsert.CutoffMs)
+    val once = Upsert.scd2Apply(dim, batch, Seq("user_id"), "ms", Seq("event_id"))
+      .localCheckpoint() // freeze, so "twice" applies to the materialized once
+    val twice = Upsert.scd2Apply(once, batch, Seq("user_id"), "ms", Seq("event_id"))
+    val ord = Seq(col("user_id"), col("version"))
+    assert(key(twice.orderBy(ord: _*)) === key(once.orderBy(ord: _*)))
+  }
+
+  test("applying an empty batch is a no-op") {
+    val dim = Upsert.scd2FromLog(log, Seq("user_id"), "ms", Seq("event_id"))
+    val after = Upsert.scd2Apply(dim, log.limit(0), Seq("user_id"), "ms", Seq("event_id"))
+    val ord = Seq(col("user_id"), col("version"))
+    assert(key(after.orderBy(ord: _*)) === key(dim.orderBy(ord: _*)))
+  }
+
+  test("SCD2 invariants: one open row per key, contiguous half-open ranges, dense versions") {
+    val h = Upsert.i2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4), // user_id, valid_from
+        Option(r.get(5)).map(_.asInstanceOf[Long]), // valid_to
+        r.getLong(6), r.getLong(7))) // version, is_current
+      .groupBy(_._1)
+    h.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to rows.length).toSeq, s"user $u versions dense")
+      assert(sorted.count(_._5 == 1L) === 1, s"user $u exactly one open row")
+      assert(sorted.last._5 === 1L && sorted.last._3.isEmpty, s"user $u last row open")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2), s"user $u ranges contiguous: ${a._3} -> ${b._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("mergeLatest: updates win over the snapshot; unseen keys insert") {
+    import spark.implicits._
+    val current = Seq((1L, 10L, "old", 1.0, 100L), (2L, 20L, "keep", 2.0, 200L))
+      .toDF("user_id", "event_id", "event_type", "value", "ms")
+    val updates = Seq((1L, 11L, "new", 9.0, 150L), (3L, 30L, "ins", 3.0, 50L))
+      .toDF("user_id", "event_id", "event_type", "value", "ms")
+    val got = Upsert.mergeLatest(current, updates, Seq("user_id"),
+      Seq(col("ms"), col("event_id"))).orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got === Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+
+  test("scd2FromLog and scd2Apply stay one key shuffle per input") {
+    val p1 = Upsert.i1(spark, sf).queryExecution.executedPlan.toString
+    // i1: window + final orderBy — exactly one hash shuffle on user_id
+    assert("hashpartitioning\\(user_id".r.findAllIn(p1).size == 1, p1)
+    val p2 = Upsert.i2(spark, sf).queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+  }
+}
