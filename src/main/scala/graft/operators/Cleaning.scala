@@ -513,7 +513,58 @@ object Cleaning {
       |  FROM events LEFT JOIN customer ON user_id = c_custkey
       |) ORDER BY relationship""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c14: calendar gap-fill + LOCF imputation — the time-series
+  // densification every daily-metrics pipeline needs before trend
+  // models see the data (a user with no Tuesday events must show a
+  // Tuesday ROW, not an invisible hole). Per-user daily rollup, a
+  // calendar spine from each user's own [first, last] activity range
+  // (sequence + explode — fan-out bounded by the CALENDAR, not data),
+  // left join, then last-observation-carried-forward via
+  // last(ignoreNulls) over an ordered per-user window. Scale shape:
+  // all three shuffles run at DAILY grain (≤ users × horizon-days
+  // rows — orders of magnitude under the event scan that feeds them);
+  // the LOCF window partitions by user with calendar-bounded
+  // partition sizes. Carried values are copied bits (no arithmetic),
+  // so LOCF is FP-exact in both engines; days ship as ISO strings
+  // (no cross-engine date-encoding hazard).
+  def c14(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col("user_id"), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("n_events").isNull, 1L).otherwise(0L).as("is_gap"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("day_value_filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val c14Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+      |  FROM daily GROUP BY user_id)
+      |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+      |  coalesce(d.n_events, 0) AS n_events,
+      |  CAST(CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+      |  last_value(d.day_value IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value_filled
+      |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_gap_fill" -> (c14 _),
     "c13_fk_audit" -> (c13 _),
     "c12_expectations" -> (c12 _),
     "c11_null_standardize" -> (c11 _),
@@ -523,6 +574,7 @@ object Cleaning {
     "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
+    "c14_gap_fill" -> c14Sql,
     "c13_fk_audit" -> c13Sql,
     "c12_expectations" -> c12Sql,
     "c11_null_standardize" -> c11Sql,

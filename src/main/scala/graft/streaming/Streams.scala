@@ -100,6 +100,10 @@ object Streams {
   case class Enriched(user_id: Long, event_id: Long, purchase_ms: Long,
       click_ms: Option[Long])
 
+  /** Default [[streamingAsOfEnrich]] retention: 30 days of user
+    * inactivity before the key's state is evicted. */
+  val DefaultAsOfRetentionMs: Long = 30L * 24 * 3600 * 1000
+
   /** Streaming AS-OF enrichment: each purchase is emitted with the
     * latest click of the same user at-or-before it — the streaming
     * twin of q14/q16. State per user = ONE long (last click ms);
@@ -107,26 +111,57 @@ object Streams {
     * equals the batch as-of join whenever a user's timeline isn't
     * split across batches out of order (guaranteed under event-time-
     * ordered sources; late data beyond the watermark is dropped by
-    * the upstream watermark as usual). */
-  def streamingAsOfEnrich(events: Dataset[TypedEvent]): Dataset[Enriched] = {
+    * the upstream watermark as usual).
+    *
+    * State is BOUNDED by a retention horizon: a user idle (no click
+    * OR purchase) longer than `retentionMs` is evicted via
+    * EventTimeTimeout, so the key set is O(users active within the
+    * horizon), not O(all users ever). The documented trade — the
+    * st3/streamingDedup caveat, applied to attribution: a user who
+    * returns AFTER the horizon has lost their lastClick, so their
+    * next purchase emits click_ms = None even though a click existed.
+    * That is a real semantic loss, which is why the horizon is a
+    * caller knob (default 30 days) and why idleness counts from the
+    * user's last ACTIVITY, not last click — an actively-purchasing
+    * user never loses attribution. Pick the horizon like a marketing
+    * attribution window: past it, the click no longer deserves
+    * credit anyway. */
+  def streamingAsOfEnrich(events: Dataset[TypedEvent],
+      retentionMs: Long = DefaultAsOfRetentionMs): Dataset[Enriched] = {
     import events.sparkSession.implicits._
     events
       .filter(e => e.event_type == "purchase" || e.event_type == "click")
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, it: Iterator[TypedEvent], state: GroupState[Long]) => {
-          val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_type, e.event_id))
-          var lastClick = state.getOption.getOrElse(Long.MinValue)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Enriched]
-          for (e <- sorted) {
-            val ms = e.ts.getTime
-            if (e.event_type == "click") lastClick = math.max(lastClick, ms)
-            else out += Enriched(uid, e.event_id, ms,
-              if (lastClick == Long.MinValue) None else Some(lastClick))
+          if (state.hasTimedOut) { // idle past the horizon: evict the key
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_type, e.event_id))
+            var lastClick = state.getOption.getOrElse(Long.MinValue)
+            var lastSeen = Long.MinValue
+            val out = scala.collection.mutable.ArrayBuffer.empty[Enriched]
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              lastSeen = math.max(lastSeen, ms)
+              if (e.event_type == "click") lastClick = math.max(lastClick, ms)
+              else out += Enriched(uid, e.event_id, ms,
+                if (lastClick == Long.MinValue) None else Some(lastClick))
+            }
+            if (lastClick != Long.MinValue) {
+              state.update(lastClick)
+              // Timeout at last activity + horizon, strictly above the
+              // watermark (st10's rule). Batch execution has no
+              // watermark — getCurrentWatermarkMs throws, floor to 0
+              // (moot there: per-group state dies with the single call).
+              val wm = try state.getCurrentWatermarkMs()
+                catch { case _: UnsupportedOperationException => 0L }
+              state.setTimeoutTimestamp(math.max(lastSeen + retentionMs, wm + 1L))
+            }
+            out.iterator
           }
-          if (lastClick != Long.MinValue) state.update(lastClick)
-          out.iterator
         })
   }
 
@@ -606,7 +641,64 @@ object Streams {
       |GROUP BY 1, 2
       |ORDER BY segment, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // st12: streaming MERGE upsert — THE lakehouse streaming-sink
+  // pattern: a change stream folded into a latest-row snapshot, one
+  // micro-batch at a time. The streaming form is [[UpsertSink]]
+  // (foreachBatch → Upsert.mergeLatest; StreamingSpec drives it
+  // through a MemoryStream and asserts the final snapshot equals the
+  // batch oracle). The batch twin below replays the log as THREE
+  // time-sliced batches folded sequentially — st12's gate therefore
+  // proves the fold is composition-stable: ((s₁ ⊕ b₂) ⊕ b₃) equals
+  // the one-shot latest-row window over the whole log (i3's oracle
+  // shape). Each fold step is one user-keyed shuffle at snapshot ⊕
+  // batch size; a production deployment runs exactly one such step
+  // per micro-batch against a MERGE-capable table.
+  def st12(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"), unix_millis(col("ts")).as("ms"))
+    val t1 = 1704931200000L // 2024-01-11T00:00:00Z
+    val t2 = 1705795200000L // 2024-01-21T00:00:00Z
+    val keys = Seq("user_id")
+    val ord = Seq(col("ms"), col("event_id"))
+    val parts = Seq(
+      log.filter(col("ms") < t1),
+      log.filter(col("ms") >= t1 && col("ms") < t2),
+      log.filter(col("ms") >= t2))
+    parts.tail.foldLeft(graft.operators.Upsert.latestSnapshot(parts.head, keys, ord)) {
+      (snap, b) => graft.operators.Upsert.mergeLatest(snap, b, keys, ord)
+    }.orderBy(col("user_id"))
+  }
+
+  val st12Sql: String =
+    """SELECT user_id, event_id, event_type, value, ms FROM (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** foreachBatch MERGE sink: folds each micro-batch into an
+    * in-session latest-row snapshot. localCheckpoint materializes the
+    * fold per batch so lineage doesn't stack across an unbounded
+    * stream (the production swap-in is a MERGE-capable table —
+    * Delta/Iceberg MERGE INTO or a parquet snapshot swap; the fold
+    * logic is this, unchanged). */
+  class UpsertSink(keys: Seq[String], ordering: Seq[org.apache.spark.sql.Column]) {
+    @volatile private var snap: Option[DataFrame] = None
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val next = snap match {
+        case None => graft.operators.Upsert.latestSnapshot(batch, keys, ordering)
+        case Some(prev) => graft.operators.Upsert.mergeLatest(prev, batch, keys, ordering)
+      }
+      snap = Some(next.localCheckpoint())
+    }
+    def snapshot: Option[DataFrame] = snap
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_stream_upsert" -> (st12 _),
     "st11_interval_join_outer" -> (st11 _),
     "st10_rate_flag" -> (st10 _),
     "st9_stream_enrich" -> (st9 _),
@@ -617,6 +709,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st12_stream_upsert" -> st12Sql,
     "st11_interval_join_outer" -> st11Sql,
     "st10_rate_flag" -> st10Sql,
     "st9_stream_enrich" -> st9Sql,

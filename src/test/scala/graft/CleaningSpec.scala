@@ -257,4 +257,31 @@ class CleaningSpec extends SparkSuite {
       assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
     }
   }
+
+  test("c14 gap-fill: contiguous calendar per user, gaps carry the last observed value") {
+    val rows = Cleaning.c14(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty && rows.exists(_._4 == 1L), "data must contain real gaps")
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // contiguous: every consecutive pair is exactly one day apart
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(java.time.LocalDate.parse(a._2, fmt).plusDays(1) ===
+            java.time.LocalDate.parse(b._2, fmt), s"user $u calendar hole at ${a._2}")
+        case _ =>
+      }
+      // endpoints are observed (the spine is the user's own range)
+      assert(sorted.head._4 == 0L && sorted.last._4 == 0L, s"user $u spine endpoints")
+      // gap rows: zero events and the previous row's filled value
+      sorted.sliding(2).foreach {
+        case Array(a, b) if b._4 == 1L =>
+          assert(b._3 == 0L, s"user $u gap day ${b._2} has events")
+          assert(b._5 === a._5, s"user $u LOCF at ${b._2}")
+        case _ =>
+      }
+    }
+  }
 }

@@ -280,6 +280,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming MERGE sink: micro-batch folds converge to the batch latest-row snapshot (st12)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String, Double, Long)] // user, event, type, value, ms
+    val sink = new Streams.UpsertSink(Seq("user_id"), Seq(col("ms"), col("event_id")))
+    val q = mem.toDF().toDF("user_id", "event_id", "event_type", "value", "ms")
+      .writeStream.foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .start()
+    try {
+      mem.addData((1L, 10L, "a", 1.0, 100L), (2L, 20L, "b", 2.0, 200L))
+      q.processAllAvailable()
+      mem.addData((1L, 11L, "c", 3.0, 150L), (3L, 30L, "d", 4.0, 50L)) // upsert + insert
+      q.processAllAvailable()
+      mem.addData((2L, 21L, "e", 5.0, 200L)) // same ms, higher event_id wins
+      q.processAllAvailable()
+      val got = sink.snapshot.get.orderBy(col("user_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got === Seq((1L, 11L, "c"), (2L, 21L, "e"), (3L, 30L, "d")))
+    } finally q.stop()
+  }
+
+  test("st7 as-of state is bounded: idle users evicted at the horizon, with the documented attribution loss") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minute: Long, uid: Long, typ: String) = Streams.TypedEvent(
+      id, uid, new java.sql.Timestamp(86400000L + minute * 60000L), typ, 1.0)
+    val mem = MemoryStream[Streams.TypedEvent]
+    val q = Streams.streamingAsOfEnrich(mem.toDS(), retentionMs = 3600000L) // 1h horizon
+      .writeStream.outputMode("append").format("memory").queryName("asof_evict").start()
+    try {
+      mem.addData(ev(1, 0, 1L, "click"), ev(2, 1, 1L, "purchase")) // user1 attributes
+      q.processAllAvailable()
+      // push the watermark far past user1's last activity + horizon…
+      mem.addData(ev(3, 300, 2L, "click"))
+      q.processAllAvailable()
+      mem.addData(ev(4, 302, 2L, "click")) // …and trigger timeout processing
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows === 1L, s"idle user1 not evicted (state rows=$stateRows)")
+      // the documented trade: user1 returns AFTER the horizon — the
+      // purchase flows through but its click attribution is gone
+      mem.addData(ev(5, 303, 1L, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("asof_evict").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(got(2L) === Some(86400000L), "pre-eviction purchase attributes to the click")
+      assert(got(5L) === None, "post-horizon purchase has lost attribution by design")
+    } finally q.stop()
+  }
+
   test("bounded dedup evicts state at the watermark; re-emits only past-delay duplicates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
