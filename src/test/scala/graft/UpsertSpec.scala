@@ -68,6 +68,32 @@ class UpsertSpec extends SparkSuite {
     assert(got === Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
   }
 
+  test("property: incremental apply equals rebuild for ANY log and ANY split (10 seeded trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 10) {
+      val nKeys = 1 + rnd.nextInt(6)
+      // ids are unique (a change log's PK); timestamps collide on
+      // purpose — the tie-break column must carry total order
+      val rows = (1 to 30 + rnd.nextInt(80)).map { i =>
+        (rnd.nextInt(nKeys).toLong, i.toLong, s"v$i", rnd.nextDouble(), rnd.nextInt(20).toLong * 1000L)
+      }
+      val logDf = rows.toDF("user_id", "event_id", "event_type", "value", "ms")
+      val full = Upsert.scd2FromLog(logDf, Seq("user_id"), "ms", Seq("event_id"))
+      val cut = rnd.nextInt(21).toLong * 1000L // may be empty-dim or empty-batch
+      // split must respect event order within key for rebuild equality:
+      // (ms, event_id) below/above the cut — use ms alone as the cut
+      // axis but put ties entirely on one side via event parity-free
+      // rule: strictly-less goes to the dim
+      val dim = Upsert.scd2FromLog(logDf.filter(col("ms") < cut), Seq("user_id"), "ms", Seq("event_id"))
+      val batch = logDf.filter(col("ms") >= cut)
+      val applied = Upsert.scd2Apply(dim, batch, Seq("user_id"), "ms", Seq("event_id"))
+      val ord = Seq(col("user_id"), col("version"))
+      assert(key(applied.orderBy(ord: _*)) === key(full.orderBy(ord: _*)),
+        s"trial $trial (cut=$cut) incremental != rebuild")
+    }
+  }
+
   test("scd2FromLog and scd2Apply stay one key shuffle per input") {
     val p1 = Upsert.i1(spark, sf).queryExecution.executedPlan.toString
     // i1: window + final orderBy — exactly one hash shuffle on user_id
