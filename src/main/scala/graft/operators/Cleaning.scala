@@ -563,7 +563,72 @@ object Cleaning {
       |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
       |ORDER BY s.user_id, day""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c15: robust (median/MAD) outlier audit — c4's IQR clip bounds the
+  // tails, but the robust-statistics standard for CONTAMINATED data is
+  // the MAD z-score: median and median-absolute-deviation are
+  // 50%-breakdown estimators, so the outliers being hunted cannot
+  // poison the fence that hunts them (a mean/std fence moves toward
+  // the outliers; c4's quartiles resist only 25% contamination).
+
+  /** Per-group median, MAD, and count of |x − med| > k·1.4826·MAD
+    * outliers (1.4826 rescales MAD to σ under normality, so `k` reads
+    * as a z-score). Quantile mode follows the [[graft.functions.Quantiles]]
+    * contract: DEFAULT is the fixed-memory sketch (the only admissible
+    * default when `valueCol`'s domain is unbounded); `exact = true` is
+    * the bounded-domain/oracle opt-in. Exact MAD needs the median
+    * before deviations exist, so the op is inherently multi-pass:
+    * three scan-bound passes over two pruned columns (med → MAD →
+    * count), each a partial-agg shuffle of |groups| rows. The med/MAD
+    * frames broadcast back under the caller's contract that |groups|
+    * is bounded (c5's label-map rule); the fences are one IEEE
+    * multiply of engine-identical constants, so the oracle compare is
+    * bit-exact. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Double = 3.0, exact: Boolean = false): DataFrame = {
+    import graft.functions.Quantiles
+    val v = col(valueCol)
+    val med = df.groupBy(col(groupCol))
+      .agg(Quantiles.quantile(v, 0.5, exact).as("med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__ad", abs(v - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(Quantiles.quantile(col("__ad"), 0.5, exact).as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(when(col("__ad") > lit(k * 1.4826) * col("mad"), lit(1))).as("n_outliers"))
+  }
+
+  /** c15: MAD outlier audit of events.value per event_type (5
+    * schema-fixed types; TPC-H's uniform price columns have BOUNDED
+    * tails — max deviation 2·MAD < the 4.45·MAD fence — so the demo
+    * runs on the one heavy-tailed column in the corpus). Exact mode
+    * is the ORACLE path (c2's rule — DuckDB quantile_cont parity);
+    * the library default is the sketch. */
+  def c15(s: SparkSession, dir: String): DataFrame =
+    robustOutliers(
+      Tables.events(s, dir).select(col("event_type"), col("value")),
+      "event_type", "value", k = 3.0, exact = true)
+      .orderBy(col("event_type"))
+
+  val c15Sql: String =
+    """WITH ev AS (SELECT event_type, value FROM events),
+      |med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM ev GROUP BY 1),
+      |dev AS (
+      |  SELECT event_type, med, abs(value - med) AS ad
+      |  FROM ev JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT event_type, count(*) AS n, max(med) AS med, max(mad) AS mad,
+      |  count(CASE WHEN ad > (3.0 * 1.4826) * mad THEN 1 END) AS n_outliers
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c15_robust_outliers" -> (c15 _),
     "c14_gap_fill" -> (c14 _),
     "c13_fk_audit" -> (c13 _),
     "c12_expectations" -> (c12 _),
@@ -574,6 +639,7 @@ object Cleaning {
     "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
+    "c15_robust_outliers" -> c15Sql,
     "c14_gap_fill" -> c14Sql,
     "c13_fk_audit" -> c13Sql,
     "c12_expectations" -> c12Sql,

@@ -1186,7 +1186,201 @@ object Relational {
       |  FROM tot
       |) ORDER BY step""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q33: TPC-H Q11-shape "important parts" — parts whose shipped value
+  // from one nation's suppliers exceeds a FRACTION OF THE GLOBAL total
+  // (the scalar-subquery-in-HAVING decorrelation shape; Q11 does this
+  // over partsupp, this schema's offer stream is lineitem). Shape:
+  // ONE fact scan collapses to part grain; the global total is a
+  // 1-ROW AGGREGATE over that same grain broadcast back (q26's
+  // pattern — both consumers share the exchange, and an
+  // empty-partition window here would funnel all |parts| rows through
+  // one task at 100 TB). The supplier join stays unhinted: supplier
+  // grows with SF (10k×SF) so a forced broadcast is the q21 bug
+  // class; AQE promotes it while it fits. The cut is a MEAN MULTIPLE
+  // (val > 2.5 × mean part value), not Q11's fixed global fraction:
+  // a fixed fraction of a total spread over |parts| rows goes vacuous
+  // as |parts| grows with SF (Q11's own spec patches this by scaling
+  // the fraction 1/SF — a knob an operator can't see), while the
+  // mean-multiple form self-scales and keeps the identical
+  // decorrelation shape. Determinism: per-part and global sums are
+  // EXACT DECIMAL; both engines round each to double once and the
+  // threshold is the same left-to-right IEEE multiply-divide — no
+  // order-dependent FP (§6.1), no boundary flicker at the threshold.
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .filter(col("s_nationkey") === 20).select(col("s_suppkey"))
+    val pv = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .as("__val"))
+    val tot = pv.agg(sum(col("__val")).as("__tot"), count(lit(1)).as("__n"))
+    pv.crossJoin(broadcast(tot)) // provably 1 row
+      .filter(col("__val").cast("double") >
+        lit(2.5) * col("__tot").cast("double") / col("__n").cast("double"))
+      .select(col("l_partkey"), col("__val").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  val q33Sql: String =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS val
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey = 20
+      |  GROUP BY 1),
+      |t AS (SELECT sum(val) AS tot, count(*) AS n FROM pv)
+      |SELECT l_partkey, CAST(val AS DOUBLE) AS value
+      |FROM pv, t
+      |WHERE CAST(val AS DOUBLE) > 2.5 * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q34: TPC-H Q20-shape "dominant shippers" — suppliers who shipped
+  // more than 30% of a part's total 1995 volume (Q20's correlated
+  // `ps_availqty > 0.5 * sum(l_quantity)` subquery, re-anchored to
+  // this schema's lineitem). Decorrelated like q31: ONE fact scan
+  // collapses to (part, supplier) grain — map-side partial agg does
+  // the heavy lifting — and the part total is a window partitioned by
+  // l_partkey, whose partitions are bounded by suppliers-per-part (a
+  // schema-fixed ratio), NOT an agg + join-back (two extra shuffles).
+  // The dominance gate compares one decimal→double rounding per side
+  // with one IEEE multiply — deterministic cross-engine. The supplier
+  // name join is unhinted (supplier scales with SF; the gated side is
+  // small but not provably so — AQE decides).
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val pairQty = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-01-01")) &&
+        col("l_suppkey").isNotNull)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("__q"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val dominated = pairQty
+      .withColumn("__ptot", sum(col("__q")).over(w))
+      .filter(col("__q").cast("double") > lit(0.3) * col("__ptot").cast("double"))
+    dominated.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated_parts"))
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominated_parts"))
+      .orderBy(col("n_dominated_parts").desc, col("s_suppkey"))
+      .limit(100)
+  }
+
+  val q34Sql: String =
+    """WITH pq AS (
+      |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |    AND l_suppkey IS NOT NULL
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT l_partkey, l_suppkey, q, sum(q) OVER (PARTITION BY l_partkey) AS ptot
+      |  FROM pq)
+      |SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+      |FROM d JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE CAST(q AS DOUBLE) > 0.3 * CAST(ptot AS DOUBLE)
+      |GROUP BY 1, 2
+      |ORDER BY n_dominated_parts DESC, s_suppkey
+      |LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q35: cohort retention — the month-cohort × months-since activity
+  // matrix every product-analytics stack computes. The cohort month
+  // comes from a window min PARTITIONED BY o_custkey (partitions =
+  // orders-per-customer, bounded; a groupBy-min + join-back would
+  // re-shuffle the fact twice). The (customer, cohort, offset) grain
+  // then collapses with dropDuplicates BEFORE the count — the §11
+  // distinct-grain rule: a count(DISTINCT) here would Expand the scan.
+  // Month arithmetic is pure integer (year×12+month deltas — no
+  // interval/timezone semantics to disagree on), and the cohort ships
+  // as an ISO string (§6's date-encoding rule).
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    val m = Tables.orders(s, dir)
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("__m"))
+      .withColumn("__cm", min(col("__m")).over(w))
+    m.select(col("o_custkey"), col("__cm"),
+        ((year(col("__m")) - year(col("__cm"))) * 12 +
+          (month(col("__m")) - month(col("__cm")))).cast("long").as("month_offset"))
+      .dropDuplicates("o_custkey", "__cm", "month_offset")
+      .groupBy(date_format(col("__cm"), "yyyy-MM").as("cohort_month"), col("month_offset"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }
+
+  val q35Sql: String =
+    """WITH m AS (
+      |  SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+      |    min(date_trunc('month', o_orderdate)) OVER (PARTITION BY o_custkey) AS cm
+      |  FROM orders),
+      |d AS (
+      |  SELECT DISTINCT o_custkey, cm,
+      |    (year(m) - year(cm)) * 12 + (month(m) - month(cm)) AS month_offset
+      |  FROM m)
+      |SELECT strftime(cm, '%Y-%m') AS cohort_month,
+      |  CAST(month_offset AS BIGINT) AS month_offset,
+      |  count(*) AS n_customers
+      |FROM d
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q36: market-basket co-occurrence — top part pairs ordered
+  // together. The naive form self-joins the fact on l_orderkey (two
+  // shuffles + a join whose fan-out is invisible to the planner);
+  // this is ONE shuffle: groupBy(order).collect_set(part) dedups
+  // repeated parts map-side, pairs are generated with codegen'd array
+  // intrinsics (sorted set → upper-triangle via transform/slice — no
+  // UDF), and the pair count re-aggregates. Fan-out is C(|basket|,2),
+  // bounded by the maxBasket=100 guard — a degenerate mega-order
+  // (the basket analogue of d3's hot LSH bucket) is DROPPED, not
+  // allowed to emit C(10k,2) rows from one task; the cap is enforced
+  // in both engines so the oracle agrees. Top-25 runs as
+  // TakeOrderedAndProject (per-partition top-k + single-reduce merge,
+  // no global sort), tie-broken deterministically on (count, p1, p2).
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val maxBasket = 100
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("__parts"))
+      .filter(size(col("__parts")).between(2, maxBasket))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(__parts, (x, i) ->
+          |  transform(slice(__parts, i + 2, size(__parts) - i - 1),
+          |            y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(25)
+  }
+
+  val q36Sql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ok AS (
+      |  SELECT l_orderkey FROM items GROUP BY 1
+      |  HAVING count(*) BETWEEN 2 AND 100),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM items a
+      |  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  JOIN ok ON a.l_orderkey = ok.l_orderkey)
+      |SELECT p1, p2, count(*) AS n_orders
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY n_orders DESC, p1, p2
+      |LIMIT 25""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_important_parts" -> (q33 _),
+    "q34_dominant_shippers" -> (q34 _),
+    "q35_cohort_retention" -> (q35 _),
+    "q36_basket_pairs" -> (q36 _),
     "q31_min_cost_supplier" -> (q31 _),
     "q32_funnel" -> (q32 _),
     "q29_promo_share" -> (q29 _),
@@ -1221,6 +1415,10 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q33_important_parts" -> q33Sql,
+    "q34_dominant_shippers" -> q34Sql,
+    "q35_cohort_retention" -> q35Sql,
+    "q36_basket_pairs" -> q36Sql,
     "q31_min_cost_supplier" -> q31Sql,
     "q32_funnel" -> q32Sql,
     "q29_promo_share" -> q29Sql,

@@ -486,13 +486,59 @@ object Similarity {
        |ORDER BY q_id, cand_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // s8: FILTERED vector search — top-k under a metadata predicate
+  // (the "filtered ANN" problem every vector store ships: "nearest
+  // docs WHERE lang='en' AND date > …"). Strategy here is PRE-filter:
+  // the predicate applies before any distance is computed, so it
+  // pushes down to the parquet scan (row-group pruning does the work
+  // and the scored candidate set shrinks by the filter's selectivity)
+  // and the result is EXACT — unlike post-filtering an ANN result
+  // list, which silently returns < k rows when the filter is
+  // selective (k survivors of a top-k' probe is a recall lottery).
+  // For the LSH/IVF scale paths the same composition holds (filter
+  // the bucketed candidates before scoring); pre-filter is the right
+  // default whenever the predicate is cheap relative to re-probing.
+
+  /** Exact filtered top-k: brute-force cosine of `queries` against
+    * the rows of `corpus` satisfying `pred`. Same broadcast contract
+    * as [[cosineTopK]] (|queries| ≪ |corpus|). */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, pred: Column, k: Int): DataFrame =
+    cosineTopK(queries, corpus.filter(pred), k)
+
+  def s8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    filteredTopK(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") >= 5).select(col("vec_id").as("id"), col("embedding"), col("label")),
+      col("label") % 2 === 0, 3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val s8Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $cos AS cos
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < 5 AND c.vec_id >= 5 AND c.label % 2 = 0
+       |), ranked AS (
+       |  SELECT q_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |  FROM pairs)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_filtered_topk" -> (s8 _),
     "s7_range_search" -> (s7 _),
     "s6_mips_topk" -> (s6 _),
     "s1_cosine_topk" -> (s1 _), "s2_ann_lsh" -> (s2 _),
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s8_filtered_topk" -> s8Sql,
     "s7_range_search" -> s7Sql,
     "s6_mips_topk" -> s6Sql,
     "s1_cosine_topk" -> s1Sql, "s2_ann_lsh" -> s2Sql, "s3_vector_stats" -> s3Sql,

@@ -98,6 +98,38 @@ object Upsert {
     closed.unionByName(newRows)
   }
 
+  /** CDC changelog between two keyed snapshots: every key is classified
+    * INSERT (in `newSnap` only), DELETE (in `oldSnap` only) or UPDATE
+    * (in both, any `compare` column differs — NULL-SAFE, so null→value
+    * and value→null are updates, null→null is not), and unchanged keys
+    * are dropped. Output: keys, `op`, then old_/new_-prefixed compare
+    * columns.
+    *
+    * Scale shape: one co-partitioned full-outer sort-merge join — both
+    * sides shuffle ONCE on the key, which is the floor for a diff of
+    * two fact-sized snapshots (neither side is assumed broadcastable;
+    * AQE promotes if one is). Presence is tracked with explicit marker
+    * columns, not key-null tests, so nullable compare columns can
+    * never masquerade as inserts/deletes. */
+  def cdcDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+              compare: Seq[String]): DataFrame = {
+    def side(d: DataFrame, pfx: String): DataFrame =
+      compare.foldLeft(d.select((keys ++ compare).map(col): _*)) {
+        (acc, c) => acc.withColumnRenamed(c, s"$pfx$c")
+      }.withColumn(s"__${pfx}present", lit(1))
+    val j = side(oldSnap, "old_").join(side(newSnap, "new_"), keys, "full_outer")
+    val changed = compare.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    j.withColumn("op",
+        when(col("__old_present").isNull, "INSERT")
+          .when(col("__new_present").isNull, "DELETE")
+          .when(changed, "UPDATE"))
+      .filter(col("op").isNotNull)
+      .drop("__old_present", "__new_present")
+      .select((keys.map(col) :+ col("op")) ++
+        compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   // -------------------------------------------------------------------
   // Inventory queries. The events table is the change log: each event
   // is a new version of its user's state, ordered by (ms, event_id).
@@ -166,13 +198,58 @@ object Upsert {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** i4: CDC changelog between the pre-cutoff and current
+    * latest-purchase-per-user snapshots. With time-cut snapshots of an
+    * append-only log DELETE cannot occur (a key never leaves the later
+    * snapshot) — so this instantiation emits INSERT/UPDATE only and
+    * the DELETE path is exercised by UpsertSpec on explicit frames.
+    * The `value` doubles pass through unarithmetic'd, so the oracle
+    * compare is bit-exact (§6.1). */
+  def i4(s: SparkSession, dir: String): DataFrame = {
+    val purchases = changeLog(s, dir).filter(col("event_type") === "purchase")
+    val oldSnap = latestSnapshot(purchases.filter(col("ms") < CutoffMs),
+      Seq("user_id"), Seq(col("ms"), col("event_id")))
+    val newSnap = latestSnapshot(purchases,
+      Seq("user_id"), Seq(col("ms"), col("event_id")))
+    cdcDiff(oldSnap, newSnap, Seq("user_id"), Seq("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val i4Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+       |  FROM events WHERE event_type = 'purchase'),
+       |olds AS (
+       |  SELECT user_id, value FROM (
+       |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ms DESC, event_id DESC) AS rn2
+       |    FROM ranked WHERE ms < $CutoffMs) WHERE rn2 = 1),
+       |news AS (SELECT user_id, value FROM ranked WHERE rn = 1),
+       |j AS (
+       |  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       |    o.value AS old_value, n.value AS new_value,
+       |    o.user_id IS NOT NULL AS in_old, n.user_id IS NOT NULL AS in_new
+       |  FROM olds o FULL OUTER JOIN news n ON o.user_id = n.user_id)
+       |SELECT user_id,
+       |  CASE WHEN NOT in_old THEN 'INSERT'
+       |       WHEN NOT in_new THEN 'DELETE'
+       |       WHEN old_value IS DISTINCT FROM new_value THEN 'UPDATE' END AS op,
+       |  old_value, new_value
+       |FROM j
+       |WHERE NOT in_old OR NOT in_new OR old_value IS DISTINCT FROM new_value
+       |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scd2_history" -> (i1 _),
     "i2_scd2_apply" -> (i2 _),
-    "i3_merge_latest" -> (i3 _))
+    "i3_merge_latest" -> (i3 _),
+    "i4_cdc_diff" -> (i4 _))
 
   def oracles: Map[String, String] = Map(
     "i1_scd2_history" -> i1Sql,
     "i2_scd2_apply" -> i1Sql, // full-rebuild SQL: incremental == rebuild
-    "i3_merge_latest" -> i3Sql)
+    "i3_merge_latest" -> i3Sql,
+    "i4_cdc_diff" -> i4Sql)
 }

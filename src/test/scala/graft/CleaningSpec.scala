@@ -284,4 +284,30 @@ class CleaningSpec extends SparkSuite {
       }
     }
   }
+
+  test("c15 exact mode equals brute-force type-7 median/MAD; default mode plans the sketch") {
+    def q7(xs: Seq[Double], p: Double): Double = { // type-7 (rank p*(n-1)) interpolation
+      val s = xs.sorted; val r = p * (s.size - 1)
+      val lo = r.toInt; val frac = r - lo
+      if (lo + 1 < s.size) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+    }
+    val data = Tables.events(spark, sf).select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val want = data.map { case (g, xs) =>
+      val vs = xs.map(_._2).toSeq
+      val med = q7(vs, 0.5)
+      val mad = q7(vs.map(v => math.abs(v - med)), 0.5)
+      val fence = (3.0 * 1.4826) * mad
+      (g, vs.size.toLong, med, mad, vs.count(v => math.abs(v - med) > fence).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = operators.Cleaning.c15(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got === want)
+    assert(got.exists(_._5 > 0L), "fences must flag something at this SF")
+    // library DEFAULT is the sketch (Quantiles contract)
+    val dflt = operators.Cleaning.robustOutliers(
+      Tables.events(spark, sf).select(col("event_type"), col("value")),
+      "event_type", "value").queryExecution.optimizedPlan.toString
+    assert(dflt.contains("percentile_approx") && !dflt.contains("percentile(value"), dflt)
+  }
 }

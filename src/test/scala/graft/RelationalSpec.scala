@@ -267,6 +267,90 @@ class RelationalSpec extends SparkSuite {
     assert(nV > 0 && nC > 0 && nP > 0, "funnel stages must be non-vacuous at this SF")
   }
 
+  test("q33 equals brute force: parts above the mean-multiple value cut") {
+    // (the global total being a 1-row agg, not an empty-spec window,
+    // is enforced for every query by PlanLintSpec's allowlist)
+    val natSupp = Tables.supplier(spark, sf).filter(col("s_nationkey") === 20)
+      .collect().map(_.getAs[Long]("s_suppkey")).toSet
+    val perPart = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount").collect()
+      .filter(r => natSupp.contains(r.getLong(1)))
+      .groupBy(_.getLong(0)).map { case (p, rs) =>
+        p -> rs.map { r =>
+          (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            * (BigDecimal(1) - BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+        }.sum
+      }
+    val cut = 2.5 * perPart.values.sum.toDouble / perPart.size
+    val want = perPart.collect { case (p, v) if v.toDouble > cut => (p, v.toDouble) }
+      .toSeq.sortBy { case (p, v) => (-v, p) }
+    val got = Relational.q33(spark, sf).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.size < perPart.size, "threshold must actually select")
+  }
+
+  test("q34 equals brute force: suppliers dominating >30% of a part's 1995 volume") {
+    val pairs = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate").collect()
+      .filter { r =>
+        val y = r.getAs[java.time.LocalDateTime]("l_shipdate").getYear; y == 1995 }
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(r =>
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum }
+    val partTot = pairs.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val domSupp = pairs.collect {
+      case ((p, s), q) if q.toDouble > 0.3 * partTot(p).toDouble => s
+    }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val names = Tables.supplier(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    val want = domSupp.toSeq.map { case (s, n) => (s, names(s), n) }
+      .sortBy { case (s, _, n) => (-n, s) }.take(100)
+    val got = Relational.q34(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "dominance gate must be non-vacuous at this SF")
+  }
+
+  test("q35 cohort matrix equals brute force and offset-0 counts cohort sizes") {
+    val rows = Tables.orders(spark, sf).select("o_custkey", "o_orderdate").collect()
+      .map { r =>
+        val d = r.getAs[java.time.LocalDateTime]("o_orderdate")
+        (r.getLong(0), d.getYear * 12 + d.getMonthValue - 1)
+      }
+    val cohort = rows.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+    val cells = rows.map { case (c, m) => (cohort(c), m - cohort(c), c) }.distinct
+    val want = cells.groupBy(t => (t._1, t._2)).map { case ((cm, off), xs) =>
+      (f"${cm / 12}%04d-${cm % 12 + 1}%02d", off.toLong, xs.size.toLong)
+    }.toSeq.sorted
+    val got = Relational.q35(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+    // offset 0 is definitionally the cohort size
+    val sizes = cohort.groupBy(_._2).map { case (m, xs) =>
+      f"${m / 12}%04d-${m % 12 + 1}%02d" -> xs.size.toLong }
+    got.filter(_._2 == 0L).foreach { case (cm, _, n) => assert(n === sizes(cm)) }
+  }
+
+  test("q36 basket pairs equal brute force; plan has no join and a top-k sort") {
+    val plan = Relational.q36(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pair expansion must not self-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-25 must not global-sort:\n$plan")
+
+    val items = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val want = items.groupBy(_._1).values
+      .filter(b => b.size >= 2 && b.size <= 100)
+      .flatMap { b =>
+        val ps = b.map(_._2).sorted
+        for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+      }
+      .groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+      .toSeq.sortBy { case (p1, p2, n) => (-n, p1, p2) }.take(25)
+    val got = Relational.q36(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
   test("q19 salted join result equals the plain join+agg") {
     val salted = Relational.q19(spark, sf).collect().map(_.toSeq)
     val li = Tables.lineitem(spark, sf)

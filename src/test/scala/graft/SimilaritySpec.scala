@@ -168,4 +168,31 @@ class SimilaritySpec extends SparkSuite {
     assert(r(5L) === 1.0)
     assert(math.abs(r(8L) - 0.6) < 1e-6)
   }
+
+  test("s8 filtered top-k: every hit satisfies the predicate and equals brute force") {
+    val got = Similarity.s8(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"), r.getAs[Long]("cand_id"), r.getAs[Double]("cos")))
+    val labels = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    assert(got.forall { case (_, _, cand, _) => labels(cand) % 2 == 0 },
+      "post-filter violation: a hit fails the predicate")
+    // brute force over the filtered corpus
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0; while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = vecs.keys.filter(_ < 5).toSeq.sorted
+    val cands = vecs.keys.filter(id => id >= 5 && labels(id) % 2 == 0).toSeq
+    val want = qs.flatMap { q =>
+      cands.map(c => (q, c, cos(vecs(q), vecs(c))))
+        .sortBy { case (_, c, s) => (-s, c) }.take(3).zipWithIndex
+        .map { case ((_, c, s), i) => (q, (i + 1).toLong, c, s) }
+    }
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === want.map(t => (t._1, t._2, t._3)),
+      "filtered top-k membership/order differs from brute force")
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w._4) <= 1e-6) }
+  }
 }

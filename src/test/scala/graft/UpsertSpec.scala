@@ -94,6 +94,37 @@ class UpsertSpec extends SparkSuite {
     }
   }
 
+  test("cdcDiff classifies INSERT/UPDATE/DELETE, is null-safe, drops unchanged keys") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, Some(10.0)), // unchanged → dropped
+      (2L, Some(20.0)), // value changes → UPDATE
+      (3L, Some(30.0)), // key vanishes → DELETE
+      (4L, None),       // null → value → UPDATE (null-safe, not "unchanged")
+      (5L, None)        // null → null → NOT a change
+    ).toDF("user_id", "value")
+    val newSnap = Seq(
+      (1L, Some(10.0)),
+      (2L, Some(21.0)),
+      (4L, Some(40.0)),
+      (5L, None),
+      (6L, Some(60.0))  // new key → INSERT
+    ).toDF("user_id", "value")
+    val got = Upsert.cdcDiff(oldSnap, newSnap, Seq("user_id"), Seq("value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((2L, "UPDATE"), (3L, "DELETE"), (4L, "UPDATE"), (6L, "INSERT")))
+  }
+
+  test("i4: time-cut snapshots of an append-only log can never emit DELETE") {
+    val ops = Upsert.i4(spark, sf).select("op").distinct().collect().map(_.getString(0)).toSet
+    assert(!ops.contains("DELETE"), s"append-only time-cut diff emitted DELETE: $ops")
+    assert(ops.nonEmpty, "diff must be non-vacuous at this SF")
+    // one co-partitioned join: no broadcast-nested-loop / cartesian
+    val plan = Upsert.i4(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("scd2FromLog and scd2Apply stay one key shuffle per input") {
     val p1 = Upsert.i1(spark, sf).queryExecution.executedPlan.toString
     // i1: window + final orderBy — exactly one hash shuffle on user_id
