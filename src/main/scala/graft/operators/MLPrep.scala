@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.ExactNum._
 import graft.functions.TextFunctions.{tcode, tcodeSql}
@@ -890,7 +891,138 @@ object MLPrep {
       |FROM b, tot
       |ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m21: Welch two-sample t-test — the A/B-experiment readout every
+  // metrics pipeline ships (Welch, not Student: unequal variances are
+  // the norm between experiment arms, and Welch is strictly safer
+  // when they happen to be equal). Shape: ONE scan, all six moments
+  // (n, Σx, Σx² per arm) as conditional aggregates in a single 1-row
+  // partial-agg — no per-arm scans, no shuffle beyond the agg merge.
+  // Determinism: sums and sums-of-squares are EXACT DECIMAL
+  // (order-independent merges); the t/df formulas then run in double
+  // with the SAME left-to-right expression tree both engines compile,
+  // so the oracle compare is bit-exact. The p-value lookup is left to
+  // the caller's stats table: it is a pure function of (t, df) with
+  // no data semantics, and Spark ships no incomplete-beta builtin.
+  def welchMoments(df: DataFrame, arm: Column, v: Column): DataFrame =
+    df.agg(
+      count(when(arm, 1)).as("n_a"),
+      count(when(!arm, 1)).as("n_b"),
+      sum(when(arm, dec2(v))).as("s_a"),
+      sum(when(!arm, dec2(v))).as("s_b"),
+      sum(when(arm, dec2(v) * dec2(v))).as("q_a"),
+      sum(when(!arm, dec2(v) * dec2(v))).as("q_b"))
+
+  def welchTTest(df: DataFrame, arm: Column, v: Column): DataFrame = {
+    val m = welchMoments(df, arm, v)
+      .withColumn("mean_a", col("s_a").cast("double") / col("n_a"))
+      .withColumn("mean_b", col("s_b").cast("double") / col("n_b"))
+      .withColumn("var_a",
+        (col("q_a").cast("double") - col("s_a").cast("double") * col("s_a").cast("double") / col("n_a")) / (col("n_a") - 1))
+      .withColumn("var_b",
+        (col("q_b").cast("double") - col("s_b").cast("double") * col("s_b").cast("double") / col("n_b")) / (col("n_b") - 1))
+      .withColumn("sea", col("var_a") / col("n_a"))
+      .withColumn("seb", col("var_b") / col("n_b"))
+    m.select(col("n_a"), col("n_b"),
+      round(col("mean_a"), 6).as("mean_a"),
+      round(col("mean_b"), 6).as("mean_b"),
+      round((col("mean_a") - col("mean_b")) / sqrt(col("sea") + col("seb")), 6).as("t_stat"),
+      round((col("sea") + col("seb")) * (col("sea") + col("seb")) /
+        (col("sea") * col("sea") / (col("n_a") - 1) + col("seb") * col("seb") / (col("n_b") - 1)), 6)
+        .as("df_welch"))
+  }
+
+  /** m21: even/odd user_id as the A/B arms (the hash-assignment shape)
+    * over event values. */
+  def m21(s: SparkSession, dir: String): DataFrame =
+    welchTTest(Tables.events(s, dir).filter(col("value").isNotNull),
+      col("user_id") % 2 === 0, col("value"))
+
+  val m21Sql: String =
+    """WITH a AS (
+      |  SELECT
+      |    count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+      |    count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS s_a,
+      |    sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) END) AS s_b,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS q_a,
+      |    sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS q_b
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (
+      |  SELECT n_a, n_b,
+      |    CAST(s_a AS DOUBLE) / n_a AS mean_a,
+      |    CAST(s_b AS DOUBLE) / n_b AS mean_b,
+      |    (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1) AS var_a,
+      |    (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1) AS var_b
+      |  FROM a),
+      |se AS (SELECT n_a, n_b, mean_a, mean_b, var_a / n_a AS sea, var_b / n_b AS seb FROM m)
+      |SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+      |  round((mean_a - mean_b) / sqrt(sea + seb), 6) AS t_stat,
+      |  round((sea + seb) * (sea + seb) /
+      |        (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 6) AS df_welch
+      |FROM se""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m22: binned ROC AUC — the model-quality staple m12/m13 lack. The
+  // EXACT tie-aware AUC is a Mann-Whitney rank statistic, and a global
+  // rank is a global sort: the one operation this engine's own lint
+  // bans at 100 TB (every score through one ordered pass). The scale
+  // path every production evaluator uses instead is HISTOGRAM AUC:
+  // bin scores into B fixed-width bins (bounds from a 1-row agg,
+  // m20's shape), count (pos, neg) per bin in ONE scan, then walk the
+  // ≤B-row bin frame cumulatively — the empty-spec window is bounded
+  // by the CONSTRUCTION constant B=1000, not data (allowlisted with
+  // audit), and the approximation error is O(max bin mass), measured
+  // in spec against the exact rank AUC. Within-bin score order is
+  // unknowable, so a bin contributes ties: pos·(2·neg_below + neg)/2
+  // — summed EXACTLY in DECIMAL (no FP order-dependence, no BIGINT
+  // overflow at 100 TB pair counts), one double division at the end.
+  def binnedAuc(df: DataFrame, pos: Column, score: Column, bins: Int = 1000): DataFrame = {
+    val mm = df.agg(min(score).as("mn"), max(score).as("mx"))
+    val b = df.join(broadcast(mm))
+      .withColumn("__bucket",
+        least(floor((score - col("mn")) / ((col("mx") - col("mn")) / bins)), lit(bins - 1L)))
+      .groupBy(col("__bucket"))
+      .agg(sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!pos, 1L).otherwise(0L)).as("n_neg"))
+    // ≤B rows beyond this point: the window is construction-bounded
+    val cum = b.withColumn("__cum_neg",
+      sum(col("n_neg")).over(Window.orderBy(col("__bucket"))) - col("n_neg"))
+    cum.agg(
+        sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        sum(col("n_pos").cast(DecimalType(19, 0)) *
+          (lit(2) * col("__cum_neg") + col("n_neg")).cast(DecimalType(19, 0))).as("__num"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("__num").cast("double") / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** m22: does event value separate purchases from non-purchases? */
+  def m22(s: SparkSession, dir: String): DataFrame =
+    binnedAuc(Tables.events(s, dir).filter(col("value").isNotNull),
+      col("event_type") === "purchase", col("value"))
+
+  val m22Sql: String =
+    """WITH e AS (
+      |  SELECT value, event_type = 'purchase' AS pos
+      |  FROM events WHERE value IS NOT NULL),
+      |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM e),
+      |b AS (
+      |  SELECT CAST(least(floor((value - mn) / ((mx - mn) / 1000)), 999) AS BIGINT) AS bucket,
+      |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      |  FROM e, mm GROUP BY 1),
+      |c AS (
+      |  SELECT n_pos, n_neg,
+      |    sum(n_neg) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_neg AS cum_neg
+      |  FROM b)
+      |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos, CAST(sum(n_neg) AS BIGINT) AS n_neg,
+      |  round(CAST(sum(CAST(n_pos AS DECIMAL(19,0)) * CAST(2 * cum_neg + n_neg AS DECIMAL(19,0))) AS DOUBLE)
+      |        / (2.0 * sum(n_pos) * sum(n_neg)), 6) AS auc
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m21_welch_ttest" -> (m21 _),
+    "m22_auc" -> (m22 _),
     "m19_feature_hash" -> (m19 _),
     "m20_psi_drift" -> (m20 _),
     "m18_target_encode" -> (m18 _),
@@ -905,6 +1037,8 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m21_welch_ttest" -> m21Sql,
+    "m22_auc" -> m22Sql,
     "m19_feature_hash" -> m19Sql,
     "m20_psi_drift" -> m20Sql,
     "m18_target_encode" -> m18Sql,

@@ -310,4 +310,59 @@ class CleaningSpec extends SparkSuite {
       "event_type", "value").queryExecution.optimizedPlan.toString
     assert(dflt.contains("percentile_approx") && !dflt.contains("percentile(value"), dflt)
   }
+
+  test("m21 Welch t-test equals the brute-force moment algebra") {
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.events(spark, sf).select("user_id", "value").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(0) % 2 == 0, r.getDouble(1)))
+    val (a, b) = rows.partition(_._1)
+    def mom(xs: Array[(Boolean, Double)]) = {
+      val n = xs.length.toDouble
+      val s = xs.map(x => d2(x._2)).sum.toDouble
+      val q = xs.map(x => d2(x._2) * d2(x._2)).sum.toDouble
+      (n, s / n, (q - s * s / n) / (n - 1))
+    }
+    val (na, ma, va) = mom(a); val (nb, mb, vb) = mom(b)
+    val (sea, seb) = (va / na, vb / nb)
+    val wantT = r6((ma - mb) / math.sqrt(sea + seb))
+    val wantDf = r6((sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1) + seb * seb / (nb - 1)))
+    val got = MLPrep.m21(spark, sf).head()
+    assert(got.getLong(0) === na.toLong && got.getLong(1) === nb.toLong)
+    assert(got.getDouble(2) === r6(ma) && got.getDouble(3) === r6(mb))
+    assert(got.getDouble(4) === wantT && got.getDouble(5) === wantDf)
+    // Welch df must sit between min(n)-1 and n_a+n_b-2
+    assert(wantDf >= math.min(na, nb) - 1 && wantDf <= na + nb - 2)
+  }
+
+  test("m22 binned AUC equals brute force and tracks the exact rank AUC") {
+    val rows = Tables.events(spark, sf).select("event_type", "value").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getString(0) == "purchase", r.getDouble(1)))
+    // brute-force binned AUC (same B=1000 fixed-width binning)
+    val (mn, mx) = (rows.map(_._2).min, rows.map(_._2).max)
+    val binned = rows.map { case (p, v) =>
+      (math.min(math.floor((v - mn) / ((mx - mn) / 1000)).toLong, 999L), p) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val (np, nn) = (binned.map(_._2).sum, binned.map(_._3).sum)
+    var cumNeg = 0L; var num = BigInt(0)
+    binned.foreach { case (_, p, n) => num += BigInt(p) * (2 * cumNeg + n); cumNeg += n }
+    val wantAuc = BigDecimal(num.toDouble / (2.0 * np * nn))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = MLPrep.m22(spark, sf).head()
+    assert(got.getLong(0) === np && got.getLong(1) === nn)
+    assert(got.getDouble(2) === wantAuc)
+    // measure-don't-guess: the binned estimate must track the exact
+    // tie-aware Mann-Whitney AUC (error is O(max bin mass))
+    var below = 0L; var exactNum = BigInt(0)
+    rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, xs) =>
+      val (p, n) = (xs.count(_._1).toLong, xs.count(!_._1).toLong)
+      exactNum += BigInt(p) * (2 * below + n); below += n
+    }
+    val exact = exactNum.toDouble / (2.0 * np * nn)
+    assert(math.abs(wantAuc - exact) < 0.01,
+      s"binned AUC $wantAuc vs exact $exact — bin error too large")
+    assert(wantAuc >= 0.0 && wantAuc <= 1.0)
+  }
 }

@@ -40,7 +40,9 @@ class PlanLintSpec extends SparkSuite {
     "c5_label_encode" -> ("distinct values of a label-encode column — " +
       "contract-bounded: label encoding is only for low-cardinality " +
       "columns (the reference's nunique gate; c6 frequency encoding " +
-      "is the high-cardinality path and uses a partitioned window)"))
+      "is the high-cardinality path and uses a partitioned window)"),
+    "m22_auc" -> ("B=1000 score bins (construction-bounded knob — the " +
+      "cumulative ROC walk sees at most B rows regardless of SF)"))
 
   test("empty-partition windows appear ONLY in the audited allowlist") {
     val have = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
