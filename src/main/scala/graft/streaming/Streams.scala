@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -697,7 +697,111 @@ object Streams {
     def snapshot: Option[DataFrame] = snap
   }
 
+  // -------------------------------------------------------------------
+  // st13: streaming drift monitor — per-window PSI of a value stream
+  // against a FROZEN baseline distribution (m20's PSI, taken from a
+  // batch audit to a production stream monitor: "did today's data
+  // stop looking like the data the model was trained on?"). Scale
+  // shape: the baseline is ONE row (bounds + B clamped bin fractions)
+  // broadcast into the stream; each event maps to a bin map-side; the
+  // only stateful op is a single windowed aggregate whose per-window
+  // state is B+1 longs — no sort, no distinct, no per-key state
+  // growth, so a 100 TB/day stream costs O(windows × B) memory.
+  // Determinism: the per-window PSI is a FIXED left-associated sum of
+  // B expression terms (identical tree in both engines — no
+  // order-dependent FP), counts are exact longs, and the 1e-6 clamp
+  // (m20's convention) keeps ln finite on empty bins. Values outside
+  // the baseline range clamp into the edge bins — exactly where
+  // drifted mass should land.
+
+  val DriftBins = 20
+
+  /** Bin `v` against the broadcast baseline bounds (`mn`/`mx` columns
+    * in scope); out-of-range values clamp to the edge bins. */
+  private def driftBucket(v: Column): Column =
+    greatest(least(floor((v - col("mn")) / ((col("mx") - col("mn")) / DriftBins)),
+      lit(DriftBins - 1L)), lit(0L))
+
+  /** 1-row frozen baseline: value bounds + clamped per-bin fractions.
+    * Compute once over the reference period (training data), persist,
+    * broadcast into every later monitoring run. */
+  def driftBaseline(df: DataFrame, v: Column): DataFrame = {
+    val mm = df.agg(min(v).as("mn"), max(v).as("mx"))
+    val counts = (0 until DriftBins).map(i =>
+      sum(when(col("__bucket") === i, 1L).otherwise(0L)).as(s"b$i"))
+    df.join(broadcast(mm)).withColumn("__bucket", driftBucket(v))
+      .groupBy(col("mn"), col("mx")) // constants from the 1-row join: 1 group
+      .agg(count(lit(1)).as("n"), counts: _*)
+      .select(col("mn") +: col("mx") +: (0 until DriftBins).map(i =>
+        greatest(col(s"b$i").cast("double") / col("n"), lit(0.000001)).as(s"q$i")): _*)
+  }
+
+  /** Per-window PSI of `events.value` against the 1-row `baseline`.
+    * Works UNCHANGED on a batch frame or a watermarked stream — the
+    * stream-static broadcast join and the windowed aggregate are the
+    * same plan shapes; only the sink differs. */
+  def windowedPsi(events: DataFrame, baseline: DataFrame,
+                  windowDuration: String = "1 day"): DataFrame = {
+    val qCols = (0 until DriftBins).map(i => col(s"q$i"))
+    val counts = (0 until DriftBins).map(i =>
+      sum(when(col("__bucket") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val grouped = events.filter(col("value").isNotNull)
+      .join(broadcast(baseline))
+      .withColumn("__bucket", driftBucket(col("value")))
+      .groupBy(window(col("ts"), windowDuration) +: qCols: _*)
+      .agg(count(lit(1)).as("n"), counts: _*)
+    val terms = (0 until DriftBins).map { i =>
+      val p = greatest(col(s"c$i").cast("double") / col("n"), lit(0.000001))
+      (p - col(s"q$i")) * log(p / col(s"q$i"))
+    }.reduce(_ + _)
+    grouped.select(unix_millis(col("window.start")).as("window_start_ms"),
+      col("n"), round(terms, 6).as("psi"))
+  }
+
+  /** Streaming form: watermarked 1-day windows; emits each day's PSI
+    * when the watermark closes the window (append) or continuously
+    * (update/complete). */
+  def streamingDriftMonitor(stream: DataFrame, baseline: DataFrame): DataFrame =
+    windowedPsi(stream.withWatermark("ts", "1 hour"), baseline)
+
+  /** st13 batch twin: baseline = the pre-2024-01-11 reference period
+    * (st12's first time slice), monitored over the whole log. */
+  def st13(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val baseline = driftBaseline(
+      ev.filter(unix_millis(col("ts")) < 1704931200000L), col("value"))
+    windowedPsi(ev, baseline).orderBy(col("window_start_ms"))
+  }
+
+  val st13Sql: String = {
+    val cut = 1704931200000L
+    val bucket = s"greatest(least(floor((value - mn) / ((mx - mn) / $DriftBins)), ${DriftBins - 1}), 0)"
+    val qis = (0 until DriftBins).map(i =>
+      s"greatest(CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 0.000001) AS q$i")
+      .mkString(",\n    ")
+    val cis = (0 until DriftBins).map(i =>
+      s"CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i")
+      .mkString(", ")
+    val terms = (0 until DriftBins).map { i =>
+      val p = s"greatest(CAST(c$i AS DOUBLE) / n, 0.000001)"
+      s"($p - q$i) * ln($p / q$i)"
+    }.mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT epoch_ms(ts) AS ms, value FROM events WHERE value IS NOT NULL),
+       |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ev WHERE ms < $cut),
+       |bb AS (SELECT $bucket AS b FROM ev, mm WHERE ms < $cut),
+       |q AS (SELECT $qis FROM bb),
+       |cur AS (
+       |  SELECT (ms // 86400000) * 86400000 AS window_start_ms, $bucket AS b
+       |  FROM ev, mm),
+       |c AS (SELECT window_start_ms, count(*) AS n, $cis FROM cur GROUP BY 1)
+       |SELECT window_start_ms, n, round($terms, 6) AS psi
+       |FROM c, q
+       |ORDER BY window_start_ms""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_stream_drift" -> (st13 _),
     "st12_stream_upsert" -> (st12 _),
     "st11_interval_join_outer" -> (st11 _),
     "st10_rate_flag" -> (st10 _),
@@ -709,6 +813,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st13_stream_drift" -> st13Sql,
     "st12_stream_upsert" -> st12Sql,
     "st11_interval_join_outer" -> st11Sql,
     "st10_rate_flag" -> st10Sql,

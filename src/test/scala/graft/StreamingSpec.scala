@@ -440,4 +440,29 @@ class StreamingSpec extends SparkSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming drift monitor equals the batch PSI twin (st13)") {
+    val (batch, stream) = stagedStream()
+    val baseline = Streams.driftBaseline(
+      batch.filter(unix_millis(col("ts")) < 1704931200000L), col("value"))
+    val q = Streams.streamingDriftMonitor(stream, baseline)
+      .writeStream.outputMode("complete").format("memory").queryName("drift").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("drift").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batched = Streams.windowedPsi(batch, baseline).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed === batched)
+      assert(streamed.nonEmpty)
+      // PSI is a sum of same-sign terms: never negative (and, at this
+      // SF, dominated by small-sample noise — ~300 events/day over 20
+      // bins puts the noise floor near 1, so no absolute "quiet
+      // baseline" assert is honest here; the PSI-vs-baseline-size
+      // contract is the oracle's exact-value check)
+      val psis = streamed.values.map(_._2).toSeq
+      assert(psis.forall(_ >= 0.0), s"PSI must be non-negative: ${psis.min}")
+      assert(psis.max > psis.min, "PSI must vary across days")
+    } finally q.stop()
+  }
 }
