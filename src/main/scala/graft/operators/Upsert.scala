@@ -64,23 +64,36 @@ object Upsert {
   /** Apply an incremental `batch` of changes to an SCD2 `dim` built by
     * [[scd2FromLog]] (MERGE INTO … WHEN MATCHED close / WHEN NOT
     * MATCHED insert, generalized to multi-version batches):
-    *  1. drop batch rows not STRICTLY newer than their key's open
-    *     valid_from — this is the idempotence guard (re-applying the
-    *     same batch finds every row at-or-below the new open version
-    *     and keeps nothing);
+    *  1. drop batch rows not STRICTLY newer — lexicographically on
+    *     `(ts, tieBreak…)` — than their key's open version. This is
+    *     the idempotence guard (re-applying the same batch finds every
+    *     row at-or-below the new open version and keeps nothing), and
+    *     the lexicographic form means a batch row TYING the open row's
+    *     valid_from but carrying a later tie-break key is correctly
+    *     applied (a ts-only guard would silently drop it, breaking
+    *     rebuild-transparency when ties span the dim/batch split —
+    *     UpsertSpec drives exactly that split);
     *  2. chain the surviving rows per key (valid_to = next fresh ts,
     *     versions continue from the dimension's current maximum);
     *  3. close each affected key's open row at its first fresh ts.
     * History rows are never rewritten — only the open row's valid_to/
     * is_current change. `batch` must have `dim`'s base (pre-SCD2)
-    * schema. */
+    * schema; `(tsCol, tieBreak…)` must be non-null and a total order
+    * within key, as in [[scd2FromLog]]. */
   def scd2Apply(dim: DataFrame, batch: DataFrame, keys: Seq[String], tsCol: String,
                 tieBreak: Seq[String] = Nil): DataFrame = {
     val kc = keys.map(col)
+    val curTb = tieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__cur_tb$i") }
     val cur = dim.filter(col("is_current") === 1L)
-      .select(kc :+ col("valid_from").as("__cur_from") :+ col("version").as("__cur_ver"): _*)
+      .select(kc ++ (col("valid_from").as("__cur_from") +: col("version").as("__cur_ver") +: curTb): _*)
+    val tbNewer = tieBreak.zipWithIndex
+      .map { case (c, i) => (col(c), col(s"__cur_tb$i")) }
+      .foldRight(lit(false)) { case ((a, b), rest) => a > b || (a === b && rest) }
+    val strictlyNewer = col(tsCol) > col("__cur_from") ||
+      (col(tsCol) === col("__cur_from") && tbNewer)
     val fresh = batch.join(cur, keys, "left")
-      .filter(col("__cur_from").isNull || col(tsCol) > col("__cur_from"))
+      .filter(col("__cur_from").isNull || strictlyNewer)
+      .drop(tieBreak.indices.map(i => s"__cur_tb$i"): _*)
     val ord = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
     val wB = Window.partitionBy(kc: _*).orderBy(ord: _*)
     val newRows = fresh

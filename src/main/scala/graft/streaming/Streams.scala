@@ -724,12 +724,16 @@ object Streams {
 
   /** 1-row frozen baseline: value bounds + clamped per-bin fractions.
     * Compute once over the reference period (training data), persist,
-    * broadcast into every later monitoring run. */
+    * broadcast into every later monitoring run. Null values are
+    * excluded BEFORE counting — [[windowedPsi]] (and the st13 oracle)
+    * bin only non-null values, so a null-bearing reference period
+    * must not deflate the baseline fractions q_i. */
   def driftBaseline(df: DataFrame, v: Column): DataFrame = {
-    val mm = df.agg(min(v).as("mn"), max(v).as("mx"))
+    val clean = df.filter(v.isNotNull)
+    val mm = clean.agg(min(v).as("mn"), max(v).as("mx"))
     val counts = (0 until DriftBins).map(i =>
       sum(when(col("__bucket") === i, 1L).otherwise(0L)).as(s"b$i"))
-    df.join(broadcast(mm)).withColumn("__bucket", driftBucket(v))
+    clean.join(broadcast(mm)).withColumn("__bucket", driftBucket(v))
       .groupBy(col("mn"), col("mx")) // constants from the 1-row join: 1 group
       .agg(count(lit(1)).as("n"), counts: _*)
       .select(col("mn") +: col("mx") +: (0 until DriftBins).map(i =>

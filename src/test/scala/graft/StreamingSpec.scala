@@ -465,4 +465,24 @@ class StreamingSpec extends SparkSuite {
       assert(psis.max > psis.min, "PSI must vary across days")
     } finally q.stop()
   }
+
+  test("driftBaseline excludes null values: fractions q_i are over non-null rows only") {
+    import spark.implicits._
+    val withNulls = Seq(Some(1.0), Some(2.0), None, Some(3.0), None, Some(4.0))
+      .toDF("value")
+    val noNulls = withNulls.filter(col("value").isNotNull)
+    val a = Streams.driftBaseline(withNulls, col("value")).collect()(0).toSeq
+    val b = Streams.driftBaseline(noNulls, col("value")).collect()(0).toSeq
+    // a null-bearing reference period must produce the SAME baseline as
+    // its non-null projection — otherwise every q_i is deflated and all
+    // later PSI readings are biased upward (windowedPsi and the st13
+    // oracle both bin non-null values only)
+    assert(a === b)
+    // empty bins are clamped to 1e-6 (m20's convention), so the sum is
+    // 1 + #empty·1e-6 — NOT deflated below 1, which is the null bug's
+    // signature (null rows in n push every q_i down)
+    val fracs = a.drop(2).map(_.asInstanceOf[Double])
+    assert(fracs.sum >= 1.0 - 1e-9 && fracs.sum <= 1.0 + Streams.DriftBins * 1e-6,
+      s"fractions must sum to 1 (+clamp), got ${fracs.sum}")
+  }
 }

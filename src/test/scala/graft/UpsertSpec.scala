@@ -94,6 +94,58 @@ class UpsertSpec extends SparkSuite {
     }
   }
 
+  test("scd2Apply applies a batch row TYING the open row's ts with a later tie-break") {
+    import spark.implicits._
+    // eid 1 and 2 tie at ms=1000; the split puts eid 1 in the dim and
+    // eid 2 in the batch — a ts-only freshness guard silently drops
+    // eid 2 (it is not strictly ts-newer than the open valid_from),
+    // breaking rebuild-transparency exactly when ts ties span the split.
+    val logDf = Seq(
+      (1L, 1L, "a", 1.0, 1000L),
+      (1L, 2L, "b", 2.0, 1000L),
+      (1L, 3L, "c", 3.0, 2000L)
+    ).toDF("user_id", "event_id", "event_type", "value", "ms")
+    val full = Upsert.scd2FromLog(logDf, Seq("user_id"), "ms", Seq("event_id"))
+    val dim = Upsert.scd2FromLog(logDf.filter(col("event_id") === 1L),
+      Seq("user_id"), "ms", Seq("event_id"))
+    val batch = logDf.filter(col("event_id") > 1L)
+    val applied = Upsert.scd2Apply(dim, batch, Seq("user_id"), "ms", Seq("event_id"))
+    val ord = Seq(col("user_id"), col("version"))
+    assert(key(applied.orderBy(ord: _*)) === key(full.orderBy(ord: _*)))
+    // ...and a batch row tying ts with an EARLIER tie-break is still
+    // dropped (it is genuinely older than the open version).
+    val replay = Upsert.scd2Apply(
+      Upsert.scd2FromLog(logDf.filter(col("event_id") <= 2L), Seq("user_id"), "ms", Seq("event_id")),
+      logDf.filter(col("event_id") =!= 3L), // contains the (ms=1000, eid=1) older tie
+      Seq("user_id"), "ms", Seq("event_id"))
+    assert(key(replay.orderBy(ord: _*)) ===
+      key(Upsert.scd2FromLog(logDf.filter(col("event_id") <= 2L),
+        Seq("user_id"), "ms", Seq("event_id")).orderBy(ord: _*)))
+  }
+
+  test("property: rebuild-transparency holds for LEXICOGRAPHIC (ms, event_id) splits (10 seeded trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 10) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val rows = (1 to 30 + rnd.nextInt(60)).map { i =>
+        (rnd.nextInt(nKeys).toLong, i.toLong, s"v$i", rnd.nextDouble(), rnd.nextInt(10).toLong * 1000L)
+      }
+      val logDf = rows.toDF("user_id", "event_id", "event_type", "value", "ms")
+      val full = Upsert.scd2FromLog(logDf, Seq("user_id"), "ms", Seq("event_id"))
+      // cut chosen so ts ties REGULARLY span the split: dim takes the
+      // lexicographic (ms, event_id) prefix, batch the rest
+      val cutMs = rnd.nextInt(11).toLong * 1000L
+      val cutEid = 1L + rnd.nextInt(rows.length).toLong
+      val inDim = col("ms") < cutMs || (col("ms") === cutMs && col("event_id") <= cutEid)
+      val dim = Upsert.scd2FromLog(logDf.filter(inDim), Seq("user_id"), "ms", Seq("event_id"))
+      val applied = Upsert.scd2Apply(dim, logDf.filter(!inDim), Seq("user_id"), "ms", Seq("event_id"))
+      val ord = Seq(col("user_id"), col("version"))
+      assert(key(applied.orderBy(ord: _*)) === key(full.orderBy(ord: _*)),
+        s"trial $trial (cut=($cutMs,$cutEid)) incremental != rebuild")
+    }
+  }
+
   test("cdcDiff classifies INSERT/UPDATE/DELETE, is null-safe, drops unchanged keys") {
     import spark.implicits._
     val oldSnap = Seq(
