@@ -10,14 +10,14 @@ import graft.operators._
   * rows-only in SURVEY.md §2; the set is enforced by ContractSpec).
   *
   * Family → implementation map:
-  *  - q1–q36   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram, min-cost supplier, funnel, global-fraction HAVING, dominant shippers, cohort retention, basket pairs)
+  *  - q1–q37   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram, min-cost supplier, funnel, global-fraction HAVING, dominant shippers, cohort retention, basket pairs, decorrelated HAVING semi-join)
   *  - c1–c15   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit/gap-fill/MAD outliers)
-  *  - m1–m20   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift)
+  *  - m1–m22   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC)
   *  - t1–t11   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report)
   *  - d1–d9    operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit)
   *  - s1–s8    operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k)
   *  - mm1–mm7  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan)
-  *  - st1–st12 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink)
+  *  - st1–st13 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor)
   *  - i1–i4    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).

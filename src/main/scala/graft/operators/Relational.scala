@@ -1376,7 +1376,57 @@ object Relational {
       |ORDER BY n_orders DESC, p1, p2
       |LIMIT 25""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q37: large-volume customers — TPC-H Q18's shape (reference point:
+  // the TPC-H spec, Q18), the classic `o_orderkey IN (SELECT
+  // l_orderkey … GROUP BY … HAVING sum(qty) > t)` decorrelation. The
+  // correlated form would scan lineitem TWICE (once for the HAVING
+  // filter, once to re-aggregate the sum for output); decorrelated,
+  // the per-order aggregate is computed ONCE and serves BOTH roles —
+  // it IS the semi-join (inner join on its filtered output) and it
+  // carries total_qty into the result, so the executed plan has
+  // exactly one lineitem scan (spec-asserted). Join order matters at
+  // scale: the filtered aggregate is tiny (0.15% of orders at t=250,
+  // measured at sf0.001/0.01/0.1) so AQE broadcasts it into orders —
+  // the big fact never shuffles for the first join; customer joins
+  // unhinted after. Top-100 runs as TakeOrderedAndProject, tie-broken
+  // on o_orderkey (§6's total-order rule).
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sumd(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        // NTZ → TIMESTAMP is identity under the session's fixed UTC
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q37Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  epoch_ms(o_orderdate) AS o_orderdate_ms,
+      |  o_totalprice, total_qty
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_big_orders" -> (q37 _),
     "q33_important_parts" -> (q33 _),
     "q34_dominant_shippers" -> (q34 _),
     "q35_cohort_retention" -> (q35 _),
@@ -1415,6 +1465,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q37_big_orders" -> q37Sql,
     "q33_important_parts" -> q33Sql,
     "q34_dominant_shippers" -> q34Sql,
     "q35_cohort_retention" -> q35Sql,

@@ -366,4 +366,33 @@ class RelationalSpec extends SparkSuite {
       .orderBy(col("n_name")).collect().map(_.toSeq)
     assert(salted.toSeq === plain.toSeq)
   }
+
+  test("q37 equals brute force and scans lineitem exactly once (decorrelated HAVING)") {
+    val q = Relational.q37(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the decorrelation's whole point: the per-order agg serves both
+    // the HAVING filter and the output sum — a correlated or semi-join
+    // + re-aggregate form would scan the fact twice
+    assert("lineitem".r.findAllIn(plan).size == 1, s"fact must be scanned once:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+
+    val qty = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum.toDouble }
+      .filter(_._2 > 250.0)
+    val cust = Tables.customer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("c_name")).toMap
+    val want = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_totalprice")).collect()
+      .flatMap { r =>
+        qty.get(r.getLong(0)).map(t =>
+          (cust(r.getLong(1)), r.getLong(1), r.getLong(0), r.getLong(2), r.getDouble(3), t))
+      }.sortBy { case (_, _, okey, _, price, _) => (-price, okey) }.take(100).toSeq
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "q37 must be non-vacuous at this SF")
+  }
 }
