@@ -34,6 +34,33 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
 
+  /** FQCN of Spark's RocksDB state store provider (bundled with the
+    * distribution — rocksdbjni ships in jars/). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Streaming deployments: [[tune]] plus the RocksDB state store —
+    * the 100 TB scale path for every stateful op (st3/st4/st7/st10/
+    * st12). The default HDFSBackedStateStoreProvider keeps EVERY
+    * key's state as deserialized JVM objects in executor heap; at
+    * large key domains (per-user sessions over millions of users)
+    * that heap competes with shuffle/agg memory and GC pauses scale
+    * with state size. RocksDB keeps state off-heap on LOCAL DISK with
+    * an in-memory block cache, so state capacity is bounded by disk,
+    * not heap — the documented trade is per-access (de)serialization
+    * cost and local-disk I/O, which is the right trade whenever state
+    * exceeds a few GB per executor. Changelog checkpointing uploads
+    * only each batch's DELTA to the checkpoint location (instead of
+    * snapshotting full SST files), keeping commit latency flat as
+    * state grows; snapshots still happen, async, every
+    * `minDeltasForSnapshot` batches. Output is IDENTICAL to the
+    * default store (StreamingSpec proves it on a stateful op) — the
+    * provider only changes WHERE state lives, never its semantics. */
+  def tuneStreaming(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    tune(b, shufflePartitions)
+      .config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+
   /** Local session with `cpus` threads — the driver-contract mains'
     * entry point (UI off: these are headless batch runs). */
   def local(cpus: Int, ui: Boolean = false): SparkSession = {

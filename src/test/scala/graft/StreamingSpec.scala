@@ -466,6 +466,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization on the RocksDB state store equals the default store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rocks").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value")).schema
+    def run(name: String, ckpt: String): Set[(Long, Long, Long, Long, Double)] = {
+      val stream = spark.readStream.schema(schema).parquet(dir).as[Streams.TsEvent]
+      val q = Streams.streamingSessionize(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name)
+        .select("user_id", "start_ms", "end_ms", "n_events", "session_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    }
+    val ckptRocks = java.nio.file.Files.createTempDirectory("graft-rocks-ckpt").toString
+    val ckptDefault = java.nio.file.Files.createTempDirectory("graft-hdfs-ckpt").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", Sessions.RocksDbProvider)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val rocks =
+      try run("rocks_sessions", ckptRocks)
+      finally {
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      }
+    val default = run("default_sessions", ckptDefault)
+    // the provider changes WHERE state lives, never its semantics
+    assert(rocks === default)
+    assert(rocks.nonEmpty)
+    // physical evidence the RocksDB provider actually ran: changelog
+    // checkpointing writes *.changelog (and snapshot *.zip) state
+    // files, never the HDFS store's *.delta
+    import scala.jdk.CollectionConverters._
+    val rocksFiles = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptRocks, "state"))
+      try it.iterator().asScala.map(_.getFileName.toString).toList finally it.close()
+    }
+    assert(rocksFiles.exists(f => f.endsWith(".changelog") || f.endsWith(".zip")),
+      s"no RocksDB state files under $ckptRocks/state: $rocksFiles")
+    assert(!rocksFiles.exists(_.endsWith(".delta")),
+      "RocksDB run must not write HDFS-store delta files")
+  }
+
   test("driftBaseline excludes null values: fractions q_i are over non-null rows only") {
     import spark.implicits._
     val withNulls = Seq(Some(1.0), Some(2.0), None, Some(3.0), None, Some(4.0))
