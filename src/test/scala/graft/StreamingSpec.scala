@@ -515,6 +515,93 @@ class StreamingSpec extends SparkSuite {
       "RocksDB run must not write HDFS-store delta files")
   }
 
+  test("streaming as-of enrichment survives a checkpoint restart (st7 recovery)") {
+    import spark.implicits._
+    // Kill the query mid-log, restart from the checkpoint, and require
+    // union-of-emissions == the one-shot batch oracle (q14). This is
+    // the i2 rebuild-transparency pattern applied to PROCESS LIFETIME:
+    // the restarted query must restore each user's lastClick state from
+    // the checkpoint — a lost state row shows up as a wrong/null
+    // click_ms on a post-restart purchase.
+    val cols = Seq("event_id", "user_id", "ts", "event_type", "value")
+    val ev = Tables.events(spark, sf).select(cols.map(col): _*)
+    val schema = ev.schema
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
+    // phase 1: only the pre-cut slice exists on disk
+    ev.filter(col("ts") < cut).write.mode("overwrite").parquet(s"$dir/files")
+    // the memory sink refuses checkpoint recovery by design (not
+    // fault-tolerant), so emissions are collected via foreachBatch —
+    // the sink shape a production restartable query would use
+    def runQuery(): Set[(Long, Long, Long, Option[Long])] = {
+      val buf = scala.collection.mutable.Set.empty[(Long, Long, Long, Option[Long])]
+      val stream = spark.readStream.schema(schema)
+        .parquet(s"$dir/files").as[Streams.TypedEvent]
+      val q = Streams.streamingAsOfEnrich(stream)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.Enriched], _: Long) =>
+          val rows = b.collect().map(e => (e.user_id, e.event_id, e.purchase_ms, e.click_ms))
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.toSet
+    }
+    val first = runQuery()
+    // phase 2: the rest of the log lands; a NEW query resumes from the
+    // same checkpoint (offsets + per-user state restored)
+    ev.filter(col("ts") >= cut).write.mode("append").parquet(s"$dir/files")
+    val second = runQuery()
+    val batch = operators.Relational.q14(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert((first ++ second) === batch)
+    assert(first.nonEmpty && second.nonEmpty,
+      "both lifetimes must emit (otherwise the restart proved nothing)")
+    // cross-lifetime state genuinely exercised: some post-restart
+    // purchase must be attributed to a PRE-restart click
+    val cutMs = 1705363200000L
+    assert(second.exists(e => e._3 >= cutMs && e._4.exists(_ < cutMs)),
+      "no post-restart purchase used checkpoint-restored click state")
+  }
+
+  test("foreachBatch MERGE sink folds identically across a checkpoint restart (st12 recovery)") {
+    import org.apache.spark.sql.functions.{col => c}
+    // The UpsertSink models the external MERGE-capable table: it
+    // survives the query restart (as a Delta/Iceberg table would); the
+    // checkpoint contributes exactly-once batch replay. Final snapshot
+    // must equal the one-shot latest-row oracle over the whole log.
+    val log = Tables.events(spark, sf)
+      .select(c("event_id"), c("user_id"), c("ts"), c("event_type"), c("value"))
+    val schema = log.schema
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-merge-ckpt").toString
+    log.filter(c("ts") < cut).write.mode("overwrite").parquet(s"$dir/files")
+    val sink = new Streams.UpsertSink(Seq("user_id"),
+      Seq(c("ts"), c("event_id")))
+    def startQuery() = spark.readStream.schema(schema).parquet(s"$dir/files")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val midKeys = sink.snapshot.get.count()
+    log.filter(c("ts") >= cut).write.mode("append").parquet(s"$dir/files")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = sink.snapshot.get
+      .select("user_id", "event_id", "event_type", "value", "ts")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val want = graft.operators.Upsert.latestSnapshot(log, Seq("user_id"),
+        Seq(c("ts"), c("event_id")))
+      .select("user_id", "event_id", "event_type", "value", "ts")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(midKeys > 0, "pre-restart fold must be non-vacuous")
+  }
+
   test("driftBaseline excludes null values: fractions q_i are over non-null rows only") {
     import spark.implicits._
     val withNulls = Seq(Some(1.0), Some(2.0), None, Some(3.0), None, Some(4.0))
