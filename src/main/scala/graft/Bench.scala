@@ -6,6 +6,22 @@ package graft
   * (parquet footers + a trivial job) is run first so the first timed
   * query doesn't absorb JVM/codegen spin-up; queries run in sorted
   * order for run-to-run comparability.
+  *
+  * Contention self-diagnosis (two mechanisms, because min-of-N cannot
+  * defend against machine load spanning a whole run — rounds 4-6 each
+  * had a sweep window where an idle-machine re-run couldn't reproduce
+  * the recorded numbers):
+  *  1. The SAME fixed CPU-bound calibration kernel is timed BETWEEN
+  *     every ~25-query bucket, not just at the endpoints — a mid-sweep
+  *     contention window is localized to its bucket in the emitted
+  *     `cal` array instead of being invisible (round 6: a 10 s artifact
+  *     on one query was indistinguishable from a real 8.5× regression
+  *     until a manual re-measurement).
+  *  2. Any query whose min-of-N exceeds 3× its previous-round time
+  *     (read from the checked-in bench_prev.json snapshot) gets an
+  *     automatic extra run and is flagged in the `rerun` list — so a
+  *     transient spike either disappears on the extra run or is
+  *     PERSISTENTLY slow and therefore a real regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,67 +45,84 @@ object Bench {
       .collect()
     catch { case _: Throwable => () }
 
-    // Contention calibration: the SAME fixed CPU-bound job timed before
-    // and after the query sweep. Min-of-N can't defend against machine
-    // contention spanning the whole run (the round-4 driver bench
-    // recorded ~2.4× near-uniform inflation that a same-machine re-run
-    // couldn't reproduce); the `cal` pair makes a loaded machine
-    // visible IN the bench line itself, so a reader can normalize
-    // instead of mistaking contention for a code regression.
+    // Contention calibration kernel: fixed CPU-bound job, identical
+    // across rounds and machines.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(200000000L).selectExpr("sum(id * 2 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // throwaway: JITs the calibration kernel itself
-    val calStart = calibrate()
+
+    // Previous-round per-query times (short family ids) and the
+    // RECORDED reference cal, both from the checked-in bench_prev.json
+    // — calRef is a measurement taken under the cleanest observed
+    // driver conditions, not a constant invented here. Missing file →
+    // no rerun guard and the default reference; the bench still runs.
+    val prevText =
+      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_PREV", "bench_prev.json"))), "UTF-8")
+      catch { case _: Throwable => "" }
+    val prevPairs = """"([a-zA-Z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(prevText)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val calRef = prevPairs.getOrElse("cal_ref", 0.25)
+    val prev = prevPairs - "cal_ref"
 
     // min of N runs per query: run 1 absorbs per-query codegen/JIT
-    // compile and any transient machine contention (round-1 driver bench
-    // showed a ~40s contention window that inflated q2/q3/q4 to 7-12s
-    // vs 1.0-1.4s reproduced single-run on the same machine/data —
-    // PLANS.md "bench conditions"); min-of-N reports steady-state cost.
-    // The two MLlib queries get a third run: iterative training has the
-    // widest run-to-run variance (m14's 3-fold CV spans many jobs).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = if (name == "m14_grid_search" || name == "m7_feature_importance") 3 else 2
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // compile and transient contention; the two MLlib queries get a
+    // third run (iterative training has the widest variance). A query
+    // whose min still exceeds 3× its previous-round time gets ONE more
+    // run and a rerun flag — self-diagnosing the d9-class artifact.
+    val bucketSize = 25
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val calPoints = scala.collection.mutable.ArrayBuffer(calibrate())
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean, Int)]
+    sortedQueries.grouped(bucketSize).zipWithIndex.foreach { case (bucket, bi) =>
+      bucket.foreach { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val n = if (name == "m14_grid_search" || name == "m7_feature_importance") 3 else 2
+        var times = (1 to n).map(_ => once())
+        val short = name.takeWhile(_ != '_')
+        val suspicious = prev.get(short).exists(p => times.min > 3.0 * p)
+        if (suspicious) times = times :+ once()
+        results += ((name, times.min, suspicious, bi))
       }
-      name -> times.min
+      calPoints += calibrate() // bucket boundary: localize contention
     }
-    val calEnd = calibrate()
-    // The driver captures only the LAST ~2000 chars of output and parses
-    // the JSON line out of that tail — rounds 1-3 emitted ~2600-char lines
-    // (full float precision) whose head fell outside the buffer, so the
-    // driver recorded parsed:null. Keep this line compact (3-decimal
-    // times, short keys, basename sf) and print it after spark.stop() so
-    // nothing (shutdown warnings, sbt chatter) lands between it and EOF.
+
     val total = results.map(_._2).sum
-    // Contention-corrected total: cal times a fixed CPU kernel on THIS
-    // run; CalRef is the same kernel under the cleanest observed
-    // conditions on the reference machine (round-5 audit: flat cal
-    // [0.26, 0.25]). value_norm = total · CalRef / mean(cal) projects
-    // the sweep onto that reference state — the number to compare
-    // ACROSS rounds without judge-side archaeology. value stays the
-    // raw wall-clock truth.
-    val calRef = 0.25
-    val totalNorm = total * calRef / ((calStart + calEnd) / 2.0)
+    // Contention-corrected total, per bucket: each ~25-query bucket is
+    // scaled by calRef / mean(its two bounding cal readings), so a
+    // contention window inflates ONLY its own bucket's correction.
+    // value_norm is an ESTIMATE (a CPU kernel proxies query-side
+    // contention imperfectly) — `value` stays the raw wall-clock truth
+    // and the full interleaved cal array ships alongside for readers
+    // who want their own normalization.
+    val totalNorm = results.groupBy(_._4).map { case (bi, rs) =>
+      val c = (calPoints(bi) + calPoints(bi + 1)) / 2.0
+      rs.map(_._2).sum * calRef / c
+    }.sum
     val sfName = new java.io.File(sfDir).getName
-    // Locale.ROOT: StringOps.format uses the default locale, and a
-    // comma-decimal locale (de_DE, fr_FR…) would emit {"value":12,345}
-    // — invalid JSON, i.e. exactly the parsed:null failure this line
-    // exists to avoid.
+    // The driver captures only the LAST ~2000 chars of output and
+    // parses the JSON line out of that tail — keep the line compact
+    // (3-decimal times, short keys when needed) and print it after
+    // spark.stop() so nothing lands between it and EOF. Locale.ROOT:
+    // a comma-decimal locale would emit invalid JSON.
     def num(dec: Int, v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    val calStr = calPoints.map(num(2, _)).mkString("[", ",", "]")
+    val rerunStr = results.filter(_._3)
+      .map(r => "\"" + r._1.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     def fmt(dec: Int, short: Boolean): String = {
-      val qs = results.map { case (k, v) =>
+      val qs = results.map { case (k, v, _, _) =>
         val key = if (short) k.takeWhile(_ != '_') else k // family ids (q22, mm4…) are unique
         s""""$key":${num(dec, v)}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":[${num(2, calStart)},${num(2, calEnd)}]}"""
+      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"rerun":$rerunStr}"""
     }
     // stay well inside the 2000-char tail as the query count grows:
     // full keys at 3 then 2 decimals; past ~78 queries even that
