@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Skew}
+
+/** Skew-stress gate: the skew-safe paths (q19's salted join, d3's
+  * capped LSH buckets) are driven by GENERATED pathological
+  * distributions at bench-scale volume, and the task-level effect is
+  * asserted from the Spark listener — per-task shuffle-read records
+  * must stay bounded. Results matching the plain path proves
+  * correctness; THIS suite proves the salting/caps actually bound
+  * what any one task processes, which is the 100 TB claim.
+  */
+class SkewStressSpec extends SparkSuite {
+
+  /** Run `body`, return per-stage task shuffle-read record counts.
+    * The listener bus is async: poll until the counts stop changing. */
+  private def taskShuffleReads(body: => Unit): Map[Int, Vector[Long]] = {
+    val acc = scala.collection.mutable.Map.empty[Int, Vector[Long]]
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) acc.synchronized {
+          acc(te.stageId) = acc.getOrElse(te.stageId, Vector.empty) :+
+            m.shuffleReadMetrics.recordsRead
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val n = acc.synchronized(acc.values.map(_.size).sum)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.synchronized(acc.toMap)
+  }
+
+  /** max/median per-task shuffle-read records of the heaviest stage —
+    * the straggler signature (1.0 = perfectly even). */
+  private def heaviestStageSpread(stages: Map[Int, Vector[Long]]): Double = {
+    val tasks = stages.maxBy(_._2.sum)._2.sorted
+    val median = tasks(tasks.size / 2).toDouble
+    tasks.last / math.max(median, 1.0)
+  }
+
+  private def withConfs(kv: (String, String)*)(body: => Unit): Unit = {
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  // 2M-row fact with ONE key owning 10% of all rows (the zipf head),
+  // the rest uniform over 20k keys — bench-scale volume (more rows
+  // than sf0.1's lineitem) with a hotter head than real data.
+  private def skewedFact: DataFrame =
+    spark.range(2000000L).select(
+      when(col("id") % 10 === 0, 0L)
+        .otherwise(pmod(xxhash64(col("id")), lit(20000L))).as("k"),
+      col("id").as("payload"))
+
+  private def dim: DataFrame =
+    spark.range(20000L).select(col("id").as("k"), (col("id") * 7L).as("dim_v"))
+
+  test("salted join bounds per-task shuffle input on a 10%-hot key; the plain join does not") {
+    // AQE off: isolate the salting itself (AQE's skew-split is the
+    // OTHER mitigation; q19 exists for the joins AQE can't rescue).
+    // Broadcast off: a 20k-row dim would otherwise broadcast and
+    // dodge the shuffle entirely — the stress targets shuffle joins.
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "32") {
+      val plain = taskShuffleReads {
+        skewedFact.join(dim, "k").select(count(lit(1))).collect()
+      }
+      val salted = taskShuffleReads {
+        Skew.saltedJoin(skewedFact, dim, "k", 64).select(count(lit(1))).collect()
+      }
+      val plainSpread = heaviestStageSpread(plain)
+      val saltedSpread = heaviestStageSpread(salted)
+      // the hot key parks ~10% of the fact on ONE reducer: with 32
+      // partitions that task reads ~4x the median. Salting needs
+      // nSalts comfortably ABOVE the partition count for a 10% head:
+      // each hot sub-key is an indivisible ~200k/nSalts-row chunk, so
+      // with only 16 salts a partition drawing two chunks still reads
+      // ~1.7x the median (measured); 64 salts shrinks chunk lumpiness
+      // to noise. That sizing rule is the point of this gate.
+      assert(plainSpread > 2.5,
+        s"stress fixture not skewed enough to prove anything: plain spread $plainSpread")
+      assert(saltedSpread < 1.7,
+        s"salted join still has a straggler task: spread $saltedSpread (plain was $plainSpread)")
+      // and salting must not change the result (q19's transparency
+      // contract, re-checked on the pathological distribution)
+      val a = Skew.saltedJoin(skewedFact, dim, "k", 64).agg(
+        count(lit(1)), sum(col("payload")), sum(col("dim_v"))).collect()(0).toSeq
+      val b = skewedFact.join(dim, "k").agg(
+        count(lit(1)), sum(col("payload")), sum(col("dim_v"))).collect()(0).toSeq
+      assert(a === b)
+    }
+  }
+
+  test("LSH hot-bucket cap keeps candidate generation sub-quadratic on degenerate boilerplate") {
+    import spark.implicits._
+    // 1500 byte-identical docs (the boilerplate pathology: one band
+    // bucket of 1500) + 300 distinct docs with a known near-dup pair
+    val boiler = (1 to 1500).map(i =>
+      (i.toLong, "terms of service apply to all users of this website effective immediately"))
+    val distinct = (1 to 300).map(i =>
+      (10000L + i, s"document number $i talks about topic ${i * 37} in some detail and depth"))
+    val docs = (boiler ++ distinct).toDF("doc_id", "text")
+    // uncapped: the degenerate bucket alone emits C(1500,2) pairs —
+    // the quadratic blowup one task would have to produce
+    val uncapped = Dedup.minhashCandidatePairs(docs, "text", "doc_id", maxBucket = 100000)
+      .filter(col("id_a") <= 1500 && col("id_b") <= 1500).count()
+    assert(uncapped === 1500L * 1499 / 2,
+      s"fixture must be degenerate enough to go quadratic uncapped: $uncapped")
+    // capped (library default): the hot bucket is dropped entirely,
+    // and no task's shuffle input explodes
+    val stages = taskShuffleReads {
+      val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      assert(pairs.filter(col("id_a") <= 1500 && col("id_b") <= 1500).count() === 0L,
+        "capped run must drop the degenerate bucket (dedupExact handles exact copies)")
+    }
+    val allTasks = stages.values.flatten
+    // absolute bound: ~1800 docs × Bands band-keys plus window counts;
+    // a leaked quadratic bucket would put >1M records on one task
+    assert(allTasks.max < 200000L,
+      s"a task read ${allTasks.max} shuffle records — hot-bucket cap not bounding work")
+  }
+}
