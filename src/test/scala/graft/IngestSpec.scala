@@ -151,6 +151,49 @@ class IngestSpec extends SparkSuite {
     }
   }
 
+  test("q8 on a user_id-bucketed events table runs with NO exchange (shuffle paid at ingest)") {
+    import graft.sources.Ingest
+    Ingest.writeBucketed(Tables.events(spark, sf), "events_q8b", "user_id", 4)
+    val df = graft.operators.Relational.runningTotal(spark.table("events_q8b"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the bucketed scan reports hashpartitioning(user_id), which
+    // satisfies the window's required distribution — the per-user
+    // running total needs only a local sort, never a shuffle
+    assert(!plan.contains("Exchange"),
+      s"bucketed layout must elide the window shuffle:\n$plan")
+    assert(plan.contains("Sort"), "window still needs the within-bucket sort")
+    // layout changes the plan, never the answer
+    val got = df.orderBy(col("user_id"), col("event_id")).collect().map(_.toSeq).toSeq
+    val want = graft.operators.Relational.q8(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("writeSorted layout skips row groups: selective scans read a fraction of the rows") {
+    import graft.sources.Ingest
+    val sortedDir = java.nio.file.Files.createTempDirectory("graft-rg-sorted").toString
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-rg-plain").toString
+    val orders = Tables.orders(spark, sf)
+    Ingest.writeSorted(orders, sortedDir, Seq("o_orderkey"), numFiles = Some(6))
+    orders.repartition(6).write.mode("overwrite").parquet(plainDir) // same files, random layout
+    val total = orders.count()
+    // rows the parquet reader actually DECODED for a narrow key range,
+    // from the scan node's own metric (pushed min/max vs row-group
+    // stats) — the thing writeSorted exists to minimize
+    def scannedRows(dir: String): Long = {
+      val df = spark.read.parquet(dir)
+        .filter(col("o_orderkey").between(600L, 650L))
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val sortedScanned = scannedRows(sortedDir)
+    val plainScanned = scannedRows(plainDir)
+    assert(plainScanned === total,
+      s"random layout must decode every row group ($plainScanned vs $total)")
+    assert(sortedScanned <= total / 3,
+      s"sorted layout should skip most row groups: decoded $sortedScanned of $total")
+  }
+
   test("json roundtrip preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     Tables.customer(spark, sf).write.mode("overwrite").json(dir)
