@@ -25,10 +25,16 @@ object Jobs {
   case class Done(result: Pipeline.Result, reportPath: Option[String]) extends Status {
     val name = "done"
   }
+  /** Terminal state of a [[submitStream]] job (no model Result — the
+    * streaming surface refreshes the viz/profile report; train on a
+    * settled snapshot via [[submit]]). */
+  case class StreamDone(reportPath: String) extends Status { val name = "done" }
   case class Failed(error: String) extends Status { val name = "failed" }
 
   private val seq = new AtomicLong(0)
   private val jobs = new ConcurrentHashMap[String, Status]()
+  private val streams =
+    new ConcurrentHashMap[String, (org.apache.spark.sql.streaming.StreamingQuery, String)]()
   private val pool = Executors.newFixedThreadPool(2, r => {
     val t = new Thread(r, "graft-job"); t.setDaemon(true); t
   })
@@ -58,6 +64,65 @@ object Jobs {
     id
   }
 
+  /** Streaming analogue of [[submit]] — the reference's async
+    * upload→status→report flow applied to a CONTINUOUSLY-ARRIVING
+    * dataset. Each micro-batch appends to a parquet staging table and
+    * refreshes `<reportDir>/<id>.html` from the accumulated table, so
+    * the report artifact stays current as data lands (the incremental
+    * surface is the viz/profile report; model training belongs on a
+    * settled snapshot via [[submit]] — re-fitting MLlib per
+    * micro-batch would be neither incremental nor cheap).
+    *
+    * Scale shape: the append is the micro-batch's own write — no
+    * rewrite of history; the refresh re-aggregates the accumulated
+    * table with vizData's chart-sized aggregates (one pass, nothing
+    * collected beyond report-sized frames). A production deployment
+    * points stagingDir at the lake table the stream already feeds and
+    * runs the refresh on a cadence instead of every batch;
+    * `compactSmallFiles` is the companion job for the append debris.
+    *
+    * Returns the job id; stop via [[finishStream]]. Status: running →
+    * done (or failed if a batch throws). */
+  def submitStream(stream: DataFrame, target: String, stagingDir: String,
+      reportDir: String, checkpoint: String): String = {
+    val id = s"job-${seq.incrementAndGet()}"
+    val spark = stream.sparkSession
+    val reportPath = s"$reportDir/$id.html"
+    jobs.put(id, Running)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        try {
+          b.write.mode("append").parquet(stagingDir)
+          val acc = spark.read.parquet(stagingDir)
+          Report.save(Pipeline.vizData(acc, target), None, reportPath, s"graft report $id")
+          ()
+        } catch {
+          case e: Throwable =>
+            jobs.put(id, Failed(Option(e.getMessage).getOrElse(e.getClass.getName)))
+            throw e
+        }
+      }
+      .start()
+    streams.put(id, (q, reportPath))
+    id
+  }
+
+  /** Stop a [[submitStream]] job's query (after the last data is
+    * processed — callers drain first) and mark it done. Returns the
+    * final report path. */
+  def finishStream(id: String): Option[String] = Option(streams.remove(id)).map {
+    case (q, reportPath) =>
+      q.stop()
+      if (status(id).contains("running")) jobs.put(id, StreamDone(reportPath))
+      reportPath
+  }
+
+  /** The live streaming query of a running [[submitStream]] job
+    * (drain/await convenience for callers and specs). */
+  def streamingQuery(id: String): Option[org.apache.spark.sql.streaming.StreamingQuery] =
+    Option(streams.get(id)).map(_._1)
+
   /** Job status by id ("queued" | "running" | "done" | "failed"). */
   def status(id: String): Option[String] = Option(jobs.get(id)).map(_.name)
 
@@ -69,6 +134,7 @@ object Jobs {
   /** Report path of a completed job, when one was requested. */
   def reportPath(id: String): Option[String] = Option(jobs.get(id)) match {
     case Some(Done(_, p)) => p
+    case Some(StreamDone(p)) => Some(p)
     case _ => None
   }
 
