@@ -1398,12 +1398,17 @@ object Relational {
   // the per-order aggregate is computed ONCE and serves BOTH roles —
   // it IS the semi-join (inner join on its filtered output) and it
   // carries total_qty into the result, so the executed plan has
-  // exactly one lineitem scan (spec-asserted). Join order matters at
-  // scale: the filtered aggregate is tiny (0.15% of orders at t=250,
-  // measured at sf0.001/0.01/0.1) so AQE broadcasts it into orders —
-  // the big fact never shuffles for the first join; customer joins
-  // unhinted after. Top-100 runs as TakeOrderedAndProject, tie-broken
-  // on o_orderkey (§6's total-order rule).
+  // exactly one lineitem scan (spec-asserted), column-pruned to
+  // (l_orderkey, l_quantity). Joins stay UNHINTED: at test SFs the
+  // executed plan broadcasts orders+customer into the filtered agg
+  // (both fit — measured at sf0.1); at 100 TB neither dim fits, the
+  // join falls back to shuffling on the order key, and the agg side
+  // arrives ALREADY hash-partitioned on l_orderkey from its own
+  // aggregation exchange — so the fallback costs only the orders
+  // shuffle, never a lineitem re-shuffle. The HAVING filter (0.15% of
+  // orders at t=250, measured at sf0.001-0.1) runs before either
+  // join. Top-100 runs as TakeOrderedAndProject, tie-broken on
+  // o_orderkey (§6's total-order rule).
   def q37(s: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
