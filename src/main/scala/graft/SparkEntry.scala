@@ -18,7 +18,7 @@ import graft.operators._
   *  - s1–s8    operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k)
   *  - mm1–mm7  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan)
   *  - st1–st13 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor)
-  *  - i1–i4    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff)
+  *  - i1–i5    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental rollup maintenance)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).
   */

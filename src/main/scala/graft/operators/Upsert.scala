@@ -143,6 +143,57 @@ object Upsert {
         compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Mergeable per-key rollup state — the aggregate-table twin of
+    * [[scd2Apply]]: a warehouse summary (count / non-null count /
+    * sum / min / max per key) that an incremental batch can refresh
+    * WITHOUT rescanning history. Every statistic is chosen to be
+    * associative and commutative: counts and the exact-decimal sum
+    * add, min/max fold — so `merge(state(A), state(B)) ==
+    * state(A ∪ B)` for ANY disjoint split, which is i5's oracle (the
+    * rebuild-transparency gate, i2's pattern applied to aggregation).
+    * The sum is kept as DECIMAL in the state (never double): decimal
+    * addition is exact, so merge order can't perturb it — a
+    * double-typed state would make the rebuild equality flaky.
+    *
+    * Scale shape: state(log) is one map-side-combined groupBy — the
+    * only fact-sized shuffle, paid ONCE when the summary is first
+    * built. Thereafter each refresh scans only the DELTA (batch-
+    * sized) and merges two |keys|-grain tables; the 100 TB history
+    * is never touched again. If the state table is stored bucketed
+    * on the keys ([[graft.sources.Ingest.writeBucketed]]), the merge
+    * reads it exchange-free and only the batch summary moves. */
+  def rollupState(log: DataFrame, keys: Seq[String], valueCol: String,
+                  tsCol: String): DataFrame =
+    log.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      count(col(valueCol)).as("n_v"),
+      sum(graft.functions.ExactNum.dec2(col(valueCol))).as("__sum_v"),
+      min(col(tsCol)).as("first_ms"),
+      max(col(tsCol)).as("last_ms"))
+
+  /** Fold an incremental batch's [[rollupState]] into an existing
+    * state table. Counts/sums add (null-valued groups stay null via
+    * decimal sum semantics), min/max fold. Associative + commutative
+    * — UpsertSpec folds three slices in every grouping. */
+  def rollupMerge(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    state.unionByName(delta).groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("n_v")).as("n_v"),
+      sum(col("__sum_v")).as("__sum_v"),
+      min(col("first_ms")).as("first_ms"),
+      max(col("last_ms")).as("last_ms"))
+
+  /** Presentation pass: exact-decimal internals → the user-facing
+    * double sum and mean. avg divides by the NON-NULL count (n_v,
+    * not n) and is explicitly null when no values exist — the
+    * null-discipline the st13 baseline fix established. */
+  def rollupFinish(state: DataFrame): DataFrame =
+    state
+      .withColumn("sum_v", col("__sum_v").cast("double"))
+      .withColumn("avg_v", when(col("n_v") === 0L, lit(null).cast("double"))
+        .otherwise(col("__sum_v").cast("double") / col("n_v")))
+      .drop("__sum_v")
+
   // -------------------------------------------------------------------
   // Inventory queries. The events table is the change log: each event
   // is a new version of its user's state, ordered by (ms, event_id).
@@ -254,15 +305,46 @@ object Upsert {
        |WHERE NOT in_old OR NOT in_new OR old_value IS DISTINCT FROM new_value
        |ORDER BY user_id""".stripMargin
 
+  /** i5: incremental rollup maintenance — the (user, event_type)
+    * summary table built from the pre-cutoff log, refreshed by
+    * MERGING the post-cutoff batch's partial aggregates. THE ORACLE
+    * IS THE FULL-REBUILD GROUP BY over the whole log: the gate
+    * proves partial-agg merge is rebuild-transparent, i.e. a 100 TB
+    * rollup can be kept fresh from deltas alone. */
+  def i5(s: SparkSession, dir: String): DataFrame = {
+    val log = changeLog(s, dir)
+    val keys = Seq("user_id", "event_type")
+    val state = rollupState(log.filter(col("ms") < CutoffMs), keys, "value", "ms")
+    val delta = rollupState(log.filter(col("ms") >= CutoffMs), keys, "value", "ms")
+    rollupFinish(rollupMerge(state, delta, keys))
+      .select(col("user_id"), col("event_type"), col("n"), col("n_v"),
+        col("sum_v"), col("avg_v"), col("first_ms"), col("last_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val i5Sql: String =
+    """SELECT user_id, event_type,
+      |  count(*) AS n, count(value) AS n_v,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  CASE WHEN count(value) = 0 THEN NULL
+      |       ELSE CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+      |  END AS avg_v,
+      |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scd2_history" -> (i1 _),
     "i2_scd2_apply" -> (i2 _),
     "i3_merge_latest" -> (i3 _),
-    "i4_cdc_diff" -> (i4 _))
+    "i4_cdc_diff" -> (i4 _),
+    "i5_inc_rollup" -> (i5 _))
 
   def oracles: Map[String, String] = Map(
     "i1_scd2_history" -> i1Sql,
     "i2_scd2_apply" -> i1Sql, // full-rebuild SQL: incremental == rebuild
     "i3_merge_latest" -> i3Sql,
-    "i4_cdc_diff" -> i4Sql)
+    "i4_cdc_diff" -> i4Sql,
+    "i5_inc_rollup" -> i5Sql) // full-rebuild SQL: merged partials == rebuild
 }

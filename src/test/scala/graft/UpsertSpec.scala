@@ -177,6 +177,74 @@ class UpsertSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("i5: merged partial aggregates equal the full-rebuild rollup") {
+    val keys = Seq("user_id", "event_type")
+    val full = Upsert.rollupFinish(Upsert.rollupState(log, keys, "value", "ms"))
+      .orderBy(col("user_id"), col("event_type"))
+      .select(col("user_id"), col("event_type"), col("n"), col("n_v"),
+        col("sum_v"), col("avg_v"), col("first_ms"), col("last_ms"))
+    assert(key(Upsert.i5(spark, sf)) === key(full))
+  }
+
+  test("property: rollup merge is split-invariant and grouping-invariant (10 seeded trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3535)
+    val keys = Seq("user_id", "event_type")
+    for (trial <- 1 to 10) {
+      val rows = (1 to 40 + rnd.nextInt(60)).map { i =>
+        (rnd.nextInt(4).toLong, s"t${rnd.nextInt(3)}",
+          // nulls appear so n vs n_v genuinely diverge
+          if (rnd.nextInt(5) == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(rnd.nextInt(10000) / 100.0),
+          i.toLong * 1000L)
+      }
+      val logDf = rows.toDF("user_id", "event_type", "value", "ms")
+      val full = Upsert.rollupFinish(Upsert.rollupState(logDf, keys, "value", "ms"))
+      // three disjoint slices, folded in both ((a⊕b)⊕c) and (a⊕(b⊕c))
+      val c1 = rnd.nextInt(rows.length).toLong * 1000L
+      val c2 = c1 + rnd.nextInt(rows.length).toLong * 1000L
+      val sa = Upsert.rollupState(logDf.filter(col("ms") <= c1), keys, "value", "ms")
+      val sb = Upsert.rollupState(logDf.filter(col("ms") > c1 && col("ms") <= c2), keys, "value", "ms")
+      val sc = Upsert.rollupState(logDf.filter(col("ms") > c2), keys, "value", "ms")
+      val leftFold = Upsert.rollupFinish(
+        Upsert.rollupMerge(Upsert.rollupMerge(sa, sb, keys), sc, keys))
+      val rightFold = Upsert.rollupFinish(
+        Upsert.rollupMerge(sa, Upsert.rollupMerge(sb, sc, keys), keys))
+      val ord = Seq(col("user_id"), col("event_type"))
+      val want = key(full.orderBy(ord: _*))
+      assert(key(leftFold.orderBy(ord: _*)) === want, s"trial $trial left fold != rebuild")
+      assert(key(rightFold.orderBy(ord: _*)) === want, s"trial $trial right fold != rebuild")
+    }
+  }
+
+  test("i5 null discipline: an all-null group keeps n, zeroes n_v, nulls sum/avg") {
+    import spark.implicits._
+    val logDf = Seq(
+      (1L, "a", null.asInstanceOf[java.lang.Double], 1000L),
+      (1L, "a", null.asInstanceOf[java.lang.Double], 2000L),
+      (1L, "b", java.lang.Double.valueOf(5.0), 3000L)
+    ).toDF("user_id", "event_type", "value", "ms")
+    val got = Upsert.rollupFinish(
+      Upsert.rollupState(logDf, Seq("user_id", "event_type"), "value", "ms"))
+      .orderBy(col("event_type")).collect()
+    val aRow = got(0)
+    assert(aRow.getLong(aRow.fieldIndex("n")) === 2L)
+    assert(aRow.getLong(aRow.fieldIndex("n_v")) === 0L)
+    assert(aRow.isNullAt(aRow.fieldIndex("sum_v")) && aRow.isNullAt(aRow.fieldIndex("avg_v")))
+    val bRow = got(1)
+    assert(bRow.getLong(bRow.fieldIndex("n_v")) === 1L &&
+      bRow.getDouble(bRow.fieldIndex("avg_v")) === 5.0)
+  }
+
+  test("i5 plan: map-side partial aggregation, no cartesian, no window") {
+    val plan = Upsert.i5(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // partial → final HashAggregate pairs: the state build combines
+    // map-side before its only fact-sized shuffle
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan) // pure agg surface — no window pass
+  }
+
   test("scd2FromLog and scd2Apply stay one key shuffle per input") {
     val p1 = Upsert.i1(spark, sf).queryExecution.executedPlan.toString
     // i1: window + final orderBy — exactly one hash shuffle on user_id
