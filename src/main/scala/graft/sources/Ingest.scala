@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ingestion sources (the Spark-native analogue of the reference's
@@ -133,6 +133,68 @@ object Ingest {
       case None    => df.repartitionByRange(sortCols.map(col): _*) // session parallelism / AQE decides
     }
     ranged.sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Z-order (Morton-curve) clustered parquet write: interleave the
+    * bits of each column's quantized cell id and range-sort on the
+    * resulting z-value, so every file AND row group covers a small
+    * hyper-rectangle of the multi-dimensional key space. Parquet
+    * min/max statistics then skip row groups for selective predicates
+    * on ANY of the z columns — where [[writeSorted]] buys skipping
+    * only on its leading sort key. This is the standard multi-
+    * dimensional clustering layout for large scans (z-ordering as in
+    * the Bayer/Markl UB-tree line of work, re-expressed as a one-shot
+    * Spark write): the quantize + interleave is pure codegen'd
+    * integer arithmetic per row, the sort is ONE range shuffle at
+    * write time, and every future scan inherits the skipping.
+    *
+    * Quantization is equal-width over each column's [min, max]
+    * (measured by a single 1-row aggregate; the driver sees 2·k
+    * scalars, never data). Equal-width keeps the cell arithmetic
+    * codegen'd but is skew-sensitive: a dimension where 99% of values
+    * share one cell contributes no discrimination — pre-transform
+    * such a column (e.g. log for heavy-tailed amounts) or fall back
+    * to [[writeSorted]] on the dominant key. Constant columns
+    * degrade gracefully to cell 0. Nulls sort first (cell 0).
+    *
+    * `bits` per dimension: bits·k must fit a signed long; 16 bits ×
+    * 2-4 dims (the useful range — beyond 4 dims z-order's locality
+    * collapses) gives 65k cells per dim, far finer than any row-group
+    * granularity. The z column is internal and dropped before write
+    * (a Project after the sort preserves intra-partition order). */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Option[Int] = None, bits: Int = 16): Unit = {
+    require(zCols.size >= 2, "z-ordering needs >= 2 dims (use writeSorted for 1)")
+    require(zCols.size <= 4, s"z-order locality collapses beyond 4 dims (got ${zCols.size})")
+    require(bits * zCols.size <= 62, s"bits*dims must fit a signed long ($bits*${zCols.size})")
+    val cells = (1L << bits).toDouble
+    // one 1-row aggregate for every dim's min/max
+    val aggCols = zCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("double")).as(s"mn$i"), max(col(c).cast("double")).as(s"mx$i"))
+    }
+    val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val zExpr = zCols.zipWithIndex.map { case (c, j) =>
+      val mn = Option(row.get(row.fieldIndex(s"mn$j"))).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val mx = Option(row.get(row.fieldIndex(s"mx$j"))).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val span = mx - mn
+      val cell =
+        if (span <= 0) lit(0L) // constant (or all-null) dim
+        else least(greatest(
+          floor((col(c).cast("double") - lit(mn)) / lit(span) * lit(cells)).cast("long"),
+          lit(0L)), lit((1L << bits) - 1))
+      val safeCell = coalesce(cell, lit(0L)) // nulls sort first
+      // spread cell j's bit i to interleaved position i*k + j
+      (0 until bits).map { i =>
+        shiftleft(shiftright(safeCell, i).bitwiseAND(lit(1L)), i * zCols.size + j)
+      }.reduce[Column](_.bitwiseOR(_))
+    }.reduce[Column](_.bitwiseOR(_))
+    val withZ = df.withColumn("__z", zExpr)
+    val ranged = numFiles match {
+      case Some(n) => withZ.repartitionByRange(n, col("__z"))
+      case None    => withZ.repartitionByRange(col("__z"))
+    }
+    ranged.sortWithinPartitions(col("__z")).drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 }

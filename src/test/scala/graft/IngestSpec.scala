@@ -194,6 +194,59 @@ class IngestSpec extends SparkSuite {
       s"sorted layout should skip most row groups: decoded $sortedScanned of $total")
   }
 
+  test("writeZOrdered skips row groups on BOTH dimensions; layout never changes the answer") {
+    import graft.sources.Ingest
+    val zDir = java.nio.file.Files.createTempDirectory("graft-rg-z").toString
+    val sortedDir = java.nio.file.Files.createTempDirectory("graft-rg-z1d").toString
+    val orders = Tables.orders(spark, sf)
+    Ingest.writeZOrdered(orders, zDir, Seq("o_orderkey", "o_custkey"), numFiles = Some(16))
+    Ingest.writeSorted(orders, sortedDir, Seq("o_orderkey"), numFiles = Some(16))
+    val total = orders.count()
+    val (kLo, kHi, cLo, cHi) = {
+      val r = orders.agg(min("o_orderkey"), max("o_orderkey"),
+        min("o_custkey"), max("o_custkey")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // ~3%-of-domain predicates, one per dimension
+    val kPred = col("o_orderkey").between(kLo, kLo + (kHi - kLo) / 32)
+    val cPred = col("o_custkey").between(cLo, cLo + (cHi - cLo) / 32)
+    def scanned(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(dir).filter(pred)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head.metrics("numOutputRows").value
+    }
+    // z layout: row-group min/max stats are tight on BOTH dims, so a
+    // selective predicate on EITHER skips most of the table
+    assert(scanned(zDir, kPred) <= total / 2,
+      s"z layout should skip on dim 1: decoded ${scanned(zDir, kPred)} of $total")
+    assert(scanned(zDir, cPred) <= total / 2,
+      s"z layout should skip on dim 2: decoded ${scanned(zDir, cPred)} of $total")
+    // single-key sorted layout: skips hard on its own key, but the
+    // non-sorted dim's values span every row group — no skipping
+    assert(scanned(sortedDir, kPred) <= total / 3)
+    // (>= 80%, not == total: a ~90-row file can miss a 3% slice by
+    // chance; systematic skipping is what it must NOT show)
+    assert(scanned(sortedDir, cPred) >= (total * 4) / 5,
+      "1-D sort cannot systematically skip on the other dimension — that's what z-order buys")
+    // layout is physical only: the z-ordered table holds the same rows
+    val a = spark.read.parquet(zDir).orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val b = orders.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("writeZOrdered handles constant and null-bearing dimensions") {
+    import graft.sources.Ingest
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-z-edge").toString
+    val df = Seq((1L, java.lang.Long.valueOf(5L), 1.0), (2L, null.asInstanceOf[java.lang.Long], 2.0),
+      (3L, java.lang.Long.valueOf(7L), 3.0)).toDF("k", "v", "c")
+      .withColumn("const", lit(42L))
+    Ingest.writeZOrdered(df, dir, Seq("v", "const"), numFiles = Some(1))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3) // nulls and constant dims survive the write
+    assert(back.columns.toSet === Set("k", "v", "c", "const")) // __z dropped
+  }
+
   test("json roundtrip preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     Tables.customer(spark, sf).write.mode("overwrite").json(dir)
