@@ -804,7 +804,75 @@ object Streams {
        |ORDER BY window_start_ms""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // st14: streaming rollup maintenance — i5's mergeable summary state
+  // driven one micro-batch at a time (st12's sink pattern applied to
+  // AGGREGATION instead of latest-row MERGE). Because the state is
+  // associative+commutative (exact-decimal sums, counts, min/max),
+  // ANY micro-batch slicing folds to the same table — so the batch
+  // twin replays the log as three time-sliced batches and the gate
+  // proves the fold equals the one-shot full-rebuild GROUP BY (i5's
+  // oracle). Each fold step merges two |keys|-grain tables: the
+  // history is scanned once (first slice), every later step costs
+  // O(batch + |keys|) — a continuously-fresh 100 TB rollup.
+
+  /** st14 batch twin: three folded time-slices (st12's cuts), each
+    * reduced to partial-agg grain BEFORE the fold — the stream never
+    * re-aggregates history. */
+  def st14(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Upsert
+    val log = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      col("value"), unix_millis(col("ts")).as("ms"))
+    val t1 = 1704931200000L // 2024-01-11T00:00:00Z
+    val t2 = 1705795200000L // 2024-01-21T00:00:00Z
+    val keys = Seq("user_id", "event_type")
+    val parts = Seq(
+      log.filter(col("ms") < t1),
+      log.filter(col("ms") >= t1 && col("ms") < t2),
+      log.filter(col("ms") >= t2))
+    val folded = parts.tail.foldLeft(Upsert.rollupState(parts.head, keys, "value", "ms")) {
+      (state, b) => Upsert.rollupMerge(state, Upsert.rollupState(b, keys, "value", "ms"), keys)
+    }
+    Upsert.rollupFinish(folded)
+      .select(col("user_id"), col("event_type"), col("n"), col("n_v"),
+        col("sum_v"), col("avg_v"), col("first_ms"), col("last_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val st14Sql: String =
+    """SELECT user_id, event_type,
+      |  count(*) AS n, count(value) AS n_v,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  CASE WHEN count(value) = 0 THEN NULL
+      |       ELSE CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+      |  END AS avg_v,
+      |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** foreachBatch rollup sink: reduces each micro-batch to partial-agg
+    * grain and merges it into the running summary. localCheckpoint
+    * per fold keeps lineage flat across an unbounded stream (the
+    * production swap-in: a MERGE-capable summary table keyed on the
+    * rollup keys). The state table is |keys|-grain — executor memory
+    * never holds raw history. */
+  class RollupSink(keys: Seq[String], valueCol: String, tsCol: String) {
+    import graft.operators.Upsert
+    @volatile private var state: Option[DataFrame] = None
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val partial = Upsert.rollupState(batch, keys, valueCol, tsCol)
+      val next = state match {
+        case None => partial
+        case Some(prev) => Upsert.rollupMerge(prev, partial, keys)
+      }
+      state = Some(next.localCheckpoint())
+    }
+    def snapshot: Option[DataFrame] = state.map(Upsert.rollupFinish)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st14_stream_rollup" -> (st14 _),
     "st13_stream_drift" -> (st13 _),
     "st12_stream_upsert" -> (st12 _),
     "st11_interval_join_outer" -> (st11 _),
@@ -817,6 +885,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st14_stream_rollup" -> st14Sql, // full-rebuild GROUP BY: folded micro-batches == rebuild
     "st13_stream_drift" -> st13Sql,
     "st12_stream_upsert" -> st12Sql,
     "st11_interval_join_outer" -> st11Sql,

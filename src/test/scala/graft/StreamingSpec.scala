@@ -302,6 +302,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("st14 RollupSink: micro-batch folded rollup equals the one-shot batch rollup") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.lang.Double, Long)] // user, type, value, ms
+    val sink = new Streams.RollupSink(Seq("user_id", "event_type"), "value", "ms")
+    val q = mem.toDF().toDF("user_id", "event_type", "value", "ms")
+      .writeStream.foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .start()
+    val all = Seq(
+      (1L, "a", java.lang.Double.valueOf(1.5), 100L),
+      (1L, "a", java.lang.Double.valueOf(2.5), 200L),
+      (2L, "b", null.asInstanceOf[java.lang.Double], 150L), // null value: n vs n_v
+      (1L, "b", java.lang.Double.valueOf(4.0), 300L),
+      (2L, "b", java.lang.Double.valueOf(6.0), 400L),
+      (3L, "a", java.lang.Double.valueOf(7.0), 50L))
+    try {
+      mem.addData(all.take(3): _*); q.processAllAvailable()
+      mem.addData(all.slice(3, 5): _*); q.processAllAvailable()
+      mem.addData(all.drop(5): _*); q.processAllAvailable()
+      val ord = Seq(col("user_id"), col("event_type"))
+      val got = sink.snapshot.get.orderBy(ord: _*).collect().map(_.toSeq).toSeq
+      val want = graft.operators.Upsert.rollupFinish(graft.operators.Upsert.rollupState(
+        all.toDF("user_id", "event_type", "value", "ms"),
+        Seq("user_id", "event_type"), "value", "ms")).orderBy(ord: _*)
+        .collect().map(_.toSeq).toSeq
+      assert(got === want, "streamed fold diverged from the batch rollup")
+    } finally q.stop()
+  }
+
   test("st7 as-of state is bounded: idle users evicted at the horizon, with the documented attribution loss") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
