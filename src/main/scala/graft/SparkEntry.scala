@@ -10,7 +10,7 @@ import graft.operators._
   * rows-only in SURVEY.md §2; the set is enforced by ContractSpec).
   *
   * Family → implementation map:
-  *  - q1–q37   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram, min-cost supplier, funnel, global-fraction HAVING, dominant shippers, cohort retention, basket pairs, decorrelated HAVING semi-join)
+  *  - q1–q38   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram, min-cost supplier, funnel, global-fraction HAVING, dominant shippers, cohort retention, basket pairs, decorrelated HAVING semi-join, bucketed interval-overlap join)
   *  - c1–c15   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit/gap-fill/MAD outliers)
   *  - m1–m22   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC)
   *  - t1–t11   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report)

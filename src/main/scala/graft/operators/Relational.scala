@@ -1443,7 +1443,80 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** Generic batch interval-overlap join: match each fact (point
+    * `tsCol`) to every interval whose half-open [start, end) contains
+    * it — WITHOUT a non-equi join. Spark plans a bare range predicate
+    * between two large relations as BroadcastNestedLoopJoin (O(n·m)
+    * and driver-memory-bound) — the classic batch scale-killer. This
+    * operator makes the join an EQUI-join on a time bucket: intervals
+    * explode to the buckets they cover (fan-out = len/bucketMs + 1,
+    * bounded by choosing bucketMs near the typical interval length),
+    * facts map to their single bucket, and the residual range filter
+    * runs inside the join. Each qualifying (fact, interval) pair
+    * appears EXACTLY once — a fact has one bucket and an interval
+    * explodes to that bucket at most once — so no dedup pass exists.
+    * At scale both sides shuffle once on the bucket key (SMJ/AQE;
+    * skewed hot buckets split by AQE skew-join); nothing is assumed
+    * broadcastable. Empty or inverted intervals (end <= start) match
+    * nothing, by construction of the bucket sequence. */
+  def intervalJoin(facts: DataFrame, tsCol: Column, intervals: DataFrame,
+      startCol: Column, endCol: Column, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val b = lit(bucketMs)
+    val exploded = intervals.filter(endCol > startCol)
+      .withColumn("__b", explode(sequence(floor(startCol / b).cast("long"),
+        floor((endCol - 1) / b).cast("long"))))
+    facts.withColumn("__fb", floor(tsCol / b).cast("long"))
+      .join(exploded, col("__fb") === col("__b") &&
+        tsCol >= startCol && tsCol < endCol)
+      .drop("__fb", "__b")
+  }
+
+  /** q38: sliding-campaign attribution — 21-day windows starting every
+    * 7 days over the events range (each event overlaps ≤3 windows),
+    * per-window traffic and exact-decimal value. The window table is
+    * derived distributively (1-row bounds agg → sequence explode; the
+    * driver never sees data). The overlap itself is [[intervalJoin]]:
+    * an equi-join on 7-day buckets with the range residual inside —
+    * the plan holds (SMJ on the bucket key) even when NOTHING fits in
+    * broadcast memory, which a raw range-predicate join (BNLJ) would
+    * not survive at 100 TB. RelationalSpec proves both that plan
+    * shape under autoBroadcastJoinThreshold=-1 and half-open boundary
+    * semantics on explicit frames. */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val week = 604800000L
+    val span = 3 * week
+    val ev = Tables.events(s, dir).select(unix_millis(col("ts")).as("ms"), col("value"))
+    val wins = ev.agg(min(col("ms")).as("mn"), max(col("ms")).as("mx"))
+      .select(col("mn"), explode(sequence(lit(0L),
+        floor((col("mx") - col("mn")) / lit(week)).cast("long"))).as("i"))
+      .select((col("mn") + col("i") * week).as("ws"),
+        (col("mn") + col("i") * week + span).as("we"))
+    intervalJoin(ev, col("ms"), wins, col("ws"), col("we"), week)
+      .groupBy(col("ws"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("window_value"))
+      .orderBy(col("ws"))
+  }
+
+  // the oracle stays an INDEPENDENT raw range join (what intervalJoin
+  // must be equivalent to); the window table builds via a recursive
+  // CTE because DuckDB's generate_series takes only constant bounds
+  val q38Sql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT min(epoch_ms(ts)) AS mn, max(epoch_ms(ts)) AS mx FROM events),
+      |w(ws) AS (
+      |  SELECT mn FROM b
+      |  UNION ALL
+      |  SELECT ws + 604800000 FROM w, b WHERE ws + 604800000 <= mx)
+      |SELECT ws, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+      |FROM w JOIN events e
+      |  ON epoch_ms(e.ts) >= ws AND epoch_ms(e.ts) < ws + 1814400000
+      |GROUP BY ws
+      |ORDER BY ws""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_interval_overlap" -> (q38 _),
     "q37_big_orders" -> (q37 _),
     "q33_important_parts" -> (q33 _),
     "q34_dominant_shippers" -> (q34 _),
@@ -1483,6 +1556,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q38_interval_overlap" -> q38Sql,
     "q37_big_orders" -> q37Sql,
     "q33_important_parts" -> q33Sql,
     "q34_dominant_shippers" -> q34Sql,

@@ -395,4 +395,37 @@ class RelationalSpec extends SparkSuite {
     assert(got === want)
     assert(got.nonEmpty, "q37 must be non-vacuous at this SF")
   }
+
+  test("intervalJoin: half-open boundaries, exactly-once pairing, overlap fan-out") {
+    import spark.implicits._
+    // intervals: A [100,200) and B [150,250) overlap in [150,200);
+    // C is inverted (end <= start) and must match nothing
+    val ivs = Seq(("A", 100L, 200L), ("B", 150L, 250L), ("C", 300L, 300L))
+      .toDF("name", "s", "e")
+    // events at every boundary class, bucket width 40 (misaligned on
+    // purpose: boundaries never coincide with bucket edges)
+    val evs = Seq(99L, 100L, 149L, 150L, 199L, 200L, 249L, 250L, 300L).toDF("t")
+    val got = Relational.intervalJoin(evs, col("t"), ivs, col("s"), col("e"), 40L)
+      .select(col("t"), col("name")).collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.sorted
+    val want = Seq( // start inclusive, end exclusive, overlap doubles
+      100L -> "A", 149L -> "A", 150L -> "A", 150L -> "B", 199L -> "A",
+      199L -> "B", 200L -> "B", 249L -> "B").sorted
+    assert(got === want)
+    assert(got.size === got.distinct.size, "each (fact, interval) pair exactly once")
+  }
+
+  test("q38 plan survives with no broadcastable side: equi-join on buckets, never BNLJ") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Relational.q38(spark, sf).queryExecution.executedPlan.toString
+      // the whole point of the bucket expansion: a raw range-predicate
+      // join between two unbroadcastable relations plans as
+      // BroadcastNestedLoopJoin — this one must stay an equi-join
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"interval join degraded to a non-equi plan:\n$plan")
+      assert(plan.contains("SortMergeJoin"), "bucket equi-join should sort-merge when nothing fits")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
