@@ -12,7 +12,7 @@ import graft.operators._
   * Family → implementation map:
   *  - q1–q38   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram, min-cost supplier, funnel, global-fraction HAVING, dominant shippers, cohort retention, basket pairs, decorrelated HAVING semi-join, bucketed interval-overlap join)
   *  - c1–c15   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit/gap-fill/MAD outliers)
-  *  - m1–m22   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC)
+  *  - m1–m23   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC/calibration)
   *  - t1–t11   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report)
   *  - d1–d9    operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit)
   *  - s1–s8    operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k)

@@ -1001,6 +1001,55 @@ object MLPrep {
     binnedAuc(Tables.events(s, dir).filter(col("value").isNotNull),
       col("event_type") === "purchase", col("value"))
 
+  /** Reliability-diagram (calibration) table: scores min-max
+    * normalized to [0,1], binned equal-width; per bin the observed
+    * positive rate vs the bin's mean normalized score — the data a
+    * calibration plot / ECE summary is built from (m22's AUC says
+    * "ranks well"; this says "probabilities mean what they claim").
+    * ONE scan to bound, one binning scan, ≤`bins` rows out.
+    * Determinism: the per-bin mean score is derived from the
+    * EXACT-decimal sum via affine linearity — mean((v-mn)/span) =
+    * (sumDec(v)/n - mn)/span — so no order-dependent double
+    * accumulation exists; the fractions are single IEEE divisions of
+    * engine-identical operands. */
+  def calibrationCurve(df: DataFrame, pos: Column, score: Column,
+      bins: Int = 20): DataFrame = {
+    val mm = df.agg(min(score).as("mn"), max(score).as("mx"))
+    val span = col("mx") - col("mn")
+    df.join(broadcast(mm))
+      .withColumn("bucket",
+        least(floor((score - col("mn")) / (span / bins)), lit(bins - 1L)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(score)).as("__sv"),
+        sum(when(pos, 1L).otherwise(0L)).as("__np"),
+        first(col("mn")).as("__mn"), first(col("mx")).as("__mx"))
+      .select(col("bucket"), col("n"),
+        round((col("__sv").cast("double") / col("n") - col("__mn")) /
+          (col("__mx") - col("__mn")), 6).as("mean_p"),
+        round(col("__np").cast("double") / col("n"), 6).as("frac_pos"))
+      .orderBy(col("bucket"))
+  }
+
+  /** m23: is event value CALIBRATED as a purchase propensity? */
+  def m23(s: SparkSession, dir: String): DataFrame =
+    calibrationCurve(Tables.events(s, dir).filter(col("value").isNotNull),
+      col("event_type") === "purchase", col("value"))
+
+  val m23Sql: String =
+    """WITH e AS (
+      |  SELECT value, event_type = 'purchase' AS pos
+      |  FROM events WHERE value IS NOT NULL),
+      |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM e)
+      |SELECT CAST(least(floor((value - mn) / ((mx - mn) / 20)), 19) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  round((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) - min(mn))
+      |        / (min(mx) - min(mn)), 6) AS mean_p,
+      |  round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac_pos
+      |FROM e, mm
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val m22Sql: String =
     """WITH e AS (
       |  SELECT value, event_type = 'purchase' AS pos
@@ -1023,6 +1072,7 @@ object MLPrep {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m21_welch_ttest" -> (m21 _),
     "m22_auc" -> (m22 _),
+    "m23_calibration" -> (m23 _),
     "m19_feature_hash" -> (m19 _),
     "m20_psi_drift" -> (m20 _),
     "m18_target_encode" -> (m18 _),
@@ -1039,6 +1089,7 @@ object MLPrep {
   def oracles: Map[String, String] = Map(
     "m21_welch_ttest" -> m21Sql,
     "m22_auc" -> m22Sql,
+    "m23_calibration" -> m23Sql,
     "m19_feature_hash" -> m19Sql,
     "m20_psi_drift" -> m20Sql,
     "m18_target_encode" -> m18Sql,

@@ -365,4 +365,30 @@ class CleaningSpec extends SparkSuite {
       s"binned AUC $wantAuc vs exact $exact — bin error too large")
     assert(wantAuc >= 0.0 && wantAuc <= 1.0)
   }
+
+  test("m23 calibration curve equals brute force; bins partition the data") {
+    val rows = Tables.events(spark, sf).select("event_type", "value").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getString(0) == "purchase", r.getDouble(1)))
+    val (mn, mx) = (rows.map(_._2).min, rows.map(_._2).max)
+    val want = rows.map { case (p, v) =>
+      (math.min(math.floor((v - mn) / ((mx - mn) / 20)).toLong, 19L), p, v) }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (b, xs) =>
+        val n = xs.size.toLong
+        // mirror the engine's exact-decimal mean: sum at 2dp, then the
+        // affine map — not a naive double accumulation
+        val sumDec = xs.map(x => BigDecimal(x._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        val meanP = BigDecimal((sumDec.toDouble / n - mn) / (mx - mn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val fracPos = BigDecimal(xs.count(_._2).toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (b, n, meanP, fracPos)
+      }
+    val got = MLPrep.m23(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    assert(got.map(_._2).sum === rows.length.toLong, "bins must partition the rows")
+    got.foreach { case (_, _, p, f) =>
+      assert(p >= -1e-9 && p <= 1 + 1e-9 && f >= 0.0 && f <= 1.0)
+    }
+  }
 }

@@ -322,4 +322,48 @@ class IngestSpec extends SparkSuite {
     // partition filter, not a data filter: the scan reads only one dir
     assert(plan.contains("PartitionFilters") && plan.contains("event_type"))
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes the partitioned fact scan at runtime") {
+    import spark.implicits._
+    // the 100 TB pattern: fact partitioned on a key, the predicate
+    // arrives only through a JOIN to a filtered dimension — static
+    // pruning can't help, DPP must inject the dim's surviving keys
+    // into the fact scan's partition filter at runtime
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Ingest.writeParquet(Tables.events(spark, sf), dir, Seq("event_type"))
+    // the dim must be a real source: a literal frame constant-folds
+    // (ConvertToLocalRelation) and the pruning rule never sees a
+    // selective filter to push
+    Seq(("click", 1.0), ("view", 0.5), ("purchase", 9.9), ("share", 0.1))
+      .toDF("etype", "weight").write.mode("overwrite").parquet(dimDir)
+    val dim = Ingest.readParquet(spark, dimDir)
+    val fact = Ingest.readParquet(spark, dir)
+    // AQE off for THIS plan only: its stage wrappers are opaque
+    // leaves, hiding the scan node whose metric we must read; DPP
+    // itself is orthogonal to AQE
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = fact.join(dim.filter(col("weight") > 5.0), // survives: purchase only
+        col("event_type") === col("etype"))
+      // collect() (not count()) so the metrics-bearing plan is the one
+      // that executed — count() spawns its own query execution
+      val rows = joined.collect().length.toLong
+      val executed = joined.queryExecution.executedPlan.toString
+      assert(executed.contains("dynamicpruning"),
+        s"fact scan must carry a runtime partition filter:\n$executed")
+      // the pruning is real, not cosmetic: the fact scan decoded only
+      // the surviving partition's rows
+      val factScanRows = joined.queryExecution.executedPlan.collectLeaves()
+        .filter(l => l.metrics.contains("numOutputRows") &&
+          l.output.map(_.name).contains("event_type")) // the fact scan, not the dim's
+        .head.metrics("numOutputRows").value
+      val purchaseRows = Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase").count()
+      assert(rows === purchaseRows)
+      assert(factScanRows === purchaseRows,
+        s"DPP should confine the scan to one partition ($factScanRows vs $purchaseRows)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
