@@ -77,19 +77,28 @@ object Bench {
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val calPoints = scala.collection.mutable.ArrayBuffer(calibrate())
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean, Int)]
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     sortedQueries.grouped(bucketSize).zipWithIndex.foreach { case (bucket, bi) =>
       bucket.foreach { case (name, fn) =>
-        def once(): Double = {
+        // A query that throws is an ERROR, never a time: recording the
+        // partial wall-clock before the failure (round 7: 44 broken
+        // queries logged as 0.04-1.14 s "times") silently IMPROVES the
+        // total. Failed queries go to the `err` list and contribute
+        // nothing to value/value_norm/queries.
+        def once(): Option[Double] = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
         }
         val n = if (name == "m14_grid_search" || name == "m7_feature_importance") 3 else 2
         var times = (1 to n).map(_ => once())
         val short = name.takeWhile(_ != '_')
-        val suspicious = prev.get(short).exists(p => times.min > 3.0 * p)
-        if (suspicious) times = times :+ once()
-        results += ((name, times.min, suspicious, bi))
+        if (times.flatten.isEmpty) errs += short
+        else {
+          val suspicious = prev.get(short).exists(p => times.flatten.min > 3.0 * p)
+          if (suspicious) times = times :+ once()
+          results += ((name, times.flatten.min, suspicious, bi))
+        }
       }
       calPoints += calibrate() // bucket boundary: localize contention
     }
@@ -117,12 +126,13 @@ object Bench {
     val calStr = calPoints.map(num(2, _)).mkString("[", ",", "]")
     val rerunStr = results.filter(_._3)
       .map(r => "\"" + r._1.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    val errStr = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(dec: Int, short: Boolean): String = {
       val qs = results.map { case (k, v, _, _) =>
         val key = if (short) k.takeWhile(_ != '_') else k // family ids (q22, mm4…) are unique
         s""""$key":${num(dec, v)}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"rerun":$rerunStr}"""
+      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr}"""
     }
     // stay well inside the 2000-char tail as the query count grows:
     // full keys at 3 then 2 decimals; past ~78 queries even that

@@ -18,18 +18,25 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native
-    * type for — read nanos as long (legacy conf) and normalize to a
-    * micros TimestampType column so downstream operators see a plain
-    * timestamp. Sub-microsecond precision is dropped; all oracle-
+  /** events.ts has shipped in two parquet flavors across testdata
+    * generations: TIMESTAMP(NANOS) (no native Spark type — read nanos
+    * as long via the legacy conf and truncate to micros) and plain
+    * timestamp[us] (reads as TIMESTAMP_NTZ — cast to session-local
+    * TimestampType). Branch on the observed physical type so either
+    * flavor normalizes to the same TimestampType column. Sub-
+    * microsecond precision is dropped in the nanos flavor; all oracle-
     * compared orderings therefore use (epoch_ms, event_id), never raw
     * ts (SURVEY.md §6.4).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ts =
+      if (raw.schema("ts").dataType == LongType) timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")

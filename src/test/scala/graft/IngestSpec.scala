@@ -366,4 +366,45 @@ class IngestSpec extends SparkSuite {
         s"DPP should confine the scan to one partition ($factScanRows vs $purchaseRows)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("events loader canary: both testdata ts flavors normalize to TimestampType") {
+    // The driver has regenerated /root/testdata with events.ts in two
+    // parquet flavors: TIMESTAMP(NANOS) (rounds 1-6; the legacy
+    // nanosAsLong conf surfaces it to the loader as LongType) and
+    // timestamp[us] (round 7+; surfaces as TIMESTAMP_NTZ). The round-7
+    // flip silently broke 44 queries at analysis time. Synthesize each
+    // flavor as the loader OBSERVES it and assert Tables.events
+    // normalizes both to the same TimestampType instants.
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    import spark.implicits._
+    val microsA = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    val microsB = 1700000060654321L
+    def payload(id: Long, tsExpr: org.apache.spark.sql.Column) =
+      Seq((id, 10L, "view", 1.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .withColumn("ts", tsExpr)
+
+    // Flavor 1: ts as int64 nanos (exactly what nanosAsLong yields).
+    val nanosDir = java.nio.file.Files.createTempDirectory("graft-ev-nanos").toString
+    (payload(1L, lit(microsA * 1000L)) union payload(2L, lit(microsB * 1000L)))
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+
+    // Flavor 2: ts as timestamp[us] isAdjustedToUTC=false — written by
+    // Spark for a TIMESTAMP_NTZ column, byte-compatible with what the
+    // round-7 testdata stores (pyarrow timestamp[us], no timezone).
+    val ntzDir = java.nio.file.Files.createTempDirectory("graft-ev-ntz").toString
+    (payload(1L, timestamp_micros(lit(microsA)).cast(TimestampNTZType))
+      union payload(2L, timestamp_micros(lit(microsB)).cast(TimestampNTZType)))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+
+    val viaNanos = Tables.events(spark, nanosDir)
+    val viaNtz = Tables.events(spark, ntzDir)
+    assert(viaNanos.schema("ts").dataType === TimestampType)
+    assert(viaNtz.schema("ts").dataType === TimestampType)
+    val a = viaNanos.orderBy("event_id").select("ts").collect().toSeq
+    val b = viaNtz.orderBy("event_id").select("ts").collect().toSeq
+    assert(a === b, "the two flavors must decode to identical instants (UTC session)")
+    // And the real regenerated testdata still loads + filters:
+    assert(Tables.events(spark, sf).where(col("ts").isNotNull).count() > 0)
+  }
 }
