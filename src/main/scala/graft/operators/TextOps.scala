@@ -425,7 +425,121 @@ object TextOps {
        |FROM cells JOIN tot USING (labeled_lang)
        |ORDER BY labeled_lang, pred_lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t12: sequence packing — concat-and-split docs into fixed-capacity
+  // token chunks, the layout step that turns a curated corpus into LLM
+  // training windows (each chunk ≈ one context window; fill_frac is
+  // the padding-waste metric). Packing is SHARD-LOCAL (per source, in
+  // doc_id order): a doc lands in the chunk where its first token
+  // falls — chunk_id = floor(tokens-before-it / capacity) — so the
+  // assignment is a pure prefix-sum, deterministic, and exactly the
+  // "concatenate then split every C tokens" rule (the straddling doc
+  // counts toward its STARTING chunk, so a chunk may exceed C by up to
+  // one doc; no doc is ever split across sources).
+  //
+  // Scale: ONE shuffle (hash by source for the window); the chunk
+  // aggregation reuses that partitioning (source is a prefix of the
+  // grouping key), so no second exchange. A pathologically hot source
+  // serializes its own prefix-sum — at 100 TB pre-split hot sources on
+  // a (source, file_id) sub-shard key; the rule stays shard-local so
+  // the output is identical per shard.
+  val packCapacity = 512L
+
+  def t12(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"cum_before div $packCapacity"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("fill_frac",
+        round(col("n_tokens").cast("double") / lit(packCapacity.toDouble), 6))
+      .orderBy(col("source"), col("chunk_id"))
+  }
+
+  val t12Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $packCapacity AS BIGINT) AS chunk_id
+       |  FROM t)
+       |SELECT source, chunk_id, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(n_tok) AS DOUBLE) / $packCapacity, 6) AS fill_frac
+       |FROM c GROUP BY source, chunk_id
+       |ORDER BY source, chunk_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t13: token-budget sampling — per source, walk docs from highest
+  // quality down and keep them until the source's token budget is
+  // spent ("give me the best N tokens per domain", the selection step
+  // between scoring and mixing in a pretraining build). Greedy prefix
+  // rule: a doc is kept iff the tokens taken BEFORE it are still under
+  // budget (the boundary doc may overshoot; deterministic, no
+  // knapsack). Order is (rounded quality DESC, doc_id) — the rounding
+  // is t2's proven-portable 6dp so the walk order, and therefore the
+  // kept set, is engine-independent.
+  //
+  // Scale: same shape as t12 — one hash shuffle by source, prefix-sum
+  // window, aggregation on the window's own partitioning. The output
+  // is the per-source attrition line (kept docs/tokens, spend), not
+  // the kept rows themselves — at 100 TB the same frame minus the
+  // final aggregate IS the sampled corpus (join back on doc_id).
+  val tokenBudget = 2000L
+
+  def t13(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        round(qualityScore(col("text")), 6).as("quality"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("kept", (col("cum_before") < tokenBudget).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        sum(col("n_tok") * col("kept")).as("kept_tokens"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(min(when(col("kept") === 1, col("quality"))), 6).as("min_kept_quality"))
+      .withColumn("kept_frac",
+        round(col("kept_tokens").cast("double") / col("total_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  val t13Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok,
+       |    round(${qualityScoreSql("text")}, 6) AS quality
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tok, quality,
+       |    CASE WHEN COALESCE(SUM(n_tok) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      < $tokenBudget THEN 1 ELSE 0 END AS kept
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_tok * kept) AS BIGINT) AS kept_tokens,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |  round(min(CASE WHEN kept = 1 THEN quality END), 6) AS min_kept_quality,
+       |  round(CAST(sum(n_tok * kept) AS DOUBLE) / sum(n_tok), 6) AS kept_frac
+       |FROM c GROUP BY source
+       |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_seq_pack" -> (t12 _), "t13_token_budget" -> (t13 _),
     "t11_langid_confusion" -> (t11 _),
     "t10_corpus_report" -> (t10 _),
     "t9_repetition" -> (t9 _),
@@ -435,6 +549,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t12_seq_pack" -> t12Sql, "t13_token_budget" -> t13Sql,
     "t11_langid_confusion" -> t11Sql,
     "t10_corpus_report" -> t10Sql,
     "t9_repetition" -> t9Sql,

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.TextOps
+
+/** t12 sequence packing + t13 token-budget sampling: semantics are
+  * re-derived in plain Scala on the collected (source, doc_id, n_tok,
+  * quality) tuples — an in-process oracle independent of Spark's
+  * window/aggregate machinery (token/quality parity itself is t1/t2's
+  * DuckDB oracle's job). Plan shape is asserted too: both operators
+  * claim ONE data shuffle (the window's hash-by-source), with the
+  * aggregation reusing that partitioning.
+  */
+class TextLayoutSpec extends SparkSuite {
+
+  private def docTuples = Tables.documents(spark, sf)
+    .select(col("source"), col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      round(qualityScore(col("text")), 6).as("quality"))
+    .collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("t12 packs like a plain-Scala concat-and-split (per source, all invariants)") {
+    val C = TextOps.packCapacity
+    // independent reimplementation: walk docs in doc_id order per
+    // source, chunk = tokens-before div C
+    val expected = docTuples.groupBy(_._1).flatMap { case (src, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).map { case (_, _, n, _) =>
+        val chunk = cum / C; cum += n; (src, chunk, n)
+      }.groupBy(_._2).map { case (chunk, rows) =>
+        (src, chunk) -> (rows.size.toLong, rows.map(_._3).sum)
+      }
+    }
+    val got = TextOps.t12(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (nDocs, nTok)) =>
+      val (gDocs, gTok, gFill) = got(k)
+      assert((gDocs, gTok) === ((nDocs, nTok)), s"chunk $k")
+      // gFill is round(·, 6) (HALF_UP, like Spark's round) — mirror it
+      val expFill = BigDecimal(nTok.toDouble / C)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gFill === expFill, s"fill_frac $k")
+    }
+    // structural invariants: chunk ids contiguous from 0; tokens
+    // conserved; all chunks before chunk k hold ≥ k*C tokens (the
+    // concat-and-split guarantee that only the straddling doc spills)
+    expected.groupBy(_._1._1).foreach { case (src, chunks) =>
+      val ids = chunks.keys.map(_._2).toSeq.sorted
+      assert(ids === (0L until ids.size).toSeq, s"$src chunk ids not contiguous")
+      val byId = chunks.map { case ((_, id), (_, t)) => id -> t }
+      ids.dropRight(1).foreach { k =>
+        val before = (0L to k).map(byId).sum
+        assert(before >= (k + 1) * C,
+          s"$src: chunks 0..$k hold $before < ${(k + 1) * C} tokens")
+      }
+    }
+    val totalExpected = docTuples.map(_._3).sum
+    assert(expected.values.map(_._2).sum === totalExpected, "tokens not conserved")
+  }
+
+  test("t13 keeps a quality-prefix per source within the token budget") {
+    val B = TextOps.tokenBudget
+    val expected = docTuples.groupBy(_._1).map { case (src, docs) =>
+      val walk = docs.sortBy { case (_, id, _, q) => (-q, id) }
+      var cum = 0L
+      val kept = walk.takeWhile { case (_, _, n, _) =>
+        val take = cum < B; if (take) cum += n; take
+      }
+      src -> (docs.size.toLong, kept.size.toLong, kept.map(_._3).sum,
+        docs.map(_._3).sum, kept.map(_._4).min)
+    }
+    val got = TextOps.t13(spark, sf).collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (src, (nDocs, nKept, keptTok, totTok, minQ)) =>
+      val (gDocs, gKept, gKeptTok, gTotTok, gMinQ, gFrac) = got(src)
+      assert((gDocs, gKept, gKeptTok, gTotTok) === ((nDocs, nKept, keptTok, totTok)), src)
+      assert(math.abs(gMinQ - minQ) < 1e-6, s"$src min_kept_quality")
+      assert(math.abs(gFrac - keptTok.toDouble / totTok) < 1e-6, s"$src kept_frac")
+      // greedy guarantee: the budget is spent (or the source exhausted),
+      // and the kept set never undershoots an attainable budget
+      assert(keptTok >= math.min(B, totTok), s"$src undershoots the budget")
+    }
+  }
+
+  test("t12/t13 plan exactly one data shuffle; the chunk agg reuses the window partitioning") {
+    Seq(TextOps.t12(spark, sf), TextOps.t13(spark, sf)).foreach { df =>
+      df.collect() // finalize the adaptive plan
+      // AQE's toString prints BOTH the final and the initial plan —
+      // count exchanges in the final section only
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+      val range = "Exchange rangepartitioning".r.findAllIn(plan).size
+      assert(hash === 1, s"expected ONE hash exchange (window by source), got $hash:\n$plan")
+      assert(range <= 1, s"only the presentation ORDER BY may range-shuffle:\n$plan")
+    }
+  }
+}
