@@ -332,6 +332,93 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("st14 rollup fold is invariant to spark.sql.shuffle.partitions") {
+    // The mergeable-state design claims ANY re-sharding of the fold is
+    // harmless (associative+commutative state, exact-decimal sums).
+    // Prove the shuffle-partition knob specifically: the same 3-slice
+    // fold under 2 and 9 partitions must produce identical tables —
+    // the conf a 100 TB operator retunes most often must never change
+    // answers.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Streams.st14(spark, sf).collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val at2 = run("2")
+    val at9 = run("9")
+    assert(at2.nonEmpty)
+    assert(at2 === at9, "rollup fold changed under a different shuffle-partition count")
+  }
+
+  test("RocksDB sessionize restart under a CHANGED shuffle-partition conf keeps state layout and answers") {
+    import spark.implicits._
+    // Scale-ops property: an operator retunes spark.sql.shuffle.
+    // partitions and restarts — the stateful query must keep reading
+    // its checkpoint correctly. Spark pins the STATE partitioning to
+    // the count recorded at first run (the conf change must neither
+    // corrupt state nor silently reshard it), so the restarted
+    // lifetime must (a) produce the same sessions as an unrestarted
+    // run and (b) leave the state directory at the ORIGINAL partition
+    // count.
+    val cols = Seq("event_id", "user_id", "ts", "value")
+    val ev = Tables.events(spark, sf).select(cols.map(col): _*)
+    val schema = ev.schema
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-restart").toString
+    def collectRun(files: String, ckpt: String): Set[Seq[Any]] = {
+      val buf = scala.collection.mutable.Set.empty[Seq[Any]]
+      val stream = spark.readStream.schema(schema).parquet(files).as[Streams.TsEvent]
+      val q = Streams.streamingSessionize(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.SessionOut], _: Long) =>
+          val rows = b.toDF()
+            .select("user_id", "start_ms", "end_ms", "n_events", "session_value")
+            .collect().map(_.toSeq)
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      buf.toSet
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", Sessions.RocksDbProvider)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      // control: one unrestarted RocksDB lifetime over the full log
+      ev.write.mode("overwrite").parquet(s"$dir/all")
+      val control = collectRun(s"$dir/all",
+        java.nio.file.Files.createTempDirectory("graft-scale-ctrl-ckpt").toString)
+      // restarted: phase 1 at 4 partitions, phase 2 at 7
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-scale-ckpt").toString
+      ev.filter(col("ts") < cut).write.mode("overwrite").parquet(s"$dir/files")
+      val first = collectRun(s"$dir/files", ckpt)
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      ev.filter(col("ts") >= cut).write.mode("append").parquet(s"$dir/files")
+      val second = collectRun(s"$dir/files", ckpt)
+      assert((first ++ second) === control,
+        "restart under a changed shuffle-partition conf diverged from the unrestarted run")
+      assert(first.nonEmpty && second.nonEmpty,
+        "both lifetimes must emit (otherwise the restart proved nothing)")
+      // state layout pinned at the FIRST run's partition count
+      import scala.jdk.CollectionConverters._
+      val stateParts = {
+        val it = java.nio.file.Files.list(java.nio.file.Paths.get(ckpt, "state", "0"))
+        try it.iterator().asScala.count(p => p.getFileName.toString.forall(_.isDigit))
+        finally it.close()
+      }
+      assert(stateParts === prevParts.toInt,
+        s"state dir re-sharded to $stateParts partitions; must stay at the checkpointed $prevParts")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("st7 as-of state is bounded: idle users evicted at the horizon, with the documented attribution loss") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
