@@ -671,7 +671,52 @@ object Dedup {
        |ORDER BY doc_a""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // d10: shingle novelty — for every doc, the fraction of its DISTINCT
+  // word-3-gram shingles whose FIRST corpus occurrence (min doc_id) is
+  // this doc. The Dolma-style "how much new text does each doc add"
+  // audit: the corpus-level novelty curve decides when crawling more
+  // of a source stops paying; near-1 docs are fresh content, near-0
+  // docs are recombinations of text already seen. Shape: distinct
+  // shingles explode once into (doc_id, sh) with xxhash64-compressed
+  // keys (the d8 key-size lesson); first-occurrence is one
+  // map-side-combined min per shingle; the join back is a same-key
+  // equi-join, so the spans exchange is REUSED for both consumers
+  // (unlike d8, where countDistinct forced a different key set). ppm
+  // integers (c13's rule) keep the fraction exact in both engines; the
+  // DuckDB twin groups raw span strings — identical up to a 64-bit
+  // hash collision (~1e-8 at 1M spans), d8's documented discipline.
+  def d10(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(tokens(col("text"))))).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("sh"))
+    val first = spans.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
+    spans.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d10Sql: String = {
+    val sh = shingles3Sql(tokensSql("text"))
+    s"""WITH sp AS (
+       |  SELECT doc_id, unnest(list_distinct($sh)) AS span FROM documents),
+       |f AS (SELECT span, min(doc_id) AS first_id FROM sp GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM sp JOIN f USING (span)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  n_novel * 1000000 // n_shingles AS novelty_ppm
+       |FROM per ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_shingle_novelty" -> (d10 _),
     "d9_minhash_error" -> (d9 _),
     "d8_span_dedup" -> (d8 _),
     "d1_dedup_exact" -> (d1 _), "d2_ngram_jaccard" -> (d2 _), "d3_minhash_lsh" -> (d3 _),
@@ -679,6 +724,7 @@ object Dedup {
     "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
+    "d10_shingle_novelty" -> d10Sql,
     "d9_minhash_error" -> d9Sql,
     "d8_span_dedup" -> d8Sql,
     "d1_dedup_exact" -> d1Sql, "d2_ngram_jaccard" -> d2Sql, "d3_minhash_lsh" -> d3Sql,

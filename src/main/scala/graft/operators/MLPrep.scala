@@ -1069,7 +1069,82 @@ object MLPrep {
       |        / (2.0 * sum(n_pos) * sum(n_neg)), 6) AS auc
       |FROM c""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m24: chi-squared test of independence between two categoricals —
+  // the feature-selection / drift readout for categorical pairs (m21's
+  // role for numeric-vs-arm). Shape: ONE scan to the (i, j) cell
+  // counts (≤ r·c rows); margins are window sums over the tiny cell
+  // frame and N is a 1-row broadcast — orders is never re-scanned.
+  // Determinism: each cell term is computed from EXACT integer margins
+  // ((N·n_ij − r_i·c_j)² / (N·r_i·c_j), the integer-numerator form of
+  // (obs−exp)²/exp), and the cross-cell sum is an ORDERED left fold
+  // over the (i, j)-sorted cell list — FP addition order is pinned, so
+  // both engines produce the identical double before the final round.
+  def chi2Independence(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val observed = df.groupBy(a.as("i"), b.as("j")).agg(count(lit(1)).as("n_ij"))
+    // EMPTY cells still contribute (0−exp)²/exp — a groupBy alone
+    // silently drops them (measured: 160 vs the correct 240 on a
+    // perfect-association table). Expand to the full i×j grid (r·c
+    // rows, broadcast-tiny) and coalesce missing counts to 0.
+    val cells = observed.select(col("i")).distinct()
+      .crossJoin(broadcast(observed.select(col("j")).distinct()))
+      .join(observed, Seq("i", "j"), "left")
+      .withColumn("n_ij", coalesce(col("n_ij"), lit(0L)))
+    val m = cells
+      .withColumn("r_i", sum(col("n_ij")).over(Window.partitionBy(col("i"))))
+      .withColumn("c_j", sum(col("n_ij")).over(Window.partitionBy(col("j"))))
+      .crossJoin(broadcast(cells.agg(sum(col("n_ij")).as("n")))) // 1 row
+      .withColumn("d", (col("n") * col("n_ij") - col("r_i") * col("c_j")).cast("double"))
+      .withColumn("term",
+        col("d") * col("d") / (col("n") * col("r_i") * col("c_j")).cast("double"))
+    m.agg(
+      aggregate(array_sort(collect_list(struct(col("i"), col("j"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2_raw"),
+      countDistinct(col("i")).as("r"), countDistinct(col("j")).as("c"),
+      first(col("n")).as("n"))
+      .select(col("n"), col("r"), col("c"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(col("chi2_raw"), 6).as("chi2"),
+        round(sqrt(col("chi2_raw") / (col("n") * least(col("r") - 1, col("c") - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  /** m24: order priority × order status over the orders table. */
+  def m24(s: SparkSession, dir: String): DataFrame =
+    chi2Independence(Tables.orders(s, dir), col("o_orderpriority"), col("o_orderstatus"))
+
+  val m24Sql: String =
+    """WITH obs AS (
+      |  SELECT o_orderpriority AS i, o_orderstatus AS j, count(*) AS n_ij
+      |  FROM orders GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT g.i, g.j, COALESCE(o.n_ij, 0) AS n_ij
+      |  FROM (SELECT i, j FROM (SELECT DISTINCT i FROM obs), (SELECT DISTINCT j FROM obs)) g
+      |  LEFT JOIN obs o USING (i, j)),
+      |tot AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n FROM cells),
+      |m AS (
+      |  SELECT i, j, n_ij,
+      |    CAST(sum(n_ij) OVER (PARTITION BY i) AS BIGINT) AS r_i,
+      |    CAST(sum(n_ij) OVER (PARTITION BY j) AS BIGINT) AS c_j, n
+      |  FROM cells CROSS JOIN tot),
+      |t AS (
+      |  SELECT i, j, n, r_i, c_j,
+      |    CAST(n * n_ij - r_i * c_j AS DOUBLE) AS d
+      |  FROM m),
+      |f AS (
+      |  SELECT n,
+      |    list_reduce(list(d * d / CAST(n * r_i * c_j AS DOUBLE) ORDER BY i, j),
+      |      (acc, x) -> acc + x) AS chi2_raw,
+      |    count(DISTINCT i) AS r, count(DISTINCT j) AS c
+      |  FROM t GROUP BY n)
+      |SELECT n, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+      |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+      |  round(chi2_raw, 6) AS chi2,
+      |  round(sqrt(chi2_raw / (n * least(r - 1, c - 1))), 6) AS cramers_v
+      |FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m24_chi2" -> (m24 _),
     "m21_welch_ttest" -> (m21 _),
     "m22_auc" -> (m22 _),
     "m23_calibration" -> (m23 _),
@@ -1087,6 +1162,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m24_chi2" -> m24Sql,
     "m21_welch_ttest" -> m21Sql,
     "m22_auc" -> m22Sql,
     "m23_calibration" -> m23Sql,

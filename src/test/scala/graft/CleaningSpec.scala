@@ -391,4 +391,26 @@ class CleaningSpec extends SparkSuite {
       assert(p >= -1e-9 && p <= 1 + 1e-9 && f >= 0.0 && f <= 1.0)
     }
   }
+
+  test("m24 chi2: ~0 under planted independence, V=1 under perfect association") {
+    import spark.implicits._
+    // perfect association: j is a function of i → chi2 = n·min(r−1,c−1),
+    // Cramér's V = 1 exactly
+    val assoc = (1 to 120).map(k => (s"a${k % 3}", s"b${k % 3}")).toDF("x", "y")
+    val ra = MLPrep.chi2Independence(assoc, col("x"), col("y")).head()
+    assert(ra.getAs[Long]("n") === 120L)
+    assert(ra.getAs[Long]("dof") === 4L) // (3-1)*(3-1)
+    assert(math.abs(ra.getAs[Double]("chi2") - 240.0) < 1e-6) // n*min(r-1,c-1)
+    assert(math.abs(ra.getAs[Double]("cramers_v") - 1.0) < 1e-9)
+    // exact independence: every (i, j) cell equals r_i·c_j/N → chi2 = 0
+    val indep = (for { i <- 0 until 3; j <- 0 until 4; _ <- 0 until (i + 1) * (j + 1) }
+      yield (s"a$i", s"b$j")).toDF("x", "y")
+    val ri = MLPrep.chi2Independence(indep, col("x"), col("y")).head()
+    assert(math.abs(ri.getAs[Double]("chi2")) < 1e-9, "independent table must score 0")
+    assert(math.abs(ri.getAs[Double]("cramers_v")) < 1e-9)
+    // and the inventory binding returns one finite row on real data
+    val rm = MLPrep.m24(spark, sf).head()
+    assert(rm.getAs[Double]("chi2") >= 0.0 && !rm.getAs[Double]("chi2").isNaN)
+    assert(rm.getAs[Double]("cramers_v") >= 0.0 && rm.getAs[Double]("cramers_v") <= 1.0)
+  }
 }

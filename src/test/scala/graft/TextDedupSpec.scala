@@ -386,6 +386,37 @@ class TextDedupSpec extends SparkSuite {
     r.values.foreach { case (e, _) => assert(e >= 0.0 && e <= 1.0 && (e * 16) == (e * 16).round) }
   }
 
+  test("d10 novelty on a planted corpus: fresh=1e6 ppm, copy=0, half-copy in between") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a // exact copy: zero novel shingles
+    val freshHalf = "completely different words appear here now certainly unique tokens"
+    val c = a.split(' ').take(6).mkString(" ") + " " + freshHalf
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Dedup.d10(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_novel"), x.getAs[Long]("n_shingles"), x.getAs[Long]("novelty_ppm"))))
+      .toMap
+    val (nov1, n1, ppm1) = r(1L)
+    assert(nov1 === n1 && ppm1 === 1000000L, "first doc: everything is novel")
+    val (nov2, _, ppm2) = r(2L)
+    assert(nov2 === 0L && ppm2 === 0L, "exact copy adds nothing")
+    val (nov3, n3, ppm3) = r(3L)
+    assert(nov3 > 0L && nov3 < n3, "half-copy is partially novel")
+    assert(ppm3 === nov3 * 1000000L / n3)
+  }
+
+  test("d10 plan reuses the spans exchange for both consumers (same-key agg + join)") {
+    val df = graft.operators.Dedup.d10(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange") || plan.contains("ShuffleQueryStage") &&
+      "Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"spans should shuffle once and be reused, not re-exploded per consumer:\n$plan")
+  }
+
   test("d7 clusters: every member labels to its component's min id") {
     val r = Dedup.d7(spark, sf).collect()
       .map(row => row.getAs[Long]("id") -> row.getAs[Long]("cluster"))
