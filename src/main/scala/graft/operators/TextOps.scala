@@ -538,7 +538,54 @@ object TextOps {
        |FROM c GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t14: CCNet perplexity bucketing — split each language's documents
+  // into head/middle/tail terciles of the t8 unigram-LM score (high
+  // score = fluent = head; CCNet trains on head+middle and drops or
+  // down-weights tail). Buckets come from ntile(3) over (rounded
+  // score DESC, doc_id) — integer rank arithmetic on an engine-stable
+  // order, no FP percentile interpolation to diverge on.
+  //
+  // Scale: the ntile window totally orders each language's partition —
+  // exact and fine at audit scale, but the dominant web language would
+  // serialize into one task at 100 TB. The production swap (CCNet's
+  // own move) is threshold bucketing: compute per-lang score
+  // percentiles on a sample (approx_percentile), broadcast the two
+  // cut points, bucket map-side — same output schema, no total order.
+  def t14(s: SparkSession, dir: String): DataFrame = {
+    val scored = t8(s, dir).select(col("doc_id"), col("avg_logprob"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    scored.withColumn("ppl_bucket", ntile(3).over(w).cast("long"))
+      .withColumn("bucket",
+        when(col("ppl_bucket") === 1, "head")
+          .when(col("ppl_bucket") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"), col("ppl_bucket"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t14Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+       |sc AS (
+       |  SELECT doc_id,
+       |    round(avg(log10(CAST(tf AS DOUBLE))) - log10(CAST(total AS DOUBLE)), 4)
+       |      AS avg_logprob
+       |  FROM toks JOIN tf USING (tok), tot
+       |  GROUP BY doc_id, total),
+       |b AS (
+       |  SELECT sc.doc_id, d.lang, sc.avg_logprob,
+       |    CAST(ntile(3) OVER (PARTITION BY d.lang
+       |      ORDER BY sc.avg_logprob DESC, sc.doc_id) AS BIGINT) AS ppl_bucket
+       |  FROM sc JOIN documents d USING (doc_id))
+       |SELECT doc_id, lang, avg_logprob, ppl_bucket,
+       |  CASE ppl_bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM b ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_ppl_buckets" -> (t14 _),
     "t12_seq_pack" -> (t12 _), "t13_token_budget" -> (t13 _),
     "t11_langid_confusion" -> (t11 _),
     "t10_corpus_report" -> (t10 _),
@@ -549,6 +596,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t14_ppl_buckets" -> t14Sql,
     "t12_seq_pack" -> t12Sql, "t13_token_budget" -> t13Sql,
     "t11_langid_confusion" -> t11Sql,
     "t10_corpus_report" -> t10Sql,

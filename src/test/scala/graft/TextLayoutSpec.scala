@@ -88,6 +88,33 @@ class TextLayoutSpec extends SparkSuite {
     }
   }
 
+  test("t14 terciles: per-lang bucket sizes within 1, scores monotone across buckets") {
+    val rows = TextOps.t14(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("ppl_bucket"),
+        r.getAs[Double]("avg_logprob"), r.getAs[String]("bucket")))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, b, _, lbl) =>
+      (b, lbl) match {
+        case (1L, "head") | (2L, "middle") | (3L, "tail") => true
+        case _ => false
+      }
+    }, "bucket label must match the tercile id")
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)))
+      if (rs.size >= 3) {
+        assert(sizes.values.max - sizes.values.min <= 1,
+          s"$lang terciles must be balanced: $sizes")
+        // head scores >= middle scores >= tail scores (ties may
+        // straddle a boundary, so >= not >)
+        def min1(b: Long) = rs.filter(_._2 == b).map(_._3).min
+        def max1(b: Long) = rs.filter(_._2 == b).map(_._3).max
+        assert(min1(1L) >= max1(2L) && min1(2L) >= max1(3L),
+          s"$lang buckets not score-monotone")
+      }
+    }
+  }
+
   test("t12/t13 plan exactly one data shuffle; the chunk agg reuses the window partitioning") {
     Seq(TextOps.t12(spark, sf), TextOps.t13(spark, sf)).foreach { df =>
       df.collect() // finalize the adaptive plan
