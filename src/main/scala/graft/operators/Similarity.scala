@@ -553,23 +553,35 @@ object Similarity {
 
   /** Signed SQ8 code array of the L2-NORMALIZED vector:
     * round(x_i/‖x‖·127) ∈ [−127,127] (zero vector → all-zero codes).
-    * Integer output (array<long> here; byte-packed in storage). */
-  def sq8Codes(emb: Column): Column = {
-    val nrm = sqrt(aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    * Integer output (array<long> here; byte-packed in storage).
+    * Evaluates the norm INSIDE the per-element lambda — fine for a
+    * one-off; hot paths should hoist the norm to its own projection
+    * first (see sq8RerankTopK), since codegen re-evaluates a lambda
+    * body per element (64 dims → 64 redundant norm folds per row). */
+  def sq8Codes(emb: Column): Column =
+    sq8CodesWithNorm(emb,
+      sqrt(aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+
+  private def sq8CodesWithNorm(emb: Column, nrm: Column): Column =
     transform(emb, x =>
       when(nrm === 0.0, 0L)
         .otherwise(round(x.cast("double") / nrm * sq8Scale).cast("long")))
-  }
 
   /** Library API: SQ8 coarse top-`coarseK` by integer code dot, exact
     * cosine rerank to top-`k`. Same broadcast contract as
     * [[cosineTopK]] (|queries| ≪ |corpus|). */
   def sq8RerankTopK(queries: DataFrame, corpus: DataFrame, k: Int, coarseK: Int): DataFrame = {
     val s = queries.sparkSession
+    // norm hoisted to a per-row projection so the quantization lambda
+    // reads a computed column instead of re-folding the vector per
+    // element (identical doubles → identical codes; oracle-checked)
     def coded(df: DataFrame, idAs: String, embAs: String) =
-      df.select(col("id").as(idAs), col("embedding").as(embAs),
-        sq8Codes(col("embedding")).as(s"${idAs}_code"))
+      df.withColumn("__nrm", sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)))
+        .select(col("id").as(idAs), col("embedding").as(embAs),
+          sq8CodesWithNorm(col("embedding"), col("__nrm")).as(s"${idAs}_code"))
     val pairs = broadcast(coded(queries, "q_id", "qe"))
       .join(coded(corpus, "cand_id", "ce"))
       .withColumn("cdot", aggregate(
@@ -627,7 +639,48 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // s10: ANN recall audit — per-query recall@3 of the single-probe LSH
+  // path (s2) against exact brute force (s1), as integer ppm. d9's
+  // measure-don't-guess role for the vector path: run it on a sample
+  // before trusting planes/probes at 100 TB, and alert on the
+  // corpus-level number drifting (embedding distribution shifts move
+  // LSH recall even when the index is unchanged). Both inputs are this
+  // library's own deterministic pipelines, so the audit itself is
+  // engine-exact: hits are set intersections of hash-green results,
+  // ppm is integer arithmetic (c13's rule).
+  def s10(s: SparkSession, dir: String): DataFrame = {
+    val ex = s1(s, dir).select(col("q_id"), col("cand_id"))
+    val ann = s2(s, dir).select(col("q_id"), col("cand_id"))
+    val annq = ann.groupBy(col("q_id")).agg(count(lit(1)).as("n_lsh"))
+    val hits = ex.join(ann.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+    hits.join(annq, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"), col("n_hits"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  val s10Sql: String =
+    s"""WITH ex AS ($s1Sql),
+       |ann AS ($s2Sql),
+       |annq AS (SELECT q_id, count(*) AS n_lsh FROM ann GROUP BY 1),
+       |hits AS (
+       |  SELECT e.q_id, count(*) AS n_exact,
+       |    CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hits
+       |  FROM ex e LEFT JOIN ann a ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+       |  GROUP BY e.q_id)
+       |SELECT h.q_id, h.n_exact, COALESCE(q.n_lsh, 0) AS n_lsh, h.n_hits,
+       |  h.n_hits * 1000000 // h.n_exact AS recall_ppm
+       |FROM hits h LEFT JOIN annq q USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_ann_recall" -> (s10 _),
     "s9_sq8_rerank" -> (s9 _),
     "s8_filtered_topk" -> (s8 _),
     "s7_range_search" -> (s7 _),
@@ -636,6 +689,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s10_ann_recall" -> s10Sql,
     "s9_sq8_rerank" -> s9Sql,
     "s8_filtered_topk" -> s8Sql,
     "s7_range_search" -> s7Sql,

@@ -212,6 +212,28 @@ class SimilaritySpec extends SparkSuite {
     assert(zero === Seq(0L, 0L, 0L, 0L), "zero vector must code to zeros, not NaN")
   }
 
+  test("s10 recall audit agrees with recomputing the s1/s2 intersection directly") {
+    val ex = Similarity.s1(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")))
+    val ann = Similarity.s2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")))
+    val annSet = ann.toSet
+    val r = Similarity.s10(spark, sf).collect()
+      .map(x => x.getAs[Long]("q_id") ->
+        ((x.getAs[Long]("n_exact"), x.getAs[Long]("n_lsh"),
+          x.getAs[Long]("n_hits"), x.getAs[Long]("recall_ppm"))))
+      .toMap
+    assert(r.keySet === ex.map(_._1).toSet, "one audit row per query")
+    ex.groupBy(_._1).foreach { case (q, exPairs) =>
+      val (nExact, nLsh, nHits, ppm) = r(q)
+      assert(nExact === exPairs.size.toLong)
+      assert(nLsh === ann.count(_._1 == q).toLong)
+      assert(nHits === exPairs.count(annSet).toLong, s"q=$q hits")
+      assert(nHits <= nExact && nHits <= nLsh)
+      assert(ppm === nHits * 1000000L / nExact)
+    }
+  }
+
   test("s9 SQ8 rerank: recall@3 >= 0.9 vs exact, and every returned cos is the exact cosine") {
     val exact = Similarity.s1(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")) -> r.getAs[Double]("cos"))
