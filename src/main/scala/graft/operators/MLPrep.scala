@@ -1075,13 +1075,21 @@ object MLPrep {
   // role for numeric-vs-arm). Shape: ONE scan to the (i, j) cell
   // counts (≤ r·c rows); margins are window sums over the tiny cell
   // frame and N is a 1-row broadcast — orders is never re-scanned.
-  // Determinism: each cell term is computed from EXACT integer margins
-  // ((N·n_ij − r_i·c_j)² / (N·r_i·c_j), the integer-numerator form of
-  // (obs−exp)²/exp), and the cross-cell sum is an ORDERED left fold
-  // over the (i, j)-sorted cell list — FP addition order is pinned, so
-  // both engines produce the identical double before the final round.
+  // Determinism: each cell term is ((N·n_ij − r_i·c_j)² / (N·r_i·c_j),
+  // the common-denominator form of (obs−exp)²/exp) with every product
+  // taken in DOUBLE via the same left-to-right expression tree both
+  // engines compile (int64 products would wrap around N ≈ 2e6;
+  // doubles stay exact to 2^53 and identical beyond), and the
+  // cross-cell sum is an ORDERED left fold over the (i, j)-sorted
+  // cell list — FP addition order is pinned, so both engines produce
+  // the identical double before the final round. NULL categories are
+  // excluded up front (standard chi2 semantics).
   def chi2Independence(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val observed = df.groupBy(a.as("i"), b.as("j")).agg(count(lit(1)).as("n_ij"))
+    // standard chi2 semantics: rows with a missing category are
+    // excluded (a NULL would otherwise fall out of the grid join and
+    // poison the fold with a 0/0 term)
+    val observed = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("i"), b.as("j")).agg(count(lit(1)).as("n_ij"))
     // EMPTY cells still contribute (0−exp)²/exp — a groupBy alone
     // silently drops them (measured: 160 vs the correct 240 on a
     // perfect-association table). Expand to the full i×j grid (r·c
@@ -1094,9 +1102,17 @@ object MLPrep {
       .withColumn("r_i", sum(col("n_ij")).over(Window.partitionBy(col("i"))))
       .withColumn("c_j", sum(col("n_ij")).over(Window.partitionBy(col("j"))))
       .crossJoin(broadcast(cells.agg(sum(col("n_ij")).as("n")))) // 1 row
-      .withColumn("d", (col("n") * col("n_ij") - col("r_i") * col("c_j")).cast("double"))
+      // products in DOUBLE, not Long: n·r_i·c_j wraps int64 around
+      // N ≈ 2e6 with concentrated margins (silently wrong in Spark,
+      // an out-of-range ERROR in DuckDB — parity breaks exactly when
+      // the number is garbage). Exactness holds to 2^53 per product;
+      // beyond that both engines compute the identical double.
+      .withColumn("d",
+        col("n").cast("double") * col("n_ij").cast("double") -
+          col("r_i").cast("double") * col("c_j").cast("double"))
       .withColumn("term",
-        col("d") * col("d") / (col("n") * col("r_i") * col("c_j")).cast("double"))
+        col("d") * col("d") /
+          (col("n").cast("double") * col("r_i").cast("double") * col("c_j").cast("double")))
     m.agg(
       aggregate(array_sort(collect_list(struct(col("i"), col("j"), col("term")))),
         lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2_raw"),
@@ -1129,11 +1145,14 @@ object MLPrep {
       |  FROM cells CROSS JOIN tot),
       |t AS (
       |  SELECT i, j, n, r_i, c_j,
-      |    CAST(n * n_ij - r_i * c_j AS DOUBLE) AS d
+      |    CAST(n AS DOUBLE) * CAST(n_ij AS DOUBLE)
+      |      - CAST(r_i AS DOUBLE) * CAST(c_j AS DOUBLE) AS d
       |  FROM m),
       |f AS (
       |  SELECT n,
-      |    list_reduce(list(d * d / CAST(n * r_i * c_j AS DOUBLE) ORDER BY i, j),
+      |    list_reduce(list(d * d /
+      |        (CAST(n AS DOUBLE) * CAST(r_i AS DOUBLE) * CAST(c_j AS DOUBLE))
+      |      ORDER BY i, j),
       |      (acc, x) -> acc + x) AS chi2_raw,
       |    count(DISTINCT i) AS r, count(DISTINCT j) AS c
       |  FROM t GROUP BY n)

@@ -576,10 +576,15 @@ object Similarity {
     // norm hoisted to a per-row projection so the quantization lambda
     // reads a computed column instead of re-folding the vector per
     // element (identical doubles → identical codes; oracle-checked)
+    // zero-norm vectors are dropped on BOTH sides: cosine is undefined
+    // for them, and an unfiltered zero candidate surviving the coarse
+    // cut would rerank with cos = 0/0 = NaN — which Spark sorts ABOVE
+    // every real similarity, i.e. a garbage top-1 for every query
     def coded(df: DataFrame, idAs: String, embAs: String) =
       df.withColumn("__nrm", sqrt(aggregate(
           transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, x) => acc + x)))
+        .filter(col("__nrm") > 0.0)
         .select(col("id").as(idAs), col("embedding").as(embAs),
           sq8CodesWithNorm(col("embedding"), col("__nrm")).as(s"${idAs}_code"))
     val pairs = broadcast(coded(queries, "q_id", "qe"))
@@ -608,13 +613,13 @@ object Similarity {
 
   val s9Sql: String = {
     val cos = cosineSql("q.embedding", "c.embedding")
-    val nrm = s"sqrt(${normSqSql("embedding")})"
-    s"""WITH codes AS (
-       |  SELECT vec_id, list_transform(embedding, x ->
-       |    CASE WHEN $nrm = 0 THEN 0
-       |         ELSE CAST(round(CAST(x AS DOUBLE) / $nrm * $sq8Scale) AS BIGINT)
-       |    END) AS code
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding, sqrt(${normSqSql("embedding")}) AS nrm
        |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(round(CAST(x AS DOUBLE) / nrm * $sq8Scale) AS BIGINT)) AS code
+       |  FROM nv WHERE nrm > 0),
        |coarse AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
        |    list_sum(list_transform(generate_series(1, len(q.code)),

@@ -565,16 +565,10 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // composes t8Sql verbatim (the s10 pattern) — a future change to
+  // t8's scoring can't silently diverge from the bucketing oracle
   val t14Sql: String =
-    s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
-       |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
-       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
-       |sc AS (
-       |  SELECT doc_id,
-       |    round(avg(log10(CAST(tf AS DOUBLE))) - log10(CAST(total AS DOUBLE)), 4)
-       |      AS avg_logprob
-       |  FROM toks JOIN tf USING (tok), tot
-       |  GROUP BY doc_id, total),
+    s"""WITH sc AS (SELECT doc_id, avg_logprob FROM ($t8Sql)),
        |b AS (
        |  SELECT sc.doc_id, d.lang, sc.avg_logprob,
        |    CAST(ntile(3) OVER (PARTITION BY d.lang

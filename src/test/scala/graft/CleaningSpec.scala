@@ -412,5 +412,14 @@ class CleaningSpec extends SparkSuite {
     val rm = MLPrep.m24(spark, sf).head()
     assert(rm.getAs[Double]("chi2") >= 0.0 && !rm.getAs[Double]("chi2").isNaN)
     assert(rm.getAs[Double]("cramers_v") >= 0.0 && rm.getAs[Double]("cramers_v") <= 1.0)
+    // NULL categories are dropped, not NaN-poisoned: same table plus
+    // null-bearing rows scores identically with N unchanged
+    val withNulls = assoc.union(Seq(
+      (null.asInstanceOf[String], "b0"), ("a0", null.asInstanceOf[String]))
+      .toDF("x", "y"))
+    val rn = MLPrep.chi2Independence(withNulls, col("x"), col("y")).head()
+    assert(rn.getAs[Long]("n") === 120L, "null rows must not count toward N")
+    assert(math.abs(rn.getAs[Double]("chi2") - 240.0) < 1e-6)
+    assert(!rn.getAs[Double]("cramers_v").isNaN)
   }
 }

@@ -212,6 +212,21 @@ class SimilaritySpec extends SparkSuite {
     assert(zero === Seq(0L, 0L, 0L, 0L), "zero vector must code to zeros, not NaN")
   }
 
+  test("sq8RerankTopK never returns a zero-norm candidate (NaN would sort first)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Seq(0.0f, 0.0f, 0.0f)), // zero vector: cosine undefined
+      (11L, Seq(1.0f, 0.0f, 0.0f)),
+      (12L, Seq(0.0f, 1.0f, 0.0f)),
+      (13L, Seq(0.6f, 0.8f, 0.0f))).toDF("id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.1f, 0.0f))).toDF("id", "embedding")
+    val r = Similarity.sq8RerankTopK(queries, corpus, 3, 4).collect()
+    assert(r.length === 3)
+    assert(!r.exists(_.getAs[Long]("cand_id") == 10L), "zero vector must be dropped")
+    assert(r.forall(row => !row.getAs[Double]("cos").isNaN))
+    assert(r.head.getAs[Long]("cand_id") === 11L, "nearest is the aligned axis vector")
+  }
+
   test("s10 recall audit agrees with recomputing the s1/s2 intersection directly") {
     val ex = Similarity.s1(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")))

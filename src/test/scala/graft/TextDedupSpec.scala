@@ -412,9 +412,14 @@ class TextDedupSpec extends SparkSuite {
     val df = graft.operators.Dedup.d10(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(plan.contains("ReusedExchange") || plan.contains("ShuffleQueryStage") &&
-      "Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
-      s"spans should shuffle once and be reused, not re-exploded per consumer:\n$plan")
+    // the enforceable claim is the exchange COUNT: spans hash(sh) once
+    // (reused by both consumers) + the doc_id agg = at most 2 hash
+    // exchanges in the final plan; a re-explode-per-consumer
+    // regression shows up as a third
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"spans should shuffle once and be reused, not re-exploded per consumer " +
+        s"($hashExchanges hash exchanges):\n$plan")
   }
 
   test("d7 clusters: every member labels to its component's min id") {
