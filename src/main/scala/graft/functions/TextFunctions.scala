@@ -204,15 +204,19 @@ object TextFunctions {
 
   /** Quality heuristic (t2's formula): length saturation × (1 − punct
     * ratio) × (1 − stopword ratio). Unrounded — callers round for
-    * display/oracle parity. */
+    * display/oracle parity. Empty text scores 0.0 explicitly: the
+    * length factor is 0 there anyway, but the punct ratio would
+    * divide by zero (an ERROR under ANSI mode — and empty documents
+    * are a certainty in a web crawl). */
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
     val nPunct = regexp_count(text, lit("[^a-z0-9 ]")).cast("long")
-    least(lit(1.0), length(text) / 500.0) *
-      (lit(1.0) - nPunct.cast("double") / length(text)) *
-      (lit(1.0) - nStop.cast("double") / nTok)
+    when(length(text) === 0, 0.0).otherwise(
+      least(lit(1.0), length(text) / 500.0) *
+        (lit(1.0) - nPunct.cast("double") / length(text)) *
+        (lit(1.0) - nStop.cast("double") / nTok))
   }
 
   /** Marker count for one language of [[LangMarkers]]. */
@@ -246,9 +250,11 @@ object TextFunctions {
   def qualityScoreSql(c: String): String = {
     val toks = tokensSql(c)
     val inList = Stopwords.map(w => s"'$w'").mkString(", ")
-    s"""least(1.0, length($c)/500.0)
+    s"""CASE WHEN length($c) = 0 THEN 0.0 ELSE
+       |    least(1.0, length($c)/500.0)
        |    * (1.0 - CAST(len(regexp_extract_all($c, '[^a-z0-9 ]')) AS DOUBLE)/length($c))
-       |    * (1.0 - CAST(len(list_filter($toks, t -> t IN ($inList))) AS DOUBLE)/len($toks))""".stripMargin
+       |    * (1.0 - CAST(len(list_filter($toks, t -> t IN ($inList))) AS DOUBLE)/len($toks))
+       |    END""".stripMargin
   }
 
   /** SQL: [[predLang]]'s DuckDB twin over a text column `c` — the ONE

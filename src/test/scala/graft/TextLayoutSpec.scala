@@ -88,6 +88,50 @@ class TextLayoutSpec extends SparkSuite {
     }
   }
 
+  test("t12/t13 window logic matches the plain-Scala oracle on 10 seeded random corpora") {
+    import spark.implicits._
+    val C = TextOps.packCapacity
+    val B = TextOps.tokenBudget
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // random corpus: 1-4 sources, docs of 0-900 tokens (some empty,
+      // some straddling several chunks), duplicate-ish quality scores
+      val docs = (0 until 40 + rnd.nextInt(60)).map { i =>
+        val words = Seq.fill(rnd.nextInt(900))("w" + rnd.nextInt(50)).mkString(" ")
+        (i.toLong, words, "src" + rnd.nextInt(1 + rnd.nextInt(4)))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-rand$seed").toString
+      docs.toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val meta = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"),
+          round(qualityScore(col("text")), 6).as("quality"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // t12 oracle
+      val wantPack = meta.groupBy(_._1).flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).map { case (_, _, n, _) =>
+          val ch = cum / C; cum += n; (src, ch, n)
+        }.groupBy(_._2).map { case (ch, rs) => (src, ch) -> (rs.size.toLong, rs.map(_._3).sum) }
+      }
+      val gotPack = TextOps.t12(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(gotPack === wantPack, s"t12 diverged at seed=$seed")
+      // t13 oracle
+      val wantBudget = meta.groupBy(_._1).map { case (src, ds) =>
+        var cum = 0L
+        val kept = ds.sortBy { case (_, id, _, q) => (-q, id) }.takeWhile { case (_, _, n, _) =>
+          val t = cum < B; if (t) cum += n; t
+        }
+        src -> ((kept.size.toLong, kept.map(_._3).sum, ds.map(_._3).sum))
+      }
+      val gotBudget = TextOps.t13(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(gotBudget === wantBudget, s"t13 diverged at seed=$seed")
+    }
+  }
+
   test("t14 terciles: per-lang bucket sizes within 1, scores monotone across buckets") {
     val rows = TextOps.t14(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("ppl_bucket"),
