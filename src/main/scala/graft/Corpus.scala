@@ -21,6 +21,8 @@ import graft.operators.Dedup
   *                     verify → d7's connected components → keep minima
   *  8. decontaminated  d6's word-k-gram overlap vs a held-out eval set
   *  9. sampled         m15's integer-hash threshold, capped per source
+  *  10. token_budget   t13's per-source greedy quality-ranked token
+  *                     budget (off by default)
   *
   * Scale shape: the row-local stages (1-2, 4, and the trigram half of
   * 3) are boolean flags computed in ONE map-side pass; the doc-keyed
@@ -59,7 +61,14 @@ object Corpus {
       /** CCNet-style LM gate: drop docs whose average per-token log10
         * unigram probability (under the CORPUS unigram LM, t8) is
         * below this floor. None = gate off. */
-      minAvgLogProb: Option[Double] = None)
+      minAvgLogProb: Option[Double] = None,
+      /** t13's token-budget stage: per source, keep survivors from
+        * highest quality down until this many tokens are taken
+        * (greedy prefix on (6dp-rounded quality DESC, id) — the
+        * boundary doc may overshoot). Composes with samplePerSource:
+        * the count cap randomizes, the budget then takes the best
+        * tokens of what remains. None = stage off. */
+      tokenBudgetPerSource: Option[Long] = None)
 
   /** `kept` = curated corpus (original columns); `flagged` = every
     * input row with its cumulative stage flags (audit trail);
@@ -208,18 +217,39 @@ object Corpus {
       case None => flagged3.withColumn("f_sampled", col("f_clean"))
     }
 
+    // stage 10: per-source token budget — t13's shape (one hash
+    // shuffle by source for the prefix-sum window over sampled
+    // survivors; the walk order is (6dp-rounded quality DESC, id), so
+    // the kept set is deterministic and engine-independent)
+    val flagged5 = cfg.tokenBudgetPerSource match {
+      case Some(b) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__bsrc")).orderBy(col("__q").desc, col("__bid"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val drops = flagged4.filter(col("f_sampled"))
+          .select(id.as("__bid"), col(sourceCol).as("__bsrc"),
+            size(tokens(col(textCol))).cast("long").as("__btok"),
+            round(qualityScore(col(textCol)), 6).as("__q"))
+          .withColumn("__cum", coalesce(sum(col("__btok")).over(w), lit(0L)))
+          .filter(col("__cum") >= b).select(col("__bid").as("__bdrop"))
+        flagged4.join(drops, id === col("__bdrop"), "left")
+          .withColumn("f_budget", col("f_sampled") && col("__bdrop").isNull)
+          .drop("__bdrop")
+      case None => flagged4.withColumn("f_budget", col("f_sampled"))
+    }
+
     val stageCols = Seq("input" -> lit(true),
       "min_tokens" -> col("f_tokens"), "quality" -> col("f_quality"),
       "repetition" -> col("f_repetition"), "language" -> col("f_lang"),
       "lm_quality" -> col("f_lm"), "exact_dedup" -> col("f_exact"),
       "near_dedup" -> col("f_neardup"), "decontaminated" -> col("f_clean"),
-      "sampled" -> col("f_sampled"))
+      "sampled" -> col("f_sampled"), "token_budget" -> col("f_budget"))
     val aggs = stageCols.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }
-    val one = flagged4.agg(aggs.head, aggs.tail: _*)
+    val one = flagged5.agg(aggs.head, aggs.tail: _*)
     val report = one.select(explode(array(stageCols.zipWithIndex.map { case ((n, _), i) =>
         struct(lit(i).as("stage_idx"), lit(n).as("stage"), col(n).as("surviving")) }: _*)).as("p"))
       .select("p.*")
-    val kept = flagged4.filter(col("f_sampled")).select(docs.columns.toSeq.map(col): _*)
-    Result(kept, flagged4, report)
+    val kept = flagged5.filter(col("f_budget")).select(docs.columns.toSeq.map(col): _*)
+    Result(kept, flagged5, report)
   }
 }

@@ -41,7 +41,8 @@ class CorpusSpec extends SparkSuite {
       "exact_dedup" -> 7L,     // -9 (byte-identical to doc 1)
       "near_dedup" -> 6L,      // -10 (1-token edit of doc 2, Jaccard ≈ 0.95)
       "decontaminated" -> 5L,  // -11 (contains an eval 5-gram)
-      "sampled" -> 5L))        // no cap configured
+      "sampled" -> 5L,         // no cap configured
+      "token_budget" -> 5L))   // no budget configured
     assert(r.kept.select("doc_id").collect().map(_.getLong(0)).sorted
       === Array(1L, 2L, 3L, 4L, 5L))
     // audit trail: the near-dup victim fails exactly at its stage
@@ -90,5 +91,50 @@ class CorpusSpec extends SparkSuite {
       .map(row => row.getAs[String]("stage") -> row.getAs[Long]("surviving")).toMap
     assert(rep("decontaminated") === 400L)
     assert(rep("sampled") === by.values.sum)
+  }
+
+  test("curate: token budget keeps the best tokens per source, never undershooting") {
+    import spark.implicits._
+    // 40 good docs, 2 sources; every doc ~80 tokens; budget 400 tokens
+    // per source → ~5 docs per source survive, chosen by quality rank
+    val docs = (1 to 40).map(i => (i.toLong, goodText(i), s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val budget = 400L
+    val r = Corpus.curate(docs,
+      cfg = Corpus.Config(tokenBudgetPerSource = Some(budget)))
+    val kept = r.kept
+      .withColumn("__tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("__q", round(graft.functions.TextFunctions.qualityScore(col("text")), 6))
+      .collect()
+      .map(row => (row.getAs[String]("source"), row.getAs[Long]("doc_id"),
+        row.getAs[Long]("__tok"), row.getAs[Double]("__q")))
+    assert(kept.nonEmpty)
+    kept.groupBy(_._1).foreach { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(total >= budget || rows.size == 20,
+        s"$src undershoots: kept $total of $budget with docs left")
+      assert(total < budget + maxDoc, s"$src overshoots by more than the boundary doc")
+    }
+    // the kept set is a quality prefix: no dropped doc outranks a kept one
+    val flags = r.flagged
+      .withColumn("__q", round(graft.functions.TextFunctions.qualityScore(col("text")), 6))
+      .select(col("source"), col("doc_id"), col("__q"), col("f_sampled"), col("f_budget"))
+      .collect()
+      .map(row => (row.getAs[String]("source"), row.getAs[Long]("doc_id"),
+        row.getAs[Double]("__q"), row.getAs[Boolean]("f_sampled"), row.getAs[Boolean]("f_budget")))
+    flags.groupBy(_._1).foreach { case (src, rows) =>
+      // walk priority is (quality DESC, id ASC) ⇔ tuple (q, -id) DESC:
+      // every kept row must outrank every dropped-by-budget row
+      val keptP = rows.filter(_._5).map(r => (r._3, -r._2))
+      val dropP = rows.filter(r => r._4 && !r._5).map(r => (r._3, -r._2))
+      if (keptP.nonEmpty && dropP.nonEmpty)
+        assert(Ordering[(Double, Long)].gteq(keptP.min, dropP.max),
+          s"$src kept set is not a quality prefix")
+    }
+    val rep = r.report.collect()
+      .map(row => row.getAs[String]("stage") -> row.getAs[Long]("surviving")).toMap
+    assert(rep("token_budget") === kept.length.toLong)
+    assert(rep("token_budget") < rep("sampled"), "budget must actually drop something here")
   }
 }
