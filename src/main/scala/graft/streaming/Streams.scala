@@ -871,7 +871,75 @@ object Streams {
     def snapshot: Option[DataFrame] = state.map(Upsert.rollupFinish)
   }
 
+  // -------------------------------------------------------------------
+  // st15: streaming corpus admission — per-source token-quota
+  // enforcement at ingest time (t13's budget rule, but in ARRIVAL
+  // order: a stream cannot sort by a quality it hasn't seen yet).
+  // A document is admitted iff the tokens taken from its source BEFORE
+  // it are still under budget; once the boundary doc overshoots, the
+  // source is closed forever — so the admitted set is exactly the
+  // arrival-order prefix, and the batch twin is a prefix-sum window
+  // (one shuffle by source, same shape as t12/t13).
+  //
+  // State per source is ONE long (tokens taken): the smallest state
+  // any stateful operator here carries — quota enforcement at 100 TB
+  // is a |sources|-row state table, not a document history. Arrival
+  // order must be monotone per source across batches (a time-ordered
+  // stream; replay slices in the spec preserve doc_id order), and
+  // within a micro-batch the group iterator is sorted by doc_id
+  // before the walk so batch slicing cannot reorder admissions.
+  val admissionBudget = 800L
+
+  case class DocRec(doc_id: Long, source: String, n_tok: Long)
+  case class Admitted(doc_id: Long, source: String, n_tok: Long, cum_before: Long)
+
+  /** Streaming admission: flatMapGroupsWithState keyed by source. */
+  def streamingAdmission(docs: org.apache.spark.sql.Dataset[DocRec],
+      budget: Long = admissionBudget): org.apache.spark.sql.Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, it: Iterator[DocRec], state: GroupState[Long]) => {
+          var taken = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Admitted]
+          for (d <- it.toArray.sortBy(_.doc_id)) {
+            if (taken < budget) { out += Admitted(d.doc_id, src, d.n_tok, taken); taken += d.n_tok }
+          }
+          state.update(taken)
+          out.iterator
+        })
+  }
+
+  /** st15 batch twin: the admitted arrival-order prefix per source. */
+  def st15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("cum_before") < admissionBudget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_before"))
+      .orderBy(col("doc_id"))
+  }
+
+  val st15Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tok, cum_before
+       |FROM c WHERE cum_before < $admissionBudget
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_stream_admission" -> (st15 _),
     "st14_stream_rollup" -> (st14 _),
     "st13_stream_drift" -> (st13 _),
     "st12_stream_upsert" -> (st12 _),
@@ -885,6 +953,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st15_stream_admission" -> st15Sql,
     "st14_stream_rollup" -> st14Sql, // full-rebuild GROUP BY: folded micro-batches == rebuild
     "st13_stream_drift" -> st13Sql,
     "st12_stream_upsert" -> st12Sql,

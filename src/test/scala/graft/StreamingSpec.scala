@@ -332,6 +332,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("st15 streaming admission equals the batch prefix twin across uneven batch slices") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real corpus rows, budget-relevant sizes, sliced unevenly but in
+    // doc_id order per source (the documented arrival contract)
+    val recs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => Streams.DocRec(r.getLong(0), r.getString(1), r.getLong(2)))
+    val mem = MemoryStream[Streams.DocRec]
+    val q = Streams.streamingAdmission(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("admission").start()
+    try {
+      val cuts = Seq(recs.length / 5, recs.length / 2, recs.length)
+      var prev = 0
+      cuts.foreach { c =>
+        mem.addData(recs.slice(prev, c).toIndexedSeq: _*); q.processAllAvailable(); prev = c
+      }
+      val streamed = spark.table("admission")
+        .select("doc_id", "source", "n_tok", "cum_before").collect().map(_.toSeq).toSet
+      val batch = Streams.st15(spark, sf)
+        .select("doc_id", "source", "n_tok", "cum_before").collect().map(_.toSeq).toSet
+      assert(streamed === batch, "streamed admissions diverged from the batch prefix")
+      assert(streamed.nonEmpty)
+      // the quota genuinely closed at least one source mid-corpus
+      val admittedPerSource = spark.table("admission").groupBy("source").count().collect()
+      val totalPerSource = Tables.documents(spark, sf).groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(admittedPerSource.exists(r => r.getLong(1) < totalPerSource(r.getString(0))),
+        "budget never bound — the test is vacuous")
+    } finally q.stop()
+  }
+
   test("st14 rollup fold is invariant to spark.sql.shuffle.partitions") {
     // The mergeable-state design claims ANY re-sharding of the fold is
     // harmless (associative+commutative state, exact-decimal sums).
