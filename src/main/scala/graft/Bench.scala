@@ -22,6 +22,21 @@ package graft
   *     automatic extra run and is flagged in the `rerun` list — so a
   *     transient spike either disappears on the extra run or is
   *     PERSISTENTLY slow and therefore a real regression.
+  *  3. Any BUCKET whose bounding calibration mean exceeds 1.5× the
+  *     reference cal gets every one of its queries re-timed once
+  *     (min-merged) and listed in `calrr` — closing the r8 blind
+  *     spot where a 1.7× contention inflation sat in a 3.8×-inflated
+  *     cal bucket yet ducked the per-query 3× rule. The re-runs
+  *     happen AFTER the whole sweep (contention windows are
+  *     transient; re-running inside the same window would re-measure
+  *     the same noise), with a fresh cal reading bracketing them.
+  *     SPARK_GRAFT_CAL_INFLATE=k multiplies the measured cal readings
+  *     — the synthetic-contention injection knob that lets a test run
+  *     demonstrate the calrr trigger firing without a noisy machine.
+  *
+  * A query that succeeds on some-but-not-all of its runs keeps its
+  * min time but is listed in `flaky` — intermittent failures were
+  * previously invisible (neither `err` nor any flag).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,11 +61,13 @@ object Bench {
     catch { case _: Throwable => () }
 
     // Contention calibration kernel: fixed CPU-bound job, identical
-    // across rounds and machines.
+    // across rounds and machines. CAL_INFLATE multiplies the reading
+    // — the synthetic-contention knob for testing the calrr trigger.
+    val calInflate = sys.env.getOrElse("SPARK_GRAFT_CAL_INFLATE", "1.0").toDouble
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(200000000L).selectExpr("sum(id * 2 + 1)").collect()
-      (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9 * calInflate
     }
     calibrate() // throwaway: JITs the calibration kernel itself
 
@@ -78,29 +95,54 @@ object Bench {
     val calPoints = scala.collection.mutable.ArrayBuffer(calibrate())
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean, Int)]
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
+    // A query that throws is an ERROR, never a time: recording the
+    // partial wall-clock before the failure (round 7: 44 broken
+    // queries logged as 0.04-1.14 s "times") silently IMPROVES the
+    // total. Failed queries go to the `err` list and contribute
+    // nothing to value/value_norm/queries.
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    }
     sortedQueries.grouped(bucketSize).zipWithIndex.foreach { case (bucket, bi) =>
       bucket.foreach { case (name, fn) =>
-        // A query that throws is an ERROR, never a time: recording the
-        // partial wall-clock before the failure (round 7: 44 broken
-        // queries logged as 0.04-1.14 s "times") silently IMPROVES the
-        // total. Failed queries go to the `err` list and contribute
-        // nothing to value/value_norm/queries.
-        def once(): Option[Double] = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
-        }
         val n = if (name == "m14_grid_search" || name == "m7_feature_importance") 3 else 2
-        var times = (1 to n).map(_ => once())
+        var times = (1 to n).map(_ => runOnce(fn))
         val short = name.takeWhile(_ != '_')
         if (times.flatten.isEmpty) errs += short
         else {
+          // some-but-not-all runs failed: the min time stands but the
+          // intermittent failure must be VISIBLE in the artifact
+          if (times.flatten.size < n) flaky += short
           val suspicious = prev.get(short).exists(p => times.flatten.min > 3.0 * p)
-          if (suspicious) times = times :+ once()
+          if (suspicious) times = times :+ runOnce(fn)
           results += ((name, times.flatten.min, suspicious, bi))
         }
       }
       calPoints += calibrate() // bucket boundary: localize contention
+    }
+
+    // Bucket-level contention re-runs (mechanism 3): any bucket whose
+    // bounding cal mean exceeded 1.5× calRef gets each of its queries
+    // ONE more timing after the sweep (the contention window has
+    // usually passed by then), min-merged so a clean re-run replaces
+    // the inflated reading. A trailing cal point brackets the block.
+    val hotBuckets = (0 until calPoints.size - 1).filter { bi =>
+      (calPoints(bi) + calPoints(bi + 1)) / 2.0 > 1.5 * calRef }
+    val calrr = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (hotBuckets.nonEmpty) {
+      val qmap = sortedQueries.toMap
+      hotBuckets.foreach { bi =>
+        results.indices.filter(results(_)._4 == bi).foreach { i =>
+          val (name, t, susp, b) = results(i)
+          runOnce(qmap(name)).foreach(t2 => results(i) = (name, math.min(t, t2), susp, b))
+          calrr += name.takeWhile(_ != '_')
+        }
+      }
+      calPoints += calibrate()
     }
 
     val total = results.map(_._2).sum
@@ -127,12 +169,18 @@ object Bench {
     val rerunStr = results.filter(_._3)
       .map(r => "\"" + r._1.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     val errStr = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyStr = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // calrr can span whole buckets (25 names); emit the count plus the
+    // hot bucket indices instead of every name to protect the 2000-char
+    // tail — the member queries are recoverable from sorted order.
+    val calrrStr =
+      s"""{"n":${calrr.size},"buckets":${hotBuckets.mkString("[", ",", "]")}}"""
     def fmt(dec: Int, short: Boolean): String = {
       val qs = results.map { case (k, v, _, _) =>
         val key = if (short) k.takeWhile(_ != '_') else k // family ids (q22, mm4…) are unique
         s""""$key":${num(dec, v)}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr}"""
+      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
     }
     // stay well inside the 2000-char tail as the query count grows:
     // full keys at 3 then 2 decimals; past ~78 queries even that

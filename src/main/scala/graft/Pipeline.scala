@@ -392,9 +392,10 @@ object Pipeline {
     *   20-bucket histogram (same rule as the reference)
     * - corr matrix: pairwise Pearson over up to 10 numeric columns
     * - histograms: 20 buckets for up to 5 numeric columns (long form)
+    * - preview: the first 5 rows (the reference's df.head() table)
     */
   case class VizData(overview: DataFrame, targetDistribution: DataFrame,
-      corrMatrix: DataFrame, histograms: DataFrame)
+      corrMatrix: DataFrame, histograms: DataFrame, preview: DataFrame)
 
   def vizData(df: DataFrame, target: String): VizData = {
     import df.sparkSession.implicits._
@@ -433,7 +434,20 @@ object Pipeline {
       .reduceOption(_ unionByName _)
       .getOrElse(Seq.empty[(String, Long, Long)].toDF("col_name", "bucket", "n"))
 
-    VizData(overview, targetDist, corrMatrix, hists)
+    // the reference's data preview (df.head().to_html(), main.py:416).
+    // pandas' "first 5 rows" is file order; scan order is
+    // NONDETERMINISTIC in a distributed engine (and differs between a
+    // batch build and the streaming job's accumulated state, which the
+    // streamed-report-equals-batch-report gate compares), so the
+    // preview is the 5 smallest rows under an all-column ordering —
+    // Spark plans ORDER BY + LIMIT 5 as TakeOrderedAndProject (per-
+    // partition top-k + driver merge of 5-row heaps), never a full sort
+    val orderable = df.schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name))
+    val preview = if (orderable.nonEmpty) df.orderBy(orderable.toSeq: _*).limit(5)
+      else df.limit(5)
+    VizData(overview, targetDist, corrMatrix, hists, preview)
   }
 
   /** Fixed-width histogram of any numeric column. */

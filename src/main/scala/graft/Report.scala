@@ -59,6 +59,24 @@ object Report {
     s"""<table class="corr"><tr><th></th>$head</tr>$body</table>"""
   }
 
+  /** First-rows preview as an HTML table — the reference's
+    * `df.head().to_html()` (main.py:416). The frame arrives already
+    * `limit(5)`-bounded from `Pipeline.vizData`, so the collect here
+    * is 5 rows by construction. */
+  private def previewTable(df: org.apache.spark.sql.DataFrame): String = {
+    val cols = df.columns.toSeq
+    val rows = df.collect().toSeq
+    if (rows.isEmpty) return "<p>(empty dataset)</p>"
+    val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = rows.map { r =>
+      "<tr>" + cols.indices.map { i =>
+        val v = if (r.isNullAt(i)) "null" else r.get(i).toString
+        s"<td>${esc(v.take(40))}</td>"
+      }.mkString + "</tr>"
+    }.mkString
+    s"""<table class="preview"><tr>$head</tr>$body</table>"""
+  }
+
   /** Render the full report as an HTML string. */
   def render(viz: Pipeline.VizData, result: Option[Pipeline.Result],
       title: String = "graft report"): String = {
@@ -115,6 +133,8 @@ object Report {
        |<h1>${esc(title)}</h1>
        |<h2 id="overview">Dataset overview</h2>
        |<p>$nRows rows × $nCols columns</p>
+       |<h2 id="preview">Data preview</h2>
+       |${previewTable(viz.preview)}
        |<h2 id="distribution">Target distribution</h2>
        |${barChart(dist)}
        |<h2 id="correlation">Correlation matrix</h2>

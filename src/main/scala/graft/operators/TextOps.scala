@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -460,6 +460,41 @@ object TextOps {
       .orderBy(col("source"), col("chunk_id"))
   }
 
+  /** Library API: t12's SCALE PATH — sequence packing on a
+    * `(source, shard)` sub-key so every prefix sum is shard-local.
+    * t12's per-source window totally orders each source through ONE
+    * task's sort; at 100 TB the dominant source (Common Crawl in any
+    * real mix) serializes — a straggler AQE cannot split because the
+    * window semantics demand the total order. Sharding restores
+    * parallelism: the caller supplies the sub-key (the ingest file id
+    * in production — doc order within a file is the arrival order
+    * packing wants; any deterministic doc_id-derived key in tests),
+    * and the packing rule runs UNCHANGED per (source, shard), so each
+    * shard's chunks are byte-identical to running [[t12]] on that
+    * shard's documents alone (TextLayoutSpec asserts exactly this).
+    * The cost of sharding is one partially-filled trailing chunk per
+    * shard instead of per source — fill_frac distribution over
+    * non-trailing chunks is untouched (also spec'd).
+    *
+    * Scale: ONE shuffle, hash by (source, shard); max task = the
+    * largest SHARD, which the ingest layer bounds (a file), not the
+    * largest source. The chunk aggregation reuses the window's
+    * partitioning (its keys are a prefix of the grouping key). */
+  def seqPackSharded(docs: DataFrame, textCol: String, sourceCol: String,
+      idCol: String, shard: Column, capacity: Long = packCapacity): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(sourceCol).as("source"), shard.as("shard"), col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"cum_before div $capacity"))
+      .groupBy(col("source"), col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("fill_frac",
+        round(col("n_tokens").cast("double") / lit(capacity.toDouble), 6))
+  }
+
   val t12Sql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,
@@ -538,6 +573,97 @@ object TextOps {
        |FROM c GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Library API: t13's SCALE PATH — token-budget selection by a
+    * per-source quality THRESHOLD instead of a per-source total-order
+    * prefix sum. t13's window serializes each source through one
+    * task; this variant replaces it with three bounded steps:
+    *
+    *  1. histogram: per (source, quality-bin) token sums — map-side
+    *     combinable, ≤ `bins` rows per source ever shuffled;
+    *  2. cut: a cumulative walk over the HISTOGRAM (a window, but
+    *     over ≤ `bins` domain-bounded rows per source — m17's
+    *     bounded-domain argument, not a corpus total order) finds the
+    *     bin where top-down cumulative tokens cross the budget; the
+    *     per-source (cut_bin, tokens_above_cut) frame is tiny and
+    *     broadcast;
+    *  3. keep: map-side — docs in bins above the cut are kept, below
+    *     are dropped. Only the CUT STRATUM is ambiguous.
+    *
+    * `resolveBoundary = true` (default) runs t13's exact greedy rule
+    * on the cut stratum only, seeded with tokens_above_cut — a
+    * per-source total order over ~1/bins of the source's docs, not
+    * the source. The result is then EXACTLY t13's kept set: binning
+    * uses the same 6dp-rounded quality as t13's walk order, floor is
+    * monotone, so every doc above the cut bin precedes every stratum
+    * doc in the walk (all kept: their total is < budget by the cut's
+    * definition), every doc below follows it (all dropped: the walk's
+    * cum is ≥ budget once the stratum total is in), and the seeded
+    * stratum walk reproduces the middle verbatim. TextLayoutSpec
+    * asserts bit-equality with t13. `resolveBoundary = false` drops
+    * the stratum (one map-side filter, zero windows): under-spends by
+    * at most one stratum's tokens — CCNet's own accept-the-fuzz move.
+    *
+    * Degenerate case: a source whose quality is CONSTANT collapses to
+    * one bin, and the stratum walk is the full source again — the
+    * exact cost t13 pays everywhere; real corpora put 6dp-rounded
+    * quality across ~1e5 strata. Output: one row per doc with `kept`.
+    */
+  def tokenBudgetByThreshold(docs: DataFrame, textCol: String, sourceCol: String,
+      idCol: String, budget: Long = tokenBudget, bins: Int = 100000,
+      resolveBoundary: Boolean = true): DataFrame = {
+    val scored = docs.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"),
+        round(qualityScore(col(textCol)), 6).as("quality"))
+      .withColumn("qbin", least(greatest(floor(col("quality") * bins), lit(0L)),
+        lit(bins - 1L)).cast("long"))
+    val wh = Window.partitionBy(col("source")).orderBy(col("qbin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = scored.groupBy(col("source"), col("qbin"))
+      .agg(sum(col("n_tok")).as("bin_tok"))
+      .withColumn("cum_above", coalesce(sum(col("bin_tok")).over(wh), lit(0L)))
+      .withColumn("is_cut",
+        col("cum_above") < budget && col("cum_above") + col("bin_tok") >= budget)
+      .groupBy(col("source"))
+      .agg(max(when(col("is_cut"), col("qbin"))).as("cut_bin"), // ≤1 cut row per source
+        max(when(col("is_cut"), col("cum_above"))).as("cut_cum"))
+    val j = scored.join(broadcast(cuts), Seq("source"))
+    // cut_bin null ⇔ the source's total tokens never reach the budget
+    val nonBoundary = j.filter(col("cut_bin").isNull || col("qbin") =!= col("cut_bin"))
+      .withColumn("kept", col("cut_bin").isNull || col("qbin") > col("cut_bin"))
+    val boundary = j.filter(col("cut_bin").isNotNull && col("qbin") === col("cut_bin"))
+    val resolved =
+      if (!resolveBoundary) boundary.withColumn("kept", lit(false))
+      else {
+        val wb = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        boundary
+          .withColumn("__bcum", coalesce(sum(col("n_tok")).over(wb), lit(0L)))
+          .withColumn("kept", col("cut_cum") + col("__bcum") < budget)
+          .drop("__bcum")
+      }
+    nonBoundary.unionByName(resolved)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("quality"), col("kept"))
+  }
+
+  /** t13's exact output schema computed via [[tokenBudgetByThreshold]]
+    * — the comparison harness TextLayoutSpec uses to assert the scale
+    * path reproduces the oracle-exact form. */
+  def t13ByThreshold(s: SparkSession, dir: String,
+      resolveBoundary: Boolean = true): DataFrame = {
+    tokenBudgetByThreshold(Tables.documents(s, dir), "text", "source", "doc_id",
+      tokenBudget, resolveBoundary = resolveBoundary)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(col("n_tok") * col("kept").cast("long")).as("kept_tokens"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(min(when(col("kept"), col("quality"))), 6).as("min_kept_quality"))
+      .withColumn("kept_frac",
+        round(col("kept_tokens").cast("double") / col("total_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
   // -------------------------------------------------------------------
   // t14: CCNet perplexity bucketing — split each language's documents
   // into head/middle/tail terciles of the t8 unigram-LM score (high
@@ -577,6 +703,96 @@ object TextOps {
        |SELECT doc_id, lang, avg_logprob, ppl_bucket,
        |  CASE ppl_bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
        |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Library API: t14's SCALE PATH — perplexity bucketing by
+    * per-language score THRESHOLDS instead of a per-language ntile
+    * total order (CCNet's own production move). No window ever
+    * touches the corpus, so the dominant language (English, ~half of
+    * any web crawl) no longer serializes through one task's sort:
+    *
+    *  1. histogram: per (lang, score) doc counts. t8's avg_logprob is
+    *     4dp-rounded, so the score DOMAIN is bounded (~60k distinct
+    *     values per lang at any corpus size) — m17's bounded-domain
+    *     argument makes the exact histogram admissible where an
+    *     unbounded column would demand the approx_percentile sketch
+    *     (the sketch variant is one substitution away; its rank error
+    *     n/accuracy would blur only the same boundary strata).
+    *  2. cuts: a cumulative walk over the HISTOGRAM (window over ≤60k
+    *     domain-bounded rows per lang, not the corpus) picks the two
+    *     tercile cut scores at ntile's OWN bucket-size convention
+    *     (first n mod 3 buckets get the extra doc), so with distinct
+    *     scores the thresholds reproduce ntile exactly.
+    *  3. bucket: the tiny (lang, c_head, c_mid) frame broadcasts into
+    *     one map-side CASE.
+    *
+    * Exactness contract vs [[t14]]: `resolveTies = true` (default) is
+    * BIT-EXACT. The histogram walk hands every (lang, score) stratum
+    * its strictly-above doc count, and a stratum-LOCAL row_number
+    * (window keyed by (lang, score) — ntile's tie-break order, never
+    * a per-lang total order) rebuilds each doc's exact global rank:
+    * bucket = rank vs ntile's own bucket edges. Max task = the
+    * largest single tied-score stratum, not the largest language
+    * (degenerate all-one-score language = t13's constant-quality
+    * caveat, documented there). `resolveTies = false` skips the
+    * stratum window entirely — a pure value-threshold CASE whose only
+    * disagreements are tied boundary scores (the whole tie lands in
+    * the upper bucket; adjacent buckets unless one tie spans both
+    * cuts). TextLayoutSpec asserts bit-equality for the default and
+    * measures the threshold-only agreement.
+    *
+    * `scored`: (doc_id, lang, avg_logprob) — t14's post-t8 frame. */
+  def pplBucketsByThreshold(scored: DataFrame, resolveTies: Boolean = true): DataFrame = {
+    val hist = scored.groupBy(col("lang"), col("avg_logprob"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("avg_logprob").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    val walked = hist
+      .withColumn("cum", sum(col("c")).over(wCum)) // docs with score ≥ this row's
+      .withColumn("n", sum(col("c")).over(wAll))
+      // ntile(3) bucket sizes: first (n mod 3) buckets take the extra doc
+      .withColumn("k1", expr("n div 3 + CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END"))
+      .withColumn("k12", expr("2 * (n div 3) + LEAST(n % 3, 2)"))
+    val bucketed =
+      if (resolveTies) {
+        // exact global rank = strictly-above count (histogram) +
+        // rank inside the tied stratum (stratum-local window)
+        val strata = walked.select(col("lang"), col("avg_logprob"),
+          (col("cum") - col("c")).as("above"), col("k1"), col("k12"))
+        val wTie = Window.partitionBy(col("lang"), col("avg_logprob")).orderBy(col("doc_id"))
+        scored
+          .withColumn("__rn", row_number().over(wTie).cast("long"))
+          .join(strata, Seq("lang", "avg_logprob")) // same keys as wTie: exchange reused
+          .withColumn("__pos", col("above") + col("__rn"))
+          .withColumn("ppl_bucket",
+            when(col("__pos") <= col("k1"), 1L)
+              .when(col("__pos") <= col("k12"), 2L).otherwise(3L))
+      } else {
+        // highest score whose ≥-score doc count reaches each bucket edge
+        val cuts = walked.groupBy(col("lang"))
+          .agg(max(when(col("cum") >= col("k1"), col("avg_logprob"))).as("c_head"),
+            max(when(col("cum") >= col("k12"), col("avg_logprob"))).as("c_mid"))
+        scored.join(broadcast(cuts), Seq("lang"))
+          .withColumn("ppl_bucket",
+            when(col("avg_logprob") >= col("c_head"), 1L)
+              .when(col("avg_logprob") >= col("c_mid"), 2L).otherwise(3L))
+      }
+    bucketed
+      .withColumn("bucket",
+        when(col("ppl_bucket") === 1, "head")
+          .when(col("ppl_bucket") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        col("ppl_bucket"), col("bucket"))
+  }
+
+  /** t14's output schema via [[pplBucketsByThreshold]] — the
+    * agreement-measurement harness for TextLayoutSpec. */
+  def t14ByThreshold(s: SparkSession, dir: String,
+      resolveTies: Boolean = true): DataFrame = {
+    val scored = t8(s, dir).select(col("doc_id"), col("avg_logprob"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    pplBucketsByThreshold(scored, resolveTies).orderBy(col("doc_id"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_ppl_buckets" -> (t14 _),

@@ -923,10 +923,13 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  // composes tokensSql (the t12Sql/t13Sql pattern) — a future change
+  // to tokens()/tokensSql can't silently diverge this oracle from the
+  // Spark batch twin's tokenizer
   val st15Sql: String =
     s"""WITH t AS (
        |  SELECT source, doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |    CAST(len(${graft.functions.TextFunctions.tokensSql("text")}) AS BIGINT) AS n_tok
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, source, n_tok,

@@ -274,14 +274,18 @@ class PipelineSpec extends SparkSuite {
     val rr = Pipeline.autoPipeline(li, "l_extendedprice")
     val htmlR = Report.render(Pipeline.vizData(rr.cleaned, "l_extendedprice"), Some(rr))
     for ((html, res) <- Seq((htmlC, rc), (htmlR, rr))) {
-      for (section <- Seq("id=\"overview\"", "id=\"distribution\"", "id=\"correlation\"",
-          "id=\"histograms\"", "id=\"metrics\"", "id=\"importances\"")) {
+      for (section <- Seq("id=\"overview\"", "id=\"preview\"", "id=\"distribution\"",
+          "id=\"correlation\"", "id=\"histograms\"", "id=\"metrics\"", "id=\"importances\"")) {
         assert(html.contains(section), s"missing $section")
       }
       assert(html.contains(res.bestModel))
       assert(html.contains("<svg")) // charts actually rendered
+      assert(html.contains("class=\"preview\"")) // head-rows table rendered
       res.metrics.keys.foreach(k => assert(html.contains(k)))
     }
+    // the preview table carries real column headers and 5 data rows
+    assert(htmlR.contains("<th>l_quantity</th>"))
+    assert("<tr><td>".r.findAllIn(htmlR).size >= 5)
     assert(htmlC.contains("classification") && htmlR.contains("regression"))
   }
 

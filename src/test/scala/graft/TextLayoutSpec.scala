@@ -159,6 +159,146 @@ class TextLayoutSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Scale-path variants (round-9): the map-side/threshold forms that
+  // replace the per-source / per-lang total-order windows at 100 TB.
+
+  test("t13ByThreshold (scale path) reproduces t13 bit-exactly with boundary resolution") {
+    val exact = TextOps.t13(spark, sf).collect().map(_.toSeq).toSeq
+    val thr = TextOps.t13ByThreshold(spark, sf).collect().map(_.toSeq).toSeq
+    assert(thr === exact)
+  }
+
+  test("t13ByThreshold == t13 on 5 seeded random corpora (degenerate shapes included)") {
+    import spark.implicits._
+    (11 to 15).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 40 + rnd.nextInt(60)).map { i =>
+        val words = Seq.fill(rnd.nextInt(900))("w" + rnd.nextInt(50)).mkString(" ")
+        (i.toLong, words, "src" + rnd.nextInt(1 + rnd.nextInt(4)))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-thr$seed").toString
+      docs.toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val exact = TextOps.t13(spark, dir).collect().map(_.toSeq).toSeq
+      val thr = TextOps.t13ByThreshold(spark, dir).collect().map(_.toSeq).toSeq
+      assert(thr === exact, s"seed=$seed")
+    }
+  }
+
+  test("t13 threshold without boundary resolution: kept ⊆ exact, misses confined to ONE stratum") {
+    val B = TextOps.tokenBudget
+    val bins = 100000L
+    // exact greedy per-doc kept set (plain Scala)
+    val exactKept = docTuples.groupBy(_._1).values.flatMap { ds =>
+      var cum = 0L
+      ds.sortBy { case (_, id, _, q) => (-q, id) }.flatMap { case (_, id, n, _) =>
+        val take = cum < B; if (take) cum += n; if (take) Some(id) else None
+      }
+    }.toSet
+    val perDoc = TextOps.tokenBudgetByThreshold(
+      Tables.documents(spark, sf), "text", "source", "doc_id",
+      B, resolveBoundary = false).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(4)))
+    val thrKept = perDoc.filter(_._3).map(_._2).toSet
+    assert(thrKept.subsetOf(exactKept),
+      "threshold form must never keep a doc the exact greedy drops")
+    // every missed doc sits in its source's single cut stratum
+    val qbin = docTuples.map(t => t._2 -> math.min((t._4 * bins).toLong, bins - 1)).toMap
+    val srcOf = docTuples.map(t => t._2 -> t._1).toMap
+    (exactKept -- thrKept).groupBy(srcOf).foreach { case (src, missed) =>
+      assert(missed.map(qbin).size === missed.size && missed.map(qbin).toSet.size <= 1,
+        s"$src: missed docs span more than one quality stratum")
+    }
+  }
+
+  test("t14ByThreshold (scale path) is BIT-EXACT vs ntile with tie resolution") {
+    val exact = TextOps.t14(spark, sf).collect().map(_.toSeq).toSeq
+    val thr = TextOps.t14ByThreshold(spark, sf).collect().map(_.toSeq).toSeq
+    assert(thr === exact)
+  }
+
+  test("t14 threshold-only form: ≥97% agreement, disagreements tied-at-a-cut and adjacent") {
+    val exact = TextOps.t14(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3)))).toMap
+    val thr = TextOps.t14ByThreshold(spark, sf, resolveTies = false).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(thr.keySet === exact.keySet)
+    val n = exact.size
+    val bad = exact.filter { case (id, (_, _, b)) => thr(id)._3 != b }
+    info(s"bucket agreement: ${n - bad.size}/$n = ${(n - bad.size).toDouble / n}")
+    assert((n - bad.size).toDouble / n >= 0.97,
+      s"agreement ${(n - bad.size).toDouble / n} below 0.97")
+    bad.foreach { case (id, (lang, s, b)) =>
+      // off-by-one bucket, always promoted (ties land in the UPPER
+      // bucket), and the score is genuinely tied: some other doc of
+      // the same lang shares it
+      assert(math.abs(thr(id)._3 - b) === 1, s"doc $id jumped two buckets")
+      assert(thr(id)._3 < b, s"doc $id was demoted — thresholds can only promote ties")
+      assert(exact.exists { case (id2, (l2, s2, _)) => id2 != id && l2 == lang && s2 == s },
+        s"doc $id disagreed without a tied score")
+    }
+  }
+
+  test("seqPackSharded: every shard's chunks equal concat-and-split run on that shard alone") {
+    val C = TextOps.packCapacity
+    val nShards = 4L
+    val got = TextOps.seqPackSharded(Tables.documents(spark, sf),
+        "text", "source", "doc_id", pmod(col("doc_id"), lit(nShards)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // plain-Scala oracle, independently per (source, shard)
+    val expected = docTuples.groupBy(t => (t._1, t._2 % nShards)).flatMap {
+      case ((src, sh), ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).map { case (_, _, n, _) =>
+          val ch = cum / C; cum += n; (ch, n)
+        }.groupBy(_._1).map { case (ch, rs) =>
+          (src, sh, ch) -> ((rs.size.toLong, rs.map(_._2).sum))
+        }
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (nDocs, nTok)) =>
+      val (gDocs, gTok, gFill) = got(k)
+      assert((gDocs, gTok) === ((nDocs, nTok)), s"chunk $k")
+      val expFill = BigDecimal(nTok.toDouble / C)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gFill === expFill, s"fill_frac $k")
+    }
+    // tokens conserved vs the unsharded form
+    val unshardedTok = TextOps.t12(spark, sf).collect().map(_.getLong(3)).sum
+    assert(got.values.map(_._2).sum === unshardedTok, "tokens not conserved")
+    // concat-and-split guarantee per (source, shard): cumulative
+    // tokens through every non-trailing chunk k cover ≥ (k+1)·C —
+    // only the doc straddling a boundary spills past it. (Per-chunk
+    // fill ≥ 1 is NOT an invariant: the chunk after a multi-capacity
+    // straddler starts mid-window and can be short.)
+    def cumInvariant(rows: Map[(String, Long, Long), (Long, Long, Double)],
+        label: String): Seq[Double] =
+      rows.groupBy { case ((src, sh, _), _) => (src, sh) }.toSeq.flatMap { case (g, cs) =>
+        val byId = cs.map { case ((_, _, ch), (_, t, f)) => ch -> ((t, f)) }
+        val ids = byId.keys.toSeq.sorted
+        var cum = 0L
+        ids.dropRight(1).foreach { k =>
+          cum = ids.filter(_ <= k).map(byId(_)._1).sum
+          assert(cum >= (k + 1) * C, s"$label $g: through chunk $k only $cum tokens")
+        }
+        ids.dropRight(1).map(k => byId(k)._2)
+      }
+    val shardedFills = cumInvariant(got, "sharded")
+    val unsharded = TextOps.t12(spark, sf).collect()
+      .map(r => (r.getString(0), 0L, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val unshardedFills = cumInvariant(unsharded, "unsharded")
+    if (shardedFills.nonEmpty && unshardedFills.nonEmpty) {
+      val (ms, mu) =
+        (shardedFills.sum / shardedFills.size, unshardedFills.sum / unshardedFills.size)
+      info(s"mean non-trailing fill: sharded $ms vs unsharded $mu")
+      assert(math.abs(ms - mu) / mu < 0.05, s"fill distribution moved: $ms vs $mu")
+    }
+  }
+
   test("t12/t13 plan exactly one data shuffle; the chunk agg reuses the window partitioning") {
     Seq(TextOps.t12(spark, sf), TextOps.t13(spark, sf)).foreach { df =>
       df.collect() // finalize the adaptive plan
