@@ -14,7 +14,7 @@ import graft.operators._
   *  - c1–c15   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit/gap-fill/MAD outliers)
   *  - m1–m23   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC/calibration)
   *  - t1–t11   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report)
-  *  - d1–d9    operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit)
+  *  - d1–d12   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit/novelty/semantic dedup/span scrub)
   *  - s1–s8    operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k)
   *  - mm1–mm7  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan)
   *  - st1–st14 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink)

@@ -715,7 +715,223 @@ object Dedup {
        |FROM per ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // d11: semantic dedup (the SemDeDup shape) — k-means cells as the
+  // candidate buckets, within-cell cosine pruning: a vector is PRUNED
+  // iff an earlier-id vector in its cell is ≥ τ-similar (keep-first —
+  // deterministic, no clique enumeration; `dup_of` records the most
+  // similar earlier neighbor, ties to the smaller id). This is the
+  // embedding-space complement to d3/d4's lexical LSH: paraphrases
+  // and re-renderings share no shingles but collapse to the same
+  // region of embedding space, and the cells bound candidate
+  // generation the way LSH bands do — no pair ever crosses a cell.
+  //
+  // Scale shape: assignment is a broadcast-k-centroid map-side pass;
+  // the self-join shuffles on the cell id and is bounded by
+  // `MaxBucket` (an oversized cell generates NO pairs — everything in
+  // it is kept, the d3 doctrine: a degenerate hot cell is boilerplate
+  // that exact dedup removes first); the keep-best rank is a window
+  // over each vector's own near-neighbor list. The oracle form uses
+  // the deterministic first-8-centroid quantizer (s5's SQL-expressible
+  // stand-in); the library form [[semanticDedup]] swaps in the learned
+  // `Similarity.trainCodebook` cells — same pruning semantics,
+  // spec-covered with planted duplicate groups.
+  val SemTau = 0.42 // testdata embeddings are random-ish: τ sits in the
+                    // tail of the within-cell cos distribution (max ≈
+                    // 0.49/0.53 at sf0.01/0.1) so the flag is non-trivial
+                    // at every SF; production near-dup τ is ~0.9+
+
+  def d11(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
+      .withColumn("crk", row_number().over(wAssign)).filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val wBest = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    val near = a.join(b, Seq("cell")).filter(col("id_b") < col("id_a"))
+      .withColumn("cos", cosineAuto(s, col("ea"), col("eb")))
+      .filter(col("cos") >= SemTau)
+      .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .select(col("id_a").as("vec_id"), col("id_b").as("dup_of"),
+        round(col("cos"), 6).as("dup_cos"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(near, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("kept"),
+        col("dup_of"), col("dup_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d11Sql: String = {
+    val qcos = cosineSql("v.embedding", "c.cemb")
+    val pcos = cosineSql("a.ea", "b.eb")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT v.vec_id, v.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY $qcos DESC, c.cid) AS crk
+       |    FROM embeddings v, cents c)
+       |  WHERE crk = 1),
+       |a AS (SELECT cell, vec_id AS id_a, embedding AS ea FROM assigned),
+       |b AS (SELECT cell, vec_id AS id_b, embedding AS eb FROM assigned),
+       |near AS (
+       |  SELECT id_a AS vec_id, id_b AS dup_of, round(cos, 6) AS dup_cos FROM (
+       |    SELECT a.id_a, b.id_b, $pcos AS cos,
+       |      row_number() OVER (PARTITION BY a.id_a
+       |        ORDER BY $pcos DESC, b.id_b) AS rk
+       |    FROM a JOIN b ON a.cell = b.cell AND b.id_b < a.id_a
+       |    WHERE $pcos >= $SemTau)
+       |  WHERE rk = 1)
+       |SELECT s.vec_id, s.cell, n.dup_of IS NULL AS kept, n.dup_of, n.dup_cos
+       |FROM assigned s LEFT JOIN near n USING (vec_id)
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
+  /** Library API: SemDeDup — semantic dedup over an embedding column
+    * with LEARNED cells. `Similarity.trainCodebook` (distributed
+    * seeded Lloyd k-means) supplies the coarse quantizer; assignment
+    * is one broadcast join + map-side max_by (no window over the
+    * corpus); candidate pairs exist only WITHIN a cell, capped at
+    * `maxCell` exactly like the LSH buckets (an oversized cell emits
+    * no pairs — its members are all kept; run [[dedupExact]] first,
+    * which is what collapses the degenerate identical-embedding mass).
+    * Pruning rule is d11's keep-first: a row is pruned iff an
+    * earlier-id same-cell row is ≥ τ cosine-similar; `dup_of` names
+    * the most similar such neighbor. Returns one row per input id:
+    * (id, cell, kept, dup_of, dup_cos). */
+  def semanticDedup(emb: DataFrame, idCol: String, embCol: String,
+      k: Int, tau: Double, iters: Int = 5, maxCell: Int = MaxBucket): DataFrame = {
+    val s = emb.sparkSession
+    val base = emb.select(col(idCol).as("id"), col(embCol).as("embedding"))
+    val cents = broadcast(Similarity.trainCodebook(base, k, iters)
+      .select(col("id").as("cid"), col("embedding").as("cemb")))
+    val assigned = base.join(cents)
+      .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    val capped = capBuckets(assigned, maxCell, col("cell"))
+    val a = capped.select(col("cell"), col("id").as("id_a"), col("embedding").as("ea"))
+    val b = capped.select(col("cell"), col("id").as("id_b"), col("embedding").as("eb"))
+    val wBest = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    val near = a.join(b, Seq("cell")).filter(col("id_b") < col("id_a"))
+      .withColumn("cos", cosineAuto(s, col("ea"), col("eb")))
+      .filter(col("cos") >= tau)
+      .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .select(col("id_a").as("id"), col("id_b").as("dup_of"), col("cos").as("dup_cos"))
+    assigned.select(col("id"), col("cell"))
+      .join(near, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of").isNull.as("kept"),
+        col("dup_of"), col("dup_cos"))
+  }
+
+  // -------------------------------------------------------------------
+  // d12: duplicated-passage REMOVAL — d8's flag turned into surgery
+  // (the RefinedWeb/Dolma passage-excision step). For every document
+  // whose shared-span fraction crosses d8's 0.5 flag, excise the
+  // tokens covered by any duplicated word-8-gram and emit the cleaned
+  // text; every other document passes through BYTE-IDENTICAL. A token
+  // is covered iff some corpus-duplicated 8-gram starting at position
+  // p ≤ t < p+8 — boundary 8-grams that straddle into unique text are
+  // unique in the corpus (they contain unique tokens), so exactly the
+  // duplicated passage disappears and the unique text survives
+  // verbatim (token-joined; input is whitespace-canonical per t6).
+  //
+  // Scale shape: spans shuffle as xxhash64 keys (d8); the doc-frequency
+  // groupBy and the join back share ONE exchange (same key — the d10
+  // reuse pattern, unlike d8 whose countDistinct forced a second); the
+  // per-doc stats AND covered-position list come from a single
+  // aggregation (state O(doc length)); the rebuild is one map-side
+  // higher-order filter over (tokens × shared positions) — doc-local,
+  // no shuffle. The DuckDB twin groups raw span strings (identical up
+  // to a 64-bit collision, d8's documented discipline).
+  def scrubSharedSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, flagFrac: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      tokens(col(textCol)).as("tk"))
+    val spans = base.select(col("doc_id"),
+        posexplode(shinglesAllK(col("tk"), k)).as(Seq("sp0", "span")))
+      .select(col("doc_id"), col("sp0"), xxhash64(col("span")).as("sh"))
+    val dfreq = spans.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("nd"))
+    val per = spans.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+        collect_list(when(col("nd") > 1, col("sp0"))).as("sps")) // nulls skipped
+      .filter(round(col("n_shared").cast("double") / col("n_spans"), 6) >= flagFrac)
+      .select(col("doc_id"), col("sps"))
+    val scrubbed = base.join(per, Seq("doc_id"))
+      .withColumn("kept_tk", filter(col("tk"),
+        (t, i) => !exists(col("sps"), p => p <= i && i < p + k)))
+      .select(col("doc_id"), lit(true).as("scrubbed"),
+        size(col("tk")).cast("long").as("n_before"),
+        size(col("kept_tk")).cast("long").as("n_after"),
+        concat_ws(" ", col("kept_tk")).as("clean_text"))
+    val untouched = base.join(per.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(false).as("scrubbed"),
+        size(col("tk")).cast("long").as("n_before"),
+        size(col("tk")).cast("long").as("n_after"),
+        col("text").as("clean_text"))
+    scrubbed.unionByName(untouched)
+  }
+
+  def d12(s: SparkSession, dir: String): DataFrame =
+    scrubSharedSpans(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val d12Sql: String = {
+    val sp = shinglesAllKSql("tk", 8)
+    s"""WITH base AS (
+       |  SELECT doc_id, text, ${tokensSql("text")} AS tk FROM documents),
+       |sp AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, len($sp))) AS sp1,
+       |    unnest($sp) AS span
+       |  FROM base),
+       |df AS (SELECT span, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+       |  FROM sp JOIN df USING (span) GROUP BY doc_id),
+       |flagged AS (
+       |  SELECT doc_id FROM per
+       |  WHERE round(CAST(n_shared AS DOUBLE) / n_spans, 6) >= 0.5),
+       |shared AS (
+       |  SELECT sp.doc_id, sp.sp1 FROM sp
+       |  JOIN df USING (span) JOIN flagged USING (doc_id) WHERE nd > 1),
+       |tok AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS p, unnest(tk) AS tok
+       |  FROM base WHERE doc_id IN (SELECT doc_id FROM flagged)),
+       |rebuilt AS (
+       |  SELECT t.doc_id,
+       |    coalesce(string_agg(t.tok, ' ' ORDER BY t.p)
+       |      FILTER (WHERE NOT EXISTS (
+       |        SELECT 1 FROM shared s
+       |        WHERE s.doc_id = t.doc_id AND s.sp1 <= t.p AND t.p < s.sp1 + 8)), '')
+       |      AS clean_text,
+       |    CAST(count(*) FILTER (WHERE NOT EXISTS (
+       |        SELECT 1 FROM shared s
+       |        WHERE s.doc_id = t.doc_id AND s.sp1 <= t.p AND t.p < s.sp1 + 8))
+       |      AS BIGINT) AS n_after
+       |  FROM tok t GROUP BY t.doc_id)
+       |SELECT b.doc_id, r.doc_id IS NOT NULL AS scrubbed,
+       |  CAST(len(b.tk) AS BIGINT) AS n_before,
+       |  coalesce(r.n_after, CAST(len(b.tk) AS BIGINT)) AS n_after,
+       |  coalesce(r.clean_text, b.text) AS clean_text
+       |FROM base b LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_span_scrub" -> (d12 _),
+    "d11_semantic_dedup" -> (d11 _),
     "d10_shingle_novelty" -> (d10 _),
     "d9_minhash_error" -> (d9 _),
     "d8_span_dedup" -> (d8 _),
@@ -724,6 +940,8 @@ object Dedup {
     "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
+    "d12_span_scrub" -> d12Sql,
+    "d11_semantic_dedup" -> d11Sql,
     "d10_shingle_novelty" -> d10Sql,
     "d9_minhash_error" -> d9Sql,
     "d8_span_dedup" -> d8Sql,

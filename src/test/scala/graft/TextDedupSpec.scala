@@ -430,4 +430,79 @@ class TextDedupSpec extends SparkSuite {
     val members = r.map(_._1).toSet
     assert(r.map(_._2).toSet.subsetOf(members), "labels are member ids")
   }
+
+  test("semanticDedup prunes planted duplicate groups to their first id, keeps the rest") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // distinct vectors are pairwise ≤ 0.71 cosine; planted groups are
+    // IDENTICAL vectors (cos 1.0) — identical vectors always share a
+    // cell whatever the learned centroids converge to, so the
+    // assertions don't hinge on k-means quality
+    val rows = Seq(
+      0L -> v(1, 0, 0, 0), 1L -> v(0, 1, 0, 0),
+      20L -> v(0, 0, 1, 0), 21L -> v(0, 0, 0, 1),
+      40L -> v(0.5, 0.5, 0.5, 0.5),
+      10L -> v(1, 1, 0, 0), 11L -> v(1, 1, 0, 0), 12L -> v(1, 1, 0, 0), // group A
+      30L -> v(0, 0, 1, 1), 31L -> v(0, 0, 1, 1))                       // group B
+    val df = rows.toDF("id", "embedding")
+    val out = Dedup.semanticDedup(df, "id", "embedding", k = 3, tau = 0.95).collect()
+    assert(out.length === rows.length)
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val dupOf = out.filter(!_.getBoolean(2)).map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept === Set(0L, 1L, 20L, 21L, 40L, 10L, 30L))
+    assert(dupOf === Map(11L -> 10L, 12L -> 10L, 31L -> 30L),
+      "each pruned row names its group's first id (best match, tie → min id)")
+    val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellOf(10L) === cellOf(11L) && cellOf(11L) === cellOf(12L))
+    assert(cellOf(30L) === cellOf(31L))
+    out.filter(!_.getBoolean(2)).foreach(r =>
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-9, "planted dups are identical: cos 1.0"))
+    // MaxBucket doctrine: an oversized cell generates no pairs — with
+    // maxCell=2 every cell here is over the cap, so everything is kept
+    val capped = Dedup.semanticDedup(df, "id", "embedding", k = 3, tau = 0.95,
+      maxCell = 2).collect()
+    assert(capped.length === rows.length)
+    assert(capped.forall(_.getBoolean(2)), "an oversized cell must keep everything")
+  }
+
+  test("scrubSharedSpans excises the planted duplicated passage; unique text byte-identical") {
+    import spark.implicits._
+    val passage = (0 until 16).map("p" + _).mkString(" ")
+    val doc1 = ((0 until 4).map("u" + _) ++ Seq(passage) ++ (4 until 8).map("u" + _)).mkString(" ")
+    val doc2 = ((0 until 4).map("w" + _) ++ Seq(passage) ++ (4 until 8).map("w" + _)).mkString(" ")
+    // shares the passage too, but is mostly unique → below the 0.5 flag
+    val doc3 = ((0 until 40).map("x" + _) ++ Seq(passage)).mkString(" ")
+    val doc4 = (0 until 12).map("y" + _).mkString(" ")
+    val doc5 = "z0 z1 z2" // too short for any 8-gram
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4), (5L, doc5))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubSharedSpans(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // docs 1 and 2: 24 tokens, 17 spans, 9 shared (only the 8-grams
+    // fully inside the passage — straddlers contain unique tokens) →
+    // frac 9/17 ≈ 0.53 ≥ 0.5 → scrubbed; the passage disappears and
+    // the unique prefix+suffix survive verbatim
+    assert(out(1L) === ((true, 24L, 8L, (0 until 8).map("u" + _).mkString(" "))))
+    assert(out(2L) === ((true, 24L, 8L, (0 until 8).map("w" + _).mkString(" "))))
+    // doc 3 SHARES the passage but is below the flag → byte-identical
+    assert(out(3L) === ((false, 56L, 56L, doc3)))
+    assert(out(4L) === ((false, 12L, 12L, doc4)))
+    assert(out(5L) === ((false, 3L, 3L, doc5)))
+  }
+
+  test("d11 semantic dedup: pruning is non-trivial and keep-first consistent on the audit corpus") {
+    val r = Dedup.d11(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getBoolean(2),
+        if (row.isNullAt(3)) -1L else row.getLong(3)))
+    assert(r.nonEmpty)
+    val pruned = r.filter(!_._3)
+    assert(pruned.nonEmpty, "τ sits inside the within-cell cos tail: some rows must prune")
+    assert(pruned.forall { case (id, _, _, d) => d >= 0 && d < id },
+      "dup_of is an EARLIER same-cell row")
+    val cellOf = r.map(t => t._1 -> t._2).toMap
+    assert(pruned.forall { case (_, cell, _, d) => cellOf(d) === cell },
+      "dup_of never crosses a cell")
+  }
 }
