@@ -77,6 +77,36 @@ object Report {
     s"""<table class="preview"><tr>$head</tr>$body</table>"""
   }
 
+  /** The reference's "AI Insights" paragraph (main.py:430-442 feeds
+    * rows/cols/target/metrics to an external LLM, main.py:38-63, and
+    * asks for a 5-sentence summary). graft is zero-egress, so this is
+    * a DETERMINISTIC template over the same numeric inputs plus the
+    * two aggregates the reader would ask about next (strongest
+    * correlation, top feature importance) — same report surface, no
+    * network; a caller with an LLM endpoint can swap this string for
+    * a generated one without touching the rest of the report. */
+  def insights(nRows: Long, nCols: Long,
+      corr: Seq[(String, String, Double)],
+      result: Option[Pipeline.Result]): String = {
+    val shape = s"The dataset has $nRows rows and $nCols columns."
+    val corrS = corr.sortBy(c => -math.abs(c._3)).headOption.map { case (a, b, c) =>
+      val dir = if (c >= 0) "positively" else "negatively"
+      f"The strongest linear relationship is between $a and $b, $dir correlated at $c%.3f."
+    }
+    val modelS = result.toSeq.flatMap { res =>
+      val headline = res.metrics.toSeq.sortBy(_._1).headOption
+        .map { case (k, v) => f"$k = $v%.4f" }.getOrElse("no held-out metric")
+      Seq(
+        s"The task was detected as ${res.task} and the best of ${res.modelMetrics.size} " +
+          s"candidate models was ${res.bestModel} ($headline on held-out data).",
+        res.featureImportances.headOption.map { case (f, v) =>
+          f"$f carried the largest share of the model's predictive signal (importance $v%.3f)."
+        }.getOrElse("No feature importances were produced."),
+        s"${res.featureCols.size} columns were used as model features after cleaning.")
+    }
+    (Seq(shape) ++ corrS.toSeq ++ modelS).mkString(" ")
+  }
+
   /** Render the full report as an HTML string. */
   def render(viz: Pipeline.VizData, result: Option[Pipeline.Result],
       title: String = "graft report"): String = {
@@ -133,6 +163,8 @@ object Report {
        |<h1>${esc(title)}</h1>
        |<h2 id="overview">Dataset overview</h2>
        |<p>$nRows rows × $nCols columns</p>
+       |<h2 id="insights">Insights</h2>
+       |<p>${esc(insights(nRows, nCols, corr, result))}</p>
        |<h2 id="preview">Data preview</h2>
        |${previewTable(viz.preview)}
        |<h2 id="distribution">Target distribution</h2>

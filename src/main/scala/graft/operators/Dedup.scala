@@ -844,21 +844,27 @@ object Dedup {
   // duplicated passage disappears and the unique text survives
   // verbatim (token-joined; input is whitespace-canonical per t6).
   //
-  // Scale shape: spans shuffle as xxhash64 keys (d8); the doc-frequency
-  // groupBy and the join back share ONE exchange (same key — the d10
-  // reuse pattern, unlike d8 whose countDistinct forced a second); the
-  // per-doc stats AND covered-position list come from a single
-  // aggregation (state O(doc length)); the rebuild is one map-side
-  // higher-order filter over (tokens × shared positions) — doc-local,
-  // no shuffle. The DuckDB twin groups raw span strings (identical up
-  // to a 64-bit collision, d8's documented discipline).
+  // Scale shape: spans shuffle as xxhash64 keys and are materialized
+  // ONCE (the d8 lesson verbatim: the doc-frequency countDistinct
+  // shuffles (sh, doc_id) for its partial dedup while the join back
+  // shuffles (sh), so ReuseExchange can NOT serve both and the corpus
+  // would re-explode per consumer); the per-doc stats AND
+  // covered-position list come from a single aggregation (state
+  // O(doc length)); the rebuild is one map-side higher-order filter
+  // over (tokens × shared positions) — doc-local, no shuffle. The
+  // DuckDB twin groups raw span strings (identical up to a 64-bit
+  // collision, d8's documented discipline).
   def scrubSharedSpans(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, flagFrac: Double = 0.5): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       tokens(col(textCol)).as("tk"))
-    val spans = base.select(col("doc_id"),
+    val spark = docs.sparkSession
+    val spans = base
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
         posexplode(shinglesAllK(col("tk"), k)).as(Seq("sp0", "span")))
       .select(col("doc_id"), col("sp0"), xxhash64(col("span")).as("sh"))
+      .localCheckpoint() // at 100 TB swap for persist(DISK_ONLY) (d8)
     val dfreq = spans.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("nd"))
     val per = spans.join(dfreq, Seq("sh"))
       .groupBy(col("doc_id"))

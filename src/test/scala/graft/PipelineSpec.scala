@@ -274,9 +274,17 @@ class PipelineSpec extends SparkSuite {
     val rr = Pipeline.autoPipeline(li, "l_extendedprice")
     val htmlR = Report.render(Pipeline.vizData(rr.cleaned, "l_extendedprice"), Some(rr))
     for ((html, res) <- Seq((htmlC, rc), (htmlR, rr))) {
-      for (section <- Seq("id=\"overview\"", "id=\"preview\"", "id=\"distribution\"",
-          "id=\"correlation\"", "id=\"histograms\"", "id=\"metrics\"", "id=\"importances\"")) {
+      for (section <- Seq("id=\"overview\"", "id=\"insights\"", "id=\"preview\"",
+          "id=\"distribution\"", "id=\"correlation\"", "id=\"histograms\"",
+          "id=\"metrics\"", "id=\"importances\"")) {
         assert(html.contains(section), s"missing $section")
+      }
+      // the insights paragraph names the task, the winning model, and
+      // the top feature — the reference's 5-sentence LLM summary shape
+      assert(html.contains(s"detected as ${res.task}"))
+      assert(html.contains(s"was ${res.bestModel}"))
+      res.featureImportances.headOption.foreach { case (f, _) =>
+        assert(html.contains(s"$f carried the largest share"))
       }
       assert(html.contains(res.bestModel))
       assert(html.contains("<svg")) // charts actually rendered
