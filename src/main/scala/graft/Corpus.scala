@@ -19,10 +19,21 @@ import graft.operators.Dedup
   *  6. exact_dedup     d1's md5 keep-min, among prior survivors
   *  7. near_dedup      d3's minhash-LSH candidates → shingle-Jaccard ≥ τ
   *                     verify → d7's connected components → keep minima
-  *  8. decontaminated  d6's word-k-gram overlap vs a held-out eval set
-  *  9. sampled         m15's integer-hash threshold, capped per source
-  *  10. token_budget   t13's per-source greedy quality-ranked token
+  *  8. semantic_dedup  d11's keep-first pruning inside quantizer cells
+  *                     over a caller-supplied embeddings frame —
+  *                     paraphrases share no shingles but collapse in
+  *                     embedding space (off by default)
+  *  9. decontaminated  d6's word-k-gram overlap vs a held-out eval set
+  *  10. sampled        m15's integer-hash threshold, capped per source
+  *  11. token_budget   t13's per-source greedy quality-ranked token
   *                     budget (off by default)
+  *
+  * Passage-level surgery (d12, `Dedup.scrubSharedSpans`) is a
+  * PRE-pass, not a stage: it rewrites text rather than dropping rows,
+  * so it runs before curation and the scrubbed `clean_text` feeds in
+  * as the text column — the short husks it leaves behind then fall to
+  * the min_tokens/quality gates like any other thin doc (the
+  * Dolma-style order of operations; CorpusSpec composes the two).
   *
   * Scale shape: the row-local stages (1-2, 4, and the trigram half of
   * 3) are boolean flags computed in ONE map-side pass; the doc-keyed
@@ -62,6 +73,15 @@ object Corpus {
         * unigram probability (under the CORPUS unigram LM, t8) is
         * below this floor. None = gate off. */
       minAvgLogProb: Option[Double] = None,
+      /** d11's semantic-dedup stage: an embeddings frame carrying the
+        * corpus id column plus an `embedding` array<float> column.
+        * Among prior survivors, a row is dropped iff an earlier-id
+        * same-cell row is ≥ `semanticTau` cosine-similar
+        * (keep-first, [[Dedup.semanticDedup]]); a survivor with no
+        * embedding row passes through. None = stage off. */
+      embeddings: Option[DataFrame] = None,
+      semanticTau: Double = 0.9,
+      semanticK: Int = 8,
       /** t13's token-budget stage: per source, keep survivors from
         * highest quality down until this many tokens are taken
         * (greedy prefix on (6dp-rounded quality DESC, id) — the
@@ -185,22 +205,39 @@ object Corpus {
       .withColumn("f_neardup", col("f_exact") && col("__drop").isNull)
       .drop("__drop")
 
-    // stage 8: decontamination — drop corpus docs sharing a word-k-gram
+    // stage 8: semantic dedup among lexical survivors — d11's cells +
+    // keep-first pruning over the caller's embeddings. Only survivor
+    // embeddings enter (a lexically-dropped doc can't shield its
+    // semantic twin); a survivor without an embedding row passes.
+    val flaggedSem = cfg.embeddings match {
+      case Some(emb) =>
+        val surv = flagged2.filter(col("f_neardup")).select(id.as("__eid"))
+        val embSurv = emb.join(surv, emb(idCol) === col("__eid")).drop("__eid")
+        val drops = Dedup.semanticDedup(embSurv, idCol, "embedding",
+            cfg.semanticK, cfg.semanticTau)
+          .filter(!col("kept")).select(col("id").as("__sdrop"))
+        flagged2.join(drops, id === col("__sdrop"), "left")
+          .withColumn("f_semdup", col("f_neardup") && col("__sdrop").isNull)
+          .drop("__sdrop")
+      case None => flagged2.withColumn("f_semdup", col("f_neardup"))
+    }
+
+    // stage 9: decontamination — drop corpus docs sharing a word-k-gram
     // with the eval set (ngramContamination flags its `eval` argument,
     // and overlap is symmetric, so the corpus goes in as `eval`)
     val flagged3 = cfg.evalSet match {
       case Some(ev) =>
         val contaminated = Dedup.ngramContamination(
-            ev, flagged2.filter(col("f_neardup")).select(id, col(textCol)),
+            ev, flaggedSem.filter(col("f_semdup")).select(id, col(textCol)),
             textCol, idCol, cfg.ngramK)
           .filter(col("contaminated")).select(col("id").as("__cid"))
-        flagged2.join(contaminated, id === col("__cid"), "left")
-          .withColumn("f_clean", col("f_neardup") && col("__cid").isNull)
+        flaggedSem.join(contaminated, id === col("__cid"), "left")
+          .withColumn("f_clean", col("f_semdup") && col("__cid").isNull)
           .drop("__cid")
-      case None => flagged2.withColumn("f_clean", col("f_neardup"))
+      case None => flaggedSem.withColumn("f_clean", col("f_semdup"))
     }
 
-    // stage 9: per-source cap — m15's shape (per-source counts → integer
+    // stage 10: per-source cap — m15's shape (per-source counts → integer
     // hash thresholds broadcast back → map-side filter; no windows)
     val flagged4 = cfg.samplePerSource match {
       case Some(target) =>
@@ -217,7 +254,7 @@ object Corpus {
       case None => flagged3.withColumn("f_sampled", col("f_clean"))
     }
 
-    // stage 10: per-source token budget — t13's shape (one hash
+    // stage 11: per-source token budget — t13's shape (one hash
     // shuffle by source for the prefix-sum window over sampled
     // survivors; the walk order is (6dp-rounded quality DESC, id), so
     // the kept set is deterministic and engine-independent)
@@ -242,7 +279,8 @@ object Corpus {
       "min_tokens" -> col("f_tokens"), "quality" -> col("f_quality"),
       "repetition" -> col("f_repetition"), "language" -> col("f_lang"),
       "lm_quality" -> col("f_lm"), "exact_dedup" -> col("f_exact"),
-      "near_dedup" -> col("f_neardup"), "decontaminated" -> col("f_clean"),
+      "near_dedup" -> col("f_neardup"), "semantic_dedup" -> col("f_semdup"),
+      "decontaminated" -> col("f_clean"),
       "sampled" -> col("f_sampled"), "token_budget" -> col("f_budget"))
     val aggs = stageCols.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }
     val one = flagged5.agg(aggs.head, aggs.tail: _*)

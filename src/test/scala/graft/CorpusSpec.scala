@@ -40,6 +40,7 @@ class CorpusSpec extends SparkSuite {
       "lm_quality" -> 8L,      // gate off → pass-through
       "exact_dedup" -> 7L,     // -9 (byte-identical to doc 1)
       "near_dedup" -> 6L,      // -10 (1-token edit of doc 2, Jaccard ≈ 0.95)
+      "semantic_dedup" -> 6L,  // stage off → pass-through
       "decontaminated" -> 5L,  // -11 (contains an eval 5-gram)
       "sampled" -> 5L,         // no cap configured
       "token_budget" -> 5L))   // no budget configured
@@ -136,5 +137,61 @@ class CorpusSpec extends SparkSuite {
       .map(row => row.getAs[String]("stage") -> row.getAs[Long]("surviving")).toMap
     assert(rep("token_budget") === kept.length.toLong)
     assert(rep("token_budget") < rep("sampled"), "budget must actually drop something here")
+  }
+
+  test("curate: semantic-dedup stage drops exactly the planted embedding twin") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // docs 1-4 pass every lexical gate with DISTINCT text; docs 2 and 3
+    // are planted paraphrases — identical embeddings — so only the
+    // semantic stage can collapse them (lexical dedup cannot: Jaccard
+    // between their texts is ~0). doc 9 is a lexical exact-dup of doc 1:
+    // it dies at exact_dedup, and its embedding must NOT enter the
+    // semantic pass (only survivors' embeddings do).
+    val docs = Seq(
+      (1L, goodText(1), "src0"), (2L, goodText(2), "src0"),
+      (3L, goodText(3), "src0"), (4L, goodText(4), "src1"),
+      (9L, goodText(1), "src1"))
+      .toDF("doc_id", "text", "source")
+    val emb = Seq(
+      1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0),
+      3L -> v(0, 1, 0, 0),                      // twin of doc 2
+      4L -> v(0, 0, 1, 0), 9L -> v(0, 1, 0, 0)) // 9 also twins 2 but is already dead
+      .toDF("doc_id", "embedding")
+    val r = Corpus.curate(docs,
+      cfg = Corpus.Config(embeddings = Some(emb), semanticTau = 0.95, semanticK = 2))
+    val rep = r.report.collect()
+      .map(row => row.getAs[String]("stage") -> row.getAs[Long]("surviving")).toMap
+    assert(rep("exact_dedup") === 4L, "doc 9 dies lexically")
+    assert(rep("near_dedup") === 4L)
+    assert(rep("semantic_dedup") === 3L, "exactly the planted twin drops")
+    assert(r.kept.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 2L, 4L))
+    val row3 = r.flagged.filter(col("doc_id") === 3L).head()
+    assert(row3.getAs[Boolean]("f_neardup") && !row3.getAs[Boolean]("f_semdup"))
+  }
+
+  test("curate composes with the d12 span-scrub pre-pass: husks fall to the token floor") {
+    import spark.implicits._
+    val passage = (0 until 16).map("p" + _).mkString(" ")
+    // docs 30/31 are mostly the shared passage plus a 3-token unique
+    // husk — after scrubbing they are 3 tokens and die at min_tokens;
+    // docs 1-3 are untouched and survive end to end
+    val docs = Seq(
+      (1L, goodText(1), "src0"), (2L, goodText(2), "src0"), (3L, goodText(3), "src1"),
+      (30L, s"h0 h1 h2 $passage", "src1"),
+      (31L, s"g0 g1 g2 $passage", "src0"))
+      .toDF("doc_id", "text", "source")
+    val scrubbed = graft.operators.Dedup.scrubSharedSpans(docs, "text", "doc_id")
+    val curInput = scrubbed.select(col("doc_id"), col("clean_text").as("text"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val r = Corpus.curate(curInput)
+    val rep = r.report.collect()
+      .map(row => row.getAs[String]("stage") -> row.getAs[Long]("surviving")).toMap
+    assert(rep("input") === 5L)
+    assert(rep("min_tokens") === 3L, "both scrubbed husks fall to the token floor")
+    assert(r.kept.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    // and the scrub itself really did the surgery (passage gone, husk intact)
+    val t30 = scrubbed.filter(col("doc_id") === 30L).head()
+    assert(t30.getAs[Boolean]("scrubbed") && t30.getAs[String]("clean_text") === "h0 h1 h2")
   }
 }
