@@ -12,12 +12,12 @@ import graft.operators._
   * Family → implementation map:
   *  - q1–q38   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram, min-cost supplier, funnel, global-fraction HAVING, dominant shippers, cohort retention, basket pairs, decorrelated HAVING semi-join, bucketed interval-overlap join)
   *  - c1–c15   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit/gap-fill/MAD outliers)
-  *  - m1–m23   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC/calibration)
-  *  - t1–t11   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report)
-  *  - d1–d12   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit/novelty/semantic dedup/span scrub)
-  *  - s1–s8    operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k)
+  *  - m1–m24   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC/calibration/chi-squared)
+  *  - t1–t14   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report/langid confusion/seq packing/token budget/ppl buckets — each of t12-t14 with a spec'd scale-path variant)
+  *  - d1–d13   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit/novelty/semantic dedup/span scrub/incremental near-dup)
+  *  - s1–s11   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k, SQ8 rerank, recall audit, PQ-ADC)
   *  - mm1–mm7  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan)
-  *  - st1–st14 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink)
+  *  - st1–st15 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission)
   *  - i1–i5    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental rollup maintenance)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).

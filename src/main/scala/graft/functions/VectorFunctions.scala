@@ -27,6 +27,14 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Squared L2 distance — cast-then-subtract per element, ascending
+    * fold (same determinism contract as [[dot]]); the PQ primitives
+    * (s11) score subvectors with it. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Prefer the fused codegen'd expression (graft.plans.
     * CosineSimilarityExpr — single loop, zero allocation) when the
     * session has GraftExtensions installed; fall back to the builtin
@@ -45,4 +53,9 @@ object VectorFunctions {
 
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${normSqSql(a)}) * sqrt(${normSqSql(b)})))"
+
+  def l2sqSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> " +
+      s"(CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)) * " +
+      s"(CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE))))"
 }

@@ -935,7 +935,128 @@ object Dedup {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // d13: INCREMENTAL near-dup maintenance — dedup an arriving crawl
+  // batch against an existing corpus without re-deduping the corpus
+  // (the operation a continuously-fed 100 TB pipeline actually runs:
+  // re-banding petabytes per batch is a non-starter; the LSH band-key
+  // index and shingle sets are persisted, a new batch probes them).
+  // The "new batch" here is the top decile of doc_ids ((max+1)·9/10 —
+  // SF-independent); a new doc's candidates are every OTHER doc (old
+  // or new) sharing ≥1 minhash band bucket; exact shingle-Jaccard
+  // verifies; output per new doc: candidate count, best match
+  // (jaccard DESC, id ASC), dup flag at τ=0.5.
+  //
+  // THE ORACLE IS THE REBUILD (i2/q19's transparency pattern): the
+  // DuckDB twin bands the FULL corpus and restricts to pairs touching
+  // a new doc — banding is deterministic, so incremental probing must
+  // produce byte-identical rows or the incremental path is wrong.
+  // Scale shape: only the batch is banded (|batch| × 4 band keys);
+  // probes are equi-joins against the (persisted) index; verify
+  // touches candidate pairs only. Library form caps probe buckets
+  // (MaxBucket over index ∪ batch keys — the same set a rebuild would
+  // cap).
+  val IncTau = 0.5
+
+  /** Library API: candidate pairs for an arriving batch against an
+    * existing corpus — (id_new, id_other) for every band-bucket
+    * collision, old docs never re-banded (production: `oldKeys` is
+    * the persisted index `bandKeys(oldDocs)`). Buckets over
+    * `maxBucket` (counted over index ∪ batch, exactly what a rebuild
+    * would see) are dropped — d3's hot-bucket doctrine. */
+  def bandKeys(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        minhashSignature(shingleCodes(col(textCol))).as("sig"))
+      .select(col("id"), explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), bandKeyFromSig(col("sig"), b).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .filter(col("key").isNotNull) // short docs have no signature
+
+  def incrementalNearDupPairs(oldKeys: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String, maxBucket: Int = MaxBucket): DataFrame = {
+    val newKeys = bandKeys(newDocs, textCol, idCol)
+    val index = capBuckets(
+      oldKeys.withColumn("__new", lit(false))
+        .unionByName(newKeys.withColumn("__new", lit(true))),
+      maxBucket, col("band"), col("key"))
+    index.filter(col("__new")).select(col("band"), col("key"), col("id").as("id_new"))
+      .join(index.select(col("band"), col("key"), col("id").as("id_other")),
+        Seq("band", "key"))
+      .filter(col("id_other") =!= col("id_new"))
+      .select(col("id_new"), col("id_other")).distinct()
+  }
+
+  def d13(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // SF-independent batch cut as a provably-1-row broadcast (q23's
+    // scalar-aggregate pattern — no collect)
+    val cut = docs.agg(expr("(max(doc_id) + 1) * 9 div 10").as("__cut"))
+    val marked = docs.crossJoin(broadcast(cut))
+    val newDocs = marked.filter(col("doc_id") >= col("__cut")).select(col("doc_id"), col("text"))
+    val oldDocs = marked.filter(col("doc_id") < col("__cut")).select(col("doc_id"), col("text"))
+    val pairs = incrementalNearDupPairs(bandKeys(oldDocs, "text", "doc_id"),
+      newDocs, "text", "doc_id")
+    val sh = docs.select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+    val scored = pairs
+      .join(sh.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), Seq("id_new"))
+      .join(sh.select(col("doc_id").as("id_other"), col("sh").as("sh_o")), Seq("id_other"))
+      .withColumn("jac", jaccardAuto(s, col("sh_n"), col("sh_o")))
+      .groupBy(col("id_new"))
+      .agg(count(lit(1)).as("n_cand"),
+        max_by(col("id_other"), struct(col("jac"), -col("id_other"))).as("best_match"),
+        round(max(col("jac")), 6).as("best_jac"))
+    newDocs.select(col("doc_id"))
+      .join(scored.withColumnRenamed("id_new", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("best_match"), col("best_jac"),
+        coalesce(col("best_jac") >= IncTau, lit(false)).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d13Sql: String = {
+    val codes = shingleCodesSql("text")
+    val keys = (0 until Bands).map(b => s"${bandKeySql("codes", b)} AS b$b").mkString(", ")
+    val kv = (0 until Bands).map(b => s"($b, b$b)").mkString(", ")
+    val sh = shingles3Sql(tokensSql("text"))
+    val inter = "len(list_intersect(n.sh, o.sh))"
+    val jac = s"CASE WHEN len(n.sh) + len(o.sh) - $inter <> 0 THEN " +
+      s"CAST($inter AS DOUBLE) / (len(n.sh) + len(o.sh) - $inter) END"
+    s"""WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
+       |c AS (SELECT doc_id, $codes AS codes FROM documents),
+       |k AS (SELECT doc_id, $keys FROM c),
+       |bk AS (
+       |  SELECT doc_id, band, key FROM k,
+       |    LATERAL (SELECT * FROM (VALUES $kv) v(band, key))
+       |  WHERE key IS NOT NULL),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_other
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key, cut
+       |  WHERE a.doc_id >= cut.c AND b.doc_id <> a.doc_id),
+       |shs AS (SELECT doc_id, $sh AS sh FROM documents),
+       |scored AS (
+       |  SELECT p.id_new, p.id_other, $jac AS jac
+       |  FROM pairs p
+       |  JOIN shs n ON n.doc_id = p.id_new
+       |  JOIN shs o ON o.doc_id = p.id_other),
+       |ranked AS (
+       |  SELECT id_new, id_other, jac,
+       |    row_number() OVER (PARTITION BY id_new ORDER BY jac DESC, id_other) AS rk,
+       |    count(*) OVER (PARTITION BY id_new) AS n_cand
+       |  FROM scored),
+       |agg AS (
+       |  SELECT id_new AS doc_id, CAST(n_cand AS BIGINT) AS n_cand,
+       |    id_other AS best_match, round(jac, 6) AS best_jac
+       |  FROM ranked WHERE rk = 1)
+       |SELECT d.doc_id, coalesce(a.n_cand, 0) AS n_cand,
+       |  a.best_match, a.best_jac,
+       |  coalesce(a.best_jac >= $IncTau, false) AS is_dup
+       |FROM documents d JOIN cut ON d.doc_id >= cut.c
+       |LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_incremental_neardup" -> (d13 _),
     "d12_span_scrub" -> (d12 _),
     "d11_semantic_dedup" -> (d11 _),
     "d10_shingle_novelty" -> (d10 _),
@@ -946,6 +1067,7 @@ object Dedup {
     "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
+    "d13_incremental_neardup" -> d13Sql,
     "d12_span_scrub" -> d12Sql,
     "d11_semantic_dedup" -> d11Sql,
     "d10_shingle_novelty" -> d10Sql,

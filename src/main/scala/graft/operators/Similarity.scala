@@ -634,7 +634,7 @@ object Similarity {
        |  FROM surv s
        |  JOIN embeddings q ON q.vec_id = s.q_id
        |  JOIN embeddings c ON c.vec_id = s.cand_id
-       |  WHERE s.crk <= 12),
+       |  WHERE s.crk <= 96),
        |ranked AS (
        |  SELECT q_id, cand_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
@@ -684,7 +684,158 @@ object Similarity {
        |FROM hits h LEFT JOIN annq q USING (q_id)
        |ORDER BY q_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // s11: product-quantization ANN with asymmetric-distance rerank —
+  // the OTHER canonical compressed-scan path next to s9's SQ8. The
+  // 64-dim vector is L2-normalized and split into M=8 8-dim
+  // subvectors; each stores only the id of its nearest codeword
+  // (K=16 ⇒ 4 bits/sub, 4 bytes/vector vs 256 — a 64× storage
+  // compression; s9's SQ8 is 4×). Queries never decompress
+  // candidates: ADC (asymmetric distance computation) precomputes
+  // each query's L2² to every codeword once (M·K = 128 numbers per
+  // query), then a candidate's approximate distance is M table
+  // lookups summed — the scan does no per-candidate float math at
+  // all. Coarse top-C by ADC ascending, exact cosine rerank to
+  // top-k (s9's shape). Operating point MEASURED, not guessed (the
+  // audit corpus is random vectors — PQ's worst case, no cluster
+  // structure for the codebook to exploit): recall@3 vs exact at
+  // C=12/24/48/96 is 0.47/0.73/0.80/0.93 (SimilaritySpec pins the
+  // C=96 point ≥ 13/15); the M=4×16-dim variant trails at every
+  // beam (0.40 at C=12, 0.87 at C=96). Clustered production
+  // embeddings quantize far tighter — re-run the recall audit there
+  // before shrinking the beam.
+  //
+  // Determinism: every L2² is the cast-then-subtract ascending fold
+  // (l2sq / l2sqSql — dot's bit-parity contract); encode ties break
+  // on codeword id; the ADC sum is a FIXED-ORDER d0+d1+d2+d3 over
+  // per-subspace pivot columns (a groupBy sum over the subspace rows
+  // would re-associate doubles nondeterministically — the m5 lesson).
+  // The oracle codebook is deterministic (subvectors of the first 16
+  // corpus vectors — s5's SQL-expressible stand-in); a production
+  // codebook comes from per-subspace k-means (trainCodebook on the
+  // subvector frames), same encode/ADC machinery.
+  //
+  // Scale shape: codebook broadcast (M·K tiny rows); encoding is one
+  // broadcast join + map-side min_by per (vector, subspace); the
+  // query distance tables broadcast (M·K doubles per query); the scan
+  // is one broadcast-joined lookup + a 2-level pivot agg keyed
+  // (q_id, cand_id); ranks ride WindowGroupLimit below the shuffle.
+  /** Library API: PQ-ADC top-k. `codebookSrc` supplies the codewords
+    * (any (id, embedding) frame; first-K deterministic here,
+    * per-subspace k-means in production). All vectors are
+    * L2-NORMALIZED before quantization — on the unit sphere
+    * ‖q−c‖² = 2−2·cos(q,c), so the ADC ordering targets exactly the
+    * cosine the rerank scores; on raw vectors it targets a metric the
+    * rerank doesn't use and recall drops at every beam — s9 learned
+    * the same normalize-first lesson with its min/max-shifted codes. Zero-norm rows can't normalize and
+    * are dropped from corpus/queries (s9's `nrm > 0` guard). */
+  def pqAdcRerankTopK(queries: DataFrame, corpus: DataFrame,
+      codebookSrc: DataFrame, k: Int, coarseC: Int,
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    val s = queries.sparkSession
+    def normed(df: DataFrame, idc: String) = df
+      .select(col("id").as(idc), col("embedding"), norm(col("embedding")).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idc), transform(col("embedding"),
+        x => x.cast("double") / col("__n")).as("ne"))
+    def subv(e: Column, i: Int) = slice(e, i * subDim + 1, subDim)
+    val cb = broadcast(normed(codebookSrc, "cw_id")
+      .select(col("cw_id"),
+        explode(array((0 until m).map(i =>
+          struct(lit(i).as("s"), subv(col("ne"), i).as("cw"))): _*)).as("x"))
+      .select(col("cw_id"), col("x.s").as("s"), col("x.cw").as("cw")))
+    def subCol(e: Column) = slice(e, col("s") * subDim + 1, lit(subDim))
+    val enc = normed(corpus, "cand_id").withColumnRenamed("ne", "ce")
+      .join(cb)
+      .withColumn("dist", l2sq(subCol(col("ce")), col("cw")))
+      .groupBy(col("cand_id"), col("s"))
+      .agg(min_by(col("cw_id"), struct(col("dist"), col("cw_id"))).as("code"))
+    val dtab = normed(queries, "q_id").withColumnRenamed("ne", "qe")
+      .join(cb)
+      .select(col("q_id"), col("s"), col("cw_id").as("code"),
+        l2sq(subCol(col("qe")), col("cw")).as("qd"))
+    val pivots = (0 until m).map(i => max(when(col("s") === i, col("qd"))).as(s"d$i"))
+    val adc = enc.join(broadcast(dtab), Seq("s", "code"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("adc", expr((0 until m).map(i => s"d$i").mkString(" + ")))
+    val wC = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("cand_id"))
+    val surv = adc.withColumn("crk", row_number().over(wC)).filter(col("crk") <= coarseC)
+      .select(col("q_id"), col("cand_id"))
+    val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    surv
+      .join(queries.select(col("id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(corpus.select(col("id").as("cand_id"), col("embedding").as("ce")), Seq("cand_id"))
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(wK)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  def s11(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    pqAdcRerankTopK(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") >= 16).select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") < 16).select(col("vec_id").as("id"), col("embedding")),
+      3, 96, m = 8, subDim = 8)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val s11Sql: String = {
+    val m = 8; val subDim = 8
+    def sub(e: String, s: String) = s"($e)[$s*$subDim+1 : $s*$subDim+$subDim]"
+    val subsVals = (0 until m).map(i => s"($i)").mkString(", ")
+    val encD = l2sqSql(sub("c.ce", "b.s"), "b.cw")
+    val qD = l2sqSql(sub("q.qe", "b.s"), "b.cw")
+    val pivots = (0 until m).map(i => s"max(CASE WHEN e.s = $i THEN t.qd END)")
+      .mkString("(", " + ", ")")
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""WITH nv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne
+       |  FROM (SELECT vec_id, embedding, sqrt(${normSqSql("embedding")}) AS nrm
+       |        FROM embeddings)
+       |  WHERE nrm > 0),
+       |cb AS (
+       |  SELECT vec_id AS cw_id, s, ${sub("ne", "s")} AS cw
+       |  FROM nv, (VALUES $subsVals) sub(s) WHERE vec_id < 16),
+       |corpus AS (SELECT vec_id AS cand_id, ne AS ce FROM nv WHERE vec_id >= 16),
+       |qs AS (SELECT vec_id AS q_id, ne AS qe FROM nv WHERE vec_id < 5),
+       |enc AS (
+       |  SELECT cand_id, s, code FROM (
+       |    SELECT c.cand_id, b.s, b.cw_id AS code,
+       |      row_number() OVER (PARTITION BY c.cand_id, b.s
+       |        ORDER BY $encD ASC, b.cw_id) AS erk
+       |    FROM corpus c, cb b)
+       |  WHERE erk = 1),
+       |dtab AS (
+       |  SELECT q.q_id, b.s, b.cw_id AS code, $qD AS qd
+       |  FROM qs q, cb b),
+       |adc AS (
+       |  SELECT t.q_id, e.cand_id, $pivots AS adc
+       |  FROM enc e JOIN dtab t ON t.s = e.s AND t.code = e.code
+       |  GROUP BY t.q_id, e.cand_id),
+       |surv AS (
+       |  SELECT q_id, cand_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, cand_id) AS crk
+       |  FROM adc),
+       |rer AS (
+       |  SELECT s.q_id, s.cand_id, $cos AS cos
+       |  FROM surv s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings c ON c.vec_id = s.cand_id
+       |  WHERE s.crk <= 96),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |  FROM rer)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_pq_adc" -> (s11 _),
     "s10_ann_recall" -> (s10 _),
     "s9_sq8_rerank" -> (s9 _),
     "s8_filtered_topk" -> (s8 _),
@@ -694,6 +845,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s11_pq_adc" -> s11Sql,
     "s10_ann_recall" -> s10Sql,
     "s9_sq8_rerank" -> s9Sql,
     "s8_filtered_topk" -> s8Sql,

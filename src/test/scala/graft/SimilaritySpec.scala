@@ -264,4 +264,38 @@ class SimilaritySpec extends SparkSuite {
     got.foreach { case (q, c, cos) =>
       exact.get((q, c)).foreach(e => assert(cos === e, s"($q,$c) rerank not exact")) }
   }
+
+  test("s11 PQ-ADC: full beam degenerates to exact brute force; C=96 beam recall >= 13/15") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosineAuto
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding"))
+    val c = e.filter(col("vec_id") >= 16).select(col("vec_id").as("id"), col("embedding"))
+    val cb = e.filter(col("vec_id") < 16).select(col("vec_id").as("id"), col("embedding"))
+    val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    val brute = broadcast(q.select(col("id").as("q_id"), col("embedding").as("qe")))
+      .join(c.select(col("id").as("cand_id"), col("embedding").as("ce")))
+      .withColumn("cos", cosineAuto(spark, col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+      .collect().map(_.toSeq).toSet
+    // coarseC = |corpus| means the ADC pre-filter keeps everything and
+    // the exact rerank IS brute force — the approximation is provably
+    // confined to the beam
+    val n = c.count().toInt
+    val full = Similarity.pqAdcRerankTopK(q, c, cb, 3, n).collect().map(_.toSeq).toSet
+    assert(full === brute)
+    // default beam (C=12): 2-byte codes + table lookups must still
+    // recover most of the exact top-3, and survivors carry EXACT cos
+    val exactMap = brute.map(s => (s(0), s(2)) -> s(3)).toMap
+    val got = Similarity.s11(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 15)
+    val hits = got.count { case (qq, cc, _) => exactMap.contains((qq, cc)) }
+    info(s"PQ-ADC recall@3 at C=96: ${hits.toDouble / 15}")
+    assert(hits >= 13, s"recall@3 ${hits.toDouble / 15} < 13/15 — ADC proxy degraded")
+    got.foreach { case (qq, cc, cos) =>
+      exactMap.get((qq, cc)).foreach(x => assert(cos === x, s"($qq,$cc) rerank not exact")) }
+  }
 }

@@ -492,6 +492,33 @@ class TextDedupSpec extends SparkSuite {
     assert(out(5L) === ((false, 3L, 3L, doc5)))
   }
 
+  test("d13: incremental near-dup probing equals the full rebuild restricted to the batch") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val cut = (maxId + 1) * 9 / 10
+    val inc = Dedup.incrementalNearDupPairs(
+        Dedup.bandKeys(docs.filter(col("doc_id") < cut), "text", "doc_id"),
+        docs.filter(col("doc_id") >= cut), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rebuild: band the WHOLE corpus, keep pairs whose subject is new
+    val fullKeys = Dedup.bandKeys(docs, "text", "doc_id")
+    val full = fullKeys.as("a").join(fullKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("x"), col("b.id").as("y")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._1 >= cut).toSet
+    assert(inc === full, "incremental probing must be indistinguishable from a rebuild")
+    assert(inc.nonEmpty)
+    // the flag surface finds the planted near-dups, and at least one
+    // match is an OLD doc — the persisted-index probe actually fires
+    val d = Dedup.d13(spark, sf).collect()
+    assert(d.length === docs.filter(col("doc_id") >= cut).count().toInt)
+    val dups = d.filter(_.getBoolean(4))
+    assert(dups.nonEmpty)
+    assert(dups.exists(r => !r.isNullAt(2) && r.getLong(2) < cut),
+      "a new doc must near-dup an OLD doc somewhere in the audit corpus")
+  }
+
   test("d11 semantic dedup: pruning is non-trivial and keep-first consistent on the audit corpus") {
     val r = Dedup.d11(spark, sf).collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getBoolean(2),
