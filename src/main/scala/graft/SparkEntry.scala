@@ -17,7 +17,7 @@ import graft.operators._
   *  - d1–d13   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit/novelty/semantic dedup/span scrub/incremental near-dup)
   *  - s1–s11   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k, SQ8 rerank, recall audit, PQ-ADC)
   *  - mm1–mm7  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan)
-  *  - st1–st15 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission)
+  *  - st1–st16 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission, incremental-dedup admission)
   *  - i1–i5    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental rollup maintenance)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).

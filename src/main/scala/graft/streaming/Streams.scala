@@ -941,7 +941,110 @@ object Streams {
        |FROM c WHERE cum_before < $admissionBudget
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // st16: streaming incremental-dedup admission — d13's probe-the-
+  // persisted-index operation run as a STREAM: documents arrive in
+  // doc_id order (st15's documented arrival contract), each
+  // micro-batch probes the accumulated LSH band-key index (old docs
+  // never re-banded), exact shingle-Jaccard verifies the collisions,
+  // and a doc is ADMITTED iff no earlier-id doc anywhere in the
+  // stream so far is a verified near-dup. State folds forward like
+  // st12's MERGE sink: index ∪= batch keys, shingle store ∪= batch
+  // shingles — the production swap-in is a Delta/Iceberg index table.
+  // The admitted set is invariant to micro-batch slicing (decisions
+  // depend only on the global id order, and the index always holds
+  // exactly the smaller-id docs — StreamingSpec proves two different
+  // slicings equal the one-shot batch twin). Batch twin = d13's
+  // banding with subject ALL docs and partners restricted to earlier
+  // ids; the DuckDB oracle is that full computation — streamed fold
+  // == rebuild, st14's gate applied to dedup.
+  def st16(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{jaccardAuto, shingles3, tokens}
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val keys = graft.operators.Dedup.bandKeys(docs, "text", "doc_id")
+    val pairs = keys.select(col("band"), col("key"), col("id").as("id_new"))
+      .join(keys.select(col("band"), col("key"), col("id").as("id_old")), Seq("band", "key"))
+      .filter(col("id_old") < col("id_new"))
+      .select(col("id_new"), col("id_old")).distinct()
+    val sh = docs.select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+    val dup = pairs
+      .join(sh.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), Seq("id_new"))
+      .join(sh.select(col("doc_id").as("id_old"), col("sh").as("sh_o")), Seq("id_old"))
+      .filter(jaccardAuto(s, col("sh_n"), col("sh_o")) >= graft.operators.Dedup.IncTau)
+      .select(col("id_new").as("doc_id")).distinct()
+    docs.select(col("doc_id"))
+      .join(dup.withColumn("__d", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__d").isNull.as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val st16Sql: String = {
+    import graft.functions.TextFunctions._
+    val codes = shingleCodesSql("text")
+    val keys = (0 until Bands).map(b => s"${bandKeySql("codes", b)} AS b$b").mkString(", ")
+    val kv = (0 until Bands).map(b => s"($b, b$b)").mkString(", ")
+    val sh3 = shingles3Sql(tokensSql("text"))
+    val inter = "len(list_intersect(n.sh, o.sh))"
+    val jac = s"CASE WHEN len(n.sh) + len(o.sh) - $inter <> 0 THEN " +
+      s"CAST($inter AS DOUBLE) / (len(n.sh) + len(o.sh) - $inter) END"
+    s"""WITH c AS (SELECT doc_id, $codes AS codes FROM documents),
+       |k AS (SELECT doc_id, $keys FROM c),
+       |bk AS (
+       |  SELECT doc_id, band, key FROM k,
+       |    LATERAL (SELECT * FROM (VALUES $kv) v(band, key))
+       |  WHERE key IS NOT NULL),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+       |    AND b.doc_id < a.doc_id),
+       |shs AS (SELECT doc_id, $sh3 AS sh FROM documents),
+       |dup AS (
+       |  SELECT DISTINCT p.id_new FROM pairs p
+       |  JOIN shs n ON n.doc_id = p.id_new
+       |  JOIN shs o ON o.doc_id = p.id_old
+       |  WHERE $jac >= ${graft.operators.Dedup.IncTau})
+       |SELECT d.doc_id, dup.id_new IS NULL AS admitted
+       |FROM documents d LEFT JOIN dup ON dup.id_new = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** foreachBatch incremental-dedup sink (st16's streaming form): per
+    * micro-batch, band the batch, probe the accumulated index, verify
+    * with exact Jaccard against the shingle store, emit (doc_id,
+    * admitted), then fold the batch's keys and shingles forward.
+    * localCheckpoint bounds lineage per batch (UpsertSink's note: the
+    * production index is a MERGE-capable table). */
+  class DedupAdmissionSink(tau: Double = graft.operators.Dedup.IncTau) {
+    import graft.functions.TextFunctions.{jaccardAuto, shingles3, tokens}
+    @volatile private var index: Option[DataFrame] = None   // (id, band, key), all seen
+    @volatile private var shStore: Option[DataFrame] = None // (id, sh), all seen
+    @volatile private var acc: Option[DataFrame] = None     // (doc_id, admitted)
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val s = batch.sparkSession
+      val keysB = graft.operators.Dedup.bandKeys(batch, "text", "doc_id")
+      val shB = batch.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
+      val probe = index.map(_.unionByName(keysB)).getOrElse(keysB)
+      val allSh = shStore.map(_.unionByName(shB)).getOrElse(shB)
+      val dup = keysB.select(col("band"), col("key"), col("id").as("id_new"))
+        .join(probe.select(col("band"), col("key"), col("id").as("id_old")), Seq("band", "key"))
+        .filter(col("id_old") < col("id_new"))
+        .select(col("id_new"), col("id_old")).distinct()
+        .join(allSh.select(col("id").as("id_new"), col("sh").as("sh_n")), Seq("id_new"))
+        .join(allSh.select(col("id").as("id_old"), col("sh").as("sh_o")), Seq("id_old"))
+        .filter(jaccardAuto(s, col("sh_n"), col("sh_o")) >= tau)
+        .select(col("id_new").as("doc_id")).distinct()
+      val decisions = batch.select(col("doc_id"))
+        .join(dup.withColumn("__d", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__d").isNull.as("admitted"))
+      index = Some(probe.localCheckpoint())
+      shStore = Some(allSh.localCheckpoint())
+      acc = Some(acc.map(_.unionByName(decisions)).getOrElse(decisions).localCheckpoint())
+    }
+    def decisions: Option[DataFrame] = acc
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_dedup_admission" -> (st16 _),
     "st15_stream_admission" -> (st15 _),
     "st14_stream_rollup" -> (st14 _),
     "st13_stream_drift" -> (st13 _),
@@ -956,6 +1059,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st16_stream_dedup_admission" -> st16Sql, // rebuild: streamed fold == full recompute
     "st15_stream_admission" -> st15Sql,
     "st14_stream_rollup" -> st14Sql, // full-rebuild GROUP BY: folded micro-batches == rebuild
     "st13_stream_drift" -> st13Sql,

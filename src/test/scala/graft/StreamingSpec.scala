@@ -367,6 +367,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("st16 streaming dedup admission: two different slicings equal the batch rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = Streams.st16(spark, sf).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(want.exists(s => s(1) == false),
+      "no doc was ever rejected — the near-dup corpus makes this non-vacuous")
+    def run(cuts: Seq[Int]): Set[Seq[Any]] = {
+      val mem = MemoryStream[(Long, String)]
+      val sink = new Streams.DedupAdmissionSink()
+      val q = mem.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+        .start()
+      try {
+        var prev = 0
+        cuts.foreach { c =>
+          mem.addData(recs.slice(prev, c).toIndexedSeq: _*); q.processAllAvailable(); prev = c
+        }
+        sink.decisions.get.collect().map(_.toSeq).toSet
+      } finally q.stop()
+    }
+    val n = recs.length
+    assert(run(Seq(n / 4, n / 2, 3 * n / 4, n)) === want,
+      "4-slice streamed fold diverged from the batch rebuild")
+    assert(run(Seq(n / 3, n)) === want,
+      "2-slice streamed fold diverged from the batch rebuild")
+  }
+
   test("st14 rollup fold is invariant to spark.sql.shuffle.partitions") {
     // The mergeable-state design claims ANY re-sharding of the fold is
     // harmless (associative+commutative state, exact-decimal sums).
