@@ -186,6 +186,29 @@ class TextLayoutSpec extends SparkSuite {
     }
   }
 
+  test("t13 threshold stays bit-exact as bins coarsen (boundary pass carries the slack)") {
+    // bins=16 makes quality strata huge — the histogram cut gets
+    // coarse and the boundary-stratum walk does most of the work; the
+    // composition must stay bit-equal to the greedy form regardless
+    val exact = TextOps.t13(spark, sf).collect().map(_.toSeq).toSeq
+    Seq(16, 1000) foreach { bins =>
+      val thr = TextOps.tokenBudgetByThreshold(
+          Tables.documents(spark, sf), "text", "source", "doc_id",
+          TextOps.tokenBudget, bins = bins)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(col("n_tok") * col("kept").cast("long")).as("kept_tokens"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(min(when(col("kept"), col("quality"))), 6).as("min_kept_quality"))
+        .withColumn("kept_frac",
+          round(col("kept_tokens").cast("double") / col("total_tokens"), 6))
+        .orderBy(col("source"))
+        .collect().map(_.toSeq).toSeq
+      assert(thr === exact, s"bins=$bins diverged")
+    }
+  }
+
   test("t13 threshold without boundary resolution: kept ⊆ exact, misses confined to ONE stratum") {
     val B = TextOps.tokenBudget
     val bins = 100000L
