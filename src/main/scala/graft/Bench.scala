@@ -138,11 +138,17 @@ object Bench {
       hotBuckets.foreach { bi =>
         results.indices.filter(results(_)._4 == bi).foreach { i =>
           val (name, t, susp, b) = results(i)
-          runOnce(qmap(name)).foreach(t2 => results(i) = (name, math.min(t, t2), susp, b))
-          calrr += name.takeWhile(_ != '_')
+          runOnce(qmap(name)) match {
+            case Some(t2) =>
+              results(i) = (name, math.min(t, t2), susp, b)
+              calrr += name.takeWhile(_ != '_')
+            // a query that succeeded in the sweep but threw on the
+            // re-run is an intermittent failure — surface it
+            case None => flaky += name.takeWhile(_ != '_')
+          }
         }
       }
-      calPoints += calibrate()
+      calPoints += calibrate() // brackets the rerun window
     }
 
     val total = results.map(_._2).sum
@@ -153,8 +159,13 @@ object Bench {
     // contention imperfectly) — `value` stays the raw wall-clock truth
     // and the full interleaved cal array ships alongside for readers
     // who want their own normalization.
+    val rerunCal = if (hotBuckets.nonEmpty) Some(calPoints.last) else None
     val totalNorm = results.groupBy(_._4).map { case (bi, rs) =>
-      val c = (calPoints(bi) + calPoints(bi + 1)) / 2.0
+      val cSweep = (calPoints(bi) + calPoints(bi + 1)) / 2.0
+      // a re-run bucket's min-merged times come from the CLEANER of
+      // its two measurement windows — normalizing clean times by the
+      // inflated in-sweep cal would double-correct (deflate) them
+      val c = if (hotBuckets.contains(bi)) math.min(cSweep, rerunCal.get) else cSweep
       rs.map(_._2).sum * calRef / c
     }.sum
     val sfName = new java.io.File(sfDir).getName
@@ -169,7 +180,7 @@ object Bench {
     val rerunStr = results.filter(_._3)
       .map(r => "\"" + r._1.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     val errStr = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val flakyStr = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyStr = flaky.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // calrr can span whole buckets (25 names); emit the count plus the
     // hot bucket indices instead of every name to protect the 2000-char
     // tail — the member queries are recoverable from sorted order.

@@ -212,7 +212,13 @@ object Corpus {
     val flaggedSem = cfg.embeddings match {
       case Some(emb) =>
         val surv = flagged2.filter(col("f_neardup")).select(id.as("__eid"))
+        // materialize: semanticDedup's trainCodebook evaluates its
+        // input 6+ times (init + per-iteration checkpoints), and
+        // embSurv's lineage is the ENTIRE lexical pipeline above —
+        // without this the quality/LM/dedup stages re-execute per
+        // k-means iteration (connectedComponents' own lesson)
         val embSurv = emb.join(surv, emb(idCol) === col("__eid")).drop("__eid")
+          .localCheckpoint()
         val drops = Dedup.semanticDedup(embSurv, idCol, "embedding",
             cfg.semanticK, cfg.semanticTau)
           .filter(!col("kept")).select(col("id").as("__sdrop"))

@@ -444,7 +444,7 @@ object Pipeline {
     // partition top-k + driver merge of 5-row heaps), never a full sort
     val orderable = df.schema.fields
       .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
-      .map(f => col(f.name))
+      .map(f => col(s"`${f.name}`")) // backticks: dots in CSV headers (the corr convention)
     val preview = if (orderable.nonEmpty) df.orderBy(orderable.toSeq: _*).limit(5)
       else df.limit(5)
     VizData(overview, targetDist, corrMatrix, hists, preview)

@@ -742,7 +742,13 @@ object Dedup {
                     // at every SF; production near-dup τ is ~0.9+
 
   def d11(s: SparkSession, dir: String): DataFrame = {
+    // zero-norm guard (the s9/s11 `nrm > 0` rule): cosine of a zero
+    // vector is NaN, which Spark orders ABOVE every double — an
+    // unguarded zero row would both assign garbage cells and pass the
+    // `cos >= tau` prune as a false duplicate (DuckDB's 0/0 is NULL,
+    // so the engines would also diverge). Excluded on both sides.
     val e = Tables.embeddings(s, dir)
+      .filter(normSq(col("embedding")) > 0)
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
@@ -770,14 +776,17 @@ object Dedup {
   val d11Sql: String = {
     val qcos = cosineSql("v.embedding", "c.cemb")
     val pcos = cosineSql("a.ea", "b.eb")
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+    s"""WITH nz AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${graft.functions.VectorFunctions.normSqSql("embedding")} > 0),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM nz WHERE vec_id < 8),
        |assigned AS (
        |  SELECT vec_id, embedding, cid AS cell FROM (
        |    SELECT v.vec_id, v.embedding, c.cid,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY $qcos DESC, c.cid) AS crk
-       |    FROM embeddings v, cents c)
+       |    FROM nz v, cents c)
        |  WHERE crk = 1),
        |a AS (SELECT cell, vec_id AS id_a, embedding AS ea FROM assigned),
        |b AS (SELECT cell, vec_id AS id_b, embedding AS eb FROM assigned),
@@ -804,12 +813,20 @@ object Dedup {
     * which is what collapses the degenerate identical-embedding mass).
     * Pruning rule is d11's keep-first: a row is pruned iff an
     * earlier-id same-cell row is ≥ τ cosine-similar; `dup_of` names
-    * the most similar such neighbor. Returns one row per input id:
-    * (id, cell, kept, dup_of, dup_cos). */
+    * the most similar such neighbor. Zero-norm embeddings (dead
+    * encoder output) have NO defined cosine — NaN would both assign a
+    * garbage cell and pass the τ filter (Spark orders NaN above every
+    * double), silently dropping the doc as a "duplicate" — so they
+    * bypass the pipeline and come back kept with cell = -1. Returns
+    * one row per input id: (id, cell, kept, dup_of, dup_cos). */
   def semanticDedup(emb: DataFrame, idCol: String, embCol: String,
       k: Int, tau: Double, iters: Int = 5, maxCell: Int = MaxBucket): DataFrame = {
     val s = emb.sparkSession
-    val base = emb.select(col(idCol).as("id"), col(embCol).as("embedding"))
+    val base0 = emb.select(col(idCol).as("id"), col(embCol).as("embedding"))
+    val base = base0.filter(normSq(col("embedding")) > 0)
+    val zeros = base0.filter(normSq(col("embedding")) <= 0)
+      .select(col("id"), lit(-1L).as("cell"), lit(true).as("kept"),
+        lit(null).cast("long").as("dup_of"), lit(null).cast("double").as("dup_cos"))
     val cents = broadcast(Similarity.trainCodebook(base, k, iters)
       .select(col("id").as("cid"), col("embedding").as("cemb")))
     val assigned = base.join(cents)
@@ -830,6 +847,7 @@ object Dedup {
       .join(near, Seq("id"), "left")
       .select(col("id"), col("cell"), col("dup_of").isNull.as("kept"),
         col("dup_of"), col("dup_cos"))
+      .unionByName(zeros)
   }
 
   // -------------------------------------------------------------------
@@ -949,8 +967,11 @@ object Dedup {
   //
   // THE ORACLE IS THE REBUILD (i2/q19's transparency pattern): the
   // DuckDB twin bands the FULL corpus and restricts to pairs touching
-  // a new doc — banding is deterministic, so incremental probing must
-  // produce byte-identical rows or the incremental path is wrong.
+  // a new doc — banding is deterministic AND the MaxBucket cap is
+  // computed over the same full key set on both sides (incremental
+  // caps over index ∪ batch = exactly the rebuild's corpus, QUALIFY
+  // in the twin), so incremental probing must produce byte-identical
+  // rows or the incremental path is wrong.
   // Scale shape: only the batch is banded (|batch| × 4 band keys);
   // probes are equi-joins against the (persisted) index; verify
   // touches candidate pairs only. Library form caps probe buckets
@@ -986,6 +1007,18 @@ object Dedup {
       .select(col("id_new"), col("id_other")).distinct()
   }
 
+  /** Exact shingle-Jaccard for candidate pairs (id_new, id_old)
+    * against a (doc_id, sh) shingle frame — the ONE verify step d13,
+    * st16 and the streaming DedupAdmissionSink share (three restated
+    * copies is how a threshold or tie rule silently drifts). Returns
+    * (id_new, id_old, jac). */
+  def pairJaccard(pairs: DataFrame, shingles: DataFrame): DataFrame =
+    pairs
+      .join(shingles.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), Seq("id_new"))
+      .join(shingles.select(col("doc_id").as("id_old"), col("sh").as("sh_o")), Seq("id_old"))
+      .withColumn("jac", jaccardAuto(pairs.sparkSession, col("sh_n"), col("sh_o")))
+      .select(col("id_new"), col("id_old"), col("jac"))
+
   def d13(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     // SF-independent batch cut as a provably-1-row broadcast (q23's
@@ -997,13 +1030,10 @@ object Dedup {
     val pairs = incrementalNearDupPairs(bandKeys(oldDocs, "text", "doc_id"),
       newDocs, "text", "doc_id")
     val sh = docs.select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
-    val scored = pairs
-      .join(sh.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), Seq("id_new"))
-      .join(sh.select(col("doc_id").as("id_other"), col("sh").as("sh_o")), Seq("id_other"))
-      .withColumn("jac", jaccardAuto(s, col("sh_n"), col("sh_o")))
+    val scored = pairJaccard(pairs.withColumnRenamed("id_other", "id_old"), sh)
       .groupBy(col("id_new"))
       .agg(count(lit(1)).as("n_cand"),
-        max_by(col("id_other"), struct(col("jac"), -col("id_other"))).as("best_match"),
+        max_by(col("id_old"), struct(col("jac"), -col("id_old"))).as("best_match"),
         round(max(col("jac")), 6).as("best_jac"))
     newDocs.select(col("doc_id"))
       .join(scored.withColumnRenamed("id_new", "doc_id"), Seq("doc_id"), "left")
@@ -1027,7 +1057,8 @@ object Dedup {
        |bk AS (
        |  SELECT doc_id, band, key FROM k,
        |    LATERAL (SELECT * FROM (VALUES $kv) v(band, key))
-       |  WHERE key IS NOT NULL),
+       |  WHERE key IS NOT NULL
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $MaxBucket),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_other
        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key, cut

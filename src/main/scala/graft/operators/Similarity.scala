@@ -634,7 +634,7 @@ object Similarity {
        |  FROM surv s
        |  JOIN embeddings q ON q.vec_id = s.q_id
        |  JOIN embeddings c ON c.vec_id = s.cand_id
-       |  WHERE s.crk <= 96),
+       |  WHERE s.crk <= 12),
        |ranked AS (
        |  SELECT q_id, cand_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk

@@ -967,10 +967,8 @@ object Streams {
       .filter(col("id_old") < col("id_new"))
       .select(col("id_new"), col("id_old")).distinct()
     val sh = docs.select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
-    val dup = pairs
-      .join(sh.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), Seq("id_new"))
-      .join(sh.select(col("doc_id").as("id_old"), col("sh").as("sh_o")), Seq("id_old"))
-      .filter(jaccardAuto(s, col("sh_n"), col("sh_o")) >= graft.operators.Dedup.IncTau)
+    val dup = graft.operators.Dedup.pairJaccard(pairs, sh)
+      .filter(col("jac") >= graft.operators.Dedup.IncTau)
       .select(col("id_new").as("doc_id")).distinct()
     docs.select(col("doc_id"))
       .join(dup.withColumn("__d", lit(true)), Seq("doc_id"), "left")
@@ -1013,7 +1011,14 @@ object Streams {
     * with exact Jaccard against the shingle store, emit (doc_id,
     * admitted), then fold the batch's keys and shingles forward.
     * localCheckpoint bounds lineage per batch (UpsertSink's note: the
-    * production index is a MERGE-capable table). */
+    * production index is a MERGE-capable table).
+    *
+    * Deliberately UNCAPPED, unlike the batch `incrementalNearDupPairs`
+    * (MaxBucket): a mid-stream cap would depend on how much of the
+    * bucket has ARRIVED, so the admitted set would stop being a pure
+    * function of the global id order and the fold == rebuild oracle
+    * would break. The streaming hot-bucket defense is upstream exact
+    * dedup (the same doctrine), not bucket dropping. */
   class DedupAdmissionSink(tau: Double = graft.operators.Dedup.IncTau) {
     import graft.functions.TextFunctions.{jaccardAuto, shingles3, tokens}
     @volatile private var index: Option[DataFrame] = None   // (id, band, key), all seen
@@ -1025,13 +1030,13 @@ object Streams {
       val shB = batch.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
       val probe = index.map(_.unionByName(keysB)).getOrElse(keysB)
       val allSh = shStore.map(_.unionByName(shB)).getOrElse(shB)
-      val dup = keysB.select(col("band"), col("key"), col("id").as("id_new"))
+      val cands = keysB.select(col("band"), col("key"), col("id").as("id_new"))
         .join(probe.select(col("band"), col("key"), col("id").as("id_old")), Seq("band", "key"))
         .filter(col("id_old") < col("id_new"))
         .select(col("id_new"), col("id_old")).distinct()
-        .join(allSh.select(col("id").as("id_new"), col("sh").as("sh_n")), Seq("id_new"))
-        .join(allSh.select(col("id").as("id_old"), col("sh").as("sh_o")), Seq("id_old"))
-        .filter(jaccardAuto(s, col("sh_n"), col("sh_o")) >= tau)
+      val dup = graft.operators.Dedup.pairJaccard(cands,
+          allSh.withColumnRenamed("id", "doc_id"))
+        .filter(col("jac") >= tau)
         .select(col("id_new").as("doc_id")).distinct()
       val decisions = batch.select(col("doc_id"))
         .join(dup.withColumn("__d", lit(true)), Seq("doc_id"), "left")

@@ -443,13 +443,17 @@ class TextDedupSpec extends SparkSuite {
       20L -> v(0, 0, 1, 0), 21L -> v(0, 0, 0, 1),
       40L -> v(0.5, 0.5, 0.5, 0.5),
       10L -> v(1, 1, 0, 0), 11L -> v(1, 1, 0, 0), 12L -> v(1, 1, 0, 0), // group A
-      30L -> v(0, 0, 1, 1), 31L -> v(0, 0, 1, 1))                       // group B
+      30L -> v(0, 0, 1, 1), 31L -> v(0, 0, 1, 1),                       // group B
+      50L -> v(0, 0, 0, 0)) // dead encoder output: no defined cosine
     val df = rows.toDF("id", "embedding")
     val out = Dedup.semanticDedup(df, "id", "embedding", k = 3, tau = 0.95).collect()
     assert(out.length === rows.length)
     val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
     val dupOf = out.filter(!_.getBoolean(2)).map(r => r.getLong(0) -> r.getLong(3)).toMap
-    assert(kept === Set(0L, 1L, 20L, 21L, 40L, 10L, 30L))
+    assert(kept === Set(0L, 1L, 20L, 21L, 40L, 10L, 30L, 50L))
+    // the zero-norm row bypasses (cell -1, kept) instead of NaN-pruning
+    val z = out.find(_.getLong(0) == 50L).get
+    assert(z.getLong(1) === -1L && z.getBoolean(2) && z.isNullAt(3))
     assert(dupOf === Map(11L -> 10L, 12L -> 10L, 31L -> 30L),
       "each pruned row names its group's first id (best match, tie → min id)")
     val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -500,8 +504,13 @@ class TextDedupSpec extends SparkSuite {
         Dedup.bandKeys(docs.filter(col("doc_id") < cut), "text", "doc_id"),
         docs.filter(col("doc_id") >= cut), "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // rebuild: band the WHOLE corpus, keep pairs whose subject is new
-    val fullKeys = Dedup.bandKeys(docs, "text", "doc_id")
+    // rebuild: band the WHOLE corpus, apply the same MaxBucket cap
+    // (over the same full key set the incremental side caps on), keep
+    // pairs whose subject is new
+    val fullKeys0 = Dedup.bandKeys(docs, "text", "doc_id")
+    val fullKeys = fullKeys0.withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__bsz") <= Dedup.MaxBucket).drop("__bsz")
     val full = fullKeys.as("a").join(fullKeys.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") =!= col("b.id"))
