@@ -12,7 +12,7 @@ import graft.operators._
   * Family → implementation map:
   *  - q1–q38   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram, min-cost supplier, funnel, global-fraction HAVING, dominant shippers, cohort retention, basket pairs, decorrelated HAVING semi-join, bucketed interval-overlap join)
   *  - c1–c15   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit/gap-fill/MAD outliers)
-  *  - m1–m24   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC/calibration/chi-squared)
+  *  - m1–m25   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix ×2 (uniform + weighted)/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC/calibration/chi-squared)
   *  - t1–t14   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report/langid confusion/seq packing/token budget/ppl buckets — each of t12-t14 with a spec'd scale-path variant)
   *  - d1–d13   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit/novelty/semantic dedup/span scrub/incremental near-dup)
   *  - s1–s11   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k, SQ8 rerank, recall audit, PQ-ADC)

@@ -1162,7 +1162,84 @@ object MLPrep {
       |  round(sqrt(chi2_raw / (n * least(r - 1, c - 1))), 6) AS cramers_v
       |FROM f""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m25: WEIGHTED domain mixing — m16 with arbitrary per-source target
+  // weights instead of a uniform split: the knob every published data
+  // recipe actually turns (Pile/ROOTS/Dolma assign web/code/books
+  // different shares; DoReMi learns them). Each source's token target
+  // is budget·w_s/Σw (budget = half the corpus, m16's convention), met
+  // by the same deterministic doc_id-hash threshold; sources under
+  // their target keep everything. Output is the per-source attrition
+  // report (weight, tokens, target, kept docs/tokens) — the mix sheet
+  // a recipe review reads.
+  //
+  // Scale shape: m16's exactly — ONE O(#sources) aggregate, targets
+  // via an empty-partition window over those bounded rows (allowlist-
+  // audited: corpus sources are contract-bounded), thresholds
+  // broadcast back, map-side keep, one report aggregation. All
+  // arithmetic is 64-bit integer div, bit-replayable in DuckDB. The
+  // oracle weights derive from the source INDEX (src7 → 7 % 4 + 1) so
+  // the weight table needs no side channel; the library form
+  // [[weightedDomainMix]] takes a (source, weight) frame.
+  def m25(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+    weightedDomainMix(d, expr("cast(substr(source, 4) as bigint) % 4 + 1"))
+      .orderBy(col("source"))
+  }
+
+  /** Library API: weighted token-budget domain mix over a (doc_id,
+    * source, n_toks) frame; `weight` is any integer Column derivable
+    * per row (join a recipe table and pass its column for learned
+    * weights). Budget = `budgetNum/budgetDen` of total corpus tokens
+    * (default 1/2, m16's convention). Returns the per-source report. */
+  def weightedDomainMix(d: DataFrame, weight: Column,
+      budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
+    val B = graft.functions.Sampling.Buckets
+    val per = d.withColumn("__w", weight.cast("long"))
+      .groupBy(col("source"), col("__w")).agg(sum(col("n_toks")).as("__src_toks"))
+    val thr = per.select(col("source"), col("__w"), col("__src_toks"),
+      expr(s"(((sum(__src_toks) over ()) * ${budgetNum}L div ${budgetDen}L) * __w) div (sum(__w) over ())")
+        .as("__target"))
+      .withColumn("__thr", expr(s"least(${B}L, (${B}L * __target) div __src_toks)"))
+    d.join(broadcast(thr), Seq("source"))
+      .withColumn("__kept",
+        (graft.functions.Sampling.bucket(col("doc_id")) < col("__thr")).cast("long"))
+      .groupBy(col("source"), col("__w"), col("__src_toks"), col("__target"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__kept")).as("kept_docs"),
+        sum(col("n_toks") * col("__kept")).as("kept_tokens"))
+      .select(col("source"), col("__w").as("weight"), col("__src_toks").as("src_tokens"),
+        col("__target").as("target_tokens"), col("n_docs"), col("kept_docs"),
+        col("kept_tokens"))
+  }
+
+  val m25Sql: String = {
+    val toks = graft.functions.TextFunctions.tokensSql("text")
+    val B = graft.functions.Sampling.Buckets
+    s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_toks FROM documents),
+       |p AS (SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
+       |        CAST(sum(n_toks) AS BIGINT) AS src_toks
+       |      FROM d GROUP BY 1, 2),
+       |thr AS (SELECT source, w, src_toks,
+       |          (((CAST(sum(src_toks) OVER () AS BIGINT) * 1) // 2) * w)
+       |            // CAST(sum(w) OVER () AS BIGINT) AS target,
+       |          least($B, ($B * ((((CAST(sum(src_toks) OVER () AS BIGINT) * 1) // 2) * w)
+       |            // CAST(sum(w) OVER () AS BIGINT))) // src_toks) AS thr
+       |        FROM p)
+       |SELECT source, t.w AS weight, t.src_toks AS src_tokens,
+       |  CAST(t.target AS BIGINT) AS target_tokens,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN ${graft.functions.Sampling.bucketSql("d.doc_id")} < t.thr
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       |  CAST(sum(CASE WHEN ${graft.functions.Sampling.bucketSql("d.doc_id")} < t.thr
+       |    THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM d JOIN thr t USING (source)
+       |GROUP BY source, t.w, t.src_toks, t.target
+       |ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m25_weighted_mix" -> (m25 _),
     "m24_chi2" -> (m24 _),
     "m21_welch_ttest" -> (m21 _),
     "m22_auc" -> (m22 _),
@@ -1181,6 +1258,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m25_weighted_mix" -> m25Sql,
     "m24_chi2" -> m24Sql,
     "m21_welch_ttest" -> m21Sql,
     "m22_auc" -> m22Sql,

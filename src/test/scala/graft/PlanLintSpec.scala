@@ -36,6 +36,7 @@ class PlanLintSpec extends SparkSuite {
     "q23_revenue_share" -> "25 nation rows (schema-bounded dim)",
     "q24_daily_audience" -> "calendar days (domain-bounded)",
     "m16_domain_mix" -> "corpus sources (contract-bounded)",
+    "m25_weighted_mix" -> "corpus sources (contract-bounded, m16's bound)",
     "mm6_shard_plan" -> "16 hex shards (construction-bounded)",
     "c5_label_encode" -> ("distinct values of a label-encode column — " +
       "contract-bounded: label encoding is only for low-cardinality " +
