@@ -1238,7 +1238,73 @@ object MLPrep {
        |ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // m26: mutual information between a binned numeric feature and a
+  // categorical label — the model-free dependence score feature
+  // selection ranks by (chi² (m24) tests independence; MI measures its
+  // STRENGTH in nats). Shape: ONE fact shuffle (the joint (bin, class)
+  // counts); both marginals and the grand total derive from the
+  // 25-cell joint — never a second scan — and broadcast back.
+  // Determinism: every count is exact integer; each cell's term is a
+  // fixed expression tree over integers rounded to 6dp (m20's psi_term
+  // rule: per-CELL terms, no cross-cell double sum whose association
+  // order could differ between engines). MI itself = sum of mi_term —
+  // the library `mutualInfo` does that one addition.
+  def m26(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(least(floor(col("value") / 100), lit(4L)).cast("long").as("bin"),
+        col("event_type"))
+    val joint = binned.groupBy(col("bin"), col("event_type"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = joint.groupBy(col("bin")).agg(sum(col("n_xy")).as("n_x"))
+    val my = joint.groupBy(col("event_type")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = joint.agg(sum(col("n_xy")).as("n"))
+    joint
+      .join(broadcast(mx), Seq("bin"))
+      .join(broadcast(my), Seq("event_type"))
+      .crossJoin(broadcast(tot)) // provably 1 row
+      .select(col("bin"), col("event_type"), col("n_xy"), col("n_x"), col("n_y"),
+        round((col("n_xy").cast("double") / col("n")) *
+          log((col("n").cast("double") * col("n_xy")) /
+            (col("n_x").cast("double") * col("n_y"))), 6).as("mi_term"))
+      .orderBy(col("bin"), col("event_type"))
+  }
+
+  /** Library API: scalar mutual information (nats) between `x` binned
+    * by `bin` and categorical `y` — one fact shuffle, marginals from
+    * the joint. The final reduction sums the 6dp cell terms. */
+  def mutualInfo(df: DataFrame, bin: Column, y: Column): DataFrame = {
+    val joint = df.select(bin.as("__b"), y.as("__y"))
+      .groupBy(col("__b"), col("__y")).agg(count(lit(1)).as("n_xy"))
+    val mx = joint.groupBy(col("__b")).agg(sum(col("n_xy")).as("n_x"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = joint.agg(sum(col("n_xy")).as("n"))
+    joint.join(broadcast(mx), Seq("__b")).join(broadcast(my), Seq("__y"))
+      .crossJoin(broadcast(tot))
+      .agg(round(sum((col("n_xy").cast("double") / col("n")) *
+        log((col("n").cast("double") * col("n_xy")) /
+          (col("n_x").cast("double") * col("n_y")))), 6).as("mi_nats"))
+  }
+
+  val m26Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(least(floor(value / 100), 4) AS BIGINT) AS bin, event_type
+      |  FROM events WHERE value IS NOT NULL),
+      |j AS (SELECT bin, event_type, count(*) AS n_xy FROM b GROUP BY 1, 2),
+      |mx AS (SELECT bin, CAST(sum(n_xy) AS BIGINT) AS n_x FROM j GROUP BY 1),
+      |my AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_y FROM j GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j)
+      |SELECT bin, j.event_type, n_xy, n_x, n_y,
+      |  round((CAST(n_xy AS DOUBLE) / n) *
+      |    ln((CAST(n AS DOUBLE) * n_xy) / (CAST(n_x AS DOUBLE) * n_y)), 6) AS mi_term
+      |FROM j
+      |JOIN mx USING (bin)
+      |JOIN my USING (event_type)
+      |CROSS JOIN t
+      |ORDER BY bin, j.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m26_mutual_info" -> (m26 _),
     "m25_weighted_mix" -> (m25 _),
     "m24_chi2" -> (m24 _),
     "m21_welch_ttest" -> (m21 _),
@@ -1258,6 +1324,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m26_mutual_info" -> m26Sql,
     "m25_weighted_mix" -> m25Sql,
     "m24_chi2" -> m24Sql,
     "m21_welch_ttest" -> m21Sql,

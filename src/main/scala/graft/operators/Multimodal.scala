@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -258,7 +258,95 @@ object Multimodal {
       |FROM q
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm8: perceptual-hash near-dup detection over binary payloads — the
+  // image-dedup pass (pHash/dHash family) every multimodal corpus runs.
+  // A real pHash comes from the DECODED image's DCT; the decode is this
+  // container's one stub (mm2), so the hash here is a simhash64 over
+  // the payload's byte 4-grams (ASCII text ⇒ byte == char code point,
+  // same equivalence mm2 documents) — the locality-sensitive
+  // bit-majority structure is the same, and everything downstream IS
+  // the production machinery: 64-bit hash, 4×16-bit pigeonhole chunk
+  // bucketing (Hamming ≤ 3 ⇒ at least one of 4 chunks untouched, so
+  // banding is lossless at the threshold), bucket-join candidates only
+  // (never doc×doc), exact Hamming verify, per-doc best match.
+  // Scale: the join shuffles fixed-width (chunk, value) keys; output is
+  // LEFT-joined back so every payload reports (is_neardup 0/1).
+  private def byteGramCodes(text: Column): Column =
+    when(length(text) >= 4,
+      transform(sequence(lit(1), length(text) - 3),
+        i => ascii(text.substr(i, lit(1))) * 29791L +
+          ascii(text.substr(i + lit(1), lit(1))) * 961L +
+          ascii(text.substr(i + lit(2), lit(1))) * 31L +
+          ascii(text.substr(i + lit(3), lit(1)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  def mm8(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.simhash64
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("__len"),
+        simhash64(byteGramCodes(col("text"))).as("phash"))
+    // payloads too small to yield a 4-gram all hash to 0 — they must
+    // not bucket together (a real pipeline floors payload size first)
+    val chunks = sigs.filter(col("__len") >= 4).select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L)) * 4 + b): _*))
+        .as("bkey"))
+    val a = chunks.select(col("doc_id").as("x"), col("phash").as("px"), col("bkey"))
+    val b = chunks.select(col("doc_id").as("y"), col("phash").as("py"), col("bkey"))
+    val pairs = a.join(b, Seq("bkey")).filter(col("x") < col("y"))
+      .select(col("x"), col("y"), col("px"), col("py")).distinct()
+    val nd = pairs
+      .withColumn("h", bit_count(expr("px ^ py")).cast("long"))
+      .filter(col("h") <= 3)
+    val sym = nd.select(col("x").as("d"), col("y").as("o"), col("h"))
+      .union(nd.select(col("y").as("d"), col("x").as("o"), col("h")))
+    val w = Window.partitionBy(col("d")).orderBy(col("h"), col("o"))
+    val best = sym.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+    sigs.join(best, sigs("doc_id") === best("d"), "left")
+      .select(col("doc_id"), col("phash"), col("o").as("best_match"),
+        col("h").as("best_hamming"),
+        when(col("o").isNull, 0L).otherwise(1L).as("is_neardup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mm8Sql: String = {
+    import graft.functions.TextFunctions.simhash64Sql
+    val codes =
+      """CASE WHEN length(text) >= 4 THEN
+        |  list_transform(generate_series(1, length(text) - 3),
+        |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) * 29791
+        |       + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 961
+        |       + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 31
+        |       + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT))
+        |  ELSE CAST([] AS BIGINT[]) END""".stripMargin
+    s"""WITH c AS (SELECT doc_id, $codes AS codes FROM documents),
+       |s AS (SELECT doc_id, ${simhash64Sql("codes")} AS phash FROM c),
+       |k AS (
+       |  SELECT s.doc_id, phash, ((phash >> (16 * b)) & 65535) * 4 + b AS bkey
+       |  FROM s JOIN c ON s.doc_id = c.doc_id,
+       |    LATERAL (SELECT unnest([0, 1, 2, 3]) AS b)
+       |  WHERE len(codes) > 0),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y, a.phash AS px, b.phash AS py
+       |  FROM k a JOIN k b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |nd AS (
+       |  SELECT x, y, CAST(bit_count(xor(px, py)) AS BIGINT) AS h
+       |  FROM p WHERE bit_count(xor(px, py)) <= 3),
+       |sym AS (SELECT x AS d, o, h FROM (
+       |  SELECT x, y AS o, h FROM nd UNION ALL SELECT y AS x, x AS o, h FROM nd)),
+       |best AS (
+       |  SELECT d, o, h FROM sym
+       |  QUALIFY row_number() OVER (PARTITION BY d ORDER BY h, o) = 1)
+       |SELECT s.doc_id, s.phash, best.o AS best_match, best.h AS best_hamming,
+       |  CAST(CASE WHEN best.o IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_neardup
+       |FROM s LEFT JOIN best ON s.doc_id = best.d
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm8_phash_neardup" -> (mm8 _),
     "mm7_decode_budget" -> (mm7 _),
     "mm6_shard_plan" -> (mm6 _),
     "mm5_payload_dedup" -> (mm5 _),
@@ -266,6 +354,7 @@ object Multimodal {
     "mm4_modality_stats" -> (mm4 _))
 
   def oracles: Map[String, String] = Map(
+    "mm8_phash_neardup" -> mm8Sql,
     "mm7_decode_budget" -> mm7Sql,
     "mm6_shard_plan" -> mm6Sql,
     "mm5_payload_dedup" -> mm5Sql,

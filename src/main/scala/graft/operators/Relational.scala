@@ -1515,7 +1515,58 @@ object Relational {
       |GROUP BY ws
       |ORDER BY ws""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q39: TPC-H Q10-style returned-item reporting — revenue lost to
+  // returns per customer over one quarter, top-20. Shape decisions:
+  // the fact join (lineitem⋈orders) aggregates to o_custkey grain
+  // BEFORE touching any dimension (the Q10-as-written 4-way join would
+  // carry c_name/n_name through the fact shuffle); customer then joins
+  // the ~|customers-with-returns| aggregate (AQE broadcasts the agg
+  // side at low SF; at 100 TB it stays a shuffle join on custkey —
+  // both sides custkey-partitioned, no replanning needed), and the
+  // 25-row nation dim broadcasts. Both scan filters (returnflag, the
+  // orderdate quarter) push down. Revenue is exact DECIMAL(18,2)
+  // accumulation cast to double at the edge (the q3 rule); top-20 is
+  // TakeOrderedAndProject with a c_custkey tiebreak.
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+    rev
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q39Sql: String =
+    """SELECT c_custkey, c_name, n_name, c_acctbal,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_returned_customers" -> (q39 _),
     "q38_interval_overlap" -> (q38 _),
     "q37_big_orders" -> (q37 _),
     "q33_important_parts" -> (q33 _),
@@ -1556,6 +1607,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q39_returned_customers" -> q39Sql,
     "q38_interval_overlap" -> q38Sql,
     "q37_big_orders" -> q37Sql,
     "q33_important_parts" -> q33Sql,

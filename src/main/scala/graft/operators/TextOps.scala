@@ -794,7 +794,107 @@ object TextOps {
     pplBucketsByThreshold(scored, resolveTies).orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------
+  // t15: Gopher-style rule filter (Rae et al. 2021 §A1.1, the
+  // pretraining quality gate that runs BEFORE anything expensive):
+  // token-count bounds, mean-word-length bounds, alpha-word fraction,
+  // required-stopword presence. Every rule compares INTEGERS (the
+  // word-length bound is 3·n ≤ Σlen ≤ 10·n, the 80% alpha fraction is
+  // 5·n_alpha ≥ 4·n) so the flags carry no FP rounding anywhere; the
+  // one double (mean word length, reported for the profile) is a
+  // single division rounded to 4dp. Map-only — scan-bound at 100 TB.
+  //
+  // Reference tie-in: the reference gates rows only by dtype/null
+  // handling (main.py:66-129); a corpus pipeline gates documents.
+  // Rule constants are the published Gopher values where this corpus
+  // can exercise them (50 ≤ tokens, word length in [3,10], 80% alpha
+  // words, ≥2 distinct stopwords).
+  def t15(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+          .as("sum_word_len"),
+        size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+          .as("n_alpha_words"),
+        size(array_intersect(array_distinct(toks),
+          array(stopwords.map(lit(_)): _*))).cast("long").as("n_distinct_stop"))
+      .withColumn("mean_word_len",
+        when(col("n_tokens") > 0,
+          round(col("sum_word_len").cast("double") / col("n_tokens"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("r_len",
+        (col("n_tokens") >= 50L && col("n_tokens") <= 100000L).cast("long"))
+      .withColumn("r_wordlen",
+        (col("sum_word_len") >= col("n_tokens") * 3L &&
+          col("sum_word_len") <= col("n_tokens") * 10L).cast("long"))
+      .withColumn("r_alpha",
+        (col("n_alpha_words") * 5L >= col("n_tokens") * 4L).cast("long"))
+      .withColumn("r_stop", (col("n_distinct_stop") >= 2L).cast("long"))
+      .withColumn("keep",
+        (col("r_len") + col("r_wordlen") + col("r_alpha") + col("r_stop") === 4L)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Library API: t15's gate over any corpus frame — returns the input
+    * plus the rule flags and `keep` (map-only; compose ahead of dedup
+    * exactly like `Corpus.curate`'s quality stage). */
+  def gopherFilter(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("__n", size(toks).cast("long"))
+      .withColumn("__sl", aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long")))
+      .withColumn("__na", size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("__ns", size(array_intersect(array_distinct(toks),
+        array(stopwords.map(lit(_)): _*))).cast("long"))
+      .withColumn("r_len", (col("__n") >= 50L && col("__n") <= 100000L).cast("long"))
+      .withColumn("r_wordlen",
+        (col("__sl") >= col("__n") * 3L && col("__sl") <= col("__n") * 10L).cast("long"))
+      .withColumn("r_alpha", (col("__na") * 5L >= col("__n") * 4L).cast("long"))
+      .withColumn("r_stop", (col("__ns") >= 2L).cast("long"))
+      .withColumn("keep",
+        (col("r_len") + col("r_wordlen") + col("r_alpha") + col("r_stop") === 4L)
+          .cast("long"))
+      .drop("__n", "__sl", "__na", "__ns")
+  }
+
+  val t15Sql: String = {
+    val inList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+       |      AS BIGINT) AS sum_word_len,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+       |      AS BIGINT) AS n_alpha_words,
+       |    CAST(len(list_intersect(list_distinct(toks), [$inList]))
+       |      AS BIGINT) AS n_distinct_stop
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents))
+       |SELECT doc_id, n_tokens, sum_word_len, n_alpha_words, n_distinct_stop,
+       |  CASE WHEN n_tokens > 0
+       |    THEN round(CAST(sum_word_len AS DOUBLE) / n_tokens, 4)
+       |    ELSE 0.0 END AS mean_word_len,
+       |  CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS r_len,
+       |  CAST(CASE WHEN sum_word_len BETWEEN n_tokens * 3 AND n_tokens * 10
+       |    THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+       |  CAST(CASE WHEN n_alpha_words * 5 >= n_tokens * 4 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS r_alpha,
+       |  CAST(CASE WHEN n_distinct_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS r_stop,
+       |  CAST(CASE WHEN (CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN sum_word_len BETWEEN n_tokens * 3 AND n_tokens * 10 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN n_alpha_words * 5 >= n_tokens * 4 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN n_distinct_stop >= 2 THEN 1 ELSE 0 END) = 4
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_gopher_filter" -> (t15 _),
     "t14_ppl_buckets" -> (t14 _),
     "t12_seq_pack" -> (t12 _), "t13_token_budget" -> (t13 _),
     "t11_langid_confusion" -> (t11 _),
@@ -806,6 +906,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t15_gopher_filter" -> t15Sql,
     "t14_ppl_buckets" -> t14Sql,
     "t12_seq_pack" -> t12Sql, "t13_token_budget" -> t13Sql,
     "t11_langid_confusion" -> t11Sql,

@@ -422,4 +422,29 @@ class CleaningSpec extends SparkSuite {
     assert(math.abs(rn.getAs[Double]("chi2") - 240.0) < 1e-6)
     assert(!rn.getAs[Double]("cramers_v").isNaN)
   }
+
+  test("m26 mutual info: 0 under independence, ln(k) under a deterministic uniform label") {
+    import spark.implicits._
+    // y = x over 3 uniform values → MI = ln 3 exactly
+    val assoc = (1 to 120).map(k => (s"a${k % 3}", s"b${k % 3}")).toDF("x", "y")
+    val ma = MLPrep.mutualInfo(assoc, col("x"), col("y")).head().getAs[Double]("mi_nats")
+    assert(math.abs(ma - math.log(3.0)) < 1e-5)
+    // factorizing counts → every cell term is ln(1) = 0 exactly
+    val indep = (for { i <- 0 until 3; j <- 0 until 4; _ <- 0 until (i + 1) * (j + 1) }
+      yield (s"a$i", s"b$j")).toDF("x", "y")
+    val mi = MLPrep.mutualInfo(indep, col("x"), col("y")).head().getAs[Double]("mi_nats")
+    assert(math.abs(mi) < 1e-12, "independent table must score exactly 0")
+    // inventory binding: cell terms finite, marginals consistent with the joint
+    val rows = MLPrep.m26(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val n = rows.map(_.getAs[Long]("n_xy")).sum
+    rows.groupBy(_.getAs[Long]("bin")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_xy")).sum === rs.head.getAs[Long]("n_x"))
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_xy")).sum === rs.head.getAs[Long]("n_y"))
+    }
+    assert(rows.forall(r => !r.getAs[Double]("mi_term").isNaN))
+    assert(n > 0L)
+  }
 }

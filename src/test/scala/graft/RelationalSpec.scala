@@ -396,6 +396,43 @@ class RelationalSpec extends SparkSuite {
     assert(got.nonEmpty, "q37 must be non-vacuous at this SF")
   }
 
+  test("q39 returned-item report equals brute force; dims join after the custkey aggregate") {
+    val q = Relational.q39(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("lineitem".r.findAllIn(plan).size == 1, s"fact scanned once:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"),
+      "the returnflag filter must reach the parquet scan")
+    assert(!plan.contains("CartesianProduct"))
+
+    val lo = java.time.Instant.parse("1996-01-01T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("1996-04-01T00:00:00Z").toEpochMilli
+    val oMap = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
+      .collect()
+      .flatMap(r => if (r.getLong(2) >= lo && r.getLong(2) < hi)
+        Some(r.getLong(0) -> r.getLong(1)) else None).toMap
+    val revByCust = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")).collect()
+      .flatMap { r =>
+        oMap.get(r.getLong(0)).map(ck => ck ->
+          (BigDecimal(r.getDouble(1)).setScale(2) *
+            (BigDecimal(1).setScale(2) - BigDecimal(r.getDouble(2)).setScale(2))))
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum.toDouble }
+    val cust = Tables.customer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        ((r.getAs[String]("c_name"), r.getAs[Int]("c_nationkey"), r.getAs[Double]("c_acctbal")))).toMap
+    val nat = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val want = revByCust.toSeq.map { case (ck, rev) =>
+      val (nm, nk, bal) = cust(ck); (ck, nm, nat(nk), bal, rev)
+    }.sortBy { case (ck, _, _, _, rev) => (-rev, ck) }.take(20)
+    val got = q.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "q39 must be non-vacuous at this SF")
+  }
+
   test("intervalJoin: half-open boundaries, exactly-once pairing, overlap fan-out") {
     import spark.implicits._
     // intervals: A [100,200) and B [150,250) overlap in [150,200);

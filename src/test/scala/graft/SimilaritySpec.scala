@@ -149,6 +149,36 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(skews.sum - 16.0) < 1e-9)
   }
 
+  test("mm8 phash near-dup: identical payloads pair at Hamming 0; tiny payloads never bucket") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm8").toString
+    val twin = "the quick brown fox jumps over the lazy dog and runs far away"
+    Seq(
+      (1L, twin, "en", "web", twin.length.toLong),
+      (2L, twin, "en", "web", twin.length.toLong),
+      (3L, "abc", "en", "web", 3L),   // < one 4-gram: must not bucket
+      (4L, "xy", "en", "web", 2L))    // would collide with 3 on phash 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Multimodal.mm8(spark, dir).collect()
+      .map(row => row.getLong(0) ->
+        ((if (row.isNullAt(2)) -1L else row.getLong(2),
+          if (row.isNullAt(3)) -1L else row.getLong(3), row.getLong(4)))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L), "every payload reports exactly once")
+    assert(r(1L) === ((2L, 0L, 1L)), "identical payload found at Hamming 0")
+    assert(r(2L) === ((1L, 0L, 1L)), "the match is symmetric")
+    assert(r(3L) === ((-1L, -1L, 0L)) && r(4L) === ((-1L, -1L, 0L)),
+      "sub-gram payloads share phash 0 but must never pair")
+    // corpus run: one row per doc, flags consistent, verify bound holds
+    val full = Multimodal.mm8(spark, sf).collect()
+    assert(full.length === Tables.documents(spark, sf).count().toInt)
+    full.foreach { row =>
+      val flagged = row.getLong(4) === 1L
+      assert(row.isNullAt(2) !== flagged, "is_neardup iff a best match exists")
+      if (flagged) assert(row.getLong(3) <= 3L, "candidates beyond Hamming 3 are rejected")
+    }
+  }
+
   test("s7 range search returns exactly the vectors inside the radius") {
     import spark.implicits._
     // hand-built geometry: query [1,0,0,0] against known-cosine corpus

@@ -541,4 +541,35 @@ class TextDedupSpec extends SparkSuite {
     assert(pruned.forall { case (_, cell, _, d) => cellOf(d) === cell },
       "dup_of never crosses a cell")
   }
+
+  test("t15 gopher filter: one planted victim per rule; integer flags agree with the counts") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over a lazy dog near river banks " * 5).trim)
+    val short = "the quick a fox"                                  // fails r_len only
+    val longWords = (Seq.fill(50)("extraordinarily") ++ Seq("the", "a")).mkString(" ") // mean len > 10
+    val numeric = (Seq.fill(30)("123") ++ Seq.fill(20)("word") ++ Seq("the", "a")).mkString(" ") // alpha < 80%
+    val noStop = Seq.fill(55)("word").mkString(" ")                // no stopwords
+    val docs = Seq((1L, good), (2L, short), (3L, longWords), (4L, numeric), (5L, noStop))
+      .toDF("doc_id", "text")
+    val out = operators.TextOps.gopherFilter(docs, "text")
+      .select("doc_id", "r_len", "r_wordlen", "r_alpha", "r_stop", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) === ((1L, 1L, 1L, 1L, 1L)), "the clean doc passes every rule")
+    assert(out(2L)._1 === 0L && out(2L)._5 === 0L, "short doc fails the length rule")
+    assert(out(3L)._2 === 0L, "long-word doc fails the word-length rule")
+    assert(out(4L)._3 === 0L, "numeric doc fails the alpha-fraction rule")
+    assert(out(5L)._4 === 0L, "stopword-free doc fails the stopword rule")
+    // corpus run: flags are pure functions of the counts (recomputed here)
+    val rows = operators.TextOps.t15(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val sl = r.getLong(2); val na = r.getLong(3); val ns = r.getLong(4)
+      assert(r.getLong(6) === (if (n >= 50 && n <= 100000) 1L else 0L))
+      assert(r.getLong(7) === (if (sl >= 3 * n && sl <= 10 * n) 1L else 0L))
+      assert(r.getLong(8) === (if (5 * na >= 4 * n) 1L else 0L))
+      assert(r.getLong(9) === (if (ns >= 2) 1L else 0L))
+      assert(r.getLong(10) === (if (r.getLong(6) + r.getLong(7) + r.getLong(8) + r.getLong(9) == 4) 1L else 0L))
+    }
+  }
 }
