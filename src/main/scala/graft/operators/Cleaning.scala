@@ -627,7 +627,46 @@ object Cleaning {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c16: Benford first-digit audit — the classic fabricated-data smell
+  // test a data-quality pipeline runs over monetary columns. The
+  // leading digit is extracted with INTEGER arithmetic only: cents =
+  // round(x·100) as BIGINT, then digit = cents div 10^(ndigits−1)
+  // where the divisor is built by STRING repetition ('1' || '0'×k) —
+  // never floor(log10(x)), whose FP error flips the digit at every
+  // power-of-10 boundary (log10(1000) can evaluate 2.999…). Expected
+  // Benford mass is the 9-constant log10(1+1/d) table in integer ppm.
+  // ONE scan, ≤9-row aggregate, 1-row total broadcast back.
+  def c16(s: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(s, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .filter(col("c") > 0)
+      .withColumn("digit", expr(
+        "c div cast(concat('1', repeat('0', length(cast(c as string)) - 1)) as bigint)"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("__t"))
+    digits.crossJoin(broadcast(tot)) // provably 1 row
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div __t").as("obs_ppm"),
+        expr("cast(round(log10(1 + 1.0 / digit) * 1000000) as bigint)").as("benford_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val c16Sql: String =
+    """WITH d AS (
+      |  SELECT c, c // CAST('1' || repeat('0', length(CAST(c AS VARCHAR)) - 1) AS BIGINT) AS digit
+      |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+      |  WHERE c > 0),
+      |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM g)
+      |SELECT digit, n,
+      |  n * 1000000 // tt AS obs_ppm,
+      |  CAST(round(log10(1 + 1.0 / digit) * 1000000) AS BIGINT) AS benford_ppm
+      |FROM g, t
+      |ORDER BY digit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_benford_audit" -> (c16 _),
     "c15_robust_outliers" -> (c15 _),
     "c14_gap_fill" -> (c14 _),
     "c13_fk_audit" -> (c13 _),
@@ -639,6 +678,7 @@ object Cleaning {
     "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
+    "c16_benford_audit" -> c16Sql,
     "c15_robust_outliers" -> c15Sql,
     "c14_gap_fill" -> c14Sql,
     "c13_fk_audit" -> c13Sql,

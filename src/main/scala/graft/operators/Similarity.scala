@@ -834,7 +834,78 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // s12: kNN JOIN — every corpus vector's top-3 neighbors (not a small
+  // query set against a corpus like s1/s2: corpus×corpus). The
+  // all-pairs form is O(N²) and never acceptable; the operator is the
+  // LSH-bucketed self-join: one bucket per vector (8 hyperplanes),
+  // same-bucket candidates only, exact cosine rerank, row_number
+  // top-3 with a cand_id tiebreak. Vectors whose bucket is a singleton
+  // emit no rows — the kNN-join contract (recall is the tables/probes
+  // dial, s10 measures it). Scale: ONE shuffle on the bucket key; the
+  // per-query window partitions are bounded by bucket size; the
+  // library variant adds multi-table OR-construction, multi-probe,
+  // and the MaxBucket hot-bucket cap.
+  def s12(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).withColumn("bucket", lshBucket(col("embedding")))
+    val a = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+    val b = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    a.join(b, Seq("bucket")).filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Library API: the s12 kNN join at scale — `tables` independent
+    * hash tables × `probes` least-confident flips per table (annTopK's
+    * recall dials applied to the SELF-join), plus the hot-bucket cap
+    * (an oversized (table, bucket) cell contributes no candidates —
+    * Dedup.MaxBucket's conservative rule, which keeps a degenerate
+    * corpus from going quadratic). Both sides shuffle on the
+    * fixed-width (table, bucket) key; nothing is broadcast. */
+  def knnJoinAll(corpus: DataFrame, k: Int, planes: Int = 8, probes: Int = 0,
+      tables: Int = 1, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val s = corpus.sparkSession
+    val c0 = corpus.select(col("id").as("cand_id"), col("embedding").as("ce"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col("embedding"), planes, t * planes).as("bucket"))): _*)).as("tb"))
+      .select(col("cand_id"), col("ce"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val c = c0.withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    val q = corpus.select(col("id").as("q_id"), col("embedding").as("qe"),
+      explode(flatten(array((0 until tables).map(t =>
+        transform(lshProbeBuckets(col("embedding"), planes, probes, t * planes),
+          bk => struct(lit(t).as("tbl"), bk.as("bucket")))): _*))).as("tb"))
+      .select(col("q_id"), col("qe"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    q.join(c, Seq("tbl", "bucket")).filter(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("qe"), col("cand_id"), col("ce")).distinct()
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  val s12Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""WITH b AS (SELECT vec_id, embedding, CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $cos AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand_id, round(cos, 6) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |  FROM pairs)
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_knn_join" -> (s12 _),
     "s11_pq_adc" -> (s11 _),
     "s10_ann_recall" -> (s10 _),
     "s9_sq8_rerank" -> (s9 _),
@@ -845,6 +916,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s12_knn_join" -> s12Sql,
     "s11_pq_adc" -> s11Sql,
     "s10_ann_recall" -> s10Sql,
     "s9_sq8_rerank" -> s9Sql,

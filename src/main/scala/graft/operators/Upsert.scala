@@ -334,17 +334,65 @@ object Upsert {
       |GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** i6: incremental DISTINCT maintenance — the aggregate partial-agg
+    * merging CANNOT refresh (distinct isn't mergeable from counts).
+    * The state that makes it incremental is the first-seen KEY SET at
+    * the report's grain: (day, user) pairs. A batch folds in by
+    * ANTI-JOINING the state — only genuinely new keys append, and
+    * n_total = n_old + n_new. THE ORACLE COMPUTES n_users AS THE
+    * DIRECT RECOMPUTE (count DISTINCT over the whole log), so the
+    * hash gate proves fold == rebuild cross-engine (i5's transparency
+    * pattern applied to the non-mergeable aggregate). Scale: state and
+    * batch shuffle once on (day, user); the anti-join co-partitions
+    * with both; no count ever re-scans history. */
+  def i6(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"), unix_millis(col("ts")).as("ms"))
+    val old = ev.filter(col("ms") < CutoffMs).select(col("day"), col("user_id")).distinct()
+    val batch = ev.filter(col("ms") >= CutoffMs).select(col("day"), col("user_id")).distinct()
+    val newPairs = batch.join(old, Seq("day", "user_id"), "left_anti")
+    val nOld = old.groupBy(col("day")).agg(count(lit(1)).as("n_old"))
+    val nNew = newPairs.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    nOld.join(nNew, Seq("day"), "full")
+      .select(col("day"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_users", col("n_old") + col("n_new"))
+      .orderBy(col("day"))
+  }
+
+  val i6Sql: String =
+    s"""WITH o AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |  WHERE epoch_ms(ts) < $CutoffMs),
+       |b AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |  WHERE epoch_ms(ts) >= $CutoffMs),
+       |n AS (
+       |  SELECT b.day, b.user_id FROM b
+       |  LEFT JOIN o ON b.day = o.day AND b.user_id = o.user_id
+       |  WHERE o.user_id IS NULL),
+       |no AS (SELECT day, count(*) AS n_old FROM o GROUP BY day),
+       |nn AS (SELECT day, count(*) AS n_new FROM n GROUP BY day),
+       |r AS (
+       |  SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users
+       |  FROM events GROUP BY day)
+       |SELECT r.day, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new, n_users
+       |FROM r LEFT JOIN no ON r.day = no.day LEFT JOIN nn ON r.day = nn.day
+       |ORDER BY r.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scd2_history" -> (i1 _),
     "i2_scd2_apply" -> (i2 _),
     "i3_merge_latest" -> (i3 _),
     "i4_cdc_diff" -> (i4 _),
-    "i5_inc_rollup" -> (i5 _))
+    "i5_inc_rollup" -> (i5 _),
+    "i6_inc_distinct" -> (i6 _))
 
   def oracles: Map[String, String] = Map(
     "i1_scd2_history" -> i1Sql,
     "i2_scd2_apply" -> i1Sql, // full-rebuild SQL: incremental == rebuild
     "i3_merge_latest" -> i3Sql,
     "i4_cdc_diff" -> i4Sql,
-    "i5_inc_rollup" -> i5Sql) // full-rebuild SQL: merged partials == rebuild
+    "i5_inc_rollup" -> i5Sql, // full-rebuild SQL: merged partials == rebuild
+    "i6_inc_distinct" -> i6Sql) // oracle's n_users is the direct recompute
 }

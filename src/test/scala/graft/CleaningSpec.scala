@@ -447,4 +447,23 @@ class CleaningSpec extends SparkSuite {
     assert(rows.forall(r => !r.getAs[Double]("mi_term").isNaN))
     assert(n > 0L)
   }
+
+  test("c16 benford audit: integer digit extraction survives power-of-10 boundaries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-c16").toString
+    // boundary-hostile plants: floor(log10) FP error would misdigit 1000.00
+    Seq(0.01, 999.99, 1000.00, 123.45, 950.00, 9.99)
+      .toDF("o_totalprice").write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Cleaning.c16(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet === Set(1L, 9L))
+    assert(r(1L) === ((3L, 500000L, 301030L)), "digits of 0.01, 1000.00, 123.45 are all 1")
+    assert(r(9L) === ((3L, 500000L, 45757L)), "digits of 999.99, 950.00, 9.99 are all 9")
+    // corpus: every row lands in exactly one digit bucket; ppm masses close
+    val full = Cleaning.c16(spark, sf).collect()
+    assert(full.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
+    assert(full.forall(x => x.getLong(0) >= 1 && x.getLong(0) <= 9))
+    val mass = full.map(_.getLong(2)).sum
+    assert(mass > 999000L && mass <= 1000000L, s"obs_ppm mass must be ~1e6, got $mass")
+  }
 }

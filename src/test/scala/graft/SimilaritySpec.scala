@@ -179,6 +179,35 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("s12 kNN join: identical-vector clique finds itself at cos 1.0; hot-bucket cap silences") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-s12").toString
+    val v = Array(0.6f, 0.8f, 0f, 0f)
+    Seq((10L, v, 0), (11L, v, 0), (12L, v, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val clique = Similarity.s12(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(clique.length === 6, "each of 3 identical vectors reports the other 2")
+    assert(clique.forall(_._4 === 1.0), "identical vectors score cosine 1.0")
+    assert(clique.filter(_._1 == 10L).map(_._3).sorted.toSeq === Seq(11L, 12L),
+      "rank ties break on candidate id")
+    // hot-bucket cap: a 4-clique over maxBucket=2 contributes nothing
+    val four = Seq((1L, v), (2L, v), (3L, v), (4L, v)).toDF("id", "embedding")
+    assert(Similarity.knnJoinAll(four, k = 2, maxBucket = 2).count() === 0L,
+      "oversized buckets must be dropped, not exploded")
+    // and uncapped, the library form matches the clique semantics
+    val lib = Similarity.knnJoinAll(four, k = 3).collect()
+    assert(lib.length === 12 && lib.forall(_.getDouble(3) === 1.0))
+    // corpus run: no self-matches, ranks contiguous from 1 per query
+    val full = Similarity.s12(spark, sf).collect()
+    assert(full.nonEmpty)
+    assert(full.forall(r => r.getLong(0) != r.getLong(2)), "never a self-match")
+    full.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
+
   test("s7 range search returns exactly the vectors inside the radius") {
     import spark.implicits._
     // hand-built geometry: query [1,0,0,0] against known-cosine corpus

@@ -252,4 +252,18 @@ class UpsertSpec extends SparkSuite {
     val p2 = Upsert.i2(spark, sf).queryExecution.executedPlan.toString
     assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
   }
+
+  test("i6 incremental distinct: anti-join fold equals the full recompute, batch non-trivial") {
+    val r = Upsert.i6(spark, sf).collect()
+    val want = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(x => x.getDate(0).toString -> x.getLong(1)).toMap
+    assert(r.map(x => x.getDate(0).toString -> x.getLong(3)).toMap === want,
+      "n_old + n_new must equal count(DISTINCT) recomputed from scratch")
+    assert(r.map(_.getLong(1)).sum > 0, "cutoff must leave non-empty state")
+    assert(r.map(_.getLong(2)).sum > 0, "cutoff must leave a batch that adds new keys")
+    // the fold itself: no day double-counts a user who exists in state
+    assert(r.forall(x => x.getLong(3) === x.getLong(1) + x.getLong(2)))
+  }
 }
