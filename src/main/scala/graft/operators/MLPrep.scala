@@ -1303,7 +1303,80 @@ object MLPrep {
       |CROSS JOIN t
       |ORDER BY bin, j.event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m27: binned two-sample Kolmogorov–Smirnov test — the
+  // distribution-shift companion to m20's PSI on the SAME split pair:
+  // PSI gives a per-bucket decomposition, KS gives the single
+  // worst-case ECDF gap D plus an asymptotic accept/reject. The exact
+  // KS D is a sup over the pooled ECDF — a global sort, lint-banned —
+  // so like m22's AUC this is the HISTOGRAM form: B=200 fixed-width
+  // bins from a 1-row bounds agg, per-bin (train, test) counts in ONE
+  // scan, and the ECDF walk is a cumulative window over the ≤B-row
+  // bin frame (construction-bounded, m22's allowlisted shape). The
+  // binned D is exact for the binned distributions and underestimates
+  // the raw D by at most the largest bin's mass (documented; spec
+  // measures it against the exact D on the test corpus). Determinism:
+  // cum counts are integers, the per-bin gap is an identical
+  // int-division expression tree in both engines, and max() SELECTS —
+  // no accumulation order exists. ks_stat = D·sqrt(na·nb/(na+nb));
+  // reject at the asymptotic α=0.05 critical value 1.358.
+  def binnedKs(df: DataFrame, arm: Column, v: Column, bins: Int = 200): DataFrame = {
+    val mm = df.agg(min(v).as("mn"), max(v).as("mx"))
+    val b = df.join(broadcast(mm))
+      .withColumn("__bucket",
+        least(floor((v - col("mn")) / ((col("mx") - col("mn")) / bins)), lit(bins - 1L)))
+      .groupBy(col("__bucket"))
+      .agg(sum(when(arm, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!arm, 1L).otherwise(0L)).as("n_b"))
+    // ≤B rows beyond this point: the window is construction-bounded
+    val cum = b
+      .withColumn("__cum_a", sum(col("n_a")).over(Window.orderBy(col("__bucket"))))
+      .withColumn("__cum_b", sum(col("n_b")).over(Window.orderBy(col("__bucket"))))
+    val tot = b.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    cum.crossJoin(broadcast(tot)) // provably 1 row
+      .agg(first(col("ta")).as("ta"), first(col("tb")).as("tb"),
+        max(abs(col("__cum_a").cast("double") / col("ta") -
+          col("__cum_b").cast("double") / col("tb"))).as("__d"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        round(col("__d"), 6).as("d_stat"),
+        // ta·tb as DOUBLE×long — a long product overflows at 100 TB counts
+        round(col("__d") * sqrt(col("ta").cast("double") * col("tb") /
+          (col("ta") + col("tb"))), 6).as("ks_stat"),
+        (col("__d") * sqrt(col("ta").cast("double") * col("tb") /
+          (col("ta") + col("tb"))) > 1.358).cast("long").as("reject_05"))
+  }
+
+  /** m27: KS drift between the m3 train/test splits on order totals
+    * (m20's exact framing — the two tests read the same pair). */
+  def m27(s: SparkSession, dir: String): DataFrame =
+    binnedKs(Tables.orders(s, dir), col("o_orderkey") % 5 =!= 0, col("o_totalprice"))
+
+  val m27Sql: String =
+    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+      |b AS (
+      |  SELECT CAST(least(floor((o_totalprice - mn)/((mx - mn)/200)), 199) AS BIGINT) AS bucket,
+      |    CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM orders, mm GROUP BY 1),
+      |c AS (
+      |  SELECT bucket,
+      |    CAST(sum(n_a) OVER (ORDER BY bucket) AS BIGINT) AS cum_a,
+      |    CAST(sum(n_b) OVER (ORDER BY bucket) AS BIGINT) AS cum_b
+      |  FROM b),
+      |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM b),
+      |d AS (
+      |  SELECT ta, tb,
+      |    max(abs(CAST(cum_a AS DOUBLE)/ta - CAST(cum_b AS DOUBLE)/tb)) AS d_raw
+      |  FROM c, tot GROUP BY ta, tb)
+      |SELECT ta AS n_a, tb AS n_b,
+      |  round(d_raw, 6) AS d_stat,
+      |  round(d_raw * sqrt(CAST(ta AS DOUBLE) * tb/(ta + tb)), 6) AS ks_stat,
+      |  CAST(CASE WHEN d_raw * sqrt(CAST(ta AS DOUBLE) * tb/(ta + tb)) > 1.358
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+      |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m27_ks_test" -> (m27 _),
     "m26_mutual_info" -> (m26 _),
     "m25_weighted_mix" -> (m25 _),
     "m24_chi2" -> (m24 _),
@@ -1324,6 +1397,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m27_ks_test" -> m27Sql,
     "m26_mutual_info" -> m26Sql,
     "m25_weighted_mix" -> m25Sql,
     "m24_chi2" -> m24Sql,

@@ -1565,7 +1565,100 @@ object Relational {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q40: TPC-H Q12-style late-shipment priority audit — for each
+  // return-flag class, how many LATE lines (shipped >90 days after
+  // the order date) carried urgent/high order priority vs not, over
+  // one ship-year. The testdata schema has no l_shipmode/
+  // l_receiptdate, so the grouping key is l_returnflag and lateness
+  // is ship-vs-order-date — the SHAPE is Q12's: an ON-joined fact
+  // pair where the classifying predicate needs columns from BOTH
+  // sides (l_shipdate vs o_orderdate), so it evaluates post-join
+  // while each side's single-table filter (ship-year; none on
+  // orders) pushes to its scan. One orderkey shuffle join (both
+  // sides fact-sized at 100 TB; AQE may broadcast the filtered side
+  // at low SF), conditional integer counts at a 3-row group grain —
+  // no decimal, no FP anywhere. Ref shape: TPC-H Q12's
+  // high_line_count/low_line_count CASE pair.
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(late && urgent, 1L).otherwise(0L)).as("high_late"),
+        sum(when(late && !urgent, 1L).otherwise(0L)).as("low_late"),
+        sum(when(late, 1L).otherwise(0L)).as("n_late"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q40Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |            AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_late,
+      |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |            AND o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_late,
+      |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q41: TPC-H Q16-style supplier-variety report — how many DISTINCT
+  // suppliers can deliver each (brand, type, size) bucket, excluding
+  // blacklisted suppliers (negative account balance stands in for
+  // Q16's complaint comment). Shape decisions: the part-supplier
+  // relation is recovered from lineitem at (l_partkey, l_suppkey)
+  // grain FIRST (one fact shuffle whose map-side partial dedup does
+  // the heavy lifting — 100 TB of lineitem collapses to the
+  // |part|×|suppliers-per-part| pair set); the blacklist is a
+  // broadcast LEFT-ANTI join (O(suppliers) rows, never a shuffle);
+  // the part dim broadcasts into the pair set; and the distinct
+  // supplier count is an EXPLICIT two-level aggregate — dedup at
+  // (brand, type, size, suppkey) grain, then count — rather than
+  // count(DISTINCT), so no Expand and the second agg's grain is
+  // construction-bounded. Integer counts only. Ref shape: TPC-H Q16
+  // (supplier_cnt per part bucket, NOT IN complaint subquery).
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q41Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_late_priority" -> (q40 _),
+    "q41_supplier_variety" -> (q41 _),
     "q39_returned_customers" -> (q39 _),
     "q38_interval_overlap" -> (q38 _),
     "q37_big_orders" -> (q37 _),
@@ -1607,6 +1700,8 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q40_late_priority" -> q40Sql,
+    "q41_supplier_variety" -> q41Sql,
     "q39_returned_customers" -> q39Sql,
     "q38_interval_overlap" -> q38Sql,
     "q37_big_orders" -> q37Sql,

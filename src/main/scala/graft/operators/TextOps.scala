@@ -893,7 +893,64 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t16: TF-IDF top terms per document — the classic keyword surface
+  // (salient-term extraction for routing, topic sampling, or cheap
+  // retrieval keys over a pretraining corpus). idf = log10((N+1)/(df+1))
+  // with add-one smoothing so corpus-universal terms land at ~0 and
+  // nothing divides by zero; score = tf·idf rounded 4dp BEFORE ranking
+  // so both engines rank the same values, ties broken lexicographically
+  // (t9's arg-max rule). Top-3 terms per doc.
+  //
+  // Scale shape: tf aggregates at (doc_id, term) grain (doc-local keys,
+  // map-side partial agg); df aggregates the tf frame at term grain —
+  // bounded by VOCABULARY, not corpus; N is a 1-row broadcast (q23's
+  // scalar pattern). The tf⋈df join re-shuffles on term where AQE
+  // broadcasts the df side whenever the vocabulary fits (it virtually
+  // always does — vocab grows ~Heaps' law, sublinear in corpus). The
+  // ranking window partitions by doc_id: partition size = one doc's
+  // distinct terms, never a corpus aggregate. A stopword-ish hot term
+  // fans out per (doc, term) ROW — linear, no quadratic blowup exists.
+  def t16(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n)) // provably 1 row
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          (log10((col("n_docs") + 1L).cast("double")) -
+            log10((col("df") + 1L).cast("double"))), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val t16Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    round(CAST(tf AS DOUBLE) *
+       |      (log10(CAST(n_docs + 1 AS DOUBLE)) - log10(CAST(df + 1 AS DOUBLE))), 4)
+       |      AS score
+       |  FROM tf JOIN df USING (term), n)
+       |SELECT doc_id, term, tf, df, score, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_tfidf_terms" -> (t16 _),
     "t15_gopher_filter" -> (t15 _),
     "t14_ppl_buckets" -> (t14 _),
     "t12_seq_pack" -> (t12 _), "t13_token_budget" -> (t13 _),
@@ -906,6 +963,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t16_tfidf_terms" -> t16Sql,
     "t15_gopher_filter" -> t15Sql,
     "t14_ppl_buckets" -> t14Sql,
     "t12_seq_pack" -> t12Sql, "t13_token_budget" -> t13Sql,

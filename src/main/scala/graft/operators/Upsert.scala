@@ -380,7 +380,109 @@ object Upsert {
        |FROM r LEFT JOIN no ON r.day = no.day LEFT JOIN nn ON r.day = nn.day
        |ORDER BY r.day""".stripMargin
 
+  /** Snapshot-grain rollup state for [[cdcRollupApply]]: count /
+    * non-null count / exact-decimal sum / min / max per group. Unlike
+    * [[rollupState]] (which summarizes an append-only LOG), this
+    * summarizes a mutable SNAPSHOT — so refreshing it needs
+    * RETRACTIONS, not just merges. */
+  def snapshotRollup(snap: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    snap.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      count(col(valueCol)).as("n_v"),
+      sum(graft.functions.ExactNum.dec2(col(valueCol))).as("__sum_v"),
+      min(col(valueCol)).as("mn"),
+      max(col(valueCol)).as("mx"))
+
+  /** Retraction-aware rollup maintenance — fold a CDC batch (the
+    * [[cdcDiff]] output with `(groupCol, valueCol)` as its compare
+    * columns) into a [[snapshotRollup]] state WITHOUT rescanning the
+    * snapshot for the additive stats. This is the Flink-retract-mode
+    * shape: each change explodes into ±deltas — DELETE retracts from
+    * its old group, INSERT adds to its new group, UPDATE does both
+    * (which is how a row MOVES between groups) — and counts/sums are
+    * refreshed purely from |batch|-sized deltas. min/max are NOT
+    * retractable (removing the current extremum needs the runner-up),
+    * so they use the production fallback: groups TOUCHED by the batch
+    * recompute min/max from the new snapshot restricted to those
+    * groups (a |keys|-grain scan with a semi-join pushdown — never
+    * the history log); untouched groups keep their stored extrema.
+    * Groups whose count hits zero vanish, matching the rebuild.
+    *
+    * Scale shape: every shuffle after snapshot construction is at
+    * GROUP grain (bounded: days, categories); the delta frame is
+    * batch-sized; decimal sums make the fold order-independent, so
+    * fold == rebuild exactly — which is i7's oracle. */
+  def cdcRollupApply(state: DataFrame, changes: DataFrame, newSnap: DataFrame,
+                     groupCol: String, valueCol: String): DataFrame = {
+    val dec = graft.functions.ExactNum.dec2 _
+    val retract = changes.filter(col("op").isin("DELETE", "UPDATE"))
+      .select(col(s"old_$groupCol").as(groupCol),
+        lit(-1L).as("n"),
+        when(col(s"old_$valueCol").isNotNull, -1L).otherwise(0L).as("n_v"),
+        (-dec(col(s"old_$valueCol"))).as("__sum_v"))
+    val add = changes.filter(col("op").isin("INSERT", "UPDATE"))
+      .select(col(s"new_$groupCol").as(groupCol),
+        lit(1L).as("n"),
+        when(col(s"new_$valueCol").isNotNull, 1L).otherwise(0L).as("n_v"),
+        dec(col(s"new_$valueCol")).as("__sum_v"))
+    val delta = retract.unionByName(add)
+    val merged = state.select(col(groupCol), col("n"), col("n_v"), col("__sum_v"))
+      .unionByName(delta)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n"), sum(col("n_v")).as("n_v"),
+        sum(col("__sum_v")).as("__sum_v"))
+      .filter(col("n") > 0)
+    val touched = delta.select(col(groupCol)).distinct()
+    val recomputed = newSnap.join(touched, Seq(groupCol), "left_semi")
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    val kept = state.select(col(groupCol), col("mn"), col("mx"))
+      .join(touched.withColumn("__t", lit(1)), Seq(groupCol), "left")
+      .filter(col("__t").isNull).drop("__t")
+    merged.join(kept.unionByName(recomputed), Seq(groupCol), "left")
+      .withColumn("sum_v", col("__sum_v").cast("double"))
+      .drop("__sum_v")
+  }
+
+  /** i7: retraction-aware rollup of the latest-purchase snapshot by
+    * DAY — i5 keeps a log rollup fresh by MERGING (append-only), i7
+    * keeps a snapshot rollup fresh under UPDATES: when a user's
+    * latest purchase moves to a new day, the old day's count/sum
+    * RETRACT and the new day's grow. The CDC batch is i4's diff
+    * (old-vs-new latest-purchase snapshots, compare = (day, value));
+    * THE ORACLE IS THE FULL REBUILD over the new snapshot, so the
+    * gate proves retract-fold == rebuild cross-engine. The DELETE
+    * path (absent here: time-cut snapshots of an append-only log
+    * never drop keys) is exercised by UpsertSpec on explicit frames. */
+  def i7(s: SparkSession, dir: String): DataFrame = {
+    val purch = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        to_date(col("ts")).as("day"), unix_millis(col("ts")).as("ms"))
+    val oldSnap = latestSnapshot(purch.filter(col("ms") < CutoffMs),
+      Seq("user_id"), Seq(col("ms"), col("event_id")))
+    val newSnap = latestSnapshot(purch, Seq("user_id"), Seq(col("ms"), col("event_id")))
+    val state = snapshotRollup(oldSnap, "day", "value")
+    val changes = cdcDiff(oldSnap, newSnap, Seq("user_id"), Seq("day", "value"))
+    cdcRollupApply(state, changes, newSnap, "day", "value")
+      .select(col("day"), col("n"), col("n_v"), col("sum_v"), col("mn"), col("mx"))
+      .orderBy(col("day"))
+  }
+
+  val i7Sql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, value, CAST(ts AS DATE) AS day,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'),
+      |snap AS (SELECT day, user_id, value FROM ranked WHERE rn = 1)
+      |SELECT day, count(*) AS n, count(value) AS n_v,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  min(value) AS mn, max(value) AS mx
+      |FROM snap GROUP BY day
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i7_cdc_rollup" -> (i7 _),
     "i1_scd2_history" -> (i1 _),
     "i2_scd2_apply" -> (i2 _),
     "i3_merge_latest" -> (i3 _),
@@ -389,6 +491,7 @@ object Upsert {
     "i6_inc_distinct" -> (i6 _))
 
   def oracles: Map[String, String] = Map(
+    "i7_cdc_rollup" -> i7Sql, // full-rebuild SQL: retract-fold == rebuild
     "i1_scd2_history" -> i1Sql,
     "i2_scd2_apply" -> i1Sql, // full-rebuild SQL: incremental == rebuild
     "i3_merge_latest" -> i3Sql,

@@ -466,4 +466,52 @@ class CleaningSpec extends SparkSuite {
     val mass = full.map(_.getLong(2)).sum
     assert(mass > 999000L && mass <= 1000000L, s"obs_ppm mass must be ~1e6, got $mass")
   }
+
+  test("m27 binned KS equals brute force and tracks the exact D; planted shift rejects") {
+    // brute-force mirror of the B=200 binning on the real split pair
+    val rows = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0) % 5 != 0, r.getDouble(1)))
+    val (mn, mx) = (rows.map(_._2).min, rows.map(_._2).max)
+    val binned = rows.map { case (a, v) =>
+      (math.min(math.floor((v - mn) / ((mx - mn) / 200)).toLong, 199L), a) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val (ta, tb) = (binned.map(_._2).sum, binned.map(_._3).sum)
+    var (ca, cb) = (0L, 0L)
+    var d = 0.0
+    binned.foreach { case (_, a, b) =>
+      ca += a; cb += b
+      d = math.max(d, math.abs(ca.toDouble / ta - cb.toDouble / tb))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = MLPrep.m27(spark, sf).head()
+    assert(got.getLong(0) === ta && got.getLong(1) === tb)
+    assert(got.getDouble(2) === r6(d))
+    // measure-don't-guess: the binned D must track the exact sup-ECDF D
+    // (underestimates by at most the largest bin's mass)
+    val sa = rows.filter(_._1).map(_._2).sorted
+    val sb = rows.filter(!_._1).map(_._2).sorted
+    val cuts = (sa ++ sb).distinct.sorted
+    val exactD = cuts.map { c =>
+      val fa = sa.count(_ <= c).toDouble / sa.length
+      val fb = sb.count(_ <= c).toDouble / sb.length
+      math.abs(fa - fb)
+    }.max
+    // within a bin each ECDF moves by at most that bin's per-arm mass,
+    // so the gap is bounded by max over bins of (mass_a/ta + mass_b/tb)
+    val maxBinErr = binned.map(x => x._2.toDouble / ta + x._3.toDouble / tb).max
+    assert(d <= exactD + 1e-12 && exactD - d <= maxBinErr + 1e-12,
+      s"binned D $d vs exact $exactD (max bin err $maxBinErr)")
+    // a hash split of one population must NOT reject at alpha=0.05
+    assert(got.getLong(4) === 0L, "m3's hash split should look like one distribution")
+    // a planted location shift MUST reject
+    import spark.implicits._
+    val shifted = ((1 to 4000).map(i => (i.toLong * 5 + 1, i % 100 * 1.0)) ++
+      (1 to 4000).map(i => (i.toLong * 5, i % 100 * 1.0 + 40.0)))
+      .toDF("o_orderkey", "o_totalprice")
+    val sh = MLPrep.binnedKs(shifted, col("o_orderkey") % 5 =!= 0, col("o_totalprice")).head()
+    assert(sh.getLong(4) === 1L, "a 40-unit location shift must reject at alpha=0.05")
+    assert(sh.getDouble(2) > got.getDouble(2))
+  }
 }

@@ -43,7 +43,9 @@ class PlanLintSpec extends SparkSuite {
       "columns (the reference's nunique gate; c6 frequency encoding " +
       "is the high-cardinality path and uses a partitioned window)"),
     "m22_auc" -> ("B=1000 score bins (construction-bounded knob — the " +
-      "cumulative ROC walk sees at most B rows regardless of SF)"))
+      "cumulative ROC walk sees at most B rows regardless of SF)"),
+    "m27_ks_test" -> ("B=200 value bins (construction-bounded knob — " +
+      "the ECDF walk sees at most B rows regardless of SF; m22's bound)"))
 
   test("empty-partition windows appear ONLY in the audited allowlist") {
     val have = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -465,4 +465,86 @@ class RelationalSpec extends SparkSuite {
       assert(plan.contains("SortMergeJoin"), "bucket equi-join should sort-merge when nothing fits")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q40 late-priority counts equal brute force; ship-year filter reaches the scan") {
+    val q = Relational.q40(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      "the ship-year filter must reach the lineitem scan")
+    assert(!plan.contains("CartesianProduct"))
+
+    val oMap = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val lo = java.time.Instant.parse("1997-01-01T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("1998-01-01T00:00:00Z").toEpochMilli
+    val ninety = 90L * 24 * 3600 * 1000
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ms")).collect()
+      .filter(r => r.getLong(2) >= lo && r.getLong(2) < hi)
+      .map { r =>
+        val (oms, pri) = oMap(r.getLong(0))
+        (r.getString(1), r.getLong(2) > oms + ninety,
+          pri == "1-URGENT" || pri == "2-HIGH")
+      }
+    val want = rows.groupBy(_._1).map { case (rf, xs) =>
+      rf -> ((xs.count(x => x._2 && x._3).toLong, xs.count(x => x._2 && !x._3).toLong,
+        xs.count(_._2).toLong, xs.size.toLong))
+    }
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+    assert(got.values.map(_._3).sum > 0, "lateness predicate must be non-vacuous")
+    assert(got.values.exists(v => v._1 > 0 && v._2 > 0),
+      "both priority classes must appear among late lines")
+  }
+
+  test("q41 supplier variety equals brute force; blacklisted suppliers never counted; no Expand") {
+    val q = Relational.q41(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "explicit two-level distinct must avoid the count(DISTINCT) Expand node")
+    assert(!plan.contains("CartesianProduct"))
+
+    val excl = Tables.supplier(spark, sf).filter(col("s_acctbal") < 0)
+      .collect().map(_.getAs[Long]("s_suppkey")).toSet
+    val parts = Tables.part(spark, sf).collect()
+      .filter { r =>
+        r.getAs[String]("p_brand") != "Brand#13" && r.getAs[String]("p_type") != "PROMO" &&
+          Set(1, 4, 9, 14, 23, 36, 45, 49).contains(r.getAs[Int]("p_size"))
+      }
+      .map(r => r.getAs[Long]("p_partkey") ->
+        ((r.getAs[String]("p_brand"), r.getAs[String]("p_type"), r.getAs[Int]("p_size")))).toMap
+    val want = Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      .filter(x => !excl.contains(x._2))
+      .flatMap { case (pk, sk) => parts.get(pk).map(b => (b, sk)) }
+      .distinct.groupBy(_._1).map { case (b, xs) => b -> xs.length.toLong }
+    val got = q.collect().map(r =>
+      ((r.getString(0), r.getString(1), r.getInt(2))) -> r.getLong(3)).toMap
+    assert(got === want)
+    // ordering: descending count, then brand/type/size
+    val seq = q.collect().map(r => (r.getLong(3), r.getString(0), r.getString(1), r.getInt(2)))
+    val sorted = seq.sortBy { case (c, b, t, z) => (-c, b, t, z) }
+    assert(seq.toSeq === sorted.toSeq)
+
+    // the blacklist is empty at sf0.001 (first negative balance appears
+    // at sf0.01), so the anti-join is exercised on planted frames
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q41").toString
+    Seq((1L, -5.0, 1, "sX"), (2L, 5.0, 1, "sY"))
+      .toDF("s_suppkey", "s_acctbal", "s_nationkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((10L, "Brand#1", "LARGE", 9, "p", 1.0))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size", "p_name", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((10L, 1L), (10L, 2L), (10L, 2L))
+      .toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val planted = Relational.q41(spark, dir).collect()
+    assert(planted.length === 1 && planted.head.getLong(3) === 1L,
+      "the negative-balance supplier must be excluded from the count")
+  }
 }

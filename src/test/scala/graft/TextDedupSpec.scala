@@ -572,4 +572,28 @@ class TextDedupSpec extends SparkSuite {
       assert(r.getLong(10) === (if (r.getLong(6) + r.getLong(7) + r.getLong(8) + r.getLong(9) == 4) 1L else 0L))
     }
   }
+
+  test("t16 tf-idf top terms equal a plain-Scala mirror (smoothing, rounding, ties)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toLong
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => ((id, t), xs.length.toLong) } }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = tf.toSeq.map { case ((id, t), f) =>
+      (id, t, f, df(t), r4(f * (math.log10((n + 1).toDouble) - math.log10((df(t) + 1).toDouble))))
+    }.groupBy(_._1).flatMap { case (_, xs) =>
+      xs.sortBy(x => (-x._5, x._2)).take(3).zipWithIndex
+        .map { case ((id, t, f, d, s), i) => (id, t, f, d, s, i + 1) }
+    }.toSet
+    val got = TextOps.t16(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSet
+    assert(got === want)
+    assert(got.groupBy(_._1).forall(_._2.size == 3), "every doc has 3 ranked terms")
+    // corpus-universal terms should land near idf ~ 0, never negative
+    assert(got.forall(_._5 >= 0.0), "add-one smoothing keeps scores non-negative")
+  }
 }

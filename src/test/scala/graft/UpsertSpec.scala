@@ -266,4 +266,51 @@ class UpsertSpec extends SparkSuite {
     // the fold itself: no day double-counts a user who exists in state
     assert(r.forall(x => x.getLong(3) === x.getLong(1) + x.getLong(2)))
   }
+
+  test("i7 retract-fold equals the full rebuild on the inventory instantiation") {
+    val got = Upsert.i7(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val want = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(unix_millis(col("ts")).desc, col("event_id").desc)))
+      .filter(col("__rn") === 1)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), count(col("value")).as("n_v"),
+        sum(graft.functions.ExactNum.dec2(col("value"))).cast("double").as("sum_v"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === want, "retraction fold must equal the rebuild over the new snapshot")
+    assert(got.nonEmpty)
+  }
+
+  test("i7 retractions: DELETE empties a group, UPDATE moves a row across groups") {
+    import spark.implicits._
+    // old snapshot: g1 = {a:10, b:20}, g2 = {c:5}
+    val oldSnap = Seq(("a", "g1", 10.0), ("b", "g1", 20.0), ("c", "g2", 5.0))
+      .toDF("k", "g", "v")
+    // new snapshot: a deleted; b moved g1→g2 with v 20→25; d inserted in g3
+    val newSnap = Seq(("b", "g2", 25.0), ("c", "g2", 5.0), ("d", "g3", 7.0))
+      .toDF("k", "g", "v")
+    val state = Upsert.snapshotRollup(oldSnap, "g", "v")
+    val changes = Upsert.cdcDiff(oldSnap, newSnap, Seq("k"), Seq("g", "v"))
+    val ops = changes.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ops === Map("a" -> "DELETE", "b" -> "UPDATE", "d" -> "INSERT"))
+    val out = Upsert.cdcRollupApply(state, changes, newSnap, "g", "v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(3), r.getDouble(4)))).toMap
+    // g1 lost both rows → vanishes; g2 = {b:25, c:5}; g3 = {d:7}
+    assert(!out.contains("g1"), "a fully-retracted group must vanish (rebuild parity)")
+    assert(out("g2") === ((2L, 2L, 30.0, 5.0, 25.0)))
+    assert(out("g3") === ((1L, 1L, 7.0, 7.0, 7.0)))
+    // and the fold equals the rebuild on these frames
+    val rebuild = Upsert.snapshotRollup(newSnap, "g", "v")
+      .withColumn("sum_v", col("__sum_v").cast("double")).drop("__sum_v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out === rebuild)
+  }
 }
