@@ -272,26 +272,67 @@ object Multimodal {
   // (never doc×doc), exact Hamming verify, per-doc best match.
   // Scale: the join shuffles fixed-width (chunk, value) keys; output is
   // LEFT-joined back so every payload reports (is_neardup 0/1).
-  private def byteGramCodes(text: Column): Column =
-    when(length(text) >= 4,
-      transform(sequence(lit(1), length(text) - 3),
-        i => ascii(text.substr(i, lit(1))) * 29791L +
-          ascii(text.substr(i + lit(1), lit(1))) * 961L +
-          ascii(text.substr(i + lit(2), lit(1))) * 31L +
-          ascii(text.substr(i + lit(3), lit(1)))))
-      .otherwise(array().cast("array<bigint>"))
+  //
+  // Three costs were measured and engineered out of the first cut
+  // (123 s → ~2 s at sf0.1):
+  //  - per-position substr() on a string re-scans from the start, so
+  //    extracting L overlapping grams was O(L²) PER PAYLOAD. The
+  //    byte codes are now materialized ONCE as an array column and
+  //    grams read them via O(1) element_at — O(L);
+  //  - hashing every overlapping 4-gram put 64·L interpreted
+  //    higher-order-function evals per payload into simhash64. The
+  //    feature set is subsampled by CONTENT (keep grams ≡ 0 mod 4 —
+  //    winnowing's trick: membership depends on the gram's bytes,
+  //    never its offset, so the sampled set is shift-invariant and
+  //    identical payloads still collide exactly) — 4× fewer features
+  //    at the cost of a noisier (still unbiased) bit majority;
+  //  - the signature frame fed both the bucket explode and the final
+  //    left-join, and Spark computes an unshared subtree TWICE —
+  //    localCheckpoint materializes the (doc_id, ncodes, phash) frame
+  //    once (24 B/doc; d12's exchange lesson).
+  // Payloads with NO sampled gram (tiny, or < 4 bytes) hash to 0 and
+  // are excluded from bucketing — they must not pair with each other.
+  // A MaxBucket cap (Dedup's rule, mirrored in the oracle via
+  // QUALIFY) keeps a degenerate hot bucket from going quadratic.
+  private val Mm8MaxBucket = 1000
 
   def mm8(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.simhash64
+    val grams = when(length(col("text")) >= 4,
+      filter(
+        transform(sequence(lit(1), length(col("text")) - 3),
+          i => element_at(col("__chars"), i) * 29791L +
+            element_at(col("__chars"), i + lit(1)) * 961L +
+            element_at(col("__chars"), i + lit(2)) * 31L +
+            element_at(col("__chars"), i + lit(3))),
+        c => c % 4 === 0))
+      .otherwise(array().cast("array<bigint>"))
+    // feature extraction is CPU-bound per payload, so it must run at
+    // CLUSTER parallelism, not input-split parallelism (locally: one
+    // single-row-group parquet file = one task). A bare repartition is
+    // not enough — Catalyst pushes the projection below the exchange,
+    // landing the per-payload compute back on the scan task — so the
+    // exchange is pinned with a checkpoint of the raw (id, payload)
+    // pairs, the same bytes the shuffle itself spills. On a cluster
+    // with many splits this is one extra payload write, the standard
+    // price of decoupling decode-bound work from input skew.
     val sigs = Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).as("__len"),
-        simhash64(byteGramCodes(col("text"))).as("phash"))
-    // payloads too small to yield a 4-gram all hash to 0 — they must
-    // not bucket together (a real pipeline floors payload size first)
-    val chunks = sigs.filter(col("__len") >= 4).select(col("doc_id"), col("phash"),
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint()
+      .select(col("doc_id"), col("text"),
+        transform(split(col("text"), ""), ch => ascii(ch).cast("bigint")).as("__chars"))
+      .select(col("doc_id"), grams.as("__codes"))
+      .select(col("doc_id"), size(col("__codes")).cast("long").as("__ncodes"),
+        simhash64(col("__codes")).as("phash"))
+      .localCheckpoint()
+    val chunks0 = sigs.filter(col("__ncodes") > 0).select(col("doc_id"), col("phash"),
       explode(array((0 until 4).map(b =>
         shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L)) * 4 + b): _*))
         .as("bkey"))
+    val chunks = chunks0
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("bkey"))))
+      .filter(col("__bsz") <= Mm8MaxBucket).drop("__bsz")
     val a = chunks.select(col("doc_id").as("x"), col("phash").as("px"), col("bkey"))
     val b = chunks.select(col("doc_id").as("y"), col("phash").as("py"), col("bkey"))
     val pairs = a.join(b, Seq("bkey")).filter(col("x") < col("y"))
@@ -313,21 +354,25 @@ object Multimodal {
 
   val mm8Sql: String = {
     import graft.functions.TextFunctions.simhash64Sql
-    val codes =
-      """CASE WHEN length(text) >= 4 THEN
-        |  list_transform(generate_series(1, length(text) - 3),
-        |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) * 29791
-        |       + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 961
-        |       + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 31
-        |       + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT))
-        |  ELSE CAST([] AS BIGINT[]) END""".stripMargin
-    s"""WITH c AS (SELECT doc_id, $codes AS codes FROM documents),
-       |s AS (SELECT doc_id, ${simhash64Sql("codes")} AS phash FROM c),
+    s"""WITH ch AS (
+       |  SELECT doc_id, length(text) AS len,
+       |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS chars
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len >= 4 THEN
+       |      list_filter(list_transform(generate_series(1, len - 3),
+       |        i -> chars[i] * 29791 + chars[i + 1] * 961
+       |           + chars[i + 2] * 31 + chars[i + 3]),
+       |        c -> c % 4 = 0)
+       |    ELSE CAST([] AS BIGINT[]) END AS codes
+       |  FROM ch),
+       |s AS (SELECT doc_id, len(codes) AS ncodes, ${simhash64Sql("codes")} AS phash FROM g),
        |k AS (
-       |  SELECT s.doc_id, phash, ((phash >> (16 * b)) & 65535) * 4 + b AS bkey
-       |  FROM s JOIN c ON s.doc_id = c.doc_id,
-       |    LATERAL (SELECT unnest([0, 1, 2, 3]) AS b)
-       |  WHERE len(codes) > 0),
+       |  SELECT doc_id, phash, ((phash >> (16 * b)) & 65535) * 4 + b AS bkey
+       |  FROM s, LATERAL (SELECT unnest([0, 1, 2, 3]) AS b)
+       |  WHERE ncodes > 0
+       |  QUALIFY count(*) OVER (PARTITION BY ((phash >> (16 * b)) & 65535) * 4 + b) <= 1000),
        |p AS (
        |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y, a.phash AS px, b.phash AS py
        |  FROM k a JOIN k b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
