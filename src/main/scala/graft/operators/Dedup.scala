@@ -1086,7 +1086,76 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // d14: cross-source duplication matrix — WHICH sources mirror each
+  // other. d3 finds near-dup pairs; this rolls the verified pairs up
+  // to (source, source) grain: high off-diagonal cells are mirror
+  // crawls / syndication (deduplicate down to one source), a high
+  // diagonal is within-source boilerplate. The crawl-planning read of
+  // the dedup pass — where d10's novelty says WHEN to stop crawling a
+  // source, d14 says WHICH pairs of sources are buying duplicates.
+  //
+  // Shape: candidate generation is the SAME banded-LSH bucket join as
+  // the library path (minhashCandidatePairs, MaxBucket-capped), exact
+  // Jaccard verifies at IncTau, and the tiny source dimension joins
+  // AFTER verification (pairs-grain, not corpus-grain). The matrix is
+  // ≤ sources² rows. max_jac is a SELECTing max (no FP accumulation);
+  // pair counts are integers.
+  def d14(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = minhashCandidatePairs(docs, "text", "doc_id")
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"))
+    val sh = docs.select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+    val verified = pairJaccard(pairs, sh).filter(col("jac") >= IncTau)
+    val src = docs.select(col("doc_id"), col("source"))
+    verified
+      .join(src.select(col("doc_id").as("id_new"), col("source").as("__sa")), Seq("id_new"))
+      .join(src.select(col("doc_id").as("id_old"), col("source").as("__sb")), Seq("id_old"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"), col("jac"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), round(max(col("jac")), 6).as("max_jac"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val d14Sql: String = {
+    val codes = shingleCodesSql("text")
+    val keys = (0 until Bands).map(b => s"${bandKeySql("codes", b)} AS b$b").mkString(", ")
+    val kv = (0 until Bands).map(b => s"($b, b$b)").mkString(", ")
+    val sh = shingles3Sql(tokensSql("text"))
+    val inter = "len(list_intersect(n.sh, o.sh))"
+    val jac = s"CASE WHEN len(n.sh) + len(o.sh) - $inter <> 0 THEN " +
+      s"CAST($inter AS DOUBLE) / (len(n.sh) + len(o.sh) - $inter) END"
+    s"""WITH c AS (SELECT doc_id, $codes AS codes FROM documents),
+       |k AS (SELECT doc_id, $keys FROM c),
+       |bk AS (
+       |  SELECT doc_id, band, key FROM k,
+       |    LATERAL (SELECT * FROM (VALUES $kv) v(band, key))
+       |  WHERE key IS NOT NULL
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $MaxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |shs AS (SELECT doc_id, $sh AS sh FROM documents),
+       |j AS (
+       |  SELECT p.id_a, p.id_b, $jac AS jac
+       |  FROM pairs p
+       |  JOIN shs n ON n.doc_id = p.id_a
+       |  JOIN shs o ON o.doc_id = p.id_b),
+       |v AS (SELECT * FROM j WHERE jac >= $IncTau),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_a,
+       |  greatest(sa.source, sb.source) AS source_b,
+       |  count(*) AS n_pairs, round(max(jac), 6) AS max_jac
+       |FROM v
+       |JOIN src sa ON v.id_a = sa.doc_id
+       |JOIN src sb ON v.id_b = sb.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_cross_source_dups" -> (d14 _),
     "d13_incremental_neardup" -> (d13 _),
     "d12_span_scrub" -> (d12 _),
     "d11_semantic_dedup" -> (d11 _),
@@ -1098,6 +1167,7 @@ object Dedup {
     "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
+    "d14_cross_source_dups" -> d14Sql,
     "d13_incremental_neardup" -> d13Sql,
     "d12_span_scrub" -> d12Sql,
     "d11_semantic_dedup" -> d11Sql,

@@ -1375,7 +1375,114 @@ object MLPrep {
       |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
       |FROM d""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m28: learning curve from ONE scan — held-out MSE/R² of the m13
+  // closed-form linear fit at nested train fractions (10/25/50/100%).
+  // The sample-complexity readout ("is more data still buying
+  // accuracy?") that decides whether to grow a dataset — at 100 TB
+  // you want it WITHOUT four training scans. Every fraction's moments
+  // are CONDITIONAL aggregates in the same single pass (deterministic
+  // integer hash (7·orderkey + linenumber) % 100 < f, so fractions
+  // NEST like a real learning curve: the 10% sample ⊂ 25% ⊂ 50%);
+  // slope/intercept are m13's closed forms per fraction, and the test
+  // SSres comes ALGEBRAICALLY from the shared test moments (m13's
+  // no-per-row-residual trick) — so 4 models + 4 evaluations cost one
+  // fact scan and a 1-row aggregate. All moments are exact decimal;
+  // the double formula trees are written identically in both engines.
+  private val CurveFractions = Seq(10, 25, 50, 100)
+
+  def m28(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("is_test", col("l_orderkey") % 5 === 0)
+      .withColumn("__h", (col("l_orderkey") * 7 + col("l_linenumber")) % 100)
+    def tr(f: Int) = !col("is_test") && col("__h") < f
+    val aggs = CurveFractions.flatMap { f => Seq(
+      count(when(tr(f), 1)).as(s"n$f"),
+      sum(when(tr(f), dec2(col("l_quantity")))).cast("double").as(s"sx$f"),
+      sum(when(tr(f), dec2(col("l_extendedprice")))).cast("double").as(s"sy$f"),
+      sum(when(tr(f), dec2(col("l_quantity")) * dec2(col("l_quantity"))))
+        .cast("double").as(s"sxx$f"),
+      sum(when(tr(f), dec2(col("l_quantity")) * dec2(col("l_extendedprice"))))
+        .cast("double").as(s"sxy$f"))
+    } ++ Seq(
+      count(when(col("is_test"), 1)).as("nt"),
+      sum(when(col("is_test"), dec2(col("l_quantity")))).cast("double").as("tsx"),
+      sum(when(col("is_test"), dec2(col("l_extendedprice")))).cast("double").as("tsy"),
+      sum(when(col("is_test"), dec2(col("l_quantity")) * dec2(col("l_quantity"))))
+        .cast("double").as("tsxx"),
+      sum(when(col("is_test"), dec2(col("l_quantity")) * dec2(col("l_extendedprice"))))
+        .cast("double").as("tsxy"),
+      sum(when(col("is_test"), dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))))
+        .cast("double").as("tsyy"))
+    val mom = li.agg(aggs.head, aggs.tail: _*)
+    CurveFractions.map { f =>
+      mom
+        .withColumn("__slope",
+          (col(s"n$f") * col(s"sxy$f") - col(s"sx$f") * col(s"sy$f")) /
+            (col(s"n$f") * col(s"sxx$f") - col(s"sx$f") * col(s"sx$f")))
+        .withColumn("__icept",
+          col(s"sy$f") / col(s"n$f") - col("__slope") * col(s"sx$f") / col(s"n$f"))
+        .withColumn("__ssres",
+          col("tsyy") - lit(2.0) * col("__icept") * col("tsy") -
+            lit(2.0) * col("__slope") * col("tsxy") +
+            col("nt") * col("__icept") * col("__icept") +
+            lit(2.0) * col("__icept") * col("__slope") * col("tsx") +
+            col("__slope") * col("__slope") * col("tsxx"))
+        .select(lit(f).as("train_pct"), col(s"n$f").as("n_train"),
+          round(col("__slope"), 6).as("slope"),
+          round(col("__icept"), 6).as("intercept"),
+          round(col("__ssres") / col("nt"), 2).as("mse_test"),
+          round(lit(1.0) - col("__ssres") /
+            (col("tsyy") - col("tsy") * col("tsy") / col("nt")), 6).as("r2_test"))
+    }.reduce(_ unionByName _).orderBy(col("train_pct"))
+  }
+
+  val m28Sql: String = {
+    val perF = CurveFractions.flatMap { f => Seq(
+      s"count(CASE WHEN NOT is_test AND h < $f THEN 1 END) AS n$f",
+      s"CAST(sum(CASE WHEN NOT is_test AND h < $f THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sx$f",
+      s"CAST(sum(CASE WHEN NOT is_test AND h < $f THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sy$f",
+      s"CAST(sum(CASE WHEN NOT is_test AND h < $f THEN CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sxx$f",
+      s"CAST(sum(CASE WHEN NOT is_test AND h < $f THEN CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sxy$f")
+    }.mkString(",\n|    ")
+    val branches = CurveFractions.map { f =>
+      s"""SELECT $f AS train_pct, n$f AS n_train,
+         |    round((n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f), 6) AS slope,
+         |    round(sy$f/n$f - (n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f)*sx$f/n$f, 6) AS intercept,
+         |    round((tsyy - 2.0*(sy$f/n$f - (n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f)*sx$f/n$f)*tsy
+         |      - 2.0*((n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f))*tsxy
+         |      + nt*(sy$f/n$f - (n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f)*sx$f/n$f)*(sy$f/n$f - (n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f)*sx$f/n$f)
+         |      + 2.0*(sy$f/n$f - (n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f)*sx$f/n$f)*((n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f))*tsx
+         |      + ((n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f))*((n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f))*tsxx) / nt, 2) AS mse_test,
+         |    round(1.0 - (tsyy - 2.0*(sy$f/n$f - (n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f)*sx$f/n$f)*tsy
+         |      - 2.0*((n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f))*tsxy
+         |      + nt*(sy$f/n$f - (n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f)*sx$f/n$f)*(sy$f/n$f - (n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f)*sx$f/n$f)
+         |      + 2.0*(sy$f/n$f - (n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f)*sx$f/n$f)*((n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f))*tsx
+         |      + ((n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f))*((n$f*sxy$f - sx$f*sy$f)/(n$f*sxx$f - sx$f*sx$f))*tsxx)
+         |      / (tsyy - tsy*tsy/nt), 6) AS r2_test
+         |  FROM mom""".stripMargin
+    }.mkString("\n|  UNION ALL\n|  ")
+    s"""WITH li AS (
+       |  SELECT l_quantity, l_extendedprice,
+       |    l_orderkey % 5 = 0 AS is_test,
+       |    (l_orderkey * 7 + l_linenumber) % 100 AS h
+       |  FROM lineitem),
+       |mom AS (
+       |  SELECT $perF,
+       |    count(CASE WHEN is_test THEN 1 END) AS nt,
+       |    CAST(sum(CASE WHEN is_test THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS tsx,
+       |    CAST(sum(CASE WHEN is_test THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS tsy,
+       |    CAST(sum(CASE WHEN is_test THEN CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS tsxx,
+       |    CAST(sum(CASE WHEN is_test THEN CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS tsxy,
+       |    CAST(sum(CASE WHEN is_test THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS tsyy
+       |  FROM li)
+       |SELECT * FROM (
+       |  $branches)
+       |ORDER BY train_pct""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m28_learning_curve" -> (m28 _),
     "m27_ks_test" -> (m27 _),
     "m26_mutual_info" -> (m26 _),
     "m25_weighted_mix" -> (m25 _),
@@ -1397,6 +1504,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m28_learning_curve" -> m28Sql,
     "m27_ks_test" -> m27Sql,
     "m26_mutual_info" -> m26Sql,
     "m25_weighted_mix" -> m25Sql,

@@ -1656,7 +1656,65 @@ object Relational {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q42: TPC-H Q9-style product-line profit by (nation, order-year) —
+  // the classic multi-dimension star probe: the fact table joins THREE
+  // broadcast dimension hops (part filtered by a name substring —
+  // Q9's '%green%' gate — supplier, nation) plus ONE fact-fact join
+  // (orders, for the order year). The schema has no partsupp, so cost
+  // is quantity·retailprice and profit is revenue − cost (margin
+  // report; negative cells are legitimate). Plan shape: the p_name
+  // LIKE filter prunes part BEFORE broadcast; supplier/nation are
+  // schema-bounded broadcasts; orders joins on the orderkey shuffle
+  // AQE manages; ONE lineitem scan. Revenue and cost accumulate as
+  // separate exact DECIMAL sums, subtracted once in double (no
+  // per-row double→decimal re-rounding, the m13 tie rule).
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").like("%ring%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))).as("__rev"),
+        sum(dec2(col("l_quantity")) * dec2(col("p_retailprice"))).as("__cost"),
+        count(lit(1)).as("n_lines"))
+      .select(col("n_name"), col("o_year"),
+        col("__rev").cast("double").as("revenue"),
+        col("__cost").cast("double").as("cost"),
+        (col("__rev").cast("double") - col("__cost").cast("double")).as("profit"),
+        col("n_lines"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val q42Sql: String =
+    """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS cost,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    - CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%ring%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY n_name, o_year DESC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_profit_rollup" -> (q42 _),
     "q40_late_priority" -> (q40 _),
     "q41_supplier_variety" -> (q41 _),
     "q39_returned_customers" -> (q39 _),
@@ -1700,6 +1758,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q42_profit_rollup" -> q42Sql,
     "q40_late_priority" -> q40Sql,
     "q41_supplier_variety" -> q41Sql,
     "q39_returned_customers" -> q39Sql,

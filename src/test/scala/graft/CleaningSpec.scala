@@ -514,4 +514,25 @@ class CleaningSpec extends SparkSuite {
     assert(sh.getLong(4) === 1L, "a 40-unit location shift must reject at alpha=0.05")
     assert(sh.getDouble(2) > got.getDouble(2))
   }
+
+  test("m28 learning curve: fractions nest, and the 100% point IS m13's fit") {
+    val rows = MLPrep.m28(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(10, 25, 50, 100))
+    val n = rows.map(_.getLong(1))
+    assert(n(0) < n(1) && n(1) < n(2) && n(2) < n(3), "train sizes strictly grow")
+    // the inclusion rule h < f makes samples NESTED, so n scales ~f
+    assert(math.abs(n(0).toDouble / n(3) - 0.10) < 0.03)
+    assert(math.abs(n(1).toDouble / n(3) - 0.25) < 0.03)
+    // f=100 keeps every train row — identical model to m13, same eval
+    val m13 = MLPrep.m13(spark, sf).head()
+    val full = rows.last
+    assert(full.getDouble(2) === m13.getAs[Double]("slope"))
+    assert(full.getDouble(3) === m13.getAs[Double]("intercept"))
+    assert(full.getDouble(4) === m13.getAs[Double]("mse"))
+    assert(full.getDouble(5) === m13.getAs[Double]("r2"))
+    // the synthetic corpus has no qty→price correlation, so r² sits
+    // near 0 at every fraction — but a least-squares fit evaluated on
+    // held-out data can never do much worse than the mean predictor
+    assert(rows.forall(_.getDouble(5) > -0.05), "fits stay near the mean-predictor floor")
+  }
 }

@@ -547,4 +547,42 @@ class RelationalSpec extends SparkSuite {
     assert(planted.length === 1 && planted.head.getLong(3) === 1L,
       "the negative-balance supplier must be excluded from the count")
   }
+
+  test("q42 profit rollup equals brute force; part filter prunes before broadcast") {
+    val q = Relational.q42(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("lineitem".r.findAllIn(plan).size == 1, "one fact scan")
+    assert(plan.contains("PushedFilters") && plan.toLowerCase.contains("p_name"),
+      "the name filter must reach the part scan")
+    assert(!plan.contains("CartesianProduct"))
+
+    val parts = Tables.part(spark, sf).collect()
+      .filter(_.getAs[String]("p_name").contains("ring"))
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Double]("p_retailprice")).toMap
+    val sup = Tables.supplier(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Int]("s_nationkey")).toMap
+    val nat = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val oYear = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("y")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val cells = Tables.lineitem(spark, sf).collect().flatMap { r =>
+      parts.get(r.getAs[Long]("l_partkey")).map { rp =>
+        val rev = d2(r.getAs[Double]("l_extendedprice")) *
+          (BigDecimal(1).setScale(2) - d2(r.getAs[Double]("l_discount")))
+        val cost = d2(r.getAs[Double]("l_quantity")) * d2(rp)
+        val nation = nat(sup(r.getAs[Long]("l_suppkey")))
+        ((nation, oYear(r.getAs[Long]("l_orderkey"))), (rev, cost))
+      }
+    }.groupBy(_._1).map { case (k, xs) =>
+      val rev = xs.map(_._2._1).sum.toDouble
+      val cost = xs.map(_._2._2).sum.toDouble
+      k -> ((rev, cost, rev - cost, xs.length.toLong))
+    }
+    val got = q.collect().map(r => ((r.getString(0), r.getLong(1))) ->
+      ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got === cells)
+    assert(got.nonEmpty && got.keys.map(_._1).toSet.size > 1, "multiple nations present")
+  }
 }

@@ -596,4 +596,32 @@ class TextDedupSpec extends SparkSuite {
     // corpus-universal terms should land near idf ~ 0, never negative
     assert(got.forall(_._5 >= 0.0), "add-one smoothing keeps scores non-negative")
   }
+
+  test("d14 cross-source matrix: a planted cross-source mirror lands in its cell") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d14").toString
+    val mirrored = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val fillers = (1 to 20).map { i =>
+      (100L + i, (1 to 30).map(j => s"w${i}_$j").mkString(" "), "en",
+        if (i % 2 == 0) "crawlA" else "crawlB", 100L)
+    }
+    (Seq(
+      (1L, mirrored, "en", "crawlA", mirrored.length.toLong),
+      (2L, mirrored, "en", "crawlB", mirrored.length.toLong),
+      (3L, mirrored + " extra", "en", "crawlB", mirrored.length + 6L)) ++ fillers)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.d14(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> ((x.getLong(2), x.getDouble(3)))).toMap
+    // doc1(A)≈doc2(B), doc1(A)≈doc3(B) cross cells; doc2≈doc3 within B
+    assert(r.contains(("crawlA", "crawlB")), "the mirror cell must appear")
+    assert(r(("crawlA", "crawlB"))._1 >= 2L, "both cross-source near-dup pairs counted")
+    assert(r(("crawlA", "crawlB"))._2 === 1.0, "identical docs peak the cell at jac 1")
+    assert(r.contains(("crawlB", "crawlB")), "within-source duplication on the diagonal")
+    // unrelated filler docs must not create cells on their own
+    assert(r.keySet.subsetOf(Set(("crawlA", "crawlB"), ("crawlB", "crawlB"),
+      ("crawlA", "crawlA"))))
+    // canonical ordering: source_a <= source_b in every cell
+    assert(r.keySet.forall { case (a, b) => a <= b })
+  }
 }
