@@ -458,11 +458,18 @@ object Upsert {
     val purch = Tables.events(s, dir).filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("value"),
         to_date(col("ts")).as("day"), unix_millis(col("ts")).as("ms"))
+    // In production the snapshots and the CDC batch are PERSISTED
+    // tables (that is the point of incremental maintenance); deriving
+    // them inline here would re-scan the event log once per downstream
+    // reference (~30 scans in the un-checkpointed plan). localCheckpoint
+    // stands in for that persistence: each frame materializes once.
     val oldSnap = latestSnapshot(purch.filter(col("ms") < CutoffMs),
-      Seq("user_id"), Seq(col("ms"), col("event_id")))
+      Seq("user_id"), Seq(col("ms"), col("event_id"))).localCheckpoint()
     val newSnap = latestSnapshot(purch, Seq("user_id"), Seq(col("ms"), col("event_id")))
+      .localCheckpoint()
     val state = snapshotRollup(oldSnap, "day", "value")
     val changes = cdcDiff(oldSnap, newSnap, Seq("user_id"), Seq("day", "value"))
+      .localCheckpoint()
     cdcRollupApply(state, changes, newSnap, "day", "value")
       .select(col("day"), col("n"), col("n_v"), col("sum_v"), col("mn"), col("mx"))
       .orderBy(col("day"))
