@@ -904,7 +904,64 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // s13: IVF recall audit — s10's measure-don't-guess role for the
+  // IVF path: per-query recall@3 of s5's nprobe=1 cell-restricted
+  // search vs exact brute force ON THE SAME query/corpus split
+  // (queries 8–12, corpus ≥13 — ids 0–7 are s5's centroids; s10's
+  // baseline uses s1's split and would mis-score s5). nprobe=1 is
+  // IVF's worst case — a query near a cell boundary loses every
+  // neighbor assigned to the adjacent cell — so this audit is the
+  // dial that justifies (or indicts) the probe count before scaling.
+  // Integer-ppm recall, exact arithmetic everywhere.
+  def s13(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val ex = cosineTopK(
+      e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") >= 13).select(col("vec_id").as("id"), col("embedding")),
+      3).select(col("q_id"), col("cand_id"))
+    val ann = s5(s, dir).select(col("q_id"), col("cand_id"))
+    val annq = ann.groupBy(col("q_id")).agg(count(lit(1)).as("n_ivf"))
+    val hits = ex.join(ann.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+    hits.join(annq, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"), col("n_hits"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  val s13Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""WITH expairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $cos AS cos
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id >= 8 AND q.vec_id < 13 AND c.vec_id >= 13),
+       |ex AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |    FROM expairs)
+       |  WHERE rk <= 3),
+       |ann AS ($s5Sql),
+       |annq AS (SELECT q_id, count(*) AS n_ivf FROM ann GROUP BY 1),
+       |hits AS (
+       |  SELECT e.q_id, count(*) AS n_exact,
+       |    CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hits
+       |  FROM ex e LEFT JOIN ann a ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+       |  GROUP BY e.q_id)
+       |SELECT h.q_id, h.n_exact, COALESCE(q.n_ivf, 0) AS n_ivf, h.n_hits,
+       |  h.n_hits * 1000000 // h.n_exact AS recall_ppm
+       |FROM hits h LEFT JOIN annq q USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_ivf_recall" -> (s13 _),
     "s12_knn_join" -> (s12 _),
     "s11_pq_adc" -> (s11 _),
     "s10_ann_recall" -> (s10 _),
@@ -916,6 +973,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s13_ivf_recall" -> s13Sql,
     "s12_knn_join" -> s12Sql,
     "s11_pq_adc" -> s11Sql,
     "s10_ann_recall" -> s10Sql,

@@ -1048,7 +1048,88 @@ object Streams {
     def decisions: Option[DataFrame] = acc
   }
 
+  // -------------------------------------------------------------------
+  // st17: streaming incremental DISTINCT — i6's non-mergeable
+  // aggregate (daily distinct users) maintained as a STREAM: each
+  // micro-batch dedups itself to (day, user) grain, ANTI-JOINS the
+  // accumulated first-seen key set (only genuinely new keys append),
+  // and bumps per-day counters by |new keys| — distinct counts stay
+  // exact across an unbounded stream with state = the key set, never
+  // a rescan. first_batch records which fold first saw each day (the
+  // arrival-bookkeeping a backfill monitor reads). The inventory
+  // query is the 3-slice batch replay (st14's time cuts), ORACLED BY
+  // THE DIRECT RECOMPUTE (count DISTINCT over the whole log) plus the
+  // closed-form slice classification of each day's earliest event —
+  // fold == rebuild, i6's gate with arrival metadata on top.
+  def st17(s: SparkSession, dir: String): DataFrame = {
+    val t1 = 1704931200000L // 2024-01-11T00:00:00Z (st14's cuts)
+    val t2 = 1705795200000L // 2024-01-21T00:00:00Z
+    val ev = Tables.events(s, dir).select(to_date(col("ts")).as("day"),
+      col("user_id"), unix_millis(col("ts")).as("ms"))
+    val slices = Seq(
+      ev.filter(col("ms") < t1),
+      ev.filter(col("ms") >= t1 && col("ms") < t2),
+      ev.filter(col("ms") >= t2)).map(_.select(col("day"), col("user_id")).distinct())
+    var state = slices.head
+    var counts = slices.head.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users")).withColumn("first_batch", lit(0L))
+    slices.tail.zipWithIndex.foreach { case (b, i) =>
+      val fresh = b.join(state, Seq("day", "user_id"), "left_anti")
+      val add = fresh.groupBy(col("day")).agg(count(lit(1)).as("__n_new"))
+      counts = counts.join(add, Seq("day"), "full")
+        .select(col("day"),
+          (coalesce(col("n_users"), lit(0L)) + coalesce(col("__n_new"), lit(0L)))
+            .as("n_users"),
+          coalesce(col("first_batch"), lit((i + 1).toLong)).as("first_batch"))
+      state = state.unionByName(fresh)
+    }
+    counts.orderBy(col("day"))
+  }
+
+  val st17Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id, epoch_ms(ts) AS ms FROM events)
+      |SELECT day, count(DISTINCT user_id) AS n_users,
+      |  CAST(CASE WHEN min(ms) < 1704931200000 THEN 0
+      |            WHEN min(ms) < 1705795200000 THEN 1
+      |            ELSE 2 END AS BIGINT) AS first_batch
+      |FROM d GROUP BY day
+      |ORDER BY day""".stripMargin
+
+  /** foreachBatch incremental-distinct sink (st17's streaming form):
+    * maintains the first-seen (day, user) key set and per-day
+    * counters; each micro-batch folds in via anti-join. State is the
+    * KEY SET (the minimum any exact distinct needs), counters are
+    * O(days); localCheckpoint bounds lineage per fold (production:
+    * a MERGE-capable key table). Counts are slicing-invariant (set
+    * union commutes); first_batch reflects THIS run's arrival order. */
+  class DistinctCountSink {
+    @volatile private var keys: Option[DataFrame] = None   // (day, user_id)
+    @volatile private var acc: Option[DataFrame] = None    // (day, n_users, first_batch)
+    private var idx: Long = 0L
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val b = batch.select(col("day"), col("user_id")).distinct()
+      val fresh = keys.map(k => b.join(k, Seq("day", "user_id"), "left_anti")).getOrElse(b)
+      val add = fresh.groupBy(col("day")).agg(count(lit(1)).as("__n_new"))
+      val i = idx
+      val next = acc match {
+        case None => add.select(col("day"), col("__n_new").as("n_users"),
+          lit(i).as("first_batch"))
+        case Some(c) => c.join(add, Seq("day"), "full")
+          .select(col("day"),
+            (coalesce(col("n_users"), lit(0L)) + coalesce(col("__n_new"), lit(0L)))
+              .as("n_users"),
+            coalesce(col("first_batch"), lit(i)).as("first_batch"))
+      }
+      keys = Some(keys.map(_.unionByName(fresh)).getOrElse(fresh).localCheckpoint())
+      acc = Some(next.localCheckpoint())
+      idx += 1
+    }
+    def result: Option[DataFrame] = acc
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_stream_distinct" -> (st17 _),
     "st16_stream_dedup_admission" -> (st16 _),
     "st15_stream_admission" -> (st15 _),
     "st14_stream_rollup" -> (st14 _),
@@ -1064,6 +1145,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st17_stream_distinct" -> st17Sql, // direct recompute: fold == rebuild (i6's gate)
     "st16_stream_dedup_admission" -> st16Sql, // rebuild: streamed fold == full recompute
     "st15_stream_admission" -> st15Sql,
     "st14_stream_rollup" -> st14Sql, // full-rebuild GROUP BY: folded micro-batches == rebuild

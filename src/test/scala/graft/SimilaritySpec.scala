@@ -179,6 +179,28 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("s13 IVF recall audit: sound bounds, and recall equals a brute-force recount") {
+    val rows = Similarity.s13(spark, sf).collect()
+    assert(rows.length === 5, "queries 8..12 each report once")
+    rows.foreach { r =>
+      assert(r.getLong(1) === 3L, "exact top-3 baseline")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= r.getLong(1))
+      assert(r.getLong(4) === r.getLong(3) * 1000000L / r.getLong(1))
+    }
+    // recount from the two constituent result sets
+    val ex = Similarity.cosineTopK(
+      Tables.embeddings(spark, sf).filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("id"), col("embedding")),
+      Tables.embeddings(spark, sf).filter(col("vec_id") >= 13)
+        .select(col("vec_id").as("id"), col("embedding")), 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val ann = Similarity.s5(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val wantHits = ex.groupBy(_._1).map { case (q, xs) =>
+      q -> xs.count(ann.contains).toLong }
+    assert(rows.map(r => r.getLong(0) -> r.getLong(3)).toMap === wantHits)
+  }
+
   test("s12 kNN join: identical-vector clique finds itself at cos 1.0; hot-bucket cap silences") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-s12").toString

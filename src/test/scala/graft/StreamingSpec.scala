@@ -806,4 +806,47 @@ class StreamingSpec extends SparkSuite {
     assert(fracs.sum >= 1.0 - 1e-9 && fracs.sum <= 1.0 + Streams.DriftBins * 1e-6,
       s"fractions must sum to 1 (+clamp), got ${fracs.sum}")
   }
+
+  test("st17 streaming distinct: time-cut slicing equals the batch twin; counts slicing-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t1 = 1704931200000L
+    val t2 = 1705795200000L
+    val recs = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day").cast("string"), col("user_id"),
+        unix_millis(col("ts")).as("ms"))
+      .orderBy(col("ms"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = Streams.st17(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && want.exists(_._3 > 0L),
+      "some day must first appear after batch 0 or the fold is vacuous")
+    def run(slices: Seq[Array[(String, Long, Long)]]): Set[(String, Long, Long)] = {
+      val mem = MemoryStream[(String, Long)]
+      val sink = new Streams.DistinctCountSink
+      val q = mem.toDF().toDF("day", "user_id")
+        .writeStream.outputMode("append")
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+        .start()
+      try {
+        slices.foreach { sl =>
+          mem.addData(sl.map(x => (x._1, x._2)).toIndexedSeq: _*); q.processAllAvailable()
+        }
+        sink.result.get.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+    }
+    // the SAME time cuts as the batch twin: full equality incl. first_batch
+    val byCuts = Seq(
+      recs.filter(_._3 < t1), recs.filter(x => x._3 >= t1 && x._3 < t2),
+      recs.filter(_._3 >= t2))
+    assert(run(byCuts) === want, "time-cut streamed fold diverged from the batch twin")
+    // an ARBITRARY slicing: n_users per day invariant (set union commutes)
+    val n = recs.length
+    val arb = Seq(recs.slice(0, n / 5), recs.slice(n / 5, n / 2), recs.slice(n / 2, n))
+    val counts = run(arb).map(x => (x._1, x._2))
+    assert(counts === want.map(x => (x._1, x._2)),
+      "distinct counts must be invariant to micro-batch slicing")
+  }
 }
