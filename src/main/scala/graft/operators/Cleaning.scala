@@ -665,7 +665,68 @@ object Cleaning {
       |FROM g, t
       |ORDER BY digit""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c17: cross-table AMOUNT reconciliation — does each order's header
+  // total equal the sum of its line revenues? c13 audits KEYS
+  // (orphaned foreign keys); c17 audits the MONEY, the other half of
+  // every warehouse reconciliation run. One lineitem aggregate at
+  // orderkey grain (map-side partial agg — the only fact-sized
+  // shuffle), one LEFT join from orders (headers with NO lines are
+  // their own defect class, reported separately), exact-decimal
+  // comparison at a 1-cent tolerance — never a double equality. The
+  // 1-row report: orders, lineless orders, mismatches, integer-ppm
+  // rate, and the worst absolute gap (a SELECTing max, no FP sum).
+  // On this synthetic corpus o_totalprice is generated independently
+  // of lineitem, so the mismatch rate is ~1e6 ppm — the audit's
+  // non-vacuous demonstration; CleaningSpec proves the zero case on
+  // planted consistent frames.
+  def c17(s: SparkSession, dir: String): DataFrame = {
+    val lt = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+        (lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 2)) -
+          dec2(col("l_discount")))).as("__rev"))
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      .join(lt, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        when(col("__rev").isNull, 1L).otherwise(0L).as("__lineless"),
+        when(col("__rev").isNotNull &&
+          abs(dec2(col("o_totalprice")) - col("__rev")) >
+            lit("0.01").cast(org.apache.spark.sql.types.DecimalType(18, 4)), 1L)
+          .otherwise(0L).as("__mismatch"),
+        when(col("__rev").isNotNull,
+          abs(dec2(col("o_totalprice")) - col("__rev"))).as("__gap"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("__lineless")).as("n_lineless"),
+        sum(col("__mismatch")).as("n_mismatch"),
+        expr("sum(__mismatch) * 1000000 div (count(1) - sum(__lineless))")
+          .as("mismatch_ppm"),
+        max(col("__gap")).cast("double").as("max_abs_gap"))
+  }
+
+  val c17Sql: String =
+    """WITH lt AS (
+      |  SELECT l_orderkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS lineless,
+      |    CASE WHEN rev IS NOT NULL
+      |      AND abs(CAST(o_totalprice AS DECIMAL(18,2)) - rev) > 0.01
+      |      THEN 1 ELSE 0 END AS mismatch,
+      |    CASE WHEN rev IS NOT NULL
+      |      THEN abs(CAST(o_totalprice AS DECIMAL(18,2)) - rev) END AS gap
+      |  FROM orders LEFT JOIN lt ON o_orderkey = l_orderkey)
+      |SELECT count(*) AS n_orders,
+      |  CAST(sum(lineless) AS BIGINT) AS n_lineless,
+      |  CAST(sum(mismatch) AS BIGINT) AS n_mismatch,
+      |  CAST(sum(mismatch) AS BIGINT) * 1000000 // (count(*) - CAST(sum(lineless) AS BIGINT)) AS mismatch_ppm,
+      |  CAST(max(gap) AS DOUBLE) AS max_abs_gap
+      |FROM j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_amount_audit" -> (c17 _),
     "c16_benford_audit" -> (c16 _),
     "c15_robust_outliers" -> (c15 _),
     "c14_gap_fill" -> (c14 _),
@@ -678,6 +739,7 @@ object Cleaning {
     "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
+    "c17_amount_audit" -> c17Sql,
     "c16_benford_audit" -> c16Sql,
     "c15_robust_outliers" -> c15Sql,
     "c14_gap_fill" -> c14Sql,

@@ -626,8 +626,8 @@ object Relational {
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_12") ||
+        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       .agg(sum(dec2(col("l_extendedprice")) *
           (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
@@ -648,8 +648,8 @@ object Relational {
       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
-      |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_12') OR
+      |       (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_1'))
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
@@ -1713,7 +1713,83 @@ object Relational {
       |GROUP BY n_name, year(o_orderdate)
       |ORDER BY n_name, o_year DESC""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q43: TPC-H Q8-style national market share — of all STANDARD-part
+  // revenue sold to ASIA customers, what fraction was supplied by
+  // NATION_12, per order year? The Q8 shape is the point: TWO
+  // independent nation hops off the same fact row (customer-side
+  // nation⋈region to scope the MARKET, supplier-side nation to flag
+  // the FOCAL share), a disjoint-role dimension reuse naive planners
+  // conflate. Plan: part/supplier/customer-nation/region all
+  // broadcast after their filters; orders and customer join on their
+  // keys (customer is O(SF) — unhinted, AQE promotes at low SF);
+  // share = conditional decimal sum / total decimal sum per year,
+  // one double division rounded 6 (q29's rule). ONE lineitem scan.
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val asia = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("__cnat"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(asia), col("c_nationkey") === col("__cnat"))
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === "NATION_12").as("__focal"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))).as("__rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("__focal"), col("__rev"))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("__f"),
+        sum(col("__rev")).as("__t"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_year"),
+        col("__f").cast("double").as("focal_revenue"),
+        col("__t").cast("double").as("total_revenue"),
+        round(col("__f").cast("double") / col("__t").cast("double"), 6)
+          .as("mkt_share"),
+        col("n_lines"))
+      .orderBy(col("o_year"))
+  }
+
+  val q43Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CASE WHEN sn.n_name = 'NATION_12'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS focal_revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+      |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_12'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey
+      |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+      |GROUP BY year(o_orderdate)
+      |ORDER BY o_year""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_market_share" -> (q43 _),
     "q42_profit_rollup" -> (q42 _),
     "q40_late_priority" -> (q40 _),
     "q41_supplier_variety" -> (q41 _),
@@ -1758,6 +1834,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q43_market_share" -> q43Sql,
     "q42_profit_rollup" -> q42Sql,
     "q40_late_priority" -> q40Sql,
     "q41_supplier_variety" -> q41Sql,

@@ -535,4 +535,27 @@ class CleaningSpec extends SparkSuite {
     // held-out data can never do much worse than the mean predictor
     assert(rows.forall(_.getDouble(5) > -0.05), "fits stay near the mean-predictor floor")
   }
+
+  test("c17 amount audit: consistent books score 0; a planted 1-cent-plus gap and a lineless order are caught") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-c17").toString
+    // order 1: two lines summing exactly; order 2: off by 0.02;
+    // order 3: off by exactly 0.01 (within tolerance); order 4: no lines
+    Seq((1L, 30.0), (2L, 50.0), (3L, 10.0), (4L, 99.0))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 10.0, 0.0), (1L, 40.0, 0.5), (2L, 49.98, 0.0), (3L, 10.01, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Cleaning.c17(spark, dir).head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 1L, "order 4 has no lines")
+    assert(r.getLong(2) === 1L, "only order 2 exceeds the 1-cent tolerance")
+    assert(r.getLong(3) === 1000000L / 3L, "ppm over CHECKED orders, not all orders")
+    assert(r.getDouble(4) === 0.02, "worst gap is order 2's 2 cents")
+    // the inventory instantiation must be non-vacuous on this corpus
+    val full = Cleaning.c17(spark, sf).head()
+    assert(full.getLong(2) > 0L, "synthetic books do not reconcile — the audit must say so")
+    assert(full.getLong(0) === Tables.orders(spark, sf).count())
+  }
 }

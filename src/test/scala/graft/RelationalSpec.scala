@@ -585,4 +585,52 @@ class RelationalSpec extends SparkSuite {
     assert(got === cells)
     assert(got.nonEmpty && got.keys.map(_._1).toSet.size > 1, "multiple nations present")
   }
+
+  test("q43 market share equals brute force; both nation roles resolve independently") {
+    val q = Relational.q43(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("lineitem".r.findAllIn(plan).size == 1, "one fact scan")
+    assert(!plan.contains("CartesianProduct"))
+
+    val asiaNations = Tables.nation(spark, sf).collect()
+      .filter(_.getAs[Int]("n_regionkey") == 2).map(_.getAs[Int]("n_nationkey")).toSet
+    val asiaCust = Tables.customer(spark, sf).collect()
+      .filter(r => asiaNations.contains(r.getAs[Int]("c_nationkey")))
+      .map(_.getAs[Long]("c_custkey")).toSet
+    val ordMap = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("y")).collect()
+      .filter(r => asiaCust.contains(r.getLong(1)))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val stdParts = Tables.part(spark, sf).collect()
+      .filter(_.getAs[String]("p_type") == "STANDARD").map(_.getAs[Long]("p_partkey")).toSet
+    val supNation = Tables.supplier(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Int]("s_nationkey")).toMap
+    val focalNation = Tables.nation(spark, sf).collect()
+      .find(_.getAs[String]("n_name") == "NATION_12").get.getAs[Int]("n_nationkey")
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val byYear = Tables.lineitem(spark, sf).collect().flatMap { r =>
+      val pk = r.getAs[Long]("l_partkey")
+      ordMap.get(r.getAs[Long]("l_orderkey")).flatMap { y =>
+        if (!stdParts.contains(pk)) None
+        else {
+          val rev = d2(r.getAs[Double]("l_extendedprice")) *
+            (BigDecimal(1).setScale(2) - d2(r.getAs[Double]("l_discount")))
+          val focal = supNation(r.getAs[Long]("l_suppkey")) == focalNation
+          Some((y, rev, focal))
+        }
+      }
+    }.groupBy(_._1).map { case (y, xs) =>
+      val f = xs.filter(_._3).map(_._2).sum.toDouble
+      val t = xs.map(_._2).sum.toDouble
+      y -> ((f, t, BigDecimal(f / t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        xs.length.toLong))
+    }
+    val got = q.collect().map(r => r.getLong(0) ->
+      ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got === byYear)
+    assert(got.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0))
+    assert(got.values.exists(v => v._1 > 0.0), "the focal nation must supply something")
+    assert(got.values.exists(v => v._1 < v._2), "and must not supply everything")
+  }
 }
