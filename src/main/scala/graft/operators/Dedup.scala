@@ -1105,7 +1105,11 @@ object Dedup {
     val docs = Tables.documents(s, dir)
     val pairs = minhashCandidatePairs(docs, "text", "doc_id")
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"))
+    // the shingle frame feeds BOTH sides of the verify join — without
+    // materialization each side re-scans and re-shingles the corpus
+    // (the d12/mm8 exchange lesson)
     val sh = docs.select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .localCheckpoint()
     val verified = pairJaccard(pairs, sh).filter(col("jac") >= IncTau)
     val src = docs.select(col("doc_id"), col("source"))
     verified

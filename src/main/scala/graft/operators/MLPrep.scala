@@ -1481,7 +1481,88 @@ object MLPrep {
        |ORDER BY train_pct""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // m29: bootstrap confidence interval from ONE scan — the Poissonized
+  // bootstrap (the big-data reformulation of resampling: resampling n
+  // rows WITH replacement gives each row a Binomial(n, 1/n) ≈
+  // Poisson(1) multiplicity, so B replicates become B deterministic
+  // per-row integer weights instead of B shuffled copies of the data).
+  // Weights come from an integer hash of (event_id, replicate) pushed
+  // through the Poisson(1) inverse CDF as integer ppm thresholds —
+  // engine-identical, seedless, reproducible. B=39 makes the textbook
+  // rank-based 95% interval exact: (B+1)·0.025 = 1, so [1st, 39th]
+  // order statistics of the replicate means ARE the percentile CI.
+  // Everything is one scan: 2B conditional aggregates (Σw·x as exact
+  // DECIMAL×integer, Σw as integer), then a 39-element array sorts on
+  // the 1-row result — replicate means, CI bounds, and the bootstrap
+  // SE (fixed-order fold over the SORTED array, so no FP
+  // order-dependence) all come from driver-free column arithmetic.
+  private val BootB = 39
+  private val PoisCdfPpm = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+
+  def bootstrapMeanCi(df: DataFrame, key: Column, v: Column, b: Int = BootB): DataFrame = {
+    def w(r: Int): Column = {
+      val h = pmod(key * 1103515245L + lit(r.toLong) * 2654435761L + 12345L, lit(1000000L))
+      PoisCdfPpm.zipWithIndex.foldRight(lit(6L)) { case ((t, k), rest) =>
+        when(h < t, k.toLong).otherwise(rest)
+      }
+    }
+    val aggs = (0 until b).flatMap { r => Seq(
+      sum(dec2(v) * w(r)).cast("double").as(s"sx$r"),
+      sum(w(r)).as(s"sw$r"))
+    } ++ Seq(count(v).as("n"), sum(dec2(v)).cast("double").as("sx"))
+    val mom = df.filter(v.isNotNull).agg(aggs.head, aggs.tail: _*)
+    val means = array_sort(array((0 until b).map(r => col(s"sx$r") / col(s"sw$r")): _*))
+    mom.withColumn("__m", means)
+      .withColumn("__s", aggregate(col("__m"), lit(0.0), (a, x) => a + x))
+      .withColumn("__q", aggregate(col("__m"), lit(0.0), (a, x) => a + x * x))
+      .select(col("n"),
+        round(col("sx") / col("n"), 6).as("mean"),
+        round(sqrt((col("__q") - col("__s") * col("__s") / b) / (b - 1)), 6)
+          .as("se_boot"),
+        round(element_at(col("__m"), 1), 6).as("ci_lo"),
+        round(element_at(col("__m"), b), 6).as("ci_hi"),
+        lit(b.toLong).as("b"))
+  }
+
+  /** m29: 95% bootstrap CI of the mean purchase value. */
+  def m29(s: SparkSession, dir: String): DataFrame =
+    bootstrapMeanCi(Tables.events(s, dir).filter(col("event_type") === "purchase"),
+      col("event_id"), col("value"))
+
+  val m29Sql: String = {
+    def wSql(r: Int): String = {
+      val h = s"((event_id * 1103515245 + $r * 2654435761 + 12345) % 1000000)"
+      "(CASE " + PoisCdfPpm.zipWithIndex.map { case (t, k) =>
+        s"WHEN $h < $t THEN $k" }.mkString(" ") + " ELSE 6 END)"
+    }
+    val aggs = (0 until BootB).flatMap { r => Seq(
+      s"CAST(sum(CAST(value AS DECIMAL(18,2)) * ${wSql(r)}) AS DOUBLE) AS sx$r",
+      s"CAST(sum(${wSql(r)}) AS BIGINT) AS sw$r")
+    }.mkString(",\n|    ")
+    val lst = (0 until BootB).map(r => s"sx$r/sw$r").mkString("[", ", ", "]")
+    s"""WITH mom AS (
+       |  SELECT $aggs,
+       |    count(value) AS n,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |m AS (SELECT *, list_sort($lst) AS ms FROM mom),
+       |f AS (
+       |  SELECT n, sx, ms,
+       |    list_reduce(list_prepend(0.0, ms), (a, x) -> a + x) AS s,
+       |    list_reduce(list_prepend(0.0, list_transform(ms, x -> x * x)),
+       |      (a, x) -> a + x) AS q
+       |  FROM m)
+       |SELECT n, round(sx / n, 6) AS mean,
+       |  round(sqrt((q - s * s / $BootB) / ${BootB - 1}), 6) AS se_boot,
+       |  round(ms[1], 6) AS ci_lo,
+       |  round(ms[$BootB], 6) AS ci_hi,
+       |  CAST($BootB AS BIGINT) AS b
+       |FROM f""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m29_bootstrap_ci" -> (m29 _),
     "m28_learning_curve" -> (m28 _),
     "m27_ks_test" -> (m27 _),
     "m26_mutual_info" -> (m26 _),
@@ -1504,6 +1585,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m29_bootstrap_ci" -> m29Sql,
     "m28_learning_curve" -> m28Sql,
     "m27_ks_test" -> m27Sql,
     "m26_mutual_info" -> m26Sql,

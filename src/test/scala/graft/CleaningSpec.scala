@@ -558,4 +558,36 @@ class CleaningSpec extends SparkSuite {
     assert(full.getLong(2) > 0L, "synthetic books do not reconcile — the audit must say so")
     assert(full.getLong(0) === Tables.orders(spark, sf).count())
   }
+
+  test("m29 bootstrap CI equals a plain-Scala replay; interval covers the mean; SE is sane") {
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+    def w(id: Long, r: Int): Long = {
+      val h = (id * 1103515245L + r.toLong * 2654435761L + 12345L) % 1000000L
+      cdf.indexWhere(h < _) match { case -1 => 6L; case k => k.toLong }
+    }
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val means = (0 until 39).map { r =>
+      val sx = rows.map { case (id, v) => d2(v) * BigDecimal(w(id, r)) }.sum.toDouble
+      val sw = rows.map { case (id, _) => w(id, r) }.sum
+      sx / sw
+    }.sorted
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = MLPrep.m29(spark, sf).head()
+    assert(got.getLong(0) === rows.length.toLong)
+    assert(got.getDouble(3) === r6(means.head), "ci_lo is the 1st order statistic")
+    assert(got.getDouble(4) === r6(means.last), "ci_hi is the 39th order statistic")
+    val mean = rows.map(x => d2(x._2)).sum.toDouble / rows.length
+    assert(got.getDouble(1) === r6(mean))
+    assert(mean >= got.getDouble(3) && mean <= got.getDouble(4),
+      "the point estimate sits inside its own bootstrap interval")
+    // bootstrap SE should approximate sd/sqrt(n) (loose 2x band)
+    val sd = math.sqrt(rows.map(x => math.pow(x._2 - mean, 2)).sum / (rows.length - 1))
+    val seClt = sd / math.sqrt(rows.length.toDouble)
+    assert(got.getDouble(2) > seClt / 2 && got.getDouble(2) < seClt * 2,
+      s"se_boot ${got.getDouble(2)} vs CLT $seClt")
+  }
 }
