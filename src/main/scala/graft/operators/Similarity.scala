@@ -865,7 +865,17 @@ object Similarity {
     * (an oversized (table, bucket) cell contributes no candidates —
     * Dedup.MaxBucket's conservative rule, which keeps a degenerate
     * corpus from going quadratic). Both sides shuffle on the
-    * fixed-width (table, bucket) key; nothing is broadcast. */
+    * fixed-width (table, bucket) key; nothing is broadcast.
+    *
+    * SIZE `planes` TO THE CORPUS: planes ≈ log2(N / targetBucketSize).
+    * A fixed plane count makes bucket population grow linearly with N
+    * and within-bucket pairs quadratically; the cap then bounds the
+    * COST but silently converts hot buckets into recall loss. Measured
+    * on the ×10 rehearsal corpus (every vector with 9 identical twins
+    * — the worst case): planes=8 capped runs 38 s and loses ~1/3 of
+    * the neighbors; planes=11 (buckets ≈ N/10 again) restores them at
+    * near-linear per-result cost (PLANS.md "×10 rehearsal, second
+    * pass"). The cap is the safety net, never the sizing strategy. */
   def knnJoinAll(corpus: DataFrame, k: Int, planes: Int = 8, probes: Int = 0,
       tables: Int = 1, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val s = corpus.sparkSession
