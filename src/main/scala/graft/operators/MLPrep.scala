@@ -1502,7 +1502,11 @@ object MLPrep {
 
   def bootstrapMeanCi(df: DataFrame, key: Column, v: Column, b: Int = BootB): DataFrame = {
     def w(r: Int): Column = {
-      val h = pmod(key * 1103515245L + lit(r.toLong) * 2654435761L + 12345L, lit(1000000L))
+      // the key is reduced mod 1e6 BEFORE the multiply: a raw
+      // key·1103515245 overflows BIGINT (ANSI error) once ids reach
+      // ~1e10 — i.e. exactly at the scale this operator targets
+      val h = pmod(pmod(key, lit(1000000L)) * 1103515245L +
+        lit(r.toLong) * 2654435761L + 12345L, lit(1000000L))
       PoisCdfPpm.zipWithIndex.foldRight(lit(6L)) { case ((t, k), rest) =>
         when(h < t, k.toLong).otherwise(rest)
       }
@@ -1532,7 +1536,7 @@ object MLPrep {
 
   val m29Sql: String = {
     def wSql(r: Int): String = {
-      val h = s"((event_id * 1103515245 + $r * 2654435761 + 12345) % 1000000)"
+      val h = s"(((event_id % 1000000) * 1103515245 + $r * 2654435761 + 12345) % 1000000)"
       "(CASE " + PoisCdfPpm.zipWithIndex.map { case (t, k) =>
         s"WHEN $h < $t THEN $k" }.mkString(" ") + " ELSE 6 END)"
     }

@@ -566,7 +566,7 @@ class CleaningSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getDouble(1)))
     val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
     def w(id: Long, r: Int): Long = {
-      val h = (id * 1103515245L + r.toLong * 2654435761L + 12345L) % 1000000L
+      val h = ((id % 1000000L) * 1103515245L + r.toLong * 2654435761L + 12345L) % 1000000L
       cdf.indexWhere(h < _) match { case -1 => 6L; case k => k.toLong }
     }
     def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
