@@ -11,6 +11,9 @@ import graft.operators.Dedup
   *
   *  1. min_tokens      whitespace-token floor (t1's counter)
   *  2. quality         t2's heuristic ≥ threshold
+  *  2b. gopher_rules   t15's Gopher document-shape rules: token
+  *                     bounds, word length, alpha fraction, stopword
+  *                     variety — integer flags (off by default)
   *  3. repetition      t9's Gopher signals: top-token fraction +
   *                     duplicate-trigram fraction (off by default)
   *  4. language        t3's marker language-ID == cfg.lang
@@ -64,6 +67,12 @@ object Corpus {
       evalSet: Option[DataFrame] = None,
       ngramK: Int = 5,
       samplePerSource: Option[Long] = None,
+      /** t15's Gopher RULE gate (Rae et al. 2021): token-count bounds,
+        * mean-word-length [3,10], 80% alpha-word fraction, ≥2 distinct
+        * required stopwords — all integer comparisons, map-only.
+        * Complements the repetition gates below (those are Gopher's
+        * REPETITION rules; these are its document-shape rules). */
+      gopherRules: Boolean = false,
       /** Gopher repetition gates: drop docs whose most frequent token
         * exceeds this fraction / whose duplicate-trigram fraction
         * exceeds this fraction. None = gate off. */
@@ -102,9 +111,24 @@ object Corpus {
     // stages 1-2: row-local flags, one pass
     val f1 = size(tokens(col(textCol))).cast("long") >= cfg.minTokens
     val f2 = qualityScore(col(textCol)) >= cfg.minQuality
-    val flagged0 = docs
+    val flagged0raw = docs
       .withColumn("f_tokens", f1)
       .withColumn("f_quality", col("f_tokens") && f2)
+
+    // stage 2b: t15's Gopher rule gate — still row-local integer
+    // arithmetic in the same map pass (the gopherFilter expressions
+    // inlined so the flag composes cumulatively)
+    val fGopher = if (!cfg.gopherRules) col("f_quality") else {
+      val toks = tokens(col(textCol))
+      val n = size(toks).cast("long")
+      val sl = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+      val na = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+      val ns = size(array_intersect(array_distinct(toks),
+        array(Stopwords.map(lit(_)): _*))).cast("long")
+      col("f_quality") && n >= 50L && n <= 100000L &&
+        sl >= n * 3L && sl <= n * 10L && na * 5L >= n * 4L && ns >= 2L
+    }
+    val flagged0 = flagged0raw.withColumn("f_gopher", fGopher)
 
     // stage 3: Gopher repetition gates. Duplicate-trigram fraction is
     // row-local (HOFs over the shingle array); the top-token fraction
@@ -112,7 +136,7 @@ object Corpus {
     // agg on survivors (t9's doc-local shuffle shape, minus the
     // window: the arg-max TOKEN isn't needed, just its count)
     val flaggedR = if (cfg.maxTopTokFrac.isEmpty && cfg.maxDupTrigramFrac.isEmpty)
-      flagged0.withColumn("f_repetition", col("f_quality"))
+      flagged0.withColumn("f_repetition", col("f_gopher"))
     else {
       val dupOk = cfg.maxDupTrigramFrac.map { m =>
         val allk = shinglesAllK(tokens(col(textCol)), 3)
@@ -123,9 +147,9 @@ object Corpus {
       val base = flagged0.withColumn("__dup_ok", dupOk)
       cfg.maxTopTokFrac match {
         case None =>
-          base.withColumn("f_repetition", col("f_quality") && col("__dup_ok")).drop("__dup_ok")
+          base.withColumn("f_repetition", col("f_gopher") && col("__dup_ok")).drop("__dup_ok")
         case Some(m) =>
-          val drops = base.filter(col("f_quality"))
+          val drops = base.filter(col("f_gopher"))
             .select(id.as("__rid"), explode(tokens(col(textCol))).as("__tok"))
             .groupBy(col("__rid"), col("__tok")).agg(count(lit(1)).as("__cnt"))
             .groupBy(col("__rid"))
@@ -133,7 +157,7 @@ object Corpus {
             .filter(col("__ttf") > m).select(col("__rid").as("__rdrop"))
           base.join(drops, id === col("__rdrop"), "left")
             .withColumn("f_repetition",
-              col("f_quality") && col("__dup_ok") && col("__rdrop").isNull)
+              col("f_gopher") && col("__dup_ok") && col("__rdrop").isNull)
             .drop("__dup_ok", "__rdrop")
       }
     }
@@ -283,7 +307,7 @@ object Corpus {
 
     val stageCols = Seq("input" -> lit(true),
       "min_tokens" -> col("f_tokens"), "quality" -> col("f_quality"),
-      "repetition" -> col("f_repetition"), "language" -> col("f_lang"),
+      "gopher_rules" -> col("f_gopher"), "repetition" -> col("f_repetition"), "language" -> col("f_lang"),
       "lm_quality" -> col("f_lm"), "exact_dedup" -> col("f_exact"),
       "near_dedup" -> col("f_neardup"), "semantic_dedup" -> col("f_semdup"),
       "decontaminated" -> col("f_clean"),

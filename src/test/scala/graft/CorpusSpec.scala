@@ -35,6 +35,7 @@ class CorpusSpec extends SparkSuite {
       "input" -> 11L,          // all rows
       "min_tokens" -> 10L,     // -6 (2 tokens)
       "quality" -> 9L,         // -7 (too short to saturate)
+      "gopher_rules" -> 9L,    // gate off → pass-through
       "repetition" -> 9L,      // gate off → pass-through
       "language" -> 8L,        // -8 (Spanish markers)
       "lm_quality" -> 8L,      // gate off → pass-through
@@ -75,6 +76,41 @@ class CorpusSpec extends SparkSuite {
       "LM gate drops the rare-token doc")
     // the ten identical common docs pass every gate, exact dedup keeps min id
     assert(r.kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("curate: the gopher_rules stage drops exactly its designed victims") {
+    import spark.implicits._
+    // every doc needs ≥50 tokens with sane word lengths to pass the
+    // rule gate; stopword variety comes from 'the a of'
+    def good(i: Int) =
+      (1 to 60).map(j => s"the a of word${i}x$j").mkString(" ")
+    val docs = (
+      (1 to 3).map(i => (i.toLong, good(i), "src0")) ++ Seq(
+        // 30: 40 long tokens — under the 50-token Gopher floor (but
+        // over curate's default minTokens=5 and with low stopword
+        // density so t2 quality passes: ONLY the rule gate trips)
+        (30L, "the a " + (1 to 38).map(j => s"longword$j").mkString(" "), "src0"),
+        // 31: symbol words — alpha-word fraction 0 (< 80%)
+        (31L, (1 to 60).map(_ => "123 456 ## the a of").mkString(" "), "src0"),
+        // 32: only ONE distinct required stopword (needs ≥2)
+        (32L, (1 to 80).map(j => s"the word$j").mkString(" "), "src0")))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.curate(docs, cfg = Corpus.Config(lang = None, gopherRules = true))
+    val flags = r.flagged.collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+    Seq(30L, 31L, 32L).foreach { v =>
+      assert(flags(v).getAs[Boolean]("f_quality") && !flags(v).getAs[Boolean]("f_gopher"),
+        s"doc $v must fall at the gopher_rules stage, not before")
+    }
+    assert((1 to 3).forall(i => flags(i.toLong).getAs[Boolean]("f_gopher")),
+      "well-shaped docs pass the rule gate")
+    // the stage appears in the attrition report between quality and repetition
+    val stages = r.report.collect().sortBy(_.getAs[Int]("stage_idx"))
+      .map(_.getAs[String]("stage")).toSeq
+    assert(stages.indexOf("gopher_rules") === stages.indexOf("quality") + 1)
+    // with the gate OFF the same victims survive (flag passes through)
+    val off = Corpus.curate(docs, cfg = Corpus.Config(lang = None))
+    val offFlags = off.flagged.collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+    Seq(30L, 32L).foreach(v => assert(offFlags(v).getAs[Boolean]("f_gopher")))
   }
 
   test("curate: per-source cap downsamples each source toward the target") {
