@@ -1105,11 +1105,13 @@ object Dedup {
     val docs = Tables.documents(s, dir)
     val pairs = minhashCandidatePairs(docs, "text", "doc_id")
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"))
-    // the shingle frame feeds BOTH sides of the verify join — without
-    // materialization each side re-scans and re-shingles the corpus
-    // (the d12/mm8 exchange lesson)
+    // the shingle frame feeds BOTH sides of the verify join. A
+    // localCheckpoint looks like the d12/mm8 move, but MEASURED it
+    // loses here (3.2-4.0 s vs 2.9-3.0 s at sf0.1): shingle arrays
+    // are the widest payload in the tree, so writing+rereading them
+    // costs more than the map-side recompute, and the two consumers
+    // shuffle on different keys either way. Recompute wins — kept.
     val sh = docs.select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
-      .localCheckpoint()
     val verified = pairJaccard(pairs, sh).filter(col("jac") >= IncTau)
     val src = docs.select(col("doc_id"), col("source"))
     verified
