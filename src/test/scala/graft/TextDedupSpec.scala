@@ -624,4 +624,19 @@ class TextDedupSpec extends SparkSuite {
     // canonical ordering: source_a <= source_b in every cell
     assert(r.keySet.forall { case (a, b) => a <= b })
   }
+
+  test("d14 and mm8 results are invariant to spark.sql.shuffle.partitions") {
+    // bucket-join + capped-window + rounded-output operators must not
+    // change answers when the one knob a 100 TB operator retunes most
+    // (st14's invariance gate applied to the two newest bucket joins)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String)(f: => org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try f.collect().map(_.toSeq).toSet
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run("2")(Dedup.d14(spark, sf)) === run("9")(Dedup.d14(spark, sf)))
+    assert(run("2")(graft.operators.Multimodal.mm8(spark, sf)) ===
+      run("9")(graft.operators.Multimodal.mm8(spark, sf)))
+  }
 }
