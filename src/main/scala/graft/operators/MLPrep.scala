@@ -1321,10 +1321,20 @@ object MLPrep {
   // no accumulation order exists. ks_stat = D·sqrt(na·nb/(na+nb));
   // reject at the asymptotic α=0.05 critical value 1.358.
   def binnedKs(df: DataFrame, arm: Column, v: Column, bins: Int = 200): DataFrame = {
-    val mm = df.agg(min(v).as("mn"), max(v).as("mx"))
-    val b = df.join(broadcast(mm))
+    // defensive contract (the other library entry points' style): null
+    // v rows carry no distribution mass — unfiltered they'd land in a
+    // null bucket that sorts FIRST in the cumulative walk and inflate
+    // ta/tb, distorting the ECDF and D. A constant column (mx == mn)
+    // makes the bin width zero (every bucket null, ANSI div-by-zero);
+    // short-circuit that case to bucket 0 — all mass in one bin, D is
+    // exactly 0: two identical distributions, the honest answer. The
+    // mx > mn path is expression-identical to the oracle twin.
+    val nn = df.filter(v.isNotNull)
+    val mm = nn.agg(min(v).as("mn"), max(v).as("mx"))
+    val b = nn.join(broadcast(mm))
       .withColumn("__bucket",
-        least(floor((v - col("mn")) / ((col("mx") - col("mn")) / bins)), lit(bins - 1L)))
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((v - col("mn")) / ((col("mx") - col("mn")) / bins)), lit(bins - 1L))))
       .groupBy(col("__bucket"))
       .agg(sum(when(arm, 1L).otherwise(0L)).as("n_a"),
         sum(when(!arm, 1L).otherwise(0L)).as("n_b"))
@@ -1502,10 +1512,18 @@ object MLPrep {
 
   def bootstrapMeanCi(df: DataFrame, key: Column, v: Column, b: Int = BootB): DataFrame = {
     def w(r: Int): Column = {
-      // the key is reduced mod 1e6 BEFORE the multiply: a raw
-      // key·1103515245 overflows BIGINT (ANSI error) once ids reach
-      // ~1e10 — i.e. exactly at the scale this operator targets
-      val h = pmod(pmod(key, lit(1000000L)) * 1103515245L +
+      // the key is reduced BEFORE the multiply: a raw key·1103515245
+      // overflows BIGINT (ANSI error) once ids reach ~1e10 — i.e.
+      // exactly at the scale this operator targets. TWO coprime
+      // moduli (CRT mixing) instead of one: a single mod-1e6 residue
+      // makes every key class of ~n/1e6 rows share identical Poisson
+      // weights in every replicate, correlating the replicates at the
+      // >1e6-id scale; residues mod both 1000003 and 999983 only
+      // collide on key classes mod ~1e12. Max intermediate ≈
+      // 1000002·515245 + 999982·435761 + 38·2654435761 ≈ 1.1e12,
+      // comfortably inside BIGINT in both engines.
+      val h = pmod(pmod(key, lit(1000003L)) * 515245L +
+        pmod(key, lit(999983L)) * 435761L +
         lit(r.toLong) * 2654435761L + 12345L, lit(1000000L))
       PoisCdfPpm.zipWithIndex.foldRight(lit(6L)) { case ((t, k), rest) =>
         when(h < t, k.toLong).otherwise(rest)
@@ -1536,7 +1554,7 @@ object MLPrep {
 
   val m29Sql: String = {
     def wSql(r: Int): String = {
-      val h = s"(((event_id % 1000000) * 1103515245 + $r * 2654435761 + 12345) % 1000000)"
+      val h = s"(((event_id % 1000003) * 515245 + (event_id % 999983) * 435761 + $r * 2654435761 + 12345) % 1000000)"
       "(CASE " + PoisCdfPpm.zipWithIndex.map { case (t, k) =>
         s"WHEN $h < $t THEN $k" }.mkString(" ") + " ELSE 6 END)"
     }

@@ -626,8 +626,8 @@ object Relational {
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_12") ||
-        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       .agg(sum(dec2(col("l_extendedprice")) *
           (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
@@ -648,8 +648,8 @@ object Relational {
       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_12') OR
-      |       (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_1'))
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+      |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 

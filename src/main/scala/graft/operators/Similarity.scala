@@ -834,29 +834,42 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** The CORPUS-SIZING rule for LSH self-joins: the smallest plane
+    * count whose expected bucket population N/2^planes is at most
+    * `targetBucket`. A FIXED plane count makes bucket population grow
+    * linearly with N and within-bucket pairs quadratically (the
+    * round-9 ×10 rehearsal measured 15.9× wall at 10× data for
+    * planes=8); sizing from a cheap count() restores near-linear
+    * per-result cost WITH recall (planes=11 at ×10, PLANS.md "×10
+    * rehearsal, second pass"). Pure integer arithmetic — no log2
+    * float edge cases — so an oracle twin computing the same rule
+    * from its own COUNT(*) picks the identical plane count. */
+  def sizedPlanes(n: Long, targetBucket: Int = 16, maxPlanes: Int = 20): Int =
+    (1 to maxPlanes).find(p => n <= targetBucket.toLong * (1L << p)).getOrElse(maxPlanes)
+
   // -------------------------------------------------------------------
   // s12: kNN JOIN — every corpus vector's top-3 neighbors (not a small
   // query set against a corpus like s1/s2: corpus×corpus). The
   // all-pairs form is O(N²) and never acceptable; the operator is the
-  // LSH-bucketed self-join: one bucket per vector (8 hyperplanes),
-  // same-bucket candidates only, exact cosine rerank, row_number
-  // top-3 with a cand_id tiebreak. Vectors whose bucket is a singleton
-  // emit no rows — the kNN-join contract (recall is the tables/probes
-  // dial, s10 measures it). Scale: ONE shuffle on the bucket key; the
-  // per-query window partitions are bounded by bucket size; the
-  // library variant adds multi-table OR-construction, multi-probe,
-  // and the MaxBucket hot-bucket cap.
+  // LSH-bucketed self-join ON THE LIBRARY PATH ([[knnJoinAll]]) with
+  // the plane count SIZED TO THE CORPUS ([[sizedPlanes]] from one
+  // cheap count() — an O(1)-output scan, the price of the sizing
+  // rule): same-bucket candidates only, exact cosine rerank,
+  // row_number top-3 with a cand_id tiebreak, MaxBucket hot-bucket
+  // cap. Vectors whose bucket is a singleton emit no rows — the
+  // kNN-join contract (recall is the tables/probes dial, s10/s14
+  // measure it). Scale: ONE shuffle on the bucket key; expected
+  // bucket population ≤ 16 AT EVERY N because planes grow as
+  // log2(N/16) — the fix for round 9's one measured superlinear
+  // (fixed 8 planes: 15.9× wall at ×10 data; sized: candidate pairs
+  // per vector stay O(targetBucket)). The DuckDB twin mirrors the
+  // sizing rule from its own COUNT(*), so both engines pick the same
+  // plane count at any SF.
   def s12(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).withColumn("bucket", lshBucket(col("embedding")))
-    val a = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
-    val b = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    a.join(b, Seq("bucket")).filter(col("q_id") =!= col("cand_id"))
-      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy(col("q_id"), col("rk"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val planes = sizedPlanes(e.count())
+    knnJoinAll(e, 3, planes).orderBy(col("q_id"), col("rk"))
   }
 
   /** Library API: the s12 kNN join at scale — `tables` independent
@@ -875,7 +888,10 @@ object Similarity {
     * — the worst case): planes=8 capped runs 38 s and loses ~1/3 of
     * the neighbors; planes=11 (buckets ≈ N/10 again) restores them at
     * near-linear per-result cost (PLANS.md "×10 rehearsal, second
-    * pass"). The cap is the safety net, never the sizing strategy. */
+    * pass"). The cap is the safety net, never the sizing strategy —
+    * [[sizedPlanes]] is the rule (s12 applies it), and
+    * [[knnJoinCapAudit]] is the per-query signal that distinguishes
+    * cap-depleted neighbor sets from genuine isolation. */
   def knnJoinAll(corpus: DataFrame, k: Int, planes: Int = 8, probes: Int = 0,
       tables: Int = 1, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val s = corpus.sparkSession
@@ -901,12 +917,72 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Library API: the CAP-LOSS AUDIT for [[knnJoinAll]] — per query,
+    * how many of its probed (table, bucket) cells were suppressed by
+    * the MaxBucket hot-bucket cap. The cap bounds cost by emitting NO
+    * candidates from an oversized cell, so a query living in capped
+    * cells comes back with zero or depleted neighbors and — without
+    * this audit — that miss is indistinguishable from genuine
+    * isolation (the round-9 rehearsal measured ~1/3 recall loss from
+    * exactly this at planes=8/×10 before the sizing rule). One row
+    * PER QUERY, including queries knnJoinAll returns nothing for:
+    * (q_id, n_probes, n_capped, capped) — `capped` true ⇔ at least
+    * one probed cell was over the cap ⇒ the query's neighbor set may
+    * be cap-depleted rather than empty-by-isolation. Callers run it
+    * beside the join (same two scans + one ≤|cells| aggregate — cell
+    * sizes aggregate map-side, never pairs) and alert on
+    * sum(n_capped): a nonzero trend says the planes dial is
+    * undersized for the corpus ([[sizedPlanes]] is the fix, the cap
+    * is only the safety net). */
+  def knnJoinCapAudit(corpus: DataFrame, planes: Int = 8, probes: Int = 0,
+      tables: Int = 1, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val sizes = corpus.select(
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            lshBucket(col("embedding"), planes, t * planes).as("bucket"))): _*)).as("tb"))
+      .groupBy(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("__sz"))
+    val q = corpus.select(col("id").as("q_id"),
+        explode(flatten(array((0 until tables).map(t =>
+          transform(lshProbeBuckets(col("embedding"), planes, probes, t * planes),
+            bk => struct(lit(t).as("tbl"), bk.as("bucket")))): _*))).as("tb"))
+      .select(col("q_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    q.join(broadcast(sizes), Seq("tbl", "bucket"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("__sz") > maxBucket, 1L).otherwise(0L)).as("n_capped"))
+      .withColumn("capped", col("n_capped") > 0)
+  }
+
+  /** SQL twin of lshBucket with a RUNTIME plane count: bit p
+    * contributes iff p < `planesExpr` (a column/scalar from the
+    * mirrored sizing rule) — the unrolled maxPlanes-term form of
+    * [[lshBucketSql]], bit-identical to `lshBucket(e, planes)` for
+    * any planes ≤ maxPlanes. */
+  def lshBucketSizedSql(e: String, planesExpr: String, maxPlanes: Int = 20): String =
+    (0 until maxPlanes).map { p =>
+      val sgn = s"(CASE WHEN ((((i*1103515245 + $p*2654435761 + 12345) % $P) * 48271) % $P) % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      s"(CASE WHEN $p < $planesExpr AND list_sum(list_transform(generate_series(1, len($e)), i -> CAST(($e)[i] AS DOUBLE) * $sgn)) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** SQL twin of [[sizedPlanes]]: a CASE chain over the same integer
+    * thresholds (smallest p with N ≤ target·2^p), generated from the
+    * identical constants so both engines pick the same plane count
+    * from their own row count. */
+  def sizedPlanesSql(nExpr: String, targetBucket: Int = 16, maxPlanes: Int = 20): String =
+    "(CASE " + (1 until maxPlanes).map(p =>
+      s"WHEN $nExpr <= ${targetBucket.toLong * (1L << p)} THEN $p").mkString(" ") +
+      s" ELSE $maxPlanes END)"
+
   val s12Sql: String = {
     val cos = cosineSql("q.embedding", "c.embedding")
-    s"""WITH b AS (SELECT vec_id, embedding, CAST(${lshBucketSql("embedding")} AS BIGINT) AS bucket FROM embeddings),
+    s"""WITH pl AS (SELECT ${sizedPlanesSql("count(*)")} AS planes FROM embeddings),
+       |b AS (SELECT vec_id, embedding, CAST(${lshBucketSizedSql("embedding", "pl.planes")} AS BIGINT) AS bucket
+       |      FROM embeddings, pl),
+       |c AS (SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.operators.Dedup.MaxBucket}),
        |pairs AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $cos AS cos
-       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+       |  FROM b q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
        |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand_id, round(cos, 6) AS cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
        |  FROM pairs)

@@ -515,6 +515,26 @@ class CleaningSpec extends SparkSuite {
     assert(sh.getDouble(2) > got.getDouble(2))
   }
 
+  test("binnedKs defensive contract: nulls carry no mass; a constant column gives D = 0") {
+    import spark.implicits._
+    // nulls interleaved into one arm must not inflate counts or shift D
+    val base = (1 to 500).map(i => (i.toLong, Some(i % 50 * 1.0))) ++
+      (1 to 100).map(i => (i.toLong * 7, Option.empty[Double]))
+    val withNulls = base.toDF("o_orderkey", "v")
+    val clean = base.filter(_._2.isDefined).toDF("o_orderkey", "v")
+    val a = MLPrep.binnedKs(withNulls, col("o_orderkey") % 2 === 0, col("v")).head()
+    val b = MLPrep.binnedKs(clean, col("o_orderkey") % 2 === 0, col("v")).head()
+    assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1),
+      "null rows must not count toward either arm")
+    assert(a.getDouble(2) === b.getDouble(2), "null rows must not move D")
+    // constant column: zero bin width must short-circuit, not ANSI-fail;
+    // identical point masses are identical distributions -> D = 0
+    val const = (1 to 100).map(i => (i.toLong, 7.5)).toDF("o_orderkey", "v")
+    val c = MLPrep.binnedKs(const, col("o_orderkey") % 2 === 0, col("v")).head()
+    assert(c.getDouble(2) === 0.0 && c.getLong(4) === 0L,
+      "a constant column is one distribution: D = 0, no rejection")
+  }
+
   test("m28 learning curve: fractions nest, and the 100% point IS m13's fit") {
     val rows = MLPrep.m28(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq === Seq(10, 25, 50, 100))
@@ -566,7 +586,9 @@ class CleaningSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getDouble(1)))
     val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
     def w(id: Long, r: Int): Long = {
-      val h = ((id % 1000000L) * 1103515245L + r.toLong * 2654435761L + 12345L) % 1000000L
+      // CRT mixing (two coprime moduli) — MLPrep.bootstrapMeanCi's rule
+      val h = ((id % 1000003L) * 515245L + (id % 999983L) * 435761L +
+        r.toLong * 2654435761L + 12345L) % 1000000L
       cdf.indexWhere(h < _) match { case -1 => 6L; case k => k.toLong }
     }
     def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)

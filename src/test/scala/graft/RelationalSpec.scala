@@ -169,6 +169,38 @@ class RelationalSpec extends SparkSuite {
     assert(r.forall(_.getAs[Double]("total_revenue") === 100.0))
   }
 
+  test("q21 hand-computed: exactly the NATION_1<->NATION_2 flows, both directions, decoys out") {
+    // guards the nation-pair CONSTANTS, not just the join shape: impl
+    // and oracle SQL change in lockstep, so a find-and-replace
+    // casualty (the round-9 NATION_12 drift) is invisible to the
+    // driver gate — only a hand-computed expectation catches it
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q21").toString
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    Seq((1L, "NATION_1"), (2L, "NATION_2"), (12L, "NATION_12"))
+      .toDF("n_nationkey", "n_name").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, 1L), (2L, 2L), (12L, 12L))
+      .toDF("s_suppkey", "s_nationkey").write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L), (2L, 2L), (12L, 12L))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    Seq((101L, 2L), (102L, 1L), (103L, 12L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (101L, 1L, 100.00, 0.00, ts("1996-06-01")),  // N1 -> N2, 1996: in
+      (102L, 2L, 200.00, 0.10, ts("1997-03-01")),  // N2 -> N1, 1997: in (rev 180)
+      (103L, 1L, 800.00, 0.00, ts("1996-07-01")),  // N1 -> N12: ONLY the drifted pair counts this
+      (101L, 12L, 400.00, 0.00, ts("1996-08-01")), // N12 -> N2: out under both
+      (102L, 1L, 50.00, 0.00, ts("1995-01-01")))   // out of the date window
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Relational.q21(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("NATION_1", "NATION_2", 1996L, 100.0, 1L),
+      ("NATION_2", "NATION_1", 1997L, 180.0, 1L)),
+      "pair constants drifted: q21 must count NATION_1<->NATION_2 and nothing else")
+  }
+
   test("q27 gates on exactly-one flagged supplier of a multi-supplier F order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-q27").toString

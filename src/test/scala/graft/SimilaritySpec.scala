@@ -228,6 +228,33 @@ class SimilaritySpec extends SparkSuite {
     full.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length).toSeq)
     }
+    // cap audit: the same capped 4-clique that returned ZERO rows above
+    // must be flagged per query — cap-depleted, not isolated
+    val audit = Similarity.knnJoinCapAudit(four, maxBucket = 2).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_probes"),
+        r.getAs[Long]("n_capped"), r.getAs[Boolean]("capped")))
+    assert(audit.length === 4, "one audit row per query, even with zero join output")
+    assert(audit.forall { case (_, np, nc, f) => np === 1L && nc === 1L && f },
+      "every clique member probed exactly its one over-cap cell")
+    // and with the default cap nothing is flagged
+    val clear = Similarity.knnJoinCapAudit(four).collect()
+    assert(clear.length === 4 && clear.forall(!_.getAs[Boolean]("capped")))
+  }
+
+  test("sizedPlanes: smallest p with N/2^p <= target, monotone, clamped") {
+    assert(Similarity.sizedPlanes(3) === 1)
+    assert(Similarity.sizedPlanes(32) === 1,  "32 = 16*2^1 exactly: p=1 suffices")
+    assert(Similarity.sizedPlanes(33) === 2)
+    assert(Similarity.sizedPlanes(500) === 5)
+    assert(Similarity.sizedPlanes(5000) === 9)
+    assert(Similarity.sizedPlanes(Long.MaxValue / 4) === 20, "clamped at maxPlanes")
+    val ps = Seq(10L, 100L, 1000L, 10000L, 100000L).map(Similarity.sizedPlanes(_))
+    assert(ps === ps.sorted, "more data never means fewer planes")
+    // expected bucket population stays <= target at every N
+    Seq(10L, 500L, 5000L, 1000000L).foreach { n =>
+      val p = Similarity.sizedPlanes(n)
+      assert(n.toDouble / (1L << p) <= 16.0, s"N=$n planes=$p")
+    }
   }
 
   test("s7 range search returns exactly the vectors inside the radius") {
