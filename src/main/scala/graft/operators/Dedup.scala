@@ -820,14 +820,15 @@ object Dedup {
     * bypass the pipeline and come back kept with cell = -1. Returns
     * one row per input id: (id, cell, kept, dup_of, dup_cos). */
   def semanticDedup(emb: DataFrame, idCol: String, embCol: String,
-      k: Int, tau: Double, iters: Int = 5, maxCell: Int = MaxBucket): DataFrame = {
+      k: Int, tau: Double, iters: Int = 5, maxCell: Int = MaxBucket,
+      seedHash: Column => Column = xxhash64(_)): DataFrame = {
     val s = emb.sparkSession
     val base0 = emb.select(col(idCol).as("id"), col(embCol).as("embedding"))
     val base = base0.filter(normSq(col("embedding")) > 0)
     val zeros = base0.filter(normSq(col("embedding")) <= 0)
       .select(col("id"), lit(-1L).as("cell"), lit(true).as("kept"),
         lit(null).cast("long").as("dup_of"), lit(null).cast("double").as("dup_cos"))
-    val cents = broadcast(Similarity.trainCodebook(base, k, iters)
+    val cents = broadcast(Similarity.trainCodebook(base, k, iters, seedHash)
       .select(col("id").as("cid"), col("embedding").as("cemb")))
     val assigned = base.join(cents)
       .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
@@ -848,6 +849,81 @@ object Dedup {
       .select(col("id"), col("cell"), col("dup_of").isNull.as("kept"),
         col("dup_of"), col("dup_cos"))
       .unionByName(zeros)
+  }
+
+  // -------------------------------------------------------------------
+  // d15: the LEARNED-codebook semanticDedup through the oracle gate —
+  // round 9's adjudicated asymmetry was that the driver only gated
+  // d11's fixed-first-8 parity quantizer while the scale form
+  // (semanticDedup + trainCodebook) was spec-covered only. The d13
+  // trick closes it: with a PORTABLE seed hash ((id·48271 + 11) mod
+  // 2^31−1 instead of xxhash64) every step of the distributed Lloyd
+  // training — seeded init, per-iteration best-cell assignment
+  // (row_number twin of max_by), per-dim DECIMAL(28,12)-exact means —
+  // is replayable in DuckDB SQL (iterations UNROLLED as generated
+  // CTEs), so library == oracle cross-engine, k and iters as real
+  // dials (k=6 ≠ d11's 8 proves the cells are genuinely learned).
+  val SemK = 6
+  val SemIters = 3
+
+  def d15(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = SemK, tau = SemTau, iters = SemIters,
+        seedHash = id => pmod(id * 48271L + 11L, lit(2147483647L)))
+      .select(col("id"), col("cell"), col("kept"), col("dup_of"),
+        round(col("dup_cos"), 6).as("dup_cos"))
+      .orderBy(col("id"))
+
+  val d15Sql: String = {
+    val nsq = graft.functions.VectorFunctions.normSqSql("embedding")
+    val qcos = cosineSql("v.embedding", "c.cemb")
+    val pcos = cosineSql("a.embedding", "b.embedding")
+    // one Lloyd iteration, unrolled: assignment (exact row_number twin
+    // of max_by(cid, struct(ccos, -cid))) then per-dim decimal means
+    def iterCte(n: Int): String =
+      s"""a$n AS (
+         |  SELECT id, embedding, cid AS cell FROM (
+         |    SELECT v.id, v.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY v.id ORDER BY $qcos DESC, c.cid) AS rk
+         |    FROM base v, cents${n - 1} c) WHERE rk = 1),
+         |cents$n AS (
+         |  SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cemb FROM (
+         |    SELECT cell AS cid, u.pos AS pos,
+         |      CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM (SELECT cell, unnest(list_transform(range(len(embedding)),
+         |            p -> {'pos': p, 'x': embedding[p+1]})) AS u
+         |          FROM a$n)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cid)""".stripMargin
+    val iters = (1 to SemIters).map(iterCte).mkString(",\n")
+    s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings WHERE $nsq > 0),
+       |cents0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS BIGINT) AS cid, cemb FROM (
+       |    SELECT id, embedding AS cemb, (id * 48271 + 11) % 2147483647 AS h
+       |    FROM base ORDER BY h, id LIMIT $SemK)),
+       |$iters,
+       |assigned AS (
+       |  SELECT id, embedding, cid AS cell FROM (
+       |    SELECT v.id, v.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY $qcos DESC, c.cid) AS rk
+       |    FROM base v, cents$SemIters c) WHERE rk = 1),
+       |capped AS (
+       |  SELECT * FROM assigned QUALIFY count(*) OVER (PARTITION BY cell) <= $MaxBucket),
+       |near AS (
+       |  SELECT id_a AS id, id_b AS dup_of, cos AS dup_cos FROM (
+       |    SELECT a.id AS id_a, b.id AS id_b, $pcos AS cos,
+       |      row_number() OVER (PARTITION BY a.id ORDER BY $pcos DESC, b.id) AS rk
+       |    FROM capped a JOIN capped b ON a.cell = b.cell AND b.id < a.id
+       |    WHERE $pcos >= $SemTau) WHERE rk = 1),
+       |res AS (
+       |  SELECT s.id, s.cell, n.dup_of IS NULL AS kept, n.dup_of, n.dup_cos
+       |  FROM assigned s LEFT JOIN near n USING (id)
+       |  UNION ALL
+       |  SELECT vec_id AS id, CAST(-1 AS BIGINT) AS cell, true AS kept,
+       |    CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS dup_cos
+       |  FROM embeddings WHERE $nsq <= 0)
+       |SELECT id, cell, kept, dup_of, round(dup_cos, 6) AS dup_cos
+       |FROM res ORDER BY id""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -1161,6 +1237,7 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_semantic_dedup_k" -> (d15 _),
     "d14_cross_source_dups" -> (d14 _),
     "d13_incremental_neardup" -> (d13 _),
     "d12_span_scrub" -> (d12 _),
@@ -1173,6 +1250,7 @@ object Dedup {
     "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
+    "d15_semantic_dedup_k" -> d15Sql,
     "d14_cross_source_dups" -> d14Sql,
     "d13_incremental_neardup" -> d13Sql,
     "d12_span_scrub" -> d12Sql,

@@ -156,15 +156,20 @@ object Similarity {
   /** Library API: distributed Lloyd k-means codebook for IVF (the
     * learned replacement for s5's deterministic first-k seed).
     * Deterministic: init = the k vectors with the smallest
-    * xxhash64(id) (a seeded uniform sample), assignment ties break on
-    * smallest cell id. Each iteration is one broadcast join + two
-    * aggregations — no driver round-trips, no window over the corpus
-    * (assignment is max_by, map-side combinable). Returns (id,
-    * embedding) centroid rows for `ivfTopK`. */
-  def trainCodebook(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    * seedHash(id) (a seeded uniform sample; default xxhash64 —
+    * override with a portable integer hash like d15's
+    * `(id·48271 + 11) mod P` when a cross-engine oracle must pick the
+    * SAME seeds), assignment ties break on smallest cell id. Each
+    * iteration is one broadcast join + two aggregations — no driver
+    * round-trips, no window over the corpus (assignment is max_by,
+    * map-side combinable). Returns (id, embedding) centroid rows for
+    * `ivfTopK`. */
+  def trainCodebook(corpus: DataFrame, k: Int, iters: Int = 5,
+      seedHash: Column => Column = xxhash64(_)): DataFrame = {
     val s = corpus.sparkSession
     var cents = corpus.select(col("id"), col("embedding"))
-      .withColumn("__h", xxhash64(col("id"))).orderBy(col("__h")).limit(k)
+      .withColumn("__h", seedHash(col("id")))
+      .orderBy(col("__h"), col("id")).limit(k)
       .withColumn("cid",
         row_number().over(Window.orderBy(col("__h"), col("id"))).cast("long") - 1)
       .select(col("cid"), col("embedding").as("cemb"))
@@ -991,6 +996,66 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // s14: the FULL dial set of knnJoinAll through the oracle gate —
+  // tables=2 OR-construction × probes=1 multi-probe × sized planes
+  // (s12 gates the sizing rule alone; this key gates the recall dials
+  // the 100 TB deployment actually turns). The DuckDB twin rebuilds
+  // the per-table hyperplane dots as a DYNAMIC list (plane count from
+  // the mirrored sizing rule), derives bucket = Σ 2^p·[dot_p>0] and
+  // the least-confident flip = argmin (|dot|, p) — exactly
+  // lshProbeBuckets' sort — and probes [bucket, bucket⊕2^flip] per
+  // table. Candidate cells over MaxBucket are suppressed (cap
+  // mirrored via QUALIFY); pairs dedup via DISTINCT before the exact
+  // cosine rerank (tables/probes can reach a candidate twice).
+  def s14(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val planes = sizedPlanes(e.count())
+    knnJoinAll(e, 3, planes, probes = 1, tables = 2).orderBy(col("q_id"), col("rk"))
+  }
+
+  val s14Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    val dots =
+      s"list_transform(range(pl.planes), p -> " +
+        s"list_sum(list_transform(generate_series(1, len(embedding)), i -> " +
+        s"CAST(embedding[i] AS DOUBLE) * " +
+        s"(CASE WHEN ((((i*1103515245 + (tbl*pl.planes + p)*2654435761 + 12345) % $P) * 48271) % $P) % 2 = 1 THEN 1.0 ELSE -1.0 END))))"
+    s"""WITH pl AS (SELECT ${sizedPlanesSql("count(*)")} AS planes FROM embeddings),
+       |tb AS (
+       |  SELECT vec_id, embedding, tbl, $dots AS dots
+       |  FROM embeddings, pl, (SELECT unnest([0, 1]) AS tbl) tt),
+       |bk AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(list_sum(list_transform(range(len(dots)), p ->
+       |      CASE WHEN dots[p+1] > 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket,
+       |    CAST(list_sort(list_transform(range(len(dots)), p ->
+       |      {'a': abs(dots[p+1]), 'p': p}))[1].p AS BIGINT) AS flip
+       |  FROM tb),
+       |cand AS (
+       |  SELECT vec_id AS cand_id, tbl, bucket FROM bk
+       |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= ${graft.operators.Dedup.MaxBucket}),
+       |probes AS (
+       |  SELECT vec_id AS q_id, tbl,
+       |    unnest([bucket, xor(bucket, (1::BIGINT << flip))]) AS bucket
+       |  FROM bk),
+       |pairs AS (
+       |  SELECT DISTINCT p.q_id, t.cand_id
+       |  FROM probes p JOIN cand t ON p.tbl = t.tbl AND p.bucket = t.bucket
+       |  WHERE p.q_id <> t.cand_id),
+       |scored AS (
+       |  SELECT s.q_id, s.cand_id, $cos AS cos
+       |  FROM pairs s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings c ON c.vec_id = s.cand_id)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand_id, round(cos, 6) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // s13: IVF recall audit — s10's measure-don't-guess role for the
   // IVF path: per-query recall@3 of s5's nprobe=1 cell-restricted
   // search vs exact brute force ON THE SAME query/corpus split
@@ -1047,6 +1112,7 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_knn_join_dials" -> (s14 _),
     "s13_ivf_recall" -> (s13 _),
     "s12_knn_join" -> (s12 _),
     "s11_pq_adc" -> (s11 _),
@@ -1059,6 +1125,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s14_knn_join_dials" -> s14Sql,
     "s13_ivf_recall" -> s13Sql,
     "s12_knn_join" -> s12Sql,
     "s11_pq_adc" -> s11Sql,

@@ -949,7 +949,61 @@ object TextOps {
        |WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t17/t18/t19: the SCALE PATHS of t13/t14/t12, driven through the
+  // oracle gate themselves (round-9 VERDICT item 2: library forms were
+  // spec-covered only, gated only transitively via bit-equality specs).
+  // Each is the d13 trick — deterministic parameters make the library
+  // path reproduce an oracle-expressible result cross-engine — so the
+  // driver's DuckDB gate now exercises the histogram-cut walk, the
+  // stratum-rank rebuild, and the sharded prefix sum directly, not
+  // just the total-order forms they replace at 100 TB.
+
+  /** t17: t13's per-source budget line computed by the THRESHOLD path
+    * ([[tokenBudgetByThreshold]]: histogram → cut → boundary-stratum
+    * walk) — same oracle SQL as t13 because the threshold path is
+    * exactly t13's greedy kept set (proof in the library Scaladoc). */
+  def t17(s: SparkSession, dir: String): DataFrame = t13ByThreshold(s, dir)
+
+  val t17Sql: String = t13Sql // bit-equal by construction — shared twin
+
+  /** t18: t14's CCNet terciles computed by the THRESHOLD path
+    * ([[pplBucketsByThreshold]]: histogram walk + stratum-local rank
+    * rebuild — no per-language total order touches the corpus). */
+  def t18(s: SparkSession, dir: String): DataFrame = t14ByThreshold(s, dir)
+
+  val t18Sql: String = t14Sql // bit-equal by construction — shared twin
+
+  /** t19: [[seqPackSharded]] on a deterministic doc_id-derived shard
+    * key (production: the ingest file id) — t12's packing rule run
+    * per (source, shard) so the dominant source no longer serializes
+    * through one task's total order. */
+  def t19(s: SparkSession, dir: String): DataFrame =
+    seqPackSharded(Tables.documents(s, dir), "text", "source", "doc_id",
+      pmod(col("doc_id"), lit(4L)))
+      .orderBy(col("source"), col("shard"), col("chunk_id"))
+
+  val t19Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id % 4 AS shard, doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, shard, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $packCapacity AS BIGINT) AS chunk_id
+       |  FROM t)
+       |SELECT source, shard, chunk_id, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(n_tok) AS DOUBLE) / $packCapacity, 6) AS fill_frac
+       |FROM c GROUP BY source, shard, chunk_id
+       |ORDER BY source, shard, chunk_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_pack_sharded" -> (t19 _),
+    "t18_ppl_threshold" -> (t18 _),
+    "t17_budget_threshold" -> (t17 _),
     "t16_tfidf_terms" -> (t16 _),
     "t15_gopher_filter" -> (t15 _),
     "t14_ppl_buckets" -> (t14 _),
@@ -963,6 +1017,9 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t19_pack_sharded" -> t19Sql,
+    "t18_ppl_threshold" -> t18Sql,
+    "t17_budget_threshold" -> t17Sql,
     "t16_tfidf_terms" -> t16Sql,
     "t15_gopher_filter" -> t15Sql,
     "t14_ppl_buckets" -> t14Sql,

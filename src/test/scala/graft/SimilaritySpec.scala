@@ -241,6 +241,24 @@ class SimilaritySpec extends SparkSuite {
     assert(clear.length === 4 && clear.forall(!_.getAs[Boolean]("capped")))
   }
 
+  test("s14 dials dominate s12: table 0 replays s12's buckets, so every query's k-th cos improves or ties") {
+    // s14's table 0 uses the SAME sized plane family at offset 0 as
+    // s12, so s14's candidate set is a superset per query — its rank-r
+    // cosine can never be worse. Recall strictly improves on this
+    // corpus (full 3 neighbors for every vector).
+    val s12r = Similarity.s12(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val s14r = Similarity.s14(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(s14r.size >= s12r.size, "dials can only add candidates")
+    s12r.foreach { case ((q, rk), cos) =>
+      assert(s14r.contains((q, rk)), s"query $q lost rank $rk with MORE candidates")
+      assert(s14r((q, rk)) >= cos - 1e-9, s"query $q rank $rk cos degraded")
+    }
+    val n = Tables.embeddings(spark, sf).count()
+    assert(s14r.size === 3 * n, "tables=2 x probes=1 recovers full top-3 on this corpus")
+  }
+
   test("sizedPlanes: smallest p with N/2^p <= target, monotone, clamped") {
     assert(Similarity.sizedPlanes(3) === 1)
     assert(Similarity.sizedPlanes(32) === 1,  "32 = 16*2^1 exactly: p=1 suffices")

@@ -639,4 +639,21 @@ class TextDedupSpec extends SparkSuite {
     assert(run("2")(graft.operators.Multimodal.mm8(spark, sf)) ===
       run("9")(graft.operators.Multimodal.mm8(spark, sf)))
   }
+
+  test("d15 learned-cell dedup: cells from the k=6 codebook; dup pairs same-cell, over tau, keep-first") {
+    val rows = Dedup.d15(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length === n, "one verdict row per input vector")
+    val cells = rows.map(_.getLong(1)).toSet
+    assert(cells.subsetOf((-1L until Dedup.SemK.toLong).toSet),
+      s"cells must be -1 (zero-norm bypass) or [0, ${Dedup.SemK}): got $cells")
+    assert(cells.count(_ >= 0) > 1, "training collapsed to a single cell")
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => !r.getBoolean(2)).foreach { r =>
+      val (id, dupOf, cos) = (r.getLong(0), r.getLong(3), r.getDouble(4))
+      assert(dupOf < id, "keep-first: dup_of must be an earlier id")
+      assert(cellOf(dupOf) === cellOf(id), "dup pairs only exist within a cell")
+      assert(cos >= Dedup.SemTau - 5e-7, s"dup cos $cos under tau")
+    }
+  }
 }
