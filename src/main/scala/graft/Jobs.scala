@@ -22,7 +22,8 @@ object Jobs {
   sealed trait Status { def name: String }
   case object Queued extends Status { val name = "queued" }
   case object Running extends Status { val name = "running" }
-  case class Done(result: Pipeline.Result, reportPath: Option[String]) extends Status {
+  case class Done(result: Pipeline.Result, reportPath: Option[String],
+      modelPath: Option[String]) extends Status {
     val name = "done"
   }
   /** Terminal state of a [[submitStream]] job (no model Result — the
@@ -41,20 +42,27 @@ object Jobs {
 
   /** Submit a pipeline run; returns the job id immediately. When
     * `reportDir` is set, a Done job also writes `<reportDir>/<id>.html`
-    * (viz + metrics — the reference's report artifact). */
-  def submit(df: DataFrame, target: String, reportDir: Option[String] = None): String = {
+    * (viz + metrics — the reference's report artifact). When
+    * `saveDir` is set, the winning MLlib model persists at
+    * `<saveDir>/<id>/model` and Done carries the path — the analogue
+    * of the reference's train→download-model loop (api.py:111-136,
+    * main.py:370-371 joblib dump) threaded through the job flow;
+    * reload with [[Pipeline.loadModel]] and score any frame. */
+  def submit(df: DataFrame, target: String, reportDir: Option[String] = None,
+      saveDir: Option[String] = None): String = {
     val id = s"job-${seq.incrementAndGet()}"
     jobs.put(id, Queued)
     pool.submit(new Runnable {
       override def run(): Unit = {
         jobs.put(id, Running)
         try {
-          val result = Pipeline.autoPipeline(df, target)
+          val result = Pipeline.autoPipeline(df, target,
+            saveDir = saveDir.map(d => s"$d/$id"))
           val report = reportDir.map { d =>
             Report.save(Pipeline.vizData(result.cleaned, target), Some(result),
               s"$d/$id.html", s"graft report $id")
           }
-          jobs.put(id, Done(result, report))
+          jobs.put(id, Done(result, report, result.modelPath))
         } catch {
           case e: Throwable => jobs.put(id, Failed(
             Option(e.getMessage).getOrElse(e.getClass.getName)))
@@ -128,12 +136,18 @@ object Jobs {
 
   /** Result of a completed job (None until Done). */
   def result(id: String): Option[Pipeline.Result] = Option(jobs.get(id)).collect {
-    case Done(r, _) => r
+    case Done(r, _, _) => r
+  }
+
+  /** Persisted-model path of a completed job, when `saveDir` was set
+    * — the reference's GET /download-model surface. */
+  def modelPath(id: String): Option[String] = Option(jobs.get(id)).collect {
+    case Done(_, _, Some(p)) => p
   }
 
   /** Report path of a completed job, when one was requested. */
   def reportPath(id: String): Option[String] = Option(jobs.get(id)) match {
-    case Some(Done(_, p)) => p
+    case Some(Done(_, p, _)) => p
     case Some(StreamDone(p)) => Some(p)
     case _ => None
   }

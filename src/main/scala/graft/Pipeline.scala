@@ -163,6 +163,39 @@ object Pipeline {
     autoPipelineExact(df, resolved, seed, saveDir)
   }
 
+  /** Reload a model persisted by [[autoPipeline]]'s `saveDir` (or a
+    * [[Jobs.submit]] job's `modelPath`) and return it ready to
+    * `.transform` a feature frame — the scoring half of the
+    * reference's download-model loop (api.py:111-136: joblib dump →
+    * client reload → predict). MLlib writers record the concrete
+    * model class in `<path>/metadata`, so the caller doesn't need to
+    * know which candidate won: this dispatches on it. The returned
+    * Transformer expects the same `features` vector column
+    * autoPipeline trained on (assemble with [[Result.featureCols]]). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.ml.Transformer = {
+    import org.apache.spark.ml.classification.{GBTClassificationModel, LogisticRegressionModel, RandomForestClassificationModel}
+    import org.apache.spark.ml.regression.{GBTRegressionModel, LinearRegressionModel, RandomForestRegressionModel}
+    val cls = spark.read.json(s"$path/metadata")
+      .select("class").head().getString(0)
+    cls match {
+      case c if c.endsWith("RandomForestClassificationModel") =>
+        RandomForestClassificationModel.load(path)
+      case c if c.endsWith("GBTClassificationModel") =>
+        GBTClassificationModel.load(path)
+      case c if c.endsWith("LogisticRegressionModel") =>
+        LogisticRegressionModel.load(path)
+      case c if c.endsWith("RandomForestRegressionModel") =>
+        RandomForestRegressionModel.load(path)
+      case c if c.endsWith("GBTRegressionModel") =>
+        GBTRegressionModel.load(path)
+      case c if c.endsWith("LinearRegressionModel") =>
+        LinearRegressionModel.load(path)
+      case other => throw new IllegalArgumentException(
+        s"unrecognized persisted model class at $path: $other")
+    }
+  }
+
   private def autoPipelineExact(df: DataFrame, target: String, seed: Long,
       saveDir: Option[String]): Result = {
     import org.apache.spark.ml.feature.VectorAssembler

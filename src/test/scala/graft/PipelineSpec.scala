@@ -338,6 +338,35 @@ class PipelineSpec extends SparkSuite {
     assert(Jobs.error(bad).isDefined)
   }
 
+  test("job model artifact: submit(saveDir) -> Done carries modelPath -> reload scores a frame") {
+    // the reference's upload -> train -> DOWNLOAD MODEL loop
+    // (api.py:111-136) threaded through the job flow
+    val dir = java.nio.file.Files.createTempDirectory("graft-jobmodel").toString
+    val ev = Tables.events(spark, sf).drop("props")
+      .withColumn("event_type",
+        when(col("event_type") === "error", 1.0).otherwise(0.0))
+    val id = Jobs.submit(ev, "event_type", saveDir = Some(dir))
+    val fin = Jobs.await(id)
+    assert(fin.isInstanceOf[Jobs.Done], s"job ended as $fin: ${Jobs.error(id)}")
+    val mp = Jobs.modelPath(id)
+    assert(mp.isDefined, "saveDir set => Done must carry the model path")
+    assert(mp.get.startsWith(dir) && mp.get.contains(id),
+      "artifact lands under <saveDir>/<jobId>")
+    // a different session/process only needs the path: reload + score
+    val r = Jobs.result(id).get
+    val model = Pipeline.loadModel(spark, mp.get)
+    val feats = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(r.featureCols.toArray).setOutputCol("features")
+      .transform(r.test)
+    val scored = model.transform(feats)
+    assert(scored.columns.contains("prediction"))
+    val preds = scored.select("prediction").collect().map(_.getDouble(0))
+    assert(preds.length === r.test.count())
+    assert(preds.toSet.subsetOf(Set(0.0, 1.0)), "binary task predicts the label set")
+    // without saveDir there is no artifact (the pre-round-10 behavior)
+    assert(Jobs.modelPath("job-does-not-exist").isEmpty)
+  }
+
   test("streaming job: MemoryStream feed -> incremental report refresh -> final equals batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
