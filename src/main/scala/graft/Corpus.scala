@@ -14,6 +14,9 @@ import graft.operators.Dedup
   *  2b. gopher_rules   t15's Gopher document-shape rules: token
   *                     bounds, word length, alpha fraction, stopword
   *                     variety — integer flags (off by default)
+  *  2c. model_quality  trained fastText-shape classifier gate
+  *                     ([[QualityClassifier]]): hashed-n-gram LR
+  *                     P(quality) ≥ threshold (off by default)
   *  3. repetition      t9's Gopher signals: top-token fraction +
   *                     duplicate-trigram fraction (off by default)
   *  4. language        t3's marker language-ID == cfg.lang
@@ -73,6 +76,15 @@ object Corpus {
         * Complements the repetition gates below (those are Gopher's
         * REPETITION rules; these are its document-shape rules). */
       gopherRules: Boolean = false,
+      /** Trained quality gate ([[QualityClassifier]] — the fastText-
+        * shape hashed-n-gram LR the GPT-3/LLaMA pipelines run where
+        * t2's ratios are the bootstrap): drop docs whose model
+        * P(quality) falls below `minModelProb`. The model trains on a
+        * labeled SEED (known-good vs known-bad corpora, or a
+        * heuristic-labeled sample) outside curate — scoring here is
+        * one stateless map-side transform. None = gate off. */
+      qualityModel: Option[QualityClassifier.Model] = None,
+      minModelProb: Double = 0.5,
       /** Gopher repetition gates: drop docs whose most frequent token
         * exceeds this fraction / whose duplicate-trigram fraction
         * exceeds this fraction. None = gate off. */
@@ -128,7 +140,20 @@ object Corpus {
       col("f_quality") && n >= 50L && n <= 100000L &&
         sl >= n * 3L && sl <= n * 10L && na * 5L >= n * 4L && ns >= 2L
     }
-    val flagged0 = flagged0raw.withColumn("f_gopher", fGopher)
+    val flagged0g = flagged0raw.withColumn("f_gopher", fGopher)
+
+    // stage 2c: trained quality gate — the model's transform is a
+    // row-local expression tree (hashed-n-gram features + a dot
+    // product), so the flag joins the same map pass as 1-2b; the
+    // scoring columns are dropped to preserve the column contract
+    val flagged0 = cfg.qualityModel match {
+      case Some(m) =>
+        QualityClassifier.score(m, flagged0g, textCol)
+          .withColumn("f_model",
+            col("f_gopher") && col("q_prob") >= cfg.minModelProb)
+          .drop("q_prob", "q_pred")
+      case None => flagged0g.withColumn("f_model", col("f_gopher"))
+    }
 
     // stage 3: Gopher repetition gates. Duplicate-trigram fraction is
     // row-local (HOFs over the shingle array); the top-token fraction
@@ -136,7 +161,7 @@ object Corpus {
     // agg on survivors (t9's doc-local shuffle shape, minus the
     // window: the arg-max TOKEN isn't needed, just its count)
     val flaggedR = if (cfg.maxTopTokFrac.isEmpty && cfg.maxDupTrigramFrac.isEmpty)
-      flagged0.withColumn("f_repetition", col("f_gopher"))
+      flagged0.withColumn("f_repetition", col("f_model"))
     else {
       val dupOk = cfg.maxDupTrigramFrac.map { m =>
         val allk = shinglesAllK(tokens(col(textCol)), 3)
@@ -147,9 +172,9 @@ object Corpus {
       val base = flagged0.withColumn("__dup_ok", dupOk)
       cfg.maxTopTokFrac match {
         case None =>
-          base.withColumn("f_repetition", col("f_gopher") && col("__dup_ok")).drop("__dup_ok")
+          base.withColumn("f_repetition", col("f_model") && col("__dup_ok")).drop("__dup_ok")
         case Some(m) =>
-          val drops = base.filter(col("f_gopher"))
+          val drops = base.filter(col("f_model"))
             .select(id.as("__rid"), explode(tokens(col(textCol))).as("__tok"))
             .groupBy(col("__rid"), col("__tok")).agg(count(lit(1)).as("__cnt"))
             .groupBy(col("__rid"))
@@ -157,7 +182,7 @@ object Corpus {
             .filter(col("__ttf") > m).select(col("__rid").as("__rdrop"))
           base.join(drops, id === col("__rdrop"), "left")
             .withColumn("f_repetition",
-              col("f_gopher") && col("__dup_ok") && col("__rdrop").isNull)
+              col("f_model") && col("__dup_ok") && col("__rdrop").isNull)
             .drop("__dup_ok", "__rdrop")
       }
     }
@@ -307,7 +332,8 @@ object Corpus {
 
     val stageCols = Seq("input" -> lit(true),
       "min_tokens" -> col("f_tokens"), "quality" -> col("f_quality"),
-      "gopher_rules" -> col("f_gopher"), "repetition" -> col("f_repetition"), "language" -> col("f_lang"),
+      "gopher_rules" -> col("f_gopher"), "model_quality" -> col("f_model"),
+      "repetition" -> col("f_repetition"), "language" -> col("f_lang"),
       "lm_quality" -> col("f_lm"), "exact_dedup" -> col("f_exact"),
       "near_dedup" -> col("f_neardup"), "semantic_dedup" -> col("f_semdup"),
       "decontaminated" -> col("f_clean"),

@@ -1000,7 +1000,42 @@ object TextOps {
        |FROM c GROUP BY source, shard, chunk_id
        |ORDER BY source, shard, chunk_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t20 (rows-only): the TRAINED quality gate's audit — distill t2
+  // into a fastText-shape classifier (hashed unigram+bigram features →
+  // MLlib LR, graft.QualityClassifier) on a hash-selected seed HALF of
+  // the corpus, score the HELD-OUT half, and report per-source
+  // held-out agreement with the t2 gate in integer ppm. This is the
+  // measured answer to "can a learned gate reproduce (and then
+  // outgrow) the heuristic it bootstraps from" — the GPT-3/LLaMA
+  // quality-classifier pattern, where the seed would be known-good vs
+  // known-bad corpora instead of t2 labels. Rows-only by design:
+  // LBFGS-trained weights aren't oracle-replicable (m7/m14's
+  // category); the planted-victim behavior is spec-covered in
+  // CorpusSpec and the featurizer/scorer are deterministic.
+  //
+  // Scale: training touches only the SEED; scoring is one stateless
+  // map-side transform (no vocabulary state, m19's hashing-trick
+  // argument) — the whole audit is two scans + one per-source agg.
+  def t20(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("__label",
+        (round(qualityScore(col("text")), 6) >= 0.5).cast("double"))
+      .withColumn("__seed", pmod(xxhash64(col("doc_id")), lit(2L)) === 0)
+    val model = graft.QualityClassifier.train(
+      docs.filter(col("__seed")), "text", "__label")
+    graft.QualityClassifier.score(model, docs.filter(!col("__seed")), "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_holdout"),
+        sum(col("__label").cast("long")).as("n_t2_pass"),
+        sum(col("q_pred")).as("n_clf_pass"),
+        expr("sum(CASE WHEN q_pred = CAST(__label AS BIGINT) THEN 1 ELSE 0 END)" +
+          " * 1000000 div count(1)").as("agree_ppm"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_quality_classifier" -> (t20 _),
     "t19_pack_sharded" -> (t19 _),
     "t18_ppl_threshold" -> (t18 _),
     "t17_budget_threshold" -> (t17 _),

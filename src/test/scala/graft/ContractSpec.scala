@@ -8,7 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   private val rowsOnly = Set(
-    "q15_approx_distinct", "m7_feature_importance", "m14_grid_search")
+    "q15_approx_distinct", "m7_feature_importance", "m14_grid_search",
+    "t20_quality_classifier")
 
   test("every oracle has a query; non-oracle queries are the documented rows-only set") {
     val q = SparkEntry.queries.keySet

@@ -36,6 +36,7 @@ class CorpusSpec extends SparkSuite {
       "min_tokens" -> 10L,     // -6 (2 tokens)
       "quality" -> 9L,         // -7 (too short to saturate)
       "gopher_rules" -> 9L,    // gate off → pass-through
+      "model_quality" -> 9L,   // gate off → pass-through
       "repetition" -> 9L,      // gate off → pass-through
       "language" -> 8L,        // -8 (Spanish markers)
       "lm_quality" -> 8L,      // gate off → pass-through
@@ -50,6 +51,56 @@ class CorpusSpec extends SparkSuite {
     // audit trail: the near-dup victim fails exactly at its stage
     val row10 = r.flagged.filter(col("doc_id") === 10L).head()
     assert(row10.getAs[Boolean]("f_exact") && !row10.getAs[Boolean]("f_neardup"))
+  }
+
+  test("curate: the trained model_quality gate drops fresh victims the seed never saw") {
+    import spark.implicits._
+    // seed corpora: known-good (stopword-rich English prose shape) vs
+    // known-bad (gibberish vocabulary) — the GPT-3 pattern in miniature
+    def good(i: Int) = (1 to 30).map(j => s"the a of good${j} fine${j}").mkString(" ")
+    def bad(i: Int) = (1 to 30).map(j => s"xx${j} yy${j} zz${j}q${i % 3}").mkString(" ")
+    val seed = ((1 to 10).map(i => (good(i), 1.0)) ++
+      (1 to 10).map(i => (bad(i), 0.0))).toDF("text", "label")
+    val model = QualityClassifier.train(seed, "text", "label")
+    // audit corpus: FRESH docs built from the same vocab families —
+    // different combinations than any seed doc
+    val docs = (
+      (101 to 103).map(i => (i.toLong, good(i) + s" extra${i}", "src0")) ++
+      (111 to 112).map(i => (i.toLong, bad(i) + s" tail${i}", "src0")))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.curate(docs, cfg = Corpus.Config(lang = None,
+      minQuality = 0.0, qualityModel = Some(model)))
+    val flags = r.flagged.collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+    Seq(111L, 112L).foreach { v =>
+      assert(flags(v).getAs[Boolean]("f_gopher") && !flags(v).getAs[Boolean]("f_model"),
+        s"doc $v must fall exactly at the model_quality stage")
+    }
+    (101 to 103).foreach { i =>
+      assert(flags(i.toLong).getAs[Boolean]("f_model"), s"good doc $i must pass the gate")
+    }
+    // stage sits between gopher_rules and repetition in the report
+    val stages = r.report.collect().sortBy(_.getAs[Int]("stage_idx"))
+      .map(_.getAs[String]("stage")).toSeq
+    assert(stages.indexOf("model_quality") === stages.indexOf("gopher_rules") + 1)
+    // gate off → pass-through
+    val off = Corpus.curate(docs, cfg = Corpus.Config(lang = None, minQuality = 0.0))
+    assert(off.flagged.filter(!col("f_model")).count() === 0L)
+  }
+
+  test("t20 distillation audit: held-out agreement with the t2 gate beats chance") {
+    val rows = operators.TextOps.t20(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "every source with held-out docs reports")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("agree_ppm") >= 0L && r.getAs[Long]("agree_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_clf_pass") >= 0L &&
+        r.getAs[Long]("n_clf_pass") <= r.getAs[Long]("n_holdout"))
+    }
+    // corpus-wide held-out agreement: the learned gate must reproduce
+    // the heuristic it distills well above coin-flip (measured, not
+    // asserted blindly — this is the number t20 exists to report)
+    val n = rows.map(_.getAs[Long]("n_holdout")).sum
+    val agree = rows.map(r => r.getAs[Long]("agree_ppm") * r.getAs[Long]("n_holdout")).sum / n
+    assert(agree > 600000L, s"held-out agreement ${agree}ppm is not better than chance")
   }
 
   test("curate: repetition and LM gates drop exactly their designed victims") {
