@@ -1001,6 +1001,84 @@ object TextOps {
        |ORDER BY source, shard, chunk_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // t21: deterministic corpus shuffle + fixed-size shard layout — the
+  // step between t12's packing and training ingestion: a training run
+  // wants documents in a SEEDED pseudo-random global order (no source
+  // runs, no doc_id locality) cut into fixed-size shards, each with a
+  // manifest (docs, tokens, source mix) the data loader reads. Order
+  // is a portable TWO-STEP mixing hash — ((id mod P)·1103515245 +
+  // seed·2654435761 + 12345) mod P, then ·48271 mod P again (hpSignC's
+  // Lehmer re-multiply) — with an (h, id) total tiebreak, so the
+  // layout is reproducible from the seed alone on any engine. The
+  // single-multiply form (id·48271 + seed) mod P was tried first and
+  // CAUGHT BY THE SPEC: for id ranges below P/48271 it never wraps,
+  // so the "shuffle" preserved id order and the seed only shifted it
+  // — a correlated layout that would feed training data in crawl
+  // order. The first multiply wraps for every id ≥ 2; max
+  // intermediate ≈ P·1103515245 + seed·2654435761 ≈ 8.1e18 stays in
+  // BIGINT for seed < 2^31 (require'd).
+  //
+  // Scale shape: a naive global row_number is ONE task sorting the
+  // corpus (lint-banned); [[corpusShuffle]] two-levels it — the hash
+  // domain [0,P) splits into `buckets` ORDER-ALIGNED ranges (bucket =
+  // h div width, so bucket order == hash order), per-bucket counts
+  // aggregate map-side (≤buckets rows), the cumulative-offset walk
+  // runs over that bounded frame (t18's histogram argument), and each
+  // doc's global rank = its bucket's offset + a bucket-LOCAL
+  // row_number (max task = corpus/buckets). The DuckDB twin uses the
+  // plain global window — hash-matching it is the PROOF the two-level
+  // rank equals the total order. Manifest rows are (shard, source)
+  // grain; the spec checks fixed shard sizes, seed determinism,
+  // shuffle-partition invariance, and composition with seqPackSharded.
+  val ShuffleSeed = 2024L
+  val ShardSize = 64L
+
+  /** Library API: seeded hash-order global shuffle → fixed-size
+    * shards. Adds `__h` (the portable order key) and `shard` to
+    * `docs`. Two-level ranking, no corpus-wide window (above). */
+  def corpusShuffle(docs: DataFrame, idCol: String,
+      seed: Long = ShuffleSeed, shardSize: Long = ShardSize,
+      buckets: Int = 4096): DataFrame = {
+    require(seed >= 0 && seed < P, s"seed must be in [0, $P), got $seed")
+    val width = P / buckets + 1
+    val h = pmod(pmod(pmod(col(idCol), lit(P)) * 1103515245L +
+      lit(seed) * 2654435761L + 12345L, lit(P)) * 48271L, lit(P))
+    val base = docs.withColumn("__h", h)
+      .withColumn("__hb", expr(s"__h div $width"))
+    val wOff = Window.orderBy(col("__hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__hb")).agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+      .drop("__bn") // ≤`buckets` rows: the window is construction-bounded
+    val wLoc = Window.partitionBy(col("__hb")).orderBy(col("__h"), col(idCol))
+    base.join(broadcast(offsets), Seq("__hb"))
+      .withColumn("__rk", col("__off") + row_number().over(wLoc))
+      .withColumn("shard", expr(s"(__rk - 1) div $shardSize"))
+      .drop("__hb", "__off", "__rk")
+  }
+
+  /** t21: the shard-layout manifest — per (shard, source): docs and
+    * token volume (the source-mix line a loader or a mixing audit
+    * reads per shard). */
+  def t21(s: SparkSession, dir: String): DataFrame =
+    corpusShuffle(Tables.documents(s, dir), "doc_id")
+      .groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy(col("shard"), col("source"))
+
+  val t21Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok,
+       |    ((((doc_id % $P) * 1103515245 + $ShuffleSeed * 2654435761 + 12345) % $P) * 48271) % $P AS h
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (ORDER BY h, doc_id) AS rk FROM t)
+       |SELECT CAST((rk - 1) // $ShardSize AS BIGINT) AS shard, source,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM r GROUP BY 1, 2
+       |ORDER BY shard, source""".stripMargin
+
+  // -------------------------------------------------------------------
   // t20 (rows-only): the TRAINED quality gate's audit — distill t2
   // into a fastText-shape classifier (hashed unigram+bigram features →
   // MLlib LR, graft.QualityClassifier) on a hash-selected seed HALF of
@@ -1035,6 +1113,7 @@ object TextOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_shuffle_shards" -> (t21 _),
     "t20_quality_classifier" -> (t20 _),
     "t19_pack_sharded" -> (t19 _),
     "t18_ppl_threshold" -> (t18 _),
@@ -1052,6 +1131,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t21_shuffle_shards" -> t21Sql,
     "t19_pack_sharded" -> t19Sql,
     "t18_ppl_threshold" -> t18Sql,
     "t17_budget_threshold" -> t17Sql,

@@ -45,7 +45,11 @@ class PlanLintSpec extends SparkSuite {
     "m22_auc" -> ("B=1000 score bins (construction-bounded knob — the " +
       "cumulative ROC walk sees at most B rows regardless of SF)"),
     "m27_ks_test" -> ("B=200 value bins (construction-bounded knob — " +
-      "the ECDF walk sees at most B rows regardless of SF; m22's bound)"))
+      "the ECDF walk sees at most B rows regardless of SF; m22's bound)"),
+    "t21_shuffle_shards" -> ("buckets=4096 order-aligned hash ranges " +
+      "(construction-bounded knob — the cumulative-offset walk sees at " +
+      "most `buckets` rows regardless of SF; per-doc ranking is the " +
+      "bucket-partitioned window, max task = corpus/buckets)"))
 
   test("empty-partition windows appear ONLY in the audited allowlist") {
     val have = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -334,4 +334,53 @@ class TextLayoutSpec extends SparkSuite {
       assert(range <= 1, s"only the presentation ORDER BY may range-shuffle:\n$plan")
     }
   }
+
+  test("corpusShuffle: fixed shard sizes, two-level rank == global rank, seed-deterministic, composes") {
+    val docs = Tables.documents(spark, sf)
+    val sh = TextOps.corpusShuffle(docs, "doc_id", shardSize = 8L)
+      .select(col("doc_id"), col("__h"), col("shard"))
+    val got = sh.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // two-level rank equals the plain global (h, id) sort
+    val want = got.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, h, _), i) => id -> (i.toLong / 8L) }.toMap
+    assert(got.map(t => t._1 -> t._3).toMap === want,
+      "bucketed offset + local rank must reproduce the global hash order")
+    // fixed-size shards: every shard but the last is exactly shardSize
+    val sizes = got.groupBy(_._3).toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes.dropRight(1).forall(_ === 8), s"non-final shards must be full: $sizes")
+    // seeded: same seed reproduces, a different seed reorders
+    val again = TextOps.corpusShuffle(docs, "doc_id", shardSize = 8L)
+      .select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got.map(t => t._1 -> t._3).toMap)
+    val reseeded = TextOps.corpusShuffle(docs, "doc_id", seed = 777L, shardSize = 8L)
+      .select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reseeded !== again, "a new seed must produce a different layout")
+    // it must actually SHUFFLE: shard assignment not monotone in id
+    // (the single-multiply hash failed exactly this — it never wrapped
+    // for small ids, so the "shuffle" preserved crawl order)
+    val byId = got.map(t => t._1 -> t._3).toSeq.sortBy(_._1).map(_._2)
+    assert(byId.sliding(2).exists(p => p(0) > p(1)),
+      "shard order must not preserve doc_id order")
+    // shuffle-partition invariance (the knob a 100 TB run retunes most)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def runParts(p: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try TextOps.corpusShuffle(docs, "doc_id", shardSize = 8L)
+        .select(col("doc_id"), col("shard")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(runParts("2") === runParts("9"))
+    // composes with seqPackSharded: shards are the packing sub-key and
+    // token volume is conserved through the composition
+    val packed = TextOps.seqPackSharded(
+      TextOps.corpusShuffle(docs, "doc_id", shardSize = 8L),
+      "text", "source", "doc_id", col("shard"))
+    val totTok = docs.select(sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+      .head().getLong(0)
+    assert(packed.agg(sum(col("n_tokens"))).head().getLong(0) === totTok,
+      "every token lands in exactly one chunk of one shard")
+  }
 }
