@@ -1112,7 +1112,83 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // -------------------------------------------------------------------
+  // t22 (rows-only): tokenizer-fidelity audit — the token BUDGETS
+  // steering the mixing/selection ops (t13/t17, m16/m25) count REGEX
+  // tokens, but a training run consumes BPE tokens; if the two drift
+  // differently per source, the realized mix is not the configured
+  // mix. This audit computes merge-accurate BPE token counts on a
+  // hash-selected document sample against a merges table (rank,
+  // left, right — the published-tokenizer artifact shape; the default
+  // list is the classic most-frequent English character pairs) and
+  // reports per-source drift in integer ppm plus the
+  // bpe_per_regex correction factor the budget ops can multiply into
+  // their n_tok column (pass corrected counts to
+  // tokenBudgetByThreshold / weightedDomainMix to budget in BPE
+  // tokens while still counting regex tokens at scan time).
+  //
+  // BPE apply semantics (documented, deterministic): per word, split
+  // to characters, then apply each merge rule in rank order as ONE
+  // greedy left-to-right pass (fold: merge current symbol into the
+  // accumulated tail when they form the rule's pair). Rows-only by
+  // design: the per-rule array fold is a Spark HOF chain with no
+  // tractable cross-engine twin; the spec hand-computes merges.
+  //
+  // Scale: the sample bound makes cost independent of corpus size
+  // (hash-select, m15's thresholding); per-doc work is
+  // words × |merges| × word-length map-side HOF evaluations, no
+  // shuffle before the per-source aggregate. The merges table is
+  // vocab-bounded (a real BPE vocab is ~50k rows) — collected once,
+  // folded into the expression tree (the broadcast-a-small-dim move,
+  // in expression space).
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r",
+    "an" -> "d", "s" -> "t", "e" -> "s", "in" -> "g", "o" -> "u",
+    "a" -> "r", "t" -> "o", "o" -> "f", "e" -> "d", "i" -> "s",
+    "a" -> "l", "l" -> "e", "c" -> "o", "r" -> "o", "u" -> "s")
+
+  /** One greedy left-to-right application of merge rule (l, r) over a
+    * symbol array: x joins the accumulated tail when (tail.last, x)
+    * == (l, r). */
+  private def applyMerge(arr: Column, l: String, r: String): Column =
+    aggregate(arr, array().cast("array<string>"), (acc, x) =>
+      // size guard first: And short-circuits, so element_at never
+      // sees an empty array (ANSI would error on index -1)
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Library API: merge-accurate BPE token count per text value.
+    * `merges` apply in order (rank order of a real merges table). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)] = DefaultMerges): Column = {
+    val words = tokens(text)
+    aggregate(
+      transform(words, w => {
+        val chars = filter(split(w, ""), c => c =!= "")
+        size(merges.foldLeft(chars) { case (a, (l, r)) => applyMerge(a, l, r) }).cast("long")
+      }),
+      lit(0L), (acc, n) => acc + n)
+  }
+
+  /** t22: per-source regex-vs-BPE drift on a deterministic ~25%
+    * document sample. `bpe_per_regex` is the correction factor. */
+  def t22(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(pmod(xxhash64(col("doc_id")), lit(4L)) === 0)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("__rt"),
+        bpeTokenCount(col("text")).as("__bt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__rt")).as("regex_tokens"),
+        sum(col("__bt")).as("bpe_tokens"),
+        expr("(sum(__bt) - sum(__rt)) * 1000000 div sum(__rt)").as("drift_ppm"),
+        round(sum(col("__bt")).cast("double") / sum(col("__rt")), 6).as("bpe_per_regex"))
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_bpe_drift" -> (t22 _),
     "t21_shuffle_shards" -> (t21 _),
     "t20_quality_classifier" -> (t20 _),
     "t19_pack_sharded" -> (t19 _),

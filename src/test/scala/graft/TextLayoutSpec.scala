@@ -383,4 +383,30 @@ class TextLayoutSpec extends SparkSuite {
     assert(packed.agg(sum(col("n_tokens"))).head().getLong(0) === totTok,
       "every token lands in exactly one chunk of one shard")
   }
+
+  test("bpeTokenCount: hand-computed merges; t22 drift audit is sane per source") {
+    import spark.implicits._
+    // DefaultMerges walk: "the" -> [t,h,e] -(t,h)-> [th,e] -(th,e)->
+    // [the] = 1; "that" -> [th,a,t] -(a,t)-> [th,at] = 2; "in" -(i,n)->
+    // [in] = 1; "zzz" has no merging pair = 3. Regex count 4, BPE 7.
+    val got = Seq("the that in zzz").toDF("text")
+      .select(TextOps.bpeTokenCount(col("text")).as("n")).head().getLong(0)
+    assert(got === 7L, "hand-computed BPE count")
+    // per-word greedy left-to-right on a repeated pair: "aaa" with no
+    // (a,a) rule stays 3; with a custom (a,a) rule: [aa, a] = 2
+    val rep = Seq("aaa").toDF("text")
+      .select(TextOps.bpeTokenCount(col("text"), Seq("a" -> "a")).as("n")).head().getLong(0)
+    assert(rep === 2L, "greedy pass merges the first pair, not the overlap")
+    // the audit on real data: every source's BPE count is <= regex-char
+    // bound and >= word count; correction factor consistent with ppm
+    val rows = TextOps.t22(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rt, bt) = (r.getAs[Long]("regex_tokens"), r.getAs[Long]("bpe_tokens"))
+      assert(bt >= rt, "a word is at least one BPE token")
+      assert(r.getAs[Long]("drift_ppm") === (bt - rt) * 1000000L / rt)
+      val f = r.getAs[Double]("bpe_per_regex")
+      assert(f >= 1.0 && f < 20.0, s"correction factor $f out of plausible range")
+    }
+  }
 }
