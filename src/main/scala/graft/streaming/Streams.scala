@@ -1128,7 +1128,81 @@ object Streams {
     def result: Option[DataFrame] = acc
   }
 
+  // -------------------------------------------------------------------
+  // st18: late/dropped-row accounting — the observability side output
+  // every watermarked deployment (st3/st6/st11's class) needs in
+  // production: when a window's count looks low, WAS data late beyond
+  // the watermark, and how much, per window? Structured Streaming
+  // counts drops (numRowsDroppedByWatermark) but doesn't say WHERE
+  // they landed; this operator rebuilds the accounting at (window)
+  // grain from the log.
+  //
+  // Watermark model (exactly Spark's): events arrive in event_id
+  // order (the log's arrival sequence — corr(ts, event_id) ≈ 1 with
+  // jitter, a realistic slightly-out-of-order stream) in 3 arrival
+  // slices; the watermark entering slice k is max(event time over
+  // slices < k) − delay (10 min), monotone by construction; a row is
+  // DROPPED iff its event time is AT OR BELOW its slice's entering
+  // watermark — `<=`, not `<`: Spark's late-data filter evicts
+  // at-the-watermark rows too (the st10 spec's measured boundary,
+  // re-confirmed here by the live drop counter). Slice 0 never drops
+  // (the initial watermark is 0, below any real event time).
+  // StreamingSpec proves the model against Spark's own accounting: a
+  // watermarked streaming aggregate driven through the same 3 slices
+  // reports numRowsDroppedByWatermark equal to this model's total.
+  //
+  // Scale shape: slice boundaries come from one max(event_id) scalar
+  // (broadcast); per-slice maxima are a 3-row aggregate; the
+  // entering-watermark frame is a ≤3×3 self-join (never a window);
+  // the drop flag is map-side; ONE shuffle for the (window) rollup.
+  val LateDelay = 600000L // 10 min, ms
+
+  def st18(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+    val n = ev.agg((max(col("event_id")) + 1L).as("__n"))
+    val sliced = ev.crossJoin(broadcast(n)) // provably 1 row
+      .withColumn("__b", least(expr("(event_id * 3) div __n"), lit(2L)))
+    val bm = sliced.groupBy(col("__b")).agg(max(col("ms")).as("__bmax"))
+    val wm = bm.select(col("__b"), col("__bmax"))
+      .join(bm.select(col("__b").as("__p"), col("__bmax").as("__pmax")),
+        col("__p") < col("__b"), "left")
+      .groupBy(col("__b")).agg(max(col("__pmax")).as("__prev_max")) // ≤3 rows
+    sliced.join(broadcast(wm), Seq("__b"))
+      .withColumn("__dropped",
+        col("__prev_max").isNotNull && col("ms") <= col("__prev_max") - LateDelay)
+      .withColumn("window_start_ms", expr("(ms div 300000) * 300000"))
+      .groupBy(col("window_start_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("__dropped"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("window_start_ms"))
+  }
+
+  val st18Sql: String =
+    s"""WITH n AS (SELECT max(event_id) + 1 AS n FROM events),
+       |e AS (
+       |  SELECT event_id, epoch_ms(ts) AS ms,
+       |    least((event_id * 3) // n.n, 2) AS b
+       |  FROM events, n),
+       |bm AS (SELECT b, max(ms) AS bmax FROM e GROUP BY 1),
+       |wm AS (
+       |  SELECT a.b, max(p.bmax) AS prev_max
+       |  FROM bm a LEFT JOIN bm p ON p.b < a.b GROUP BY a.b),
+       |f AS (
+       |  SELECT e.ms,
+       |    CASE WHEN wm.prev_max IS NOT NULL AND e.ms <= wm.prev_max - $LateDelay
+       |         THEN 1 ELSE 0 END AS dropped
+       |  FROM e JOIN wm ON e.b = wm.b)
+       |SELECT (ms // 300000) * 300000 AS window_start_ms,
+       |  count(*) AS n_events,
+       |  CAST(sum(dropped) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept
+       |FROM f GROUP BY 1
+       |ORDER BY window_start_ms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_late_drops" -> (st18 _),
     "st17_stream_distinct" -> (st17 _),
     "st16_stream_dedup_admission" -> (st16 _),
     "st15_stream_admission" -> (st15 _),
@@ -1145,6 +1219,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st18_late_drops" -> st18Sql,
     "st17_stream_distinct" -> st17Sql, // direct recompute: fold == rebuild (i6's gate)
     "st16_stream_dedup_admission" -> st16Sql, // rebuild: streamed fold == full recompute
     "st15_stream_admission" -> st15Sql,

@@ -849,4 +849,52 @@ class StreamingSpec extends SparkSuite {
     assert(counts === want.map(x => (x._1, x._2)),
       "distinct counts must be invariant to micro-batch slicing")
   }
+
+  test("st18 late-drop accounting: hand-planted slices; Spark's own drop counter agrees") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-st18").toString
+    // 3 arrival slices of 3 events, offset a day past epoch 0 (the
+    // st10 lesson: Spark's initial watermark is 0 and its late filter
+    // drops AT-or-below rows, so a ts=0 row would drop in slice 0);
+    // event_id IS the arrival order, so st18's slice rule (id*3 div 9)
+    // cuts exactly at ids 3 and 6. Entering watermarks: slice1 =
+    // O+1200000-600000 (drops id 3 at O+300000), slice2 =
+    // O+1500000-600000 (drops id 6 at O+600000, which sits exactly AT
+    // the watermark — the <= boundary is exercised on purpose).
+    val O = 86400000L // a multiple of the 300000 window, so buckets shift cleanly
+    val slices = Seq(
+      Seq(0L -> 0L, 1L -> 600000L, 2L -> 1200000L),
+      Seq(3L -> 300000L, 4L -> 1000000L, 5L -> 1500000L),
+      Seq(6L -> 600000L, 7L -> 1000000L, 8L -> 1800000L))
+      .map(_.map { case (id, ms) => id -> (ms + O) })
+    slices.flatten.map { case (id, ms) => (id, new java.sql.Timestamp(ms)) }
+      .toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+    val got = Streams.st18(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum === 9L, "every event is accounted once")
+    assert(got.map(_._3).sum === 2L, "exactly the two planted late rows drop")
+    assert(got.find(_._1 == O + 300000L).exists(w => w._2 === 1L && w._3 === 1L),
+      "id 3's window reports its drop")
+    assert(got.find(_._1 == O + 600000L).exists(w => w._2 === 2L && w._3 === 1L),
+      "id 6 drops at the <= boundary while slice-0's on-time twin is kept in the same window")
+    assert(got.forall(w => w._2 === w._3 + w._4), "kept + dropped = events per window")
+    // live correspondence: a watermarked streaming dedup (row-grain
+    // watermark predicate, st3's class) fed the SAME arrival slices
+    // reports the same total through numRowsDroppedByWatermark
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("event_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+      .writeStream.outputMode("append").format("memory").queryName("st18_live").start()
+    try {
+      slices.foreach { sl => mem.addData(sl); q.processAllAvailable() }
+      val streamed = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(streamed === 2L,
+        s"Spark dropped $streamed rows; the st18 model says 2 — model must match the engine")
+    } finally q.stop()
+  }
 }
