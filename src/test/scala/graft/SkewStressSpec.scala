@@ -139,4 +139,45 @@ class SkewStressSpec extends SparkSuite {
     assert(allTasks.max < 200000L,
       s"a task read ${allTasks.max} shuffle records — hot-bucket cap not bounding work")
   }
+
+  test("AQE skew-join split actually fires on the planted hot-key join, result unchanged") {
+    // The OTHER skew mitigation (vs q19's salting): AQE splits an
+    // oversized sort-merge partition at runtime. Thresholds scale
+    // down to spec volume — production tunes the same knobs at 256MB
+    // grain; what this gate proves is that the planted distribution
+    // TRIPS the split (skew=true in the final adaptive plan) and that
+    // the split is transparent to results.
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle join
+      "spark.sql.shuffle.partitions" -> "32") {
+      val j = skewedFact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(col("payload")).as("sp"), sum(col("dim_v")).as("sd"))
+      val got = j.collect()(0).toSeq
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the planted skewed partition — final plan:\n$finalPlan")
+      // transparency: equals the AQE-off plain join
+      val want = withConfsResult()
+      assert(got === want, "the skew split must not change the aggregate")
+    }
+  }
+
+  /** The AQE-off reference result for the skew-split transparency check. */
+  private def withConfsResult(): Seq[Any] = {
+    var out: Seq[Any] = null
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      out = skewedFact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(col("payload")).as("sp"), sum(col("dim_v")).as("sd"))
+        .collect()(0).toSeq
+    }
+    out
+  }
 }
