@@ -10,15 +10,15 @@ import graft.operators._
   * rows-only in SURVEY.md §2; the set is enforced by ContractSpec).
   *
   * Family → implementation map:
-  *  - q1–q38   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram, min-cost supplier, funnel, global-fraction HAVING, dominant shippers, cohort retention, basket pairs, decorrelated HAVING semi-join, bucketed interval-overlap join)
-  *  - c1–c15   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit/gap-fill/MAD outliers)
-  *  - m1–m25   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix ×2 (uniform + weighted)/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC/calibration/chi-squared)
-  *  - t1–t14   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report/langid confusion/seq packing/token budget/ppl buckets — each of t12-t14 with a spec'd scale-path variant)
-  *  - d1–d13   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit/novelty/semantic dedup/span scrub/incremental near-dup)
-  *  - s1–s11   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k, SQ8 rerank, recall audit, PQ-ADC)
-  *  - mm1–mm7  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan)
-  *  - st1–st16 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission, incremental-dedup admission)
-  *  - i1–i5    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental rollup maintenance)
+  *  - q1–q43   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram, min-cost supplier, funnel, global-fraction HAVING, dominant shippers, cohort retention, basket pairs, decorrelated HAVING semi-join, bucketed interval-overlap join, returned customers, late priority, supplier variety, profit rollup, market share)
+  *  - c1–c17   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit/gap-fill/MAD outliers/Benford + amount audits)
+  *  - m1–m29   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix ×2 (uniform + weighted)/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC/calibration/chi-squared/mutual info/KS/learning curve/bootstrap CI)
+  *  - t1–t22   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report/langid confusion/seq packing/token budget/ppl buckets/Gopher gate/TF-IDF; t17-t19 gate the threshold/sharded scale paths directly, t20 trained-classifier audit, t21 shuffle+shards, t22 BPE drift)
+  *  - d1–d15   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit/novelty/semantic dedup/span scrub/incremental near-dup/cross-source matrix/learned-codebook semantic dedup)
+  *  - s1–s14   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k, SQ8 rerank, recall audit, PQ-ADC, sized kNN join + dials form, IVF recall)
+  *  - mm1–mm8  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan, decode budget, pHash near-dup)
+  *  - st1–st18 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission, incremental-dedup admission, incremental distinct, late-drop accounting)
+  *  - i1–i7    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental/retraction-aware rollup maintenance, incremental distinct)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).
   */

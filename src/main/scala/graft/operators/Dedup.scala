@@ -927,6 +927,51 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // d16: leakage-safe (duplicate-aware) train/test split — the
+  // evaluation-hygiene step after dedup: a plain per-doc hash split
+  // can put two copies of the SAME text on opposite sides, and the
+  // model is then evaluated on its own training data (the classic
+  // silent leak d6's decontamination guards against, but for the
+  // corpus's own split instead of an external eval set). The split
+  // key is the duplicate-cluster representative (min doc_id per
+  // exact-text md5 group), so a whole cluster lands on one side by
+  // construction. Near-dup grain: pass [[connectedComponents]]'
+  // cluster label as `groupCol` to the library form — same rule, one
+  // join deeper.
+  //
+  // Scale shape: one shuffle on the 16-byte md5 (d1's key), the
+  // group-min via a hash-partitioned window (never a total order),
+  // side assignment map-side; the summary is one aggregation.
+  def leakageSafeSplit(docs: DataFrame, textCol: String, idCol: String,
+      testMod: Long = 5L): DataFrame = {
+    val w = Window.partitionBy(col("__h"))
+    docs.withColumn("__h", md5(col(textCol)))
+      .withColumn("__gmin", min(col(idCol)).over(w))
+      .withColumn("is_test", pmod(col("__gmin"), lit(testMod)) === 0)
+  }
+
+  def d16(s: SparkSession, dir: String): DataFrame =
+    leakageSafeSplit(Tables.documents(s, dir), "text", "doc_id")
+      .groupBy(when(col("is_test"), "test").otherwise("train").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("n_groups"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy(col("split"))
+
+  val d16Sql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    CAST(len(${graft.functions.TextFunctions.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |gm AS (SELECT h, min(doc_id) AS gmin FROM g GROUP BY 1)
+       |SELECT CASE WHEN gm.gmin % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+       |  count(*) AS n_docs, count(DISTINCT g.h) AS n_groups,
+       |  CAST(sum(g.n_tok) AS BIGINT) AS n_tokens
+       |FROM g JOIN gm USING (h)
+       |GROUP BY 1
+       |ORDER BY split""".stripMargin
+
+  // -------------------------------------------------------------------
   // d12: duplicated-passage REMOVAL — d8's flag turned into surgery
   // (the RefinedWeb/Dolma passage-excision step). For every document
   // whose shared-span fraction crosses d8's 0.5 flag, excise the
@@ -1237,6 +1282,7 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_leakage_split" -> (d16 _),
     "d15_semantic_dedup_k" -> (d15 _),
     "d14_cross_source_dups" -> (d14 _),
     "d13_incremental_neardup" -> (d13 _),
@@ -1250,6 +1296,7 @@ object Dedup {
     "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
+    "d16_leakage_split" -> d16Sql,
     "d15_semantic_dedup_k" -> d15Sql,
     "d14_cross_source_dups" -> d14Sql,
     "d13_incremental_neardup" -> d13Sql,

