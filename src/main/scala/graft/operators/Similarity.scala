@@ -900,22 +900,32 @@ object Similarity {
   def knnJoinAll(corpus: DataFrame, k: Int, planes: Int = 8, probes: Int = 0,
       tables: Int = 1, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val s = corpus.sparkSession
-    val c0 = corpus.select(col("id").as("cand_id"), col("embedding").as("ce"),
+    // LATE MATERIALIZATION: only (id, tbl, bucket) flows through the
+    // bucket join and the pair-dedup — a 16-byte pair row instead of
+    // two KB-scale embedding arrays (the round-10 plan audit measured
+    // the vector-attached shuffle as the dominant volume). Vectors
+    // attach ONCE per deduped pair via two id-keyed joins against the
+    // corpus — co-partitioned shuffle joins at scale, broadcasts when
+    // the corpus is small enough.
+    val c0 = corpus.select(col("id").as("cand_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           lshBucket(col("embedding"), planes, t * planes).as("bucket"))): _*)).as("tb"))
-      .select(col("cand_id"), col("ce"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col("cand_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val c = c0.withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
       .filter(col("__bsz") <= maxBucket).drop("__bsz")
-    val q = corpus.select(col("id").as("q_id"), col("embedding").as("qe"),
+    val q = corpus.select(col("id").as("q_id"),
       explode(flatten(array((0 until tables).map(t =>
         transform(lshProbeBuckets(col("embedding"), planes, probes, t * planes),
           bk => struct(lit(t).as("tbl"), bk.as("bucket")))): _*))).as("tb"))
-      .select(col("q_id"), col("qe"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col("q_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val pairs = q.join(c, Seq("tbl", "bucket")).filter(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id")).distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    q.join(c, Seq("tbl", "bucket")).filter(col("q_id") =!= col("cand_id"))
-      .select(col("q_id"), col("qe"), col("cand_id"), col("ce")).distinct()
+    pairs
+      .join(corpus.select(col("id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(corpus.select(col("id").as("cand_id"), col("embedding").as("ce")), Seq("cand_id"))
       .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
