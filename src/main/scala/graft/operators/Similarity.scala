@@ -456,6 +456,68 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // s15: MIPS through LSH via NORM AUGMENTATION — s6's Scaladoc has
+  // promised this scale path since the operator landed; this key makes
+  // it real and oracle-gated. The standard reduction (asymmetric
+  // LSH): append sqrt(M² − ‖x‖²) to every corpus vector (M² = max
+  // corpus ‖x‖²) and 0 to every query — all augmented corpus vectors
+  // then share norm M, so the ANGLE between aug(q) and aug(x) orders
+  // exactly like dot(q, x), and s2's random-hyperplane machinery
+  // applies unchanged. Candidates come from same-augmented-bucket
+  // membership; the exact rerank computes dot on the ORIGINAL
+  // vectors (asymmetric: the augmented space only routes).
+  //
+  // Determinism: the augmentation term sqrt(M² − ‖x‖²) is the same
+  // double tree in both engines, and for the max-norm vector the
+  // difference is EXACTLY 0 (both sides compute M² with the identical
+  // fold), so no sqrt(−ε) NaN exists. Scale: one bucket per vector,
+  // hash join on the bucket — s2's linear shape; the corpus-side
+  // self-join case takes s12's sizedPlanes rule unchanged.
+  def s15(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val mx = e.filter(col("vec_id") >= 5)
+      .agg(max(normSq(col("embedding"))).as("__mx"))
+    val aug = e.crossJoin(broadcast(mx)) // provably 1 row
+      .withColumn("__aug", concat(
+        transform(col("embedding"), x => x.cast("double")),
+        array(when(col("vec_id") < 5, lit(0.0))
+          .otherwise(sqrt(col("__mx") - normSq(col("embedding")))))))
+      .withColumn("bucket", lshBucket(col("__aug")))
+    val q = aug.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+    val c = aug.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dp").desc, col("cand_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .withColumn("dp", dot(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("bucket"), col("rk").cast("long").as("rk"),
+        col("cand_id"), round(col("dp"), 6).as("dp"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val s15Sql: String = {
+    val dp = dotSql("q.embedding", "c.embedding")
+    val nsq = normSqSql("embedding")
+    val augExpr = s"list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)), " +
+      s"CASE WHEN vec_id < 5 THEN 0.0 ELSE sqrt(mx.mx - $nsq) END)"
+    s"""WITH mx AS (SELECT max($nsq) AS mx FROM embeddings WHERE vec_id >= 5),
+       |b AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(${lshBucketSql("__aug")} AS BIGINT) AS bucket
+       |  FROM (SELECT vec_id, embedding, $augExpr AS __aug FROM embeddings, mx)),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS cand_id, $dp AS dp
+       |  FROM b q JOIN b c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < 5 AND c.vec_id >= 5)
+       |SELECT q_id, bucket, CAST(rk AS BIGINT) AS rk, cand_id, round(dp, 6) AS dp FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, cand_id) AS rk
+       |  FROM pairs)
+       |WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // s7: cosine RANGE search — all corpus vectors within a similarity
   // radius of each query (the retrieval API when the caller needs
   // "everything at least τ-similar", not a fixed k: dedup sweeps,
@@ -1122,6 +1184,7 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_mips_ann" -> (s15 _),
     "s14_knn_join_dials" -> (s14 _),
     "s13_ivf_recall" -> (s13 _),
     "s12_knn_join" -> (s12 _),
@@ -1135,6 +1198,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s15_mips_ann" -> s15Sql,
     "s14_knn_join_dials" -> s14Sql,
     "s13_ivf_recall" -> s13Sql,
     "s12_knn_join" -> s12Sql,

@@ -259,6 +259,36 @@ class SimilaritySpec extends SparkSuite {
     assert(s14r.size === 3 * n, "tables=2 x probes=1 recovers full top-3 on this corpus")
   }
 
+  test("s15 MIPS-through-LSH: every hit's dp is the exact dot; ranks are dot-descending per query") {
+    val exact = Similarity.s6(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // full exact dp map (not just top-3) for pair-level verification
+    val e = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val vec = e.toMap
+    def dp(a: Long, b: Long): Double =
+      vec(a).zip(vec(b)).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val got = Similarity.s15(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (q, rk, cand, d) =>
+      assert(d === r6(dp(q, cand)), s"($q,$cand) dp is not the exact inner product")
+    }
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2) === (1L to rs.length), "contiguous ranks")
+      assert(sorted.map(_._4).reverse.sorted.reverse === sorted.map(_._4),
+        "ranks descend by dot, not cosine")
+    }
+    // when a bucket holds an exact-top-3 winner, s15 must agree with s6
+    got.foreach { case (q, rk, cand, d) =>
+      exact.get((q, rk)).foreach { ed =>
+        assert(d <= ed + 1e-9, "an LSH hit can never beat the exact rank-r dot")
+      }
+    }
+  }
+
   test("sizedPlanes: smallest p with N/2^p <= target, monotone, clamped") {
     assert(Similarity.sizedPlanes(3) === 1)
     assert(Similarity.sizedPlanes(32) === 1,  "32 = 16*2^1 exactly: p=1 suffices")
