@@ -610,9 +610,15 @@ object TextOps {
     */
   def tokenBudgetByThreshold(docs: DataFrame, textCol: String, sourceCol: String,
       idCol: String, budget: Long = tokenBudget, bins: Int = 100000,
-      resolveBoundary: Boolean = true): DataFrame = {
+      resolveBoundary: Boolean = true,
+      // the t22 composition point: budgets steer TRAINING tokens, so a
+      // caller can spend the budget in tokenizer-accurate units by
+      // passing e.g. `t => ceil(size(tokens(t)) * bpe_per_regex)` with
+      // the per-source correction factor t22_bpe_drift measured —
+      // regex counts at scan speed, BPE budgets at selection time
+      nTok: Column => Column = t => size(tokens(t)).cast("long")): DataFrame = {
     val scored = docs.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
-        size(tokens(col(textCol))).cast("long").as("n_tok"),
+        nTok(col(textCol)).cast("long").as("n_tok"),
         round(qualityScore(col(textCol)), 6).as("quality"))
       .withColumn("qbin", least(greatest(floor(col("quality") * bins), lit(0L)),
         lit(bins - 1L)).cast("long"))

@@ -384,6 +384,26 @@ class TextLayoutSpec extends SparkSuite {
       "every token lands in exactly one chunk of one shard")
   }
 
+  test("tokenBudgetByThreshold spends a BPE-corrected budget when given t22's counts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // budget in BPE units: pass the merge-accurate counter directly
+    val bpe = TextOps.tokenBudgetByThreshold(docs, "text", "source", "doc_id",
+      budget = 4000L, nTok = t => TextOps.bpeTokenCount(t))
+    val regex = TextOps.tokenBudgetByThreshold(docs, "text", "source", "doc_id",
+      budget = 4000L)
+    // the same budget buys FEWER docs in BPE units (BPE >= regex per doc)
+    val keptB = bpe.filter(col("kept")).count()
+    val keptR = regex.filter(col("kept")).count()
+    assert(keptB <= keptR, s"BPE-unit budget kept $keptB > regex-unit $keptR")
+    assert(keptB > 0, "the budget is spendable in BPE units")
+    // per-doc counts in the output ARE the BPE counts
+    val one = bpe.limit(1).collect()(0)
+    val doc = docs.filter(col("doc_id") === one.getAs[Long]("doc_id"))
+      .select(TextOps.bpeTokenCount(col("text"))).head().getLong(0)
+    assert(one.getAs[Long]("n_tok") === doc)
+  }
+
   test("bpeTokenCount: hand-computed merges; t22 drift audit is sane per source") {
     import spark.implicits._
     // DefaultMerges walk: "the" -> [t,h,e] -(t,h)-> [th,e] -(th,e)->
