@@ -78,13 +78,25 @@ object Similarity {
   /** Signed hyperplane dot products, one per plane — the raw signal
     * behind both the bucket id and multi-probe plane confidence.
     * `planeOffset` selects an independent hyperplane family per hash
-    * table (table t uses planes [t·planes, (t+1)·planes)). */
-  def lshDots(emb: Column, planes: Int, planeOffset: Int = 0): Column =
-    transform(sequence(lit(planeOffset), lit(planeOffset + planes - 1)), p =>
+    * table (table t uses planes [t·planes, (t+1)·planes)).
+    *
+    * Routed to the fused codegen'd expression
+    * (graft.plans.LshDotsExpr — one planes×dims primitive loop, zero
+    * lambda dispatch) when the session has GraftExtensions installed;
+    * the builtin HOF fold otherwise. Both compute the identical
+    * double sequence (same sign arithmetic, same ascending-dimension
+    * accumulation), so the route cannot change buckets. */
+  def lshDots(emb: Column, planes: Int, planeOffset: Int = 0): Column = {
+    val fused = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s => try s.catalog.functionExists("graft_lsh_dots")
+        catch { case _: Throwable => false })
+    if (fused) call_function("graft_lsh_dots", emb, lit(planes), lit(planeOffset))
+    else transform(sequence(lit(planeOffset), lit(planeOffset + planes - 1)), p =>
       aggregate(
         zip_with(emb, sequence(lit(1), size(emb)),
           (x, i) => x.cast("double") * hpSignC(i, p)),
         lit(0.0), (acc, x) => acc + x))
+  }
 
   /** Bucket id from the dots array: bit p set iff dot_p > 0. The
     * reversed fold makes plane 0 the LSB, identical to the historical

@@ -56,6 +56,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaccardExpr(children(0), children(1))
       }))
 
+    e.injectFunction((
+      FunctionIdentifier("graft_lsh_dots"),
+      new ExpressionInfo(classOf[LshDotsExpr].getName, "graft_lsh_dots"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        children match {
+          case Seq(emb, Literal(planes: Int, IntegerType), Literal(off: Int, IntegerType)) =>
+            LshDotsExpr(emb, planes, off)
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_lsh_dots",
+              "expectedNum" -> "3 (array, int literal planes, int literal offset)",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+      }))
+
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
 
     // SQL-surface parity for the text-analysis library: the same

@@ -259,6 +259,34 @@ class SimilaritySpec extends SparkSuite {
     assert(s14r.size === 3 * n, "tables=2 x probes=1 recovers full top-3 on this corpus")
   }
 
+  test("LshDotsExpr is bit-identical to the HOF fold (float + double arrays, offsets)") {
+    import org.apache.spark.sql.functions.{transform => htransform, _}
+    // the HOF reference formula, inlined (lshDots itself now routes to
+    // the fused expression when extensions are installed)
+    def hofDots(emb: org.apache.spark.sql.Column, planes: Int, off: Int) =
+      htransform(sequence(lit(off), lit(off + planes - 1)), p =>
+        aggregate(
+          zip_with(emb, sequence(lit(1), size(emb)), (x, i) => {
+            val v = (i * 1103515245L + p * 2654435761L + 12345L) % 2147483647L
+            x.cast("double") * when(((v * 48271L) % 2147483647L) % 2 === 1, 1.0).otherwise(-1.0)
+          }),
+          lit(0.0), (acc, x) => acc + x))
+    assert(spark.catalog.functionExists("graft_lsh_dots"),
+      "test session must have GraftExtensions installed for this parity check")
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("aug", concat(htransform(col("embedding"), x => x.cast("double")),
+        array(lit(0.25))))
+    val r = e.select(
+      call_function("graft_lsh_dots", col("embedding"), lit(11), lit(7)).as("fused_f"),
+      hofDots(col("embedding"), 11, 7).as("hof_f"),
+      call_function("graft_lsh_dots", col("aug"), lit(5), lit(0)).as("fused_d"),
+      hofDots(col("aug"), 5, 0).as("hof_d")).collect()
+    r.foreach { row =>
+      assert(row.getSeq[Double](0) === row.getSeq[Double](1), "float-array dots diverge")
+      assert(row.getSeq[Double](2) === row.getSeq[Double](3), "double-array dots diverge")
+    }
+  }
+
   test("s15 MIPS-through-LSH: every hit's dp is the exact dot; ranks are dot-descending per query") {
     val exact = Similarity.s6(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
