@@ -64,15 +64,25 @@ object TextFunctions {
     * Empty codes → null signature (array_min of empty is null in both
     * engines; short docs must NOT share a common bucketable key). */
   def minhashSignature(codes: Column): Column = {
-    val a = array((0 until MinhashK).map(i => lit(permA(i))): _*)
-    val b = array((0 until MinhashK).map(i => lit(permB(i))): _*)
-    when(size(codes) > 0,
-      aggregate(codes, array_repeat(lit(P), MinhashK),
-        (acc, c) => zip_with(acc,
-          transform(sequence(lit(0), lit(MinhashK - 1)),
-            i => (c * element_at(a, i + 1) + element_at(b, i + 1)) % P),
-          (m, x) => least(m, x))))
-      .otherwise(lit(null).cast("array<bigint>"))
+    // route to the fused codegen'd expression (graft.plans.
+    // MinHashSigExpr — one codes×16 primitive loop, zero lambda
+    // dispatch, same permutation tables and integer arithmetic →
+    // bit-identical) when the session has GraftExtensions installed
+    val fused = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s => try s.catalog.functionExists("graft_minhash")
+        catch { case _: Throwable => false })
+    if (fused) call_function("graft_minhash", codes)
+    else {
+      val a = array((0 until MinhashK).map(i => lit(permA(i))): _*)
+      val b = array((0 until MinhashK).map(i => lit(permB(i))): _*)
+      when(size(codes) > 0,
+        aggregate(codes, array_repeat(lit(P), MinhashK),
+          (acc, c) => zip_with(acc,
+            transform(sequence(lit(0), lit(MinhashK - 1)),
+              i => (c * element_at(a, i + 1) + element_at(b, i + 1)) % P),
+            (m, x) => least(m, x))))
+        .otherwise(lit(null).cast("array<bigint>"))
+    }
   }
 
   /** LSH band key from a (bound) signature column: 4 consecutive

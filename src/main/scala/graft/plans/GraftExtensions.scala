@@ -75,6 +75,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
 
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 1) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_minhash",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        MinHashSigExpr(children(0))
+      }))
+
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
 
     // SQL-surface parity for the text-analysis library: the same

@@ -640,6 +640,36 @@ class TextDedupSpec extends SparkSuite {
       run("9")(graft.operators.Multimodal.mm8(spark, sf)))
   }
 
+  test("MinHashSigExpr is bit-identical to the HOF fold; empty codes stay null") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions.{transform => htransform}
+    assert(spark.catalog.functionExists("graft_minhash"))
+    // the HOF reference, inlined (minhashSignature itself routes fused)
+    def hofSig(codes: org.apache.spark.sql.Column) = {
+      val a = array((0 until MinhashK).map(i => lit(permA(i))): _*)
+      val b = array((0 until MinhashK).map(i => lit(permB(i))): _*)
+      when(size(codes) > 0,
+        aggregate(codes, array_repeat(lit(P), MinhashK),
+          (acc, c) => zip_with(acc,
+            htransform(sequence(lit(0), lit(MinhashK - 1)),
+              i => (c * element_at(a, i + 1) + element_at(b, i + 1)) % P),
+            (m, x) => least(m, x))))
+        .otherwise(lit(null).cast("array<bigint>"))
+    }
+    val r = Tables.documents(spark, sf)
+      .select(call_function("graft_minhash", shingleCodes(col("text"))).as("fused"),
+        hofSig(shingleCodes(col("text"))).as("hof")).collect()
+    r.foreach { row =>
+      assert(row.isNullAt(0) === row.isNullAt(1))
+      if (!row.isNullAt(0)) assert(row.getSeq[Long](0) === row.getSeq[Long](1))
+    }
+    import spark.implicits._
+    val empty = Seq("a b").toDF("text") // 2 tokens -> zero 3-gram shingles
+      .select(call_function("graft_minhash", shingleCodes(col("text"))))
+      .collect()(0)
+    assert(empty.isNullAt(0), "empty shingle set must keep the null contract")
+  }
+
   test("d16 leakage-safe split: planted duplicates never straddle; the naive split leaks") {
     import spark.implicits._
     // ids 5 and 7 share text: naive id%5 puts 5 in test and 7 in train
