@@ -91,6 +91,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSigExpr(children(0))
       }))
 
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash_codes"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash_codes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        children match {
+          case Seq(codes, Literal(bits: Int, IntegerType)) => SimHashExpr(codes, bits)
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_simhash_codes",
+              "expectedNum" -> "2 (array<bigint>, int literal bits)",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+      }))
+
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
 
     // SQL-surface parity for the text-analysis library: the same

@@ -670,6 +670,50 @@ class TextDedupSpec extends SparkSuite {
     assert(empty.isNullAt(0), "empty shingle set must keep the null contract")
   }
 
+  test("SimHashExpr is bit-identical to the HOF folds (16 and 64 bit); empty codes give 0") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions.{transform => htransform}
+    assert(spark.catalog.functionExists("graft_simhash_codes"))
+    def hof16(codes: org.apache.spark.sql.Column) = {
+      val pows = array((0 until SimBits).map(i => lit(1L << i)): _*)
+      aggregate(codes, array_repeat(lit(0L), SimBits + 1),
+        (acc, c) => zip_with(acc,
+          concat(htransform(sequence(lit(0), lit(SimBits - 1)),
+            b => when(((c * 1103515245L + 12345L) % P)
+              .bitwiseAND(element_at(pows, b + 1)) > 0, lit(1L)).otherwise(0L)),
+            array(lit(1L))),
+          (s, x) => s + x),
+        acc => (0 until SimBits).map(b =>
+          when(element_at(acc, b + 1) * 2 > element_at(acc, SimBits + 1), lit(1L << b))
+            .otherwise(0L)).reduce(_ + _))
+    }
+    def hof64(codes: org.apache.spark.sql.Column) =
+      aggregate(codes, array_repeat(lit(0L), 65),
+        (acc, c) => zip_with(acc,
+          concat(htransform(sequence(lit(0), lit(63)),
+            b => (((c * 1103515245L + b * 2654435761L + 12345L) % P) * 48271L % P) % 2),
+            array(lit(1L))),
+          (s, x) => s + x),
+        acc => (0 until 64).map(b =>
+          when(element_at(acc, b + 1) * 2 > element_at(acc, 65), lit(1L << b))
+            .otherwise(0L)).reduce(_ + _))
+    val r = Tables.documents(spark, sf)
+      .select(
+        call_function("graft_simhash_codes", tokenCodes(col("text")), lit(16)).as("f16"),
+        hof16(tokenCodes(col("text"))).as("h16"),
+        call_function("graft_simhash_codes", tokenCodes(col("text")), lit(64)).as("f64"),
+        hof64(tokenCodes(col("text"))).as("h64")).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) === row.getLong(1), "16-bit sketch diverges")
+      assert(row.getLong(2) === row.getLong(3), "64-bit sketch diverges")
+    }
+    import spark.implicits._
+    val z = Seq("").toDF("t")
+      .select(call_function("graft_simhash_codes",
+        lit(Array.empty[Long]), lit(64))).collect()(0).getLong(0)
+    assert(z === 0L, "empty codes sketch to 0 (the HOF contract)")
+  }
+
   test("d16 leakage-safe split: planted duplicates never straddle; the naive split leaks") {
     import spark.implicits._
     // ids 5 and 7 share text: naive id%5 puts 5 in test and 7 in train
