@@ -866,6 +866,18 @@ object Dedup {
   val SemK = 6
   val SemIters = 3
 
+  /** The CELL-sizing rule for [[semanticDedup]] — sizedPlanes'
+    * argument on the quantizer side: cells ≈ N / targetCell keeps
+    * expected cell population (and therefore within-cell pair cost)
+    * constant as the corpus grows. A FIXED k makes cells grow
+    * linearly with N and pairs quadratically until the MaxBucket cap
+    * silently converts the blowup into kept-everything recall loss
+    * (at ×10 of sf0.1, k=6 puts every cell over the default cap —
+    * measured; the cap is the safety net, this rule is the sizing
+    * strategy). */
+  def sizedCells(n: Long, targetCell: Int = 500): Int =
+    math.max(1L, (n + targetCell - 1) / targetCell).min(1 << 20).toInt
+
   def d15(s: SparkSession, dir: String): DataFrame =
     semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = SemK, tau = SemTau, iters = SemIters,

@@ -745,6 +745,25 @@ class TextDedupSpec extends SparkSuite {
     assert(rep.values.map(_._1).sum === nDocs)
   }
 
+  test("sizedCells: cells grow with the corpus so cell population stays pinned") {
+    assert(Dedup.sizedCells(100) === 1)
+    assert(Dedup.sizedCells(500) === 1)
+    assert(Dedup.sizedCells(501) === 2)
+    assert(Dedup.sizedCells(20000) === 40, "x10-of-sf0.1 wants 40 cells, not a fixed 6")
+    val ns = Seq(100L, 1000L, 10000L, 1000000L)
+    assert(ns.map(Dedup.sizedCells(_)) === ns.map(Dedup.sizedCells(_)).sorted)
+    ns.foreach { n =>
+      assert(n.toDouble / Dedup.sizedCells(n) <= 500.0, s"cell population blew past target at N=$n")
+    }
+    // the learned path accepts the sized k end to end (tiny corpus)
+    import spark.implicits._
+    val v = (1 to 30).map(i => (i.toLong, Array.fill(4)(((i % 3) + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(v, "vec_id", "embedding",
+      k = Dedup.sizedCells(30), tau = 0.99, iters = 2)
+    assert(r.count() === 30L)
+  }
+
   test("d15 learned-cell dedup: cells from the k=6 codebook; dup pairs same-cell, over tau, keep-first") {
     val rows = Dedup.d15(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
