@@ -384,6 +384,26 @@ class TextLayoutSpec extends SparkSuite {
       "every token lands in exactly one chunk of one shard")
   }
 
+  test("corpusShuffle two-level rank == global sort on 5 seeded random id shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { t =>
+      val n = 50 + rnd.nextInt(300)
+      val ids = scala.collection.mutable.LinkedHashSet[Long]()
+      while (ids.size < n) ids += (rnd.nextLong() & 0x3FFFFFFFFFFL) // sparse ids up to 2^42
+      val df = ids.toSeq.map(i => (i, s"w$i", "s")).toDF("doc_id", "text", "source")
+      val shardSize = 1L + rnd.nextInt(20)
+      val seed = rnd.nextInt(1 << 30).toLong
+      val got = TextOps.corpusShuffle(df, "doc_id", seed, shardSize)
+        .select(col("doc_id"), col("__h"), col("shard")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = got.sortBy(x => (x._2, x._1)).zipWithIndex
+        .map { case ((id, _, _), i) => id -> (i.toLong / shardSize) }.toMap
+      assert(got.map(x => x._1 -> x._3).toMap === want,
+        s"shape $t (n=$n shardSize=$shardSize seed=$seed): two-level rank diverged")
+    }
+  }
+
   test("tokenBudgetByThreshold spends a BPE-corrected budget when given t22's counts") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
