@@ -878,24 +878,28 @@ object Dedup {
   def sizedCells(n: Long, targetCell: Int = 500): Int =
     math.max(1L, (n + targetCell - 1) / targetCell).min(1 << 20).toInt
 
-  /** d15's cell-population target — smaller than the library default
-    * so the audit corpus exercises MANY learned cells (sf0.01 → 20
-    * cells, ×10-of-bench → 800) while pairs per cell stay ~target²/2. */
-  val SemTargetCell = 25
-
-  def d15(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    // the s12 discipline: size the quantizer to the corpus from one
-    // cheap count (nonzero-norm rows — the training population), and
-    // let the DuckDB twin mirror the identical integer rule
-    val n = e.filter(normSq(col("embedding")) > 0).count()
-    semanticDedup(e, "vec_id", "embedding",
-        k = sizedCells(n, SemTargetCell), tau = SemTau, iters = SemIters,
+  /** Why d15 does NOT size k with [[sizedCells]] (measured, round
+    * 10): EXACT nearest-centroid assignment costs N·k cosines per
+    * pass, so k = N/25 makes training+assignment N²/25 — 17.4× wall
+    * at ×10 data when it was tried (3.9 → 67.5 s), the s12 bug class
+    * reintroduced through the quantizer. The registered form
+    * therefore keeps the parity k: cost stays N·k-linear and an
+    * over-populated cell hits the MaxBucket cap, which degrades to
+    * CONSERVATIVE KEEP (bounded cost, recall loss — round 9's
+    * adjudicated trade for d11, now with the k-sizing alternative
+    * measured rather than assumed). At 100 TB the library dial is
+    * [[sizedCells]] + ANN-ASSISTED assignment (bucket the centroids
+    * with sizedPlanes LSH and assign each point against its bucket's
+    * centroids only — the machinery exists in Similarity; the exact
+    * N·k form is the oracle-parity baseline it would be audited
+    * against). */
+  def d15(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = SemK, tau = SemTau, iters = SemIters,
         seedHash = id => pmod(id * 48271L + 11L, lit(2147483647L)))
       .select(col("id"), col("cell"), col("kept"), col("dup_of"),
         round(col("dup_cos"), 6).as("dup_cos"))
       .orderBy(col("id"))
-  }
 
   val d15Sql: String = {
     val nsq = graft.functions.VectorFunctions.normSqSql("embedding")
@@ -920,14 +924,12 @@ object Dedup {
          |  GROUP BY cid)""".stripMargin
     val iters = (1 to SemIters).map(iterCte).mkString(",\n")
     s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings WHERE $nsq > 0),
-       |kk AS (SELECT GREATEST(1, LEAST((count(*) + ${SemTargetCell - 1}) // $SemTargetCell,
-       |  1048576)) AS k FROM base),
        |cents0 AS (
        |  SELECT cid, cemb FROM (
        |    SELECT CAST(row_number() OVER (ORDER BY (id * 48271 + 11) % 2147483647, id) - 1
        |      AS BIGINT) AS cid, embedding AS cemb
-       |    FROM base), kk
-       |  WHERE cid < kk.k),
+       |    FROM base)
+       |  WHERE cid < $SemK),
        |$iters,
        |assigned AS (
        |  SELECT id, embedding, cid AS cell FROM (

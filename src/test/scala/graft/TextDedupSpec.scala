@@ -764,16 +764,13 @@ class TextDedupSpec extends SparkSuite {
     assert(r.count() === 30L)
   }
 
-  test("d15 learned-cell dedup: cells from the SIZED codebook; dup pairs same-cell, over tau, keep-first") {
+  test("d15 learned-cell dedup: cells from the k=6 codebook; dup pairs same-cell, over tau, keep-first") {
     val rows = Dedup.d15(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
-    val nTrain = Tables.embeddings(spark, sf)
-      .filter(graft.functions.VectorFunctions.normSq(col("embedding")) > 0).count()
-    val k = Dedup.sizedCells(nTrain, Dedup.SemTargetCell)
     assert(rows.length === n, "one verdict row per input vector")
     val cells = rows.map(_.getLong(1)).toSet
-    assert(cells.subsetOf((-1L until k.toLong).toSet),
-      s"cells must be -1 (zero-norm bypass) or [0, $k): got $cells")
+    assert(cells.subsetOf((-1L until Dedup.SemK.toLong).toSet),
+      s"cells must be -1 (zero-norm bypass) or [0, ${Dedup.SemK}): got $cells")
     assert(cells.count(_ >= 0) > 1, "training collapsed to a single cell")
     val cellOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.filter(r => !r.getBoolean(2)).foreach { r =>
