@@ -821,21 +821,37 @@ object Dedup {
     * one row per input id: (id, cell, kept, dup_of, dup_cos). */
   def semanticDedup(emb: DataFrame, idCol: String, embCol: String,
       k: Int, tau: Double, iters: Int = 5, maxCell: Int = MaxBucket,
-      seedHash: Column => Column = xxhash64(_)): DataFrame = {
+      seedHash: Column => Column = xxhash64(_),
+      // Some(probes): ANN-assisted training AND assignment
+      // (Similarity.annAssign) — REQUIRED once k is sized to the
+      // corpus (sizedCells): exact assignment is N·k and was measured
+      // superlinear (d15's Scaladoc). Probe-bucket misses assign cell
+      // −2 and are KEPT (the cap's conservative-keep rule applied to
+      // assignment misses). None = exact N·k assignment.
+      annProbes: Option[Int] = None): DataFrame = {
     val s = emb.sparkSession
     val base0 = emb.select(col(idCol).as("id"), col(embCol).as("embedding"))
     val base = base0.filter(normSq(col("embedding")) > 0)
     val zeros = base0.filter(normSq(col("embedding")) <= 0)
       .select(col("id"), lit(-1L).as("cell"), lit(true).as("kept"),
         lit(null).cast("long").as("dup_of"), lit(null).cast("double").as("dup_cos"))
-    val cents = broadcast(Similarity.trainCodebook(base, k, iters, seedHash)
-      .select(col("id").as("cid"), col("embedding").as("cemb")))
-    val assigned = base.join(cents)
-      .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
-      .groupBy(col("id"))
-      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
-        first(col("embedding")).as("embedding"))
-    val capped = capBuckets(assigned, maxCell, col("cell"))
+    val cents = broadcast(
+      Similarity.trainCodebook(base, k, iters, seedHash, annProbes)
+        .select(col("id").as("cid"), col("embedding").as("cemb")))
+    val assigned = annProbes match {
+      case Some(pr) =>
+        Similarity.annAssign(base, cents.select(col("cid"), col("cemb")),
+            Similarity.sizedPlanes(k.toLong, 8), pr)
+          .select(col("id"), col("cell"), col("embedding"))
+      case None => base.join(cents)
+        .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
+        .groupBy(col("id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+          first(col("embedding")).as("embedding"))
+    }
+    // cell −2 (ANN assignment miss) must not form its own pair pool —
+    // unassigned rows are kept unconditionally (no-op on exact path)
+    val capped = capBuckets(assigned.filter(col("cell") >= 0), maxCell, col("cell"))
     val a = capped.select(col("cell"), col("id").as("id_a"), col("embedding").as("ea"))
     val b = capped.select(col("cell"), col("id").as("id_b"), col("embedding").as("eb"))
     val wBest = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
@@ -953,6 +969,33 @@ object Dedup {
        |  FROM embeddings WHERE $nsq <= 0)
        |SELECT id, cell, kept, dup_of, round(dup_cos, 6) AS dup_cos
        |FROM res ORDER BY id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // d17 (rows-only): the SIZED-k semantic dedup made affordable —
+  // d15's Scaladoc adjudication turned into a registered operator.
+  // k = sizedCells(N) (cells grow with the corpus, cell population
+  // pinned) is only viable with ANN-ASSISTED assignment
+  // (Similarity.annAssign: centroids bucket by sized-plane LSH,
+  // points score only probe-bucket-mates — candidates per point
+  // ~constant instead of k), which replaces the exact N·k assignment
+  // measured superlinear (17.4× at ×10). Probe-bucket misses assign
+  // cell −2 and are KEPT — assignment misses degrade to conservative
+  // keep, the same failure direction as the cell cap. Rows-only by
+  // design: iterative k-means training is m7/m14/t20's category; the
+  // pruning semantics are spec-covered (every dup pair is a true
+  // ≥τ same-cell neighbor) and d15 remains the exact-assignment
+  // oracle-gated baseline this form is audited against.
+  def d17(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val n = e.filter(normSq(col("embedding")) > 0).count()
+    semanticDedup(e, "vec_id", "embedding",
+        k = sizedCells(n, 25), tau = SemTau, iters = SemIters,
+        seedHash = id => pmod(id * 48271L + 11L, lit(2147483647L)),
+        annProbes = Some(2))
+      .select(col("id"), col("cell"), col("kept"), col("dup_of"),
+        round(col("dup_cos"), 6).as("dup_cos"))
+      .orderBy(col("id"))
   }
 
   // -------------------------------------------------------------------
@@ -1311,6 +1354,7 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_semantic_dedup_ann" -> (d17 _),
     "d16_leakage_split" -> (d16 _),
     "d15_semantic_dedup_k" -> (d15 _),
     "d14_cross_source_dups" -> (d14 _),

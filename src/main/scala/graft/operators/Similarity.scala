@@ -177,7 +177,13 @@ object Similarity {
     * map-side combinable). Returns (id, embedding) centroid rows for
     * `ivfTopK`. */
   def trainCodebook(corpus: DataFrame, k: Int, iters: Int = 5,
-      seedHash: Column => Column = xxhash64(_)): DataFrame = {
+      seedHash: Column => Column = xxhash64(_),
+      // Some(probes): ANN-ASSISTED iterations ([[annAssign]], planes =
+      // sizedPlanes(k, 8)) — the dial that keeps a corpus-sized k
+      // (sizedCells) trainable: per-point candidates stay ~constant
+      // instead of k. Unassigned points (probe-bucket miss) simply
+      // don't pull centroids that round. None = exact assignment.
+      annProbes: Option[Int] = None): DataFrame = {
     val s = corpus.sparkSession
     var cents = corpus.select(col("id"), col("embedding"))
       .withColumn("__h", seedHash(col("id")))
@@ -186,13 +192,20 @@ object Similarity {
         row_number().over(Window.orderBy(col("__h"), col("id"))).cast("long") - 1)
       .select(col("cid"), col("embedding").as("cemb"))
       .localCheckpoint()
+    val annPlanes = sizedPlanes(k.toLong, 8)
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(col("id"), col("embedding"))
-        .join(broadcast(cents))
-        .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
-        .groupBy(col("id"))
-        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
-          first(col("embedding")).as("embedding"))
+      val assigned = annProbes match {
+        case Some(pr) =>
+          annAssign(corpus.select(col("id"), col("embedding")), cents, annPlanes, pr)
+            .filter(col("cell") >= 0)
+            .select(col("id"), col("cell").as("cid"), col("embedding"))
+        case None => corpus.select(col("id"), col("embedding"))
+          .join(broadcast(cents))
+          .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
+          .groupBy(col("id"))
+          .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+            first(col("embedding")).as("embedding"))
+      }
       cents = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -207,6 +220,37 @@ object Similarity {
         .localCheckpoint()
     }
     cents.select(col("cid").as("id"), col("cemb").as("embedding"))
+  }
+
+  /** Library API: ANN-ASSISTED nearest-centroid assignment — the step
+    * that makes a corpus-sized codebook affordable. Exact assignment
+    * is |points|·k cosines per pass, so k = N/target makes k-means
+    * training N²/target (measured 17.4× wall at ×10 when d15 tried
+    * it); here the CENTROIDS bucket by sized-plane LSH and each point
+    * scores only the centroids sharing one of its probe buckets —
+    * expected candidates per point ≈ (probes+1)·k/2^planes, constant
+    * when planes = sizedPlanes(k). Deterministic: best candidate by
+    * (cos DESC, cid ASC), exactly the exact assignment's tie rule; a
+    * point whose probe buckets hold NO centroid assigns to cell −2
+    * (the conservative unassigned bucket — a semantic-dedup caller
+    * keeps those rows; raise `probes` to shrink the miss rate).
+    * Returns (id, embedding, cell). */
+  def annAssign(points: DataFrame, cents: DataFrame,
+      planes: Int, probes: Int = 1): DataFrame = {
+    val s = points.sparkSession
+    val pr = math.min(probes, planes) // a tiny codebook has few planes to flip
+    val cb = cents.select(col("cid"), col("cemb"),
+      lshBucket(col("cemb"), planes).as("__bucket"))
+    val pb = points.select(col("id"), col("embedding"),
+      explode(lshProbeBuckets(col("embedding"), planes, pr)).as("__bucket"))
+    val w = Window.partitionBy(col("id")).orderBy(col("__ccos").desc, col("cid"))
+    val best = pb.join(cb, Seq("__bucket"))
+      .withColumn("__ccos", cosineAuto(s, col("embedding"), col("cemb")))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col("id"), col("cid").as("cell"))
+    points.select(col("id"), col("embedding"))
+      .join(best, Seq("id"), "left")
+      .withColumn("cell", coalesce(col("cell"), lit(-2L)))
   }
 
   def s2(s: SparkSession, dir: String): DataFrame = {

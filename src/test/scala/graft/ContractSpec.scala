@@ -9,7 +9,7 @@ class ContractSpec extends AnyFunSuite {
 
   private val rowsOnly = Set(
     "q15_approx_distinct", "m7_feature_importance", "m14_grid_search",
-    "t20_quality_classifier", "t22_bpe_drift")
+    "t20_quality_classifier", "t22_bpe_drift", "d17_semantic_dedup_ann")
 
   test("every oracle has a query; non-oracle queries are the documented rows-only set") {
     val q = SparkEntry.queries.keySet

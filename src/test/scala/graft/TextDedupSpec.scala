@@ -764,6 +764,41 @@ class TextDedupSpec extends SparkSuite {
     assert(r.count() === 30L)
   }
 
+  test("d17 ANN-assisted sized-k dedup: every dup is a true >=tau neighbor; misses kept; twins collapse") {
+    import spark.implicits._
+    // planted: 8 groups of 5 identical unit-pattern vectors (the mean
+    // of a group IS the member vector, so the group's centroid shares
+    // its members' probe buckets whenever one seeds/learns nearby)
+    val dir = java.nio.file.Files.createTempDirectory("graft-d17").toString
+    val vecs = for (g <- 0 until 8; m <- 0 until 5) yield {
+      val v = Array.tabulate(16)(d => if (d == g * 2) 1.0f else if (d == g * 2 + 1) 0.5f else 0f)
+      ((g * 10 + m).toLong, v, g)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = Dedup.d17(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(rows.length === 40, "one verdict per vector")
+    assert(rows.forall(_._2 >= -2L), "cells are learned ids, -1 (zero norm) or -2 (probe miss)")
+    // every pruned row names an EARLIER member of its own group
+    rows.filter(!_._3).foreach { case (id, _, _, dupOf) =>
+      assert(dupOf >= 0 && dupOf / 10 === id / 10 && dupOf < id,
+        s"$id pruned against $dupOf — not an earlier same-group twin")
+    }
+    // non-vacuous: most identical twins collapse (ANN misses may keep
+    // a few extra rows — the conservative direction — but the planted
+    // geometry routes the bulk)
+    val pruned = rows.count(!_._3)
+    assert(pruned >= 16, s"only $pruned of 32 possible twins pruned — assignment too lossy")
+    // and on the real corpus the registered form runs end to end
+    val real = Dedup.d17(spark, sf).collect()
+    assert(real.length === Tables.embeddings(spark, sf).count())
+    real.filter(!_.getBoolean(2)).foreach { r =>
+      assert(r.getDouble(4) >= Dedup.SemTau - 5e-7, "dup under tau")
+    }
+  }
+
   test("d15 learned-cell dedup: cells from the k=6 codebook; dup pairs same-cell, over tau, keep-first") {
     val rows = Dedup.d15(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
