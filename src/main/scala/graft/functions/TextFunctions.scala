@@ -63,27 +63,22 @@ object TextFunctions {
     * same one-traversal rewrite that made simhash 3-4× faster.
     * Empty codes → null signature (array_min of empty is null in both
     * engines; short docs must NOT share a common bucketable key). */
-  def minhashSignature(codes: Column): Column = {
-    // route to the fused codegen'd expression (graft.plans.
+  def minhashSignature(codes: Column): Column =
+    // ALWAYS the fused codegen'd expression (graft.plans.
     // MinHashSigExpr — one codes×16 primitive loop, zero lambda
-    // dispatch, same permutation tables and integer arithmetic →
-    // bit-identical) when the session has GraftExtensions installed
-    val fused = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(s => try s.catalog.functionExists("graft_minhash")
-        catch { case _: Throwable => false })
-    if (fused) call_function("graft_minhash", codes)
-    else {
-      val a = array((0 until MinhashK).map(i => lit(permA(i))): _*)
-      val b = array((0 until MinhashK).map(i => lit(permB(i))): _*)
-      when(size(codes) > 0,
-        aggregate(codes, array_repeat(lit(P), MinhashK),
-          (acc, c) => zip_with(acc,
-            transform(sequence(lit(0), lit(MinhashK - 1)),
-              i => (c * element_at(a, i + 1) + element_at(b, i + 1)) % P),
-            (m, x) => least(m, x))))
-        .otherwise(lit(null).cast("array<bigint>"))
-    }
-  }
+    // dispatch, same permutation tables and integer arithmetic as the
+    // historical HOF fold → bit-identical; TextDedupSpec keeps the
+    // HOF reference inlined and asserts parity). Built DIRECTLY as a
+    // Catalyst expression, NOT via catalog lookup: round-10 ADVICE —
+    // routing on SparkSession.getActiveSession at Column-construction
+    // time made the physical plan depend on ambient thread-local
+    // state, and a Column built under a GraftExtensions session
+    // failed analysis when executed against one without it. A
+    // directly-constructed expression resolves on ANY session; the
+    // graft_minhash SQL registration remains for SQL-text callers.
+    org.apache.spark.sql.GraftSqlBridge.columnOf(
+      graft.plans.MinHashSigExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(codes)))
 
   /** LSH band key from a (bound) signature column: 4 consecutive
     * minhashes packed with *31 chaining (31-bit each — fits a BIGINT).
@@ -94,36 +89,23 @@ object TextFunctions {
       element_at(sig, band * (MinhashK / Bands) + r + 1))
       .reduce((acc, h) => acc * 31L + h)
 
-  private val pow2_16: Column = array((0 until SimBits).map(i => lit(1L << i)): _*)
-
   /** 16-bit SimHash: bit b set iff the majority of token-hash bits are
     * 1. ONE aggregate pass: a 17-slot accumulator carries all 16
     * bit-sums plus the token count, and the finish lambda packs the
     * majority bits (16 separate per-bit aggregates re-traverse the
     * array 16× interpreted — measured 3.3× slower at sf0.1). */
-  /** Route to the fused codegen'd SimHashExpr when the session has
-    * GraftExtensions installed — one codes×bits primitive loop, same
-    * integer formulas, bit-equal sketches (the lshDots/minhash
-    * pattern). */
-  private def simhashFused(codes: Column, bits: Int): Option[Column] = {
-    val fused = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(s => try s.catalog.functionExists("graft_simhash_codes")
-        catch { case _: Throwable => false })
-    if (fused) Some(call_function("graft_simhash_codes", codes, lit(bits))) else None
-  }
+  /** ALWAYS the fused codegen'd SimHashExpr, constructed directly —
+    * one codes×bits primitive loop, same integer formulas as the
+    * historical 17/65-slot HOF accumulator (TextDedupSpec keeps that
+    * reference inlined and asserts bit-equality). Direct construction
+    * replaces the round-10 getActiveSession routing: no thread-local
+    * state, resolvable on any session (the minhashSignature note). */
+  private def simhashFused(codes: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(
+      graft.plans.SimHashExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(codes), bits))
 
-  def simhash16(codes: Column): Column = simhashFused(codes, 16).getOrElse(
-    aggregate(codes,
-      array_repeat(lit(0L), SimBits + 1),
-      (acc, c) => zip_with(acc,
-        concat(transform(sequence(lit(0), lit(SimBits - 1)),
-          b => when(((c * 1103515245L + 12345L) % P)
-            .bitwiseAND(element_at(pow2_16, b + 1)) > 0, lit(1L)).otherwise(0L)),
-          array(lit(1L))),
-        (s, x) => s + x),
-      acc => (0 until SimBits).map(b =>
-        when(element_at(acc, b + 1) * 2 > element_at(acc, SimBits + 1), lit(1L << b))
-          .otherwise(0L)).reduce(_ + _)))
+  def simhash16(codes: Column): Column = simhashFused(codes, 16)
 
   /** 64-bit SimHash — the scale variant of simhash16, same single-pass
     * shape (65-slot accumulator, 4× faster than per-bit aggregates).
@@ -131,17 +113,7 @@ object TextFunctions {
     * linear form's parity is separable, which would make all 64 bits
     * measure the same token statistic). Σ of distinct powers of two
     * equals the bit pattern (including the sign bit). */
-  def simhash64(codes: Column): Column = simhashFused(codes, 64).getOrElse(
-    aggregate(codes,
-      array_repeat(lit(0L), 65),
-      (acc, c) => zip_with(acc,
-        concat(transform(sequence(lit(0), lit(63)),
-          b => (((c * 1103515245L + b * 2654435761L + 12345L) % P) * 48271L % P) % 2),
-          array(lit(1L))),
-        (s, x) => s + x),
-      acc => (0 until 64).map(b =>
-        when(element_at(acc, b + 1) * 2 > element_at(acc, 65), lit(1L << b))
-          .otherwise(0L)).reduce(_ + _)))
+  def simhash64(codes: Column): Column = simhashFused(codes, 64)
 
   def simhash64Sql(codes: String): String =
     (0 until 64).map { b =>

@@ -1362,12 +1362,14 @@ object MLPrep {
     binnedKs(Tables.orders(s, dir), col("o_orderkey") % 5 =!= 0, col("o_totalprice"))
 
   val m27Sql: String =
-    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
       |b AS (
-      |  SELECT CAST(least(floor((o_totalprice - mn)/((mx - mn)/200)), 199) AS BIGINT) AS bucket,
+      |  SELECT CAST(CASE WHEN mx = mn THEN 0
+      |    ELSE least(floor((o_totalprice - mn)/((mx - mn)/200)), 199) END AS BIGINT) AS bucket,
       |    CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
       |    CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-      |  FROM orders, mm GROUP BY 1),
+      |  FROM orders, mm WHERE o_totalprice IS NOT NULL GROUP BY 1),
       |c AS (
       |  SELECT bucket,
       |    CAST(sum(n_a) OVER (ORDER BY bucket) AS BIGINT) AS cum_a,
@@ -1436,9 +1438,11 @@ object MLPrep {
       col("o_totalprice"))
 
   val m30Sql: String =
-    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
       |b AS (
-      |  SELECT CAST(least(floor((o_totalprice - mn)/((mx - mn)/200)), 199) AS BIGINT) AS bucket,
+      |  SELECT CAST(CASE WHEN mx = mn THEN 0
+      |    ELSE least(floor((o_totalprice - mn)/((mx - mn)/200)), 199) END AS BIGINT) AS bucket,
       |    CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
       |    CAST(sum(CASE WHEN o_orderkey % 5 <> 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
       |  FROM orders, mm WHERE o_totalprice IS NOT NULL GROUP BY 1),

@@ -80,23 +80,21 @@ object Similarity {
     * `planeOffset` selects an independent hyperplane family per hash
     * table (table t uses planes [t·planes, (t+1)·planes)).
     *
-    * Routed to the fused codegen'd expression
+    * Always the fused codegen'd expression
     * (graft.plans.LshDotsExpr — one planes×dims primitive loop, zero
-    * lambda dispatch) when the session has GraftExtensions installed;
-    * the builtin HOF fold otherwise. Both compute the identical
-    * double sequence (same sign arithmetic, same ascending-dimension
-    * accumulation), so the route cannot change buckets. */
-  def lshDots(emb: Column, planes: Int, planeOffset: Int = 0): Column = {
-    val fused = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(s => try s.catalog.functionExists("graft_lsh_dots")
-        catch { case _: Throwable => false })
-    if (fused) call_function("graft_lsh_dots", emb, lit(planes), lit(planeOffset))
-    else transform(sequence(lit(planeOffset), lit(planeOffset + planes - 1)), p =>
-      aggregate(
-        zip_with(emb, sequence(lit(1), size(emb)),
-          (x, i) => x.cast("double") * hpSignC(i, p)),
-        lit(0.0), (acc, x) => acc + x))
-  }
+    * lambda dispatch), which computes the identical double sequence
+    * (same sign arithmetic via [[hpSignC]]'s formulas, same
+    * ascending-dimension accumulation) as the historical HOF fold. */
+  def lshDots(emb: Column, planes: Int, planeOffset: Int = 0): Column =
+    // ALWAYS the fused expression, constructed directly (round-10
+    // ADVICE): routing on getActiveSession at Column-construction time
+    // tied the plan to ambient thread-local state and broke analysis
+    // when a Column crossed sessions. LshDotsExpr resolves on any
+    // session; SimilaritySpec keeps the HOF reference inlined and
+    // asserts the double sequences are bit-identical.
+    org.apache.spark.sql.GraftSqlBridge.columnOf(
+      graft.plans.LshDotsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(emb), planes, planeOffset))
 
   /** Bucket id from the dots array: bit p set iff dot_p > 0. The
     * reversed fold makes plane 0 the LSB, identical to the historical
@@ -1080,7 +1078,12 @@ object Similarity {
           transform(lshProbeBuckets(col("embedding"), planes, probes, t * planes),
             bk => struct(lit(t).as("tbl"), bk.as("bucket")))): _*))).as("tb"))
       .select(col("q_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    q.join(broadcast(sizes), Seq("tbl", "bucket"), "left")
+    // plain shuffle join on (tbl, bucket): `sizes` has one row per
+    // OCCUPIED cell, which under the sizedPlanes rule is ~N/target and
+    // grows linearly with the corpus — a broadcast hint here would be
+    // a driver OOM at exactly the scale the audit targets (round-10
+    // ADVICE). AQE is free to pick a broadcast when it measures small.
+    q.join(sizes, Seq("tbl", "bucket"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_probes"),
         sum(when(col("__sz") > maxBucket, 1L).otherwise(0L)).as("n_capped"))

@@ -22,6 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Accepts array<float> (stored embeddings) and array<double> (s15's
   * norm-augmented vectors) — the accessor is chosen at analysis time.
+  *
+  * PRECONDITION (round-10 ADVICE, documented rather than guarded):
+  * array elements must be non-null. Every caller feeds parquet-stored
+  * embedding arrays (element type non-nullable in the testdata
+  * schema, asserted by SimilaritySpec) or arithmetic derivatives of
+  * them; a null element here reads as 0.0 where the HOF form would
+  * null the whole per-plane dot. Guarding would force
+  * containsNull=true on the output array and ripple nullability into
+  * every bucket column's schema, so the contract is enforced at the
+  * source instead.
   */
 case class LshDotsExpr(child: Expression, planes: Int, planeOffset: Int)
     extends UnaryExpression {

@@ -20,6 +20,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * no FP ordering question even exists). Empty codes → null, matching
   * the builtin's contract (short docs must not share a bucketable
   * key).
+  *
+  * Edge contract vs the HOF form (round-10 ADVICE): null array slots
+  * are SKIPPED — exactly what the HOF's `least(m, null) = m` does —
+  * and each code is pre-reduced `c % P` before the permutation
+  * multiply, so the product is bounded by (P−1)·permA + permB < 2^62
+  * and can never overflow (where the HOF under Spark 4's default ANSI
+  * mode throws on codes ≳ 2^32). Modular arithmetic makes the
+  * pre-reduction invisible: for every non-negative code where the HOF
+  * succeeds, ((c % P)·a + b) % P == (c·a + b) % P bit-for-bit, so the
+  * fused eval is a strict superset of the HOF's domain (well-formed
+  * tcode output is < P anyway). Negative codes are out of contract
+  * (tcode cannot produce them).
   */
 case class MinHashSigExpr(child: Expression) extends UnaryExpression {
 
@@ -48,12 +60,14 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression {
       val sig = Array.fill(MinhashK)(P)
       var i = 0
       while (i < n) {
-        val c = arr.getLong(i)
-        var j = 0
-        while (j < MinhashK) {
-          val h = (c * permA(j) + permB(j)) % P
-          if (h < sig(j)) sig(j) = h
-          j += 1
+        if (!arr.isNullAt(i)) {
+          val c = arr.getLong(i) % P
+          var j = 0
+          while (j < MinhashK) {
+            val h = (c * permA(j) + permB(j)) % P
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
         }
         i += 1
       }
@@ -76,7 +90,8 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression {
          |  long[] $sig = new long[$MinhashK];
          |  java.util.Arrays.fill($sig, ${P}L);
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $c = $a.getLong($i);
+         |    if ($a.isNullAt($i)) continue;  // HOF parity: least(m, null) = m
+         |    long $c = $a.getLong($i) % ${P}L;  // overflow guard, mod-invisible
          |    for (int $j = 0; $j < $MinhashK; $j++) {
          |      long $h = ($c * $pa[$j] + $pb[$j]) % ${P}L;
          |      if ($h < $sig[$j]) $sig[$j] = $h;

@@ -18,6 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the double-mod parity per (code, bit)) and the same majority rule
   * (2·count_b > n), so sketches are bit-equal — all-integer, no FP
   * question. Empty codes → 0, matching the builtin.
+  *
+  * Edge contract vs the HOF form (round-10 ADVICE): a null array slot
+  * makes every HOF bit-sum null, so every strict-majority test fails
+  * and the HOF returns 0 — the fused eval short-circuits to the same
+  * 0 on the first null slot. Codes are pre-reduced `c % P` before the
+  * Lehmer multiply, bounding the product under 2^62 (no overflow,
+  * where the ANSI HOF throws on codes ≳ 2^33); the pre-reduction is
+  * invisible mod P for every non-negative code the HOF accepts, and
+  * well-formed tcode output is < P anyway. Negative codes are out of
+  * contract (tcode cannot produce them).
   */
 case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
 
@@ -41,7 +51,8 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
     val cnt = new Array[Long](bits)
     var i = 0
     while (i < n) {
-      val c = arr.getLong(i)
+      if (arr.isNullAt(i)) return 0L // HOF parity: null bit-sums → all-bits 0
+      val c = arr.getLong(i) % P     // overflow guard, mod-invisible
       if (bits == 16) {
         val h = (c * 1103515245L + 12345L) % P
         var b = 0
@@ -79,16 +90,21 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
              |  long $v = ($c * 1103515245L + $b * 2654435761L + 12345L) % ${P}L;
              |  if ((($v * 48271L) % ${P}L) % 2L == 1L) $cnt[$b]++;
              |}""".stripMargin
+      val nullHit = ctx.freshName("nullHit")
       s"""
          |int $n = $a.numElements();
          |long[] $cnt = new long[$bits];
+         |boolean $nullHit = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $c = $a.getLong($i);
+         |  if ($a.isNullAt($i)) { $nullHit = true; break; }
+         |  long $c = $a.getLong($i) % ${P}L;
          |  $inner
          |}
          |long $out = 0L;
-         |for (int $b = 0; $b < $bits; $b++) {
-         |  if ($cnt[$b] * 2L > $n) $out += (1L << $b);
+         |if (!$nullHit) {
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    if ($cnt[$b] * 2L > $n) $out += (1L << $b);
+         |  }
          |}
          |${ev.value} = $out;
        """.stripMargin

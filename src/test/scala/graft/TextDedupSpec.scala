@@ -714,6 +714,50 @@ class TextDedupSpec extends SparkSuite {
     assert(z === 0L, "empty codes sketch to 0 (the HOF contract)")
   }
 
+  test("fused sketch edge contract: null slots match the HOF; overflow-scale codes stay defined") {
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    // --- null slots. HOF minhash skips them (least(m, null) = m); HOF
+    // simhash nulls every bit-sum so every strict-majority test fails
+    // (result 0). The fused expressions must reproduce both exactly.
+    val nullBearing = Seq(
+      (1L, Seq(Option(5L), None, Option(900000007L))),
+      (2L, Seq(Option(5L), Option(900000007L))), // the non-null subset of row 1
+      (3L, Seq[Option[Long]](None))).toDF("id", "codes")
+    val mh = nullBearing
+      .select(col("id"), minhashSignature(col("codes")).as("f"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    assert(mh(1L) === mh(2L), "null slot must be SKIPPED, exactly like the HOF least-skip")
+    assert(mh(3L) === Seq.fill(MinhashK)(P), "all-null codes leave the initial [P..P] accumulator")
+    val sh = nullBearing
+      .select(col("id"), simhash16(col("codes")).as("f16"), simhash64(col("codes")).as("f64"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sh(1L) === ((0L, 0L)), "a null code nulls every HOF bit-sum -> sketch 0")
+    assert(sh(3L) === ((0L, 0L)))
+    // the HOF folds themselves agree (inlined reference, null-bearing input)
+    val a = array((0 until MinhashK).map(i => lit(permA(i))): _*)
+    val b = array((0 until MinhashK).map(i => lit(permB(i))): _*)
+    val hofMh = nullBearing.filter(col("id") === 1L).select(
+      aggregate(col("codes"), array_repeat(lit(P), MinhashK),
+        (acc, c) => zip_with(acc,
+          org.apache.spark.sql.functions.transform(sequence(lit(0), lit(MinhashK - 1)),
+            i => (c * element_at(a, i + 1) + element_at(b, i + 1)) % P),
+          (m, x) => least(m, x)))).collect()(0).getSeq[Long](0)
+    assert(hofMh === mh(1L))
+    // --- overflow-scale codes (≈2^40: the HOF's c·permA product wraps
+    // past Long.MaxValue — ANSI throws, pre-ANSI silently wraps). The
+    // fused eval pre-reduces c % P, so it stays defined and, because
+    // mod is a homomorphism, equals the fused sketch of the reduced
+    // codes bit-for-bit.
+    val big = Seq((1L, Seq(1099511627776L, 7L)),
+      (2L, Seq(1099511627776L % P, 7L))).toDF("id", "codes")
+    val bigR = big.select(col("id"), minhashSignature(col("codes")).as("mh"),
+        simhash16(col("codes")).as("s16"), simhash64(col("codes")).as("s64"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap
+    assert(bigR(1L) === bigR(2L), "pre-reduction must be invisible mod P")
+  }
+
   test("d16 leakage-safe split: planted duplicates never straddle; the naive split leaks") {
     import spark.implicits._
     // ids 5 and 7 share text: naive id%5 puts 5 in test and 7 in train
