@@ -822,8 +822,10 @@ object Dedup {
   def semanticDedup(emb: DataFrame, idCol: String, embCol: String,
       k: Int, tau: Double, iters: Int = 5, maxCell: Int = MaxBucket,
       seedHash: Column => Column = xxhash64(_),
-      // Some(probes): ANN-assisted training AND assignment
-      // (Similarity.annAssign) — REQUIRED once k is sized to the
+      // Some(radius): ANN-assisted training AND assignment
+      // (Similarity.annAssign; the value is a Hamming probe radius,
+      // 2 = exact bucket + all 1/2-bit flips) — REQUIRED once k is
+      // sized to the
       // corpus (sizedCells): exact assignment is N·k and was measured
       // superlinear (d15's Scaladoc). Probe-bucket misses assign cell
       // −2 and are KEPT (the cap's conservative-keep rule applied to
@@ -996,6 +998,168 @@ object Dedup {
       .select(col("id"), col("cell"), col("kept"), col("dup_of"),
         round(col("dup_cos"), 6).as("dup_cos"))
       .orderBy(col("id"))
+  }
+
+  // -------------------------------------------------------------------
+  // d18: the ANN-ASSIGNMENT recall audit — the measure-don't-guess
+  // companion d17 was missing: d9 audits MinHash, s10 LSH, s13 IVF,
+  // and this key audits Similarity.annAssign, the one approximation
+  // d17 registers without a corpus-wide measurement (its planted-group
+  // spec shows the semantics, not the rate). Codebook = the SEEDED
+  // SAMPLE at d17's OWN sized k (trainCodebook at iters=0 — cents0 of
+  // d15's Lloyd replay generalized to sized k; training iterations are
+  // m7/m14's rows-only category, and holding the codebook fixed
+  // isolates exactly the mechanism under audit). Exact side = the
+  // full N·k nearest-centroid assignment (affordable as a one-shot
+  // audit at test SF — at 100 TB this audit runs on a sample, the
+  // production path stays ANN). Reports ONE row, all-integer (hash-
+  // gateable):
+  //   (n, k, planes, agree_ppm, miss_ppm,
+  //    n_pruned_exact, n_pruned_ann, dup_recall_ppm)
+  // agree = same cell as exact; miss = probe-bucket miss (cell −2,
+  // conservative keep); dup_recall = |prunedANN ∩ prunedExact| /
+  // |prunedExact| after running d15's keep-first within-cell pruning
+  // on BOTH assignments — the number that actually bounds d17's
+  // recall loss. The DuckDB twin replays the seeded sample, the exact
+  // N·k argmax, the sized-plane dots/bucket (s14Sql's machinery at
+  // table 0) with annAssign's Hamming-≤2 probe set, and both prunings
+  // — so the whole audit is oracle-gated, not self-reported. This
+  // audit is also what re-dialed annAssign in round 11: the original
+  // 2-least-confident-flip probing measured 484,375 ppm dup-recall at
+  // sf0.1 (planes=4 — single-bit probes cover a collapsing fraction
+  // of the space as planes grow); radius-2 probing measured 875,000.
+  def d18(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val base = e.filter(normSq(col("embedding")) > 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val n = base.count() // one scalar at plan time (d17/s12's documented class)
+    val k = sizedCells(n, 25)
+    val planes = Similarity.sizedPlanes(k.toLong, 8)
+    val cents = broadcast(
+      Similarity.trainCodebook(base, k, iters = 0,
+          seedHash = id => pmod(id * 48271L + 11L, lit(2147483647L)))
+        .select(col("id").as("cid"), col("embedding").as("cemb")))
+    val exact = base.join(cents)
+      .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    val ann = Similarity.annAssign(base, cents, planes, probes = 2)
+    // d15's keep-first pruning, reduced to the pruned-id SET (the
+    // audit doesn't need dup_of): pruned iff an earlier-id same-cell
+    // row is ≥ τ cosine-similar, cells capped exactly like d15.
+    def pruned(assigned: DataFrame): DataFrame = {
+      val capped = capBuckets(assigned.filter(col("cell") >= 0), MaxBucket, col("cell"))
+      val a = capped.select(col("cell"), col("id").as("id_a"), col("embedding").as("ea"))
+      val b = capped.select(col("cell"), col("id").as("id_b"), col("embedding").as("eb"))
+      a.join(b, Seq("cell")).filter(col("id_b") < col("id_a"))
+        .withColumn("cos", cosineAuto(s, col("ea"), col("eb")))
+        .filter(col("cos") >= SemTau)
+        .select(col("id_a").as("id")).distinct()
+    }
+    val pe = pruned(exact.select(col("id"), col("cell"), col("embedding")))
+    val pa = pruned(ann.select(col("id"), col("cell"), col("embedding")))
+    val cells = exact.select(col("id"), col("cell").as("cell_exact"))
+      .join(ann.select(col("id"), col("cell").as("cell_ann")), Seq("id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cell_ann") === col("cell_exact"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("cell_ann") === -2L, 1L).otherwise(0L)).as("n_miss"))
+    cells // every frame below is provably 1 row (aggregates without keys)
+      .crossJoin(pe.agg(count(lit(1)).as("n_pruned_exact")))
+      .crossJoin(pa.agg(count(lit(1)).as("n_pruned_ann")))
+      .crossJoin(pe.join(pa, Seq("id")).agg(count(lit(1)).as("n_pruned_both")))
+      .select(col("n"), lit(k.toLong).as("k"), lit(planes.toLong).as("planes"),
+        expr("n_agree * 1000000 div n").as("agree_ppm"),
+        expr("n_miss * 1000000 div n").as("miss_ppm"),
+        col("n_pruned_exact"), col("n_pruned_ann"),
+        when(col("n_pruned_exact") === 0, 1000000L)
+          .otherwise(expr("n_pruned_both * 1000000 div n_pruned_exact"))
+          .as("dup_recall_ppm"))
+  }
+
+  val d18Sql: String = {
+    val nsq = graft.functions.VectorFunctions.normSqSql("embedding")
+    val qcos = cosineSql("v.embedding", "c.cemb")
+    val acos = cosineSql("p.embedding", "c.cemb")
+    val pcos = cosineSql("a.ea", "b.eb")
+    val P = 2147483647L
+    // sized-plane hyperplane dots at table 0 (s14Sql's formula with
+    // tbl fixed to 0), planes from the mirrored sizing chain
+    val dots =
+      s"list_transform(range(pl.planes), p -> " +
+        s"list_sum(list_transform(generate_series(1, len(embedding)), i -> " +
+        s"CAST(embedding[i] AS DOUBLE) * " +
+        s"(CASE WHEN ((((i*1103515245 + p*2654435761 + 12345) % $P) * 48271) % $P) % 2 = 1 THEN 1.0 ELSE -1.0 END))))"
+    s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings WHERE $nsq > 0),
+       |par AS (SELECT count(*) AS n,
+       |  least(greatest(1, (count(*) + 24) // 25), 1048576) AS k FROM base),
+       |pl AS (SELECT n, k, ${Similarity.sizedPlanesSql("k", 8)} AS planes FROM par),
+       |cents AS (
+       |  SELECT cid, cemb FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY (id * 48271 + 11) % $P, id) - 1
+       |      AS BIGINT) AS cid, embedding AS cemb
+       |    FROM base), par
+       |  WHERE cid < par.k),
+       |exact AS (
+       |  SELECT id, embedding, cid AS cell FROM (
+       |    SELECT v.id, v.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY $qcos DESC, c.cid) AS rk
+       |    FROM base v, cents c) WHERE rk = 1),
+       |cbk AS (
+       |  SELECT cid, cemb,
+       |    CAST(${Similarity.lshBucketSizedSql("cemb", "pl.planes")} AS BIGINT) AS bucket
+       |  FROM cents, pl),
+       |pdots AS (SELECT id, embedding, $dots AS dots FROM base, pl),
+       |pbk AS (
+       |  SELECT id, embedding,
+       |    CAST(list_sum(list_transform(range(len(dots)), p ->
+       |      CASE WHEN dots[p+1] > 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM pdots),
+       |probes AS (
+       |  SELECT id, unnest(list_prepend(bucket,
+       |    flatten(list_transform(range(pl.planes), q ->
+       |      list_prepend(xor(bucket, (1::BIGINT << q)),
+       |        list_transform(range(q), p ->
+       |          xor(xor(bucket, (1::BIGINT << q)), (1::BIGINT << p)))))))) AS bucket
+       |  FROM pbk, pl),
+       |annb AS (
+       |  SELECT id, cell FROM (
+       |    SELECT pr.id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY pr.id ORDER BY $acos DESC, c.cid) AS rk
+       |    FROM probes pr JOIN base p USING (id) JOIN cbk c ON pr.bucket = c.bucket)
+       |  WHERE rk = 1),
+       |ann AS (
+       |  SELECT b.id, b.embedding, COALESCE(a.cell, -2) AS cell
+       |  FROM base b LEFT JOIN annb a USING (id)),
+       |cap_e AS (SELECT * FROM exact WHERE cell >= 0
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= $MaxBucket),
+       |cap_a AS (SELECT * FROM ann WHERE cell >= 0
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= $MaxBucket),
+       |pe AS (SELECT DISTINCT a.id_a AS id
+       |  FROM (SELECT cell, id AS id_a, embedding AS ea FROM cap_e) a
+       |  JOIN (SELECT cell, id AS id_b, embedding AS eb FROM cap_e) b
+       |  ON a.cell = b.cell AND b.id_b < a.id_a WHERE $pcos >= $SemTau),
+       |pa AS (SELECT DISTINCT a.id_a AS id
+       |  FROM (SELECT cell, id AS id_a, embedding AS ea FROM cap_a) a
+       |  JOIN (SELECT cell, id AS id_b, embedding AS eb FROM cap_a) b
+       |  ON a.cell = b.cell AND b.id_b < a.id_a WHERE $pcos >= $SemTau),
+       |agree AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CASE WHEN a.cell = e.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |    CAST(sum(CASE WHEN a.cell = -2 THEN 1 ELSE 0 END) AS BIGINT) AS n_miss
+       |  FROM exact e JOIN ann a USING (id)),
+       |cnts AS (
+       |  SELECT (SELECT count(*) FROM pe) AS n_pruned_exact,
+       |    (SELECT count(*) FROM pa) AS n_pruned_ann,
+       |    (SELECT count(*) FROM pe JOIN pa USING (id)) AS n_pruned_both)
+       |SELECT agree.n AS n, pl.k AS k, CAST(pl.planes AS BIGINT) AS planes,
+       |  n_agree * 1000000 // agree.n AS agree_ppm,
+       |  n_miss * 1000000 // agree.n AS miss_ppm,
+       |  CAST(n_pruned_exact AS BIGINT) AS n_pruned_exact,
+       |  CAST(n_pruned_ann AS BIGINT) AS n_pruned_ann,
+       |  CASE WHEN n_pruned_exact = 0 THEN 1000000
+       |    ELSE n_pruned_both * 1000000 // n_pruned_exact END AS dup_recall_ppm
+       |FROM agree, cnts, pl""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -1354,6 +1518,7 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_ann_assign_recall" -> (d18 _),
     "d17_semantic_dedup_ann" -> (d17 _),
     "d16_leakage_split" -> (d16 _),
     "d15_semantic_dedup_k" -> (d15 _),
@@ -1369,6 +1534,7 @@ object Dedup {
     "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
+    "d18_ann_assign_recall" -> d18Sql,
     "d16_leakage_split" -> d16Sql,
     "d15_semantic_dedup_k" -> d15Sql,
     "d14_cross_source_dups" -> d14Sql,

@@ -176,8 +176,9 @@ object Similarity {
     * `ivfTopK`. */
   def trainCodebook(corpus: DataFrame, k: Int, iters: Int = 5,
       seedHash: Column => Column = xxhash64(_),
-      // Some(probes): ANN-ASSISTED iterations ([[annAssign]], planes =
-      // sizedPlanes(k, 8)) — the dial that keeps a corpus-sized k
+      // Some(radius): ANN-ASSISTED iterations ([[annAssign]] at that
+      // Hamming probe radius, planes = sizedPlanes(k, 8)) — the dial
+      // that keeps a corpus-sized k
       // (sizedCells) trainable: per-point candidates stay ~constant
       // instead of k. Unassigned points (probe-bucket miss) simply
       // don't pull centroids that round. None = exact assignment.
@@ -225,22 +226,40 @@ object Similarity {
     * is |points|·k cosines per pass, so k = N/target makes k-means
     * training N²/target (measured 17.4× wall at ×10 when d15 tried
     * it); here the CENTROIDS bucket by sized-plane LSH and each point
-    * scores only the centroids sharing one of its probe buckets —
-    * expected candidates per point ≈ (probes+1)·k/2^planes, constant
-    * when planes = sizedPlanes(k). Deterministic: best candidate by
-    * (cos DESC, cid ASC), exactly the exact assignment's tie rule; a
-    * point whose probe buckets hold NO centroid assigns to cell −2
-    * (the conservative unassigned bucket — a semantic-dedup caller
-    * keeps those rows; raise `probes` to shrink the miss rate).
-    * Returns (id, embedding, cell). */
+    * scores only the centroids within HAMMING RADIUS `probes` of its
+    * own bucket. `probes` is a radius, not a flip count (re-dialed in
+    * round 11 after d18's audit measured the 2-least-confident-flip
+    * form at 484,375 ppm dup-recall on sf0.1 — single-bit probing
+    * covers (probes+1)/2^planes of the space and collapses as planes
+    * grow): radius 0 = the exact bucket, 1 = + all single-bit flips,
+    * 2 = + all double-bit flips — 1 + p + p(p−1)/2 buckets, so
+    * expected candidates per point ≈ (1 + p + p(p−1)/2)·targetBucket
+    * = O(log²k) under the sizedPlanes rule (vs k for exact: still
+    * exponentially cheaper, and measured 875,000 ppm dup-recall on
+    * the same audit). Deterministic: best candidate by (cos DESC,
+    * cid ASC), exactly the exact assignment's tie rule; a point whose
+    * probe buckets hold NO centroid assigns to cell −2 (the
+    * conservative unassigned bucket — a semantic-dedup caller keeps
+    * those rows). Returns (id, embedding, cell). */
   def annAssign(points: DataFrame, cents: DataFrame,
-      planes: Int, probes: Int = 1): DataFrame = {
+      planes: Int, probes: Int = 2): DataFrame = {
     val s = points.sparkSession
-    val pr = math.min(probes, planes) // a tiny codebook has few planes to flip
+    require(probes >= 0 && probes <= 2, s"probes is a Hamming radius in [0, 2], got $probes")
+    // planes is a plan-time Int, so the flip-mask set is a literal
+    // array: [0] ++ single-bit ++ double-bit masks (all distinct —
+    // no dedup join needed). The probe list stays codegen'd.
+    val masks: Seq[Long] = Seq(0L) ++
+      (if (probes >= 1) (0 until planes).map(p => 1L << p) else Seq.empty) ++
+      (if (probes >= 2) for { q <- 1 until planes; p <- 0 until q }
+        yield (1L << p) | (1L << q)
+      else Seq.empty)
     val cb = cents.select(col("cid"), col("cemb"),
       lshBucket(col("cemb"), planes).as("__bucket"))
-    val pb = points.select(col("id"), col("embedding"),
-      explode(lshProbeBuckets(col("embedding"), planes, pr)).as("__bucket"))
+    val pb = points
+      .select(col("id"), col("embedding"),
+        lshBucket(col("embedding"), planes).as("__b0")) // hashed ONCE per point
+      .select(col("id"), col("embedding"),
+        explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)).as("__bucket"))
     val w = Window.partitionBy(col("id")).orderBy(col("__ccos").desc, col("cid"))
     val best = pb.join(cb, Seq("__bucket"))
       .withColumn("__ccos", cosineAuto(s, col("embedding"), col("cemb")))

@@ -758,6 +758,24 @@ class TextDedupSpec extends SparkSuite {
     assert(bigR(1L) === bigR(2L), "pre-reduction must be invisible mod P")
   }
 
+  test("d18 audit: radius-2 covers every bucket at planes=2 (ann == exact), dials match the sizing rules") {
+    val r = Dedup.d18(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    val n = row.getLong(0)
+    assert(row.getLong(1) === Dedup.sizedCells(n, 25).toLong, "k must follow sizedCells")
+    assert(row.getLong(2) ===
+      graft.operators.Similarity.sizedPlanes(row.getLong(1), 8).toLong,
+      "planes must follow sizedPlanes(k, 8)")
+    // at sf0.001 planes = 2 and the Hamming-2 probe set is ALL 2^2
+    // buckets, so ANN assignment degenerates to exact assignment —
+    // the audit must report EXACT agreement, zero misses, full recall
+    assert(row.getLong(2) === 2L)
+    assert(row.getLong(3) === 1000000L, "agree_ppm: radius 2 over 4 buckets is exhaustive")
+    assert(row.getLong(4) === 0L, "miss_ppm")
+    assert(row.getLong(7) === 1000000L, "dup_recall_ppm")
+  }
+
   test("d16 leakage-safe split: planted duplicates never straddle; the naive split leaks") {
     import spark.implicits._
     // ids 5 and 7 share text: naive id%5 puts 5 in test and 7 in train
