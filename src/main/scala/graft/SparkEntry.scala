@@ -18,7 +18,7 @@ import graft.operators._
   *  - s1–s15   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k, SQ8 rerank, recall audit, PQ-ADC, sized kNN join + dials form, IVF recall, norm-augmented MIPS ANN)
   *  - mm1–mm8  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan, decode budget, pHash near-dup)
   *  - st1–st18 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission, incremental-dedup admission, incremental distinct, late-drop accounting)
-  *  - i1–i7    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental/retraction-aware rollup maintenance, incremental distinct)
+  *  - i1–i8    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental/retraction-aware rollup maintenance, incremental distinct, bucketed-layout join gate)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).
   */

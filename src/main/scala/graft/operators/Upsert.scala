@@ -488,7 +488,50 @@ object Upsert {
       |FROM snap GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** i8: the BUCKETED-LAYOUT fact⋈fact join through the oracle gate —
+    * Ingest.writeBucketed was spec-verified only (round-10 VERDICT
+    * #5); this key makes the shuffle-free-join layout itself a
+    * gated operator, q19's result-transparency pattern (the oracle is
+    * the PLAIN join on the raw parquet: a storage layout must never
+    * change results). The query writes both fact sides bucketed on
+    * the join key (8 buckets — at 100 TB this is the pay-the-shuffle-
+    * once-at-ingest layout; here the write doubles as the setup), then
+    * joins table-to-table and aggregates per order priority. The
+    * ZERO-EXCHANGE claim is asserted in UpsertSpec on the join plan
+    * with broadcast disabled (a results gate can't see plans); the
+    * gate here proves layout-transparency of the values. */
+  def i8(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Ingest.writeBucketed(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "i8_orders_b", "o_orderkey", 8)
+    graft.sources.Ingest.writeBucketed(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "i8_lineitem_b", "l_orderkey", 8)
+    val dec2 = graft.functions.ExactNum.dec2 _
+    s.table("i8_lineitem_b")
+      .join(s.table("i8_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val i8Sql: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i8_bucketed_join" -> (i8 _),
     "i7_cdc_rollup" -> (i7 _),
     "i1_scd2_history" -> (i1 _),
     "i2_scd2_apply" -> (i2 _),
@@ -498,6 +541,7 @@ object Upsert {
     "i6_inc_distinct" -> (i6 _))
 
   def oracles: Map[String, String] = Map(
+    "i8_bucketed_join" -> i8Sql, // plain-join SQL: layout == raw parquet
     "i7_cdc_rollup" -> i7Sql, // full-rebuild SQL: retract-fold == rebuild
     "i1_scd2_history" -> i1Sql,
     "i2_scd2_apply" -> i1Sql, // full-rebuild SQL: incremental == rebuild

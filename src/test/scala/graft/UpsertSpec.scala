@@ -313,4 +313,34 @@ class UpsertSpec extends SparkSuite {
         ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(3), r.getDouble(4)))).toMap
     assert(out === rebuild)
   }
+
+  test("i8 bucketed fact join: ZERO exchanges in the join plan; results layout-transparent") {
+    val r = Upsert.i8(spark, sf).collect() // also writes the bucketed tables
+    // the zero-exchange claim, on the raw table-to-table join with the
+    // broadcast escape hatch closed (a BroadcastExchange would also
+    // be shuffle-free but would not prove the bucketed layout works)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("i8_lineitem_b")
+        .join(spark.table("i8_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed fact join must plan with zero exchanges, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // result transparency: identical to the same aggregate over the
+    // raw parquet through a plain (unbucketed) join
+    import graft.functions.ExactNum.dec2
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 2)) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(r.toSeq === plain.toSeq)
+  }
 }
