@@ -500,7 +500,24 @@ object Upsert {
     * ZERO-EXCHANGE claim is asserted in UpsertSpec on the join plan
     * with broadcast disabled (a results gate can't see plans); the
     * gate here proves layout-transparency of the values. */
+  /** Make a managed-table name writable in THIS session: drop any
+    * catalog entry, then delete an orphaned warehouse location left by
+    * a PREVIOUS session (the default in-memory catalog forgets tables
+    * at JVM exit but their directories persist, and saveAsTable then
+    * fails with LOCATION_ALREADY_EXISTS — hit by i8's second Verify
+    * run in round 11). Goes through the session's Hadoop FileSystem
+    * so non-local warehouses resolve the same way. */
+  private def resetManagedTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, name.toLowerCase(java.util.Locale.ROOT))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   def i8(s: SparkSession, dir: String): DataFrame = {
+    resetManagedTable(s, "i8_orders_b")
+    resetManagedTable(s, "i8_lineitem_b")
     graft.sources.Ingest.writeBucketed(
       Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
       "i8_orders_b", "o_orderkey", 8)

@@ -3,10 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,7 +41,8 @@ case class AsOfJoinPlan(
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression)
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -249,6 +252,156 @@ case class AsOfJoinExec(
           }
         }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Whole-stage codegen (SURVEY §7 backlog, round 11): the same
+  // two-pointer merge as doExecute, emitted as one fused loop inside
+  // the stage — SortMergeJoin's two-input produce contract
+  // (inputRDDs returns both sorted children; WholeStageCodegenExec
+  // zips them), but with a single buffered right row instead of a
+  // match buffer, so the generated state is four scalars + one reused
+  // UnsafeRow. Covers the fixed-width fast path (key and time both
+  // long-extractable — every registered caller); variable-width
+  // key/time keeps the interpreted fallback via supportCodegen=false.
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def supportCodegen: Boolean =
+    longExtractor(leftKey.dataType).isDefined &&
+      longExtractor(leftTime.dataType).isDefined
+
+  // output rows reference the reused match buffer / iterator rows —
+  // a buffering parent must copy (the SortMergeJoin rule)
+  override def needCopyResult: Boolean = true
+
+  /** Java source for the order-preserving long of a fixed-width value
+    * — the codegen twin of [[longExtractor]]'s lambdas. */
+  private def genLongOf(ctx: CodegenContext, dt: DataType, v: String): String = {
+    lazy val bits = ctx.addNewFunction("graftSortableBits",
+      s"""
+         |private long graftSortableBits(double d) {
+         |  long b = Double.doubleToLongBits(d);
+         |  return b < 0 ? b ^ Long.MAX_VALUE : b;
+         |}
+       """.stripMargin)
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => v
+      case IntegerType | DateType | ShortType | ByteType => s"(long) ($v)"
+      case DoubleType => s"$bits($v)"
+      case FloatType => s"$bits((double) ($v))"
+      case other => throw new UnsupportedOperationException(
+        s"as-of codegen reached with non-fixed-width type $other")
+    }
+  }
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "graftAsofLeftIn",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "graftAsofRightIn",
+      v => s"$v = inputs[1];")
+    val rightRow = ctx.addMutableState("InternalRow", "graftAsofRightRow")
+    val rightKeyVar = ctx.addMutableState("long", "graftAsofRightKey")
+    val rightTimeVar = ctx.addMutableState("long", "graftAsofRightTime")
+    val started = ctx.addMutableState("boolean", "graftAsofStarted")
+    val hasMatchVar = ctx.addMutableState("boolean", "graftAsofHasMatch")
+    val matchKeyVar = ctx.addMutableState("long", "graftAsofMatchKey")
+    val matchBuf = ctx.addMutableState("UnsafeRow", "graftAsofMatchBuf",
+      v => s"$v = new UnsafeRow(${right.output.size}); $v.pointTo(new byte[64], 64);")
+    // sorted shuffle output is UnsafeRow; the projection is the same
+    // belt-and-braces fallback the interpreted path carries
+    val schemaRef = ctx.addReferenceObj("graftAsofRightSchema", right.schema,
+      "org.apache.spark.sql.types.StructType")
+    val toUnsafe = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.UnsafeProjection", "graftAsofToUnsafe",
+      v => s"$v = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create($schemaRef);")
+
+    // --- advanceRight(): skip null-key/time rows, cache sortable longs
+    val rRowTerm = ctx.freshName("graftAsofRRow")
+    ctx.INPUT_ROW = rRowTerm
+    ctx.currentVars = null
+    val rKeyEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rTimeEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val advanceRight = ctx.addNewFunction("graftAsofAdvanceRight",
+      s"""
+         |private void graftAsofAdvanceRight() {
+         |  $rightRow = null;
+         |  while ($rightRow == null && $rightInput.hasNext()) {
+         |    InternalRow $rRowTerm = (InternalRow) $rightInput.next();
+         |    ${rKeyEv.code}
+         |    ${rTimeEv.code}
+         |    if (!(${rKeyEv.isNull}) && !(${rTimeEv.isNull})) {
+         |      $rightRow = $rRowTerm;
+         |      $rightKeyVar = ${genLongOf(ctx, rightKey.dataType, rKeyEv.value.toString)};
+         |      $rightTimeVar = ${genLongOf(ctx, rightTime.dataType, rTimeEv.value.toString)};
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+
+    // --- the produce loop over left rows
+    val lRowTerm = ctx.freshName("graftAsofLRow")
+    ctx.INPUT_ROW = lRowTerm
+    ctx.currentVars = null
+    val lKeyEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val lTimeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    // right-side outputs: declared before the match check, read from
+    // the copied buffer only when this left row has a match — the
+    // null-padded branch costs no buffer access at all
+    val useMatch = ctx.freshName("graftAsofUseMatch")
+    ctx.INPUT_ROW = matchBuf
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      val isNull = ctx.freshName("graftAsofIsNull")
+      val value = ctx.freshName("graftAsofVal")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val block =
+        code"""
+              |boolean $isNull = true;
+              |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+              |if ($useMatch) {
+              |  ${ev.code}
+              |  $isNull = ${ev.isNull};
+              |  $value = ${ev.value};
+              |}
+            """.stripMargin
+      ExprCode(block, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    val lk = ctx.freshName("graftAsofLk")
+    val lt = ctx.freshName("graftAsofLt")
+    s"""
+       |if (!$started) { $started = true; $advanceRight(); }
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $lRowTerm = (InternalRow) $leftInput.next();
+       |  ${lKeyEv.code}
+       |  ${lTimeEv.code}
+       |  boolean $useMatch = false;
+       |  if (!(${lKeyEv.isNull}) && !(${lTimeEv.isNull})) {
+       |    long $lk = ${genLongOf(ctx, leftKey.dataType, lKeyEv.value.toString)};
+       |    long $lt = ${genLongOf(ctx, leftTime.dataType, lTimeEv.value.toString)};
+       |    while ($rightRow != null &&
+       |        ($rightKeyVar < $lk || ($rightKeyVar == $lk && $rightTimeVar <= $lt))) {
+       |      if ($rightKeyVar == $lk) {
+       |        if ($rightRow instanceof UnsafeRow) {
+       |          $matchBuf.copyFrom((UnsafeRow) $rightRow);
+       |        } else {
+       |          $matchBuf.copyFrom($toUnsafe.apply($rightRow));
+       |        }
+       |        $matchKeyVar = $lk;
+       |        $hasMatchVar = true;
+       |      }
+       |      $advanceRight();
+       |    }
+       |    $useMatch = $hasMatchVar && $matchKeyVar == $lk;
+       |  }
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -53,13 +53,39 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
-  test("q16 custom as-of operator is planned and matches the union+window formulation") {
+  test("q16 custom as-of operator is planned, codegen'd, and matches the union+window formulation") {
     val q16 = Relational.q16(spark, sf)
-    assert(q16.queryExecution.executedPlan.toString.contains("AsOfJoin"))
     val a = q16.collect().map(_.toSeq)
+    // AFTER execution (AQE final plan): the as-of join must sit INSIDE
+    // a WholeStageCodegen stage — the `*(n)` marker on the node. The
+    // interpreted doExecute remains only for variable-width key/time.
+    val plan = q16.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isDefined,
+      s"as-of join fell out of whole-stage codegen:\n$plan")
     val b = Relational.q14(spark, sf).collect().map(_.toSeq)
     assert(a.length === b.length)
     assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("custom as-of codegen fast path orders double times correctly (incl. negatives)") {
+    import spark.implicits._
+    // doubles go through the sortable-bits transform in BOTH the
+    // interpreted extractor and the generated code — negative times
+    // are where a naive doubleToLongBits comparison inverts
+    val trades = Seq((1L, -0.5, 10), (1L, 0.25, 20), (2L, -3.0, 30))
+      .toDF("k", "t", "trade_id")
+    val quotes = Seq((1L, -1.5, 1.0), (1L, -0.25, 2.0), (1L, 0.25, 3.0), (2L, -2.5, 4.0))
+      .toDF("rk", "rt", "px")
+    val r = graft.plans.AsOf.join(trades, quotes, "k", "rk", "t", "rt")
+    assert("""\*\(\d+\) AsOfJoin""".r
+      .findFirstIn({ r.collect(); r.queryExecution.executedPlan.toString }).isDefined)
+    val got = r.select("trade_id", "px").collect()
+      .map(x => x.getInt(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(got === Map(
+      10 -> Some(1.0), // k=1 t=-0.5: latest rt <= -0.5 is -1.5 (−0.25 is later)
+      20 -> Some(3.0), // t=0.25 ← rt=0.25 (<= is inclusive)
+      30 -> None))     // k=2 t=-3.0: only rt=-2.5 exists, which is after
   }
 
   test("custom as-of join handles string keys and empty matches") {
