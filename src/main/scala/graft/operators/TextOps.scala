@@ -1136,9 +1136,24 @@ object TextOps {
   // BPE apply semantics (documented, deterministic): per word, split
   // to characters, then apply each merge rule in rank order as ONE
   // greedy left-to-right pass (fold: merge current symbol into the
-  // accumulated tail when they form the rule's pair). Rows-only by
-  // design: the per-rule array fold is a Spark HOF chain with no
-  // tractable cross-engine twin; the spec hand-computes merges.
+  // accumulated tail when they form the rule's pair).
+  //
+  // ORACLE-GATED since round 11 (was rows-only; VERDICT r10 item 4
+  // asked for the attempt). The cross-engine twin is a STRING
+  // encoding of the fold, not a list fold (DuckDB's list_reduce
+  // cannot carry a list accumulator): a word's symbol sequence is
+  // rendered with DOUBLE separators (U+E000, absent from the corpus)
+  // — "SS s1 SS s2 SS" — and one merge rule (l, r) is ONE
+  // replace(x, 'S l SS r S', 'S lr S'): each SS boundary donates one
+  // separator to each adjacent match, so left-to-right replace-all
+  // with resume-after-replacement is EXACTLY the greedy fold (the
+  // shared-separator failure of a single-S encoding on runs like
+  // b,b,b,b was caught by a 20k-case randomized differential test;
+  // double-S measured 0 mismatches on the same harness, spec'd in
+  // TextLayoutSpec). The 25 rules unroll as 25 nested replaces (the
+  // d15 unrolled-iterations move), symbol count = #separators/2 − 1,
+  // and the sample selector is t21's portable two-step mixing hash
+  // (the xxhash64 it replaces was the one non-portable piece).
   //
   // Scale: the sample bound makes cost independent of corpus size
   // (hash-select, m15's thresholding); per-doc work is
@@ -1177,11 +1192,19 @@ object TextOps {
       lit(0L), (acc, n) => acc + n)
   }
 
+  /** t22's sample selector: t21's portable two-step mixing hash at its
+    * own seed, mod 4 — replayable cross-engine (the xxhash64 form it
+    * replaces was the one non-portable piece keeping t22 rows-only). */
+  val BpeSampleSeed = 777L
+  private def bpeSampleHash(id: Column): Column =
+    pmod(pmod(pmod(id, lit(P)) * 1103515245L +
+      lit(BpeSampleSeed) * 2654435761L + 12345L, lit(P)) * 48271L, lit(P))
+
   /** t22: per-source regex-vs-BPE drift on a deterministic ~25%
     * document sample. `bpe_per_regex` is the correction factor. */
   def t22(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .filter(pmod(xxhash64(col("doc_id")), lit(4L)) === 0)
+      .filter(pmod(bpeSampleHash(col("doc_id")), lit(4L)) === 0)
       .select(col("source"),
         size(tokens(col("text"))).cast("long").as("__rt"),
         bpeTokenCount(col("text")).as("__bt"))
@@ -1192,6 +1215,33 @@ object TextOps {
         expr("(sum(__bt) - sum(__rt)) * 1000000 div sum(__rt)").as("drift_ppm"),
         round(sum(col("__bt")).cast("double") / sum(col("__rt")), 6).as("bpe_per_regex"))
       .orderBy(col("source"))
+
+  val t22Sql: String = {
+    val S = "\uE000" // private-use separator, corpus-absent (checked)
+    // one word's symbol string: SS-wrapped, SS between chars
+    val wrapped =
+      s"'$S$S' || array_to_string(list_filter(string_split(w, ''), c -> c <> ''), '$S$S') || '$S$S'"
+    // the 25 merge rules, rank order, one greedy pass each
+    val chain = DefaultMerges.foldLeft(wrapped) { case (e, (l, r)) =>
+      s"replace($e, '$S$l$S$S$r$S', '$S$l$r$S')"
+    }
+    val cnt = s"CASE WHEN w = '' THEN 0 ELSE " +
+      s"(length($chain) - length(replace($chain, '$S', ''))) // 2 - 1 END"
+    s"""WITH sample AS (
+       |  SELECT source, text FROM documents
+       |  WHERE ((((doc_id % $P) * 1103515245 + $BpeSampleSeed * 2654435761 + 12345) % $P) * 48271) % $P % 4 = 0),
+       |perdoc AS (
+       |  SELECT source,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS rt,
+       |    CAST(list_sum(list_transform(${tokensSql("text")}, w -> $cnt)) AS BIGINT) AS bt
+       |  FROM sample)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(rt) AS BIGINT) AS regex_tokens,
+       |  CAST(sum(bt) AS BIGINT) AS bpe_tokens,
+       |  CAST((sum(bt) - sum(rt)) * 1000000 // sum(rt) AS BIGINT) AS drift_ppm,
+       |  round(CAST(sum(bt) AS DOUBLE) / sum(rt), 6) AS bpe_per_regex
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_bpe_drift" -> (t22 _),
@@ -1213,6 +1263,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t22_bpe_drift" -> t22Sql,
     "t21_shuffle_shards" -> t21Sql,
     "t19_pack_sharded" -> t19Sql,
     "t18_ppl_threshold" -> t18Sql,

@@ -449,4 +449,37 @@ class TextLayoutSpec extends SparkSuite {
       assert(f >= 1.0 && f < 20.0, s"correction factor $f out of plausible range")
     }
   }
+
+  test("t22 oracle encoding: double-separator replace IS the greedy fold (randomized)") {
+    // the t22Sql twin encodes the per-rule greedy fold as ONE
+    // replace() over a double-separator symbol string; replace-all
+    // with resume-after-replacement has the same semantics in Java and
+    // DuckDB, so this randomized differential (string form vs direct
+    // fold) proves the ENCODING engine-independently — single-S
+    // encodings fail on same-symbol runs (b b b b), which the
+    // generator produces often
+    val S = "\uE000"
+    def greedy(syms: Seq[String], l: String, r: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    def viaReplace(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val txt = (S + S) + syms.mkString(S + S) + (S + S)
+      val out = txt.replace(S + l + S + S + r + S, S + l + r + S)
+      out.split(S + S, -1).toSeq.filter(_.nonEmpty)
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = Seq("a", "b", "ab", "c", "bb")
+    val rules = Seq("a" -> "b", "a" -> "a", "ab" -> "a", "b" -> "b", "c" -> "a", "bb" -> "b")
+    (1 to 5000).foreach { _ =>
+      val syms = Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+      val (l, r) = rules(rnd.nextInt(rules.length))
+      assert(viaReplace(syms, l, r) === greedy(syms, l, r),
+        s"encoding diverged on $syms with rule ($l, $r)")
+    }
+    // and the corpus cannot contain the separator (the encoding's one
+    // precondition)
+    assert(Tables.documents(spark, sf).filter(col("text").contains(S)).count() === 0)
+  }
 }
