@@ -84,6 +84,11 @@ object Corpus {
         * heuristic-labeled sample) outside curate — scoring here is
         * one stateless map-side transform. None = gate off. */
       qualityModel: Option[QualityClassifier.Model] = None,
+      /** Path form of `qualityModel` (a [[QualityClassifier.save]]
+        * artifact): the production wiring, where the gate is trained
+        * once and every curate run reloads it — `qualityModel` (the
+        * in-memory form) wins if both are set. */
+      qualityModelPath: Option[String] = None,
       minModelProb: Double = 0.5,
       /** Gopher repetition gates: drop docs whose most frequent token
         * exceeds this fraction / whose duplicate-trigram fraction
@@ -146,7 +151,9 @@ object Corpus {
     // row-local expression tree (hashed-n-gram features + a dot
     // product), so the flag joins the same map pass as 1-2b; the
     // scoring columns are dropped to preserve the column contract
-    val flagged0 = cfg.qualityModel match {
+    val resolvedModel = cfg.qualityModel.orElse(
+      cfg.qualityModelPath.map(p => QualityClassifier.load(docs.sparkSession, p)))
+    val flagged0 = resolvedModel match {
       case Some(m) =>
         QualityClassifier.score(m, flagged0g, textCol)
           .withColumn("f_model",

@@ -58,6 +58,25 @@ object QualityClassifier {
     Model(lr.fit(feats), dim)
   }
 
+  /** Persist a trained gate: the LR coefficients via MLlib's writer
+    * (api.py:111-136's joblib-dump analogue) plus the featurizer dim
+    * as a 1-row parquet sidecar — scoring with a dim other than the
+    * training dim silently hashes terms into different buckets, so
+    * the dim is part of the artifact, not a caller argument.
+    * Round-trip is spec'd score-identical (ArtifactsSpec); reload
+    * with [[load]] or thread a path through
+    * [[Corpus.Config.qualityModelPath]]. */
+  def save(s: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
+    model.lr.write.overwrite().save(s"$path/lr")
+    import s.implicits._
+    Seq(model.dim).toDF("dim").write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a [[save]]d gate, ready to [[score]]. */
+  def load(s: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(LogisticRegressionModel.load(s"$path/lr"),
+      s.read.parquet(s"$path/meta").select("dim").head().getInt(0))
+
   /** Score a corpus: adds `q_prob` (P(label=1) — the quality score a
     * curation gate thresholds) and `q_pred` (0/1 at 0.5). One
     * map-side transform; every input column passes through. */
