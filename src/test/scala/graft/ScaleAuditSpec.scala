@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ScaleAuditSpec extends SparkSuite {
+
+  test("ScaleAudit: dials match the sizing rules; cap-loss signals fire when the cap bites") {
+    val r = ScaleAudit.report(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val nVecs = Tables.embeddings(spark, sf)
+      .filter(graft.functions.VectorFunctions.normSq(col("embedding")) > 0).count()
+    assert(r(("corpus", "n_vectors")) === nVecs)
+    assert(r(("knn_join", "planes")) ===
+      graft.operators.Similarity.sizedPlanes(nVecs, 16).toLong,
+      "planes row must be what knnJoinAll would actually pick")
+    val k = graft.operators.Dedup.sizedCells(nVecs, 25)
+    assert(r(("semantic_dedup", "cells_k")) === k.toLong)
+    val p = graft.operators.Similarity.sizedPlanes(k.toLong, 8)
+    assert(r(("semantic_dedup", "probe_buckets")) === 1L + p + p.toLong * (p - 1) / 2)
+    // the test corpus fits its caps: no silent loss at this SF
+    assert(r(("knn_join", "overcap_rows")) === 0L)
+    assert(r(("minhash_bands", "overcap_rows")) === 0L)
+    // consistency: overcap rows only exist with overcap cells, and an
+    // overcap cell holds more than the cap by definition
+    Seq("knn_join", "minhash_bands", "simhash").foreach { c =>
+      val cells = r((c, s"overcap_${if (c == "knn_join") "cells" else "buckets"}"))
+      val rows = r((c, "overcap_rows"))
+      assert((cells == 0L) == (rows == 0L), s"$c cap-loss rows/cells disagree")
+    }
+    // squeeze the cap until it must bite: with maxBucket=1 any shared
+    // bucket is over-cap — the audit must SEE the loss, that is its job
+    val tight = ScaleAudit.report(spark, sf, maxBucket = 1).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(tight(("minhash_bands", "overcap_rows")) > 0L,
+      "planted near-dups share band buckets; a cap of 1 must show loss")
+  }
+}
