@@ -757,8 +757,17 @@ object Dedup {
       .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
       .withColumn("crk", row_number().over(wAssign)).filter(col("crk") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    // Round 11: the ONE pair generator that still lacked the
+    // MaxBucket guard — the ×100 rehearsal measured it quadratic
+    // (2.06 → 98.5 s, exponent 1.68: fixed 8 cells make within-cell
+    // all-pairs N²/16). Same conservative-keep cap as d15/d18: a
+    // cell over MaxBucket emits no pairs, its members are all kept
+    // (bounded cost, recall loss; d17 is the scale path). The gate
+    // SFs peak at ~250 rows/cell — far under the cap — so gated
+    // results are byte-identical.
+    val capped = capBuckets(assigned, MaxBucket, col("cell"))
+    val a = capped.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = capped.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("eb"))
     val wBest = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
     val near = a.join(b, Seq("cell")).filter(col("id_b") < col("id_a"))
       .withColumn("cos", cosineAuto(s, col("ea"), col("eb")))
@@ -788,8 +797,10 @@ object Dedup {
        |        ORDER BY $qcos DESC, c.cid) AS crk
        |    FROM nz v, cents c)
        |  WHERE crk = 1),
-       |a AS (SELECT cell, vec_id AS id_a, embedding AS ea FROM assigned),
-       |b AS (SELECT cell, vec_id AS id_b, embedding AS eb FROM assigned),
+       |capped AS (SELECT * FROM assigned
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= $MaxBucket),
+       |a AS (SELECT cell, vec_id AS id_a, embedding AS ea FROM capped),
+       |b AS (SELECT cell, vec_id AS id_b, embedding AS eb FROM capped),
        |near AS (
        |  SELECT id_a AS vec_id, id_b AS dup_of, round(cos, 6) AS dup_cos FROM (
        |    SELECT a.id_a, b.id_b, $pcos AS cos,
@@ -1028,11 +1039,43 @@ object Dedup {
   // 2-least-confident-flip probing measured 484,375 ppm dup-recall at
   // sf0.1 (planes=4 — single-bit probes cover a collapsing fraction
   // of the space as planes grow); radius-2 probing measured 875,000.
-  def d18(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val base = e.filter(normSq(col("embedding")) > 0)
+  //
+  // AuditCap: the exact side is N·k = N²/25 BY CONSTRUCTION (k is
+  // sized ∝ N), and the ×100 rehearsal measured that designed
+  // quadratic at 1069 s — not a plan defect, but a cost that cannot
+  // ship to a 100 TB corpus. The header's "runs on a sample" posture
+  // is therefore code, not prose: above [[AuditCap]] rows the audited
+  // subset is the hash-ordered top-AuditCap (t21's portable two-step
+  // mixing hash at seed 181 — the single-multiply form doesn't wrap
+  // on small id ranges, the spec-caught t21 bug; TakeOrdered, never a
+  // global sort), and k/planes re-size from the SAMPLE so per-cell
+  // occupancy n/k = 25 matches the full corpus — the mechanism under
+  // audit (radius-2 probing at representative occupancy) is
+  // preserved while cost pins at AuditCap²/25 cosines. The one dial
+  // the sample understates is absolute plane count (log-linear in
+  // k); the probed FRACTION only shrinks as planes grow, so the
+  // sampled audit is the conservative side of the estimate. All
+  // three gate SFs sit under the cap (results byte-identical); the
+  // ×10 rehearsal sits exactly at it; ×100 re-measured 1069 → ~13 s.
+  val AuditCap = 20000L
+
+  /** Library form of d18 over any (vec_id, embedding) frame; `cap`
+    * exists so a spec can exercise the sampling branch on a corpus
+    * small enough to also run uncapped (TextDedupSpec proves capped
+    * == uncapped-on-the-preselected-subset). */
+  def annAssignRecallAudit(s: SparkSession, emb: DataFrame,
+      cap: Long = AuditCap): DataFrame = {
+    val P = 2147483647L
+    val all = emb.filter(normSq(col("embedding")) > 0)
       .select(col("vec_id").as("id"), col("embedding"))
-    val n = base.count() // one scalar at plan time (d17/s12's documented class)
+    val nAll = all.count() // one scalar at plan time (d17/s12's documented class)
+    val base = if (nAll <= cap) all else
+      all.orderBy(
+        pmod(pmod(pmod(col("id"), lit(P)) * 1103515245L
+          + 181L * 2654435761L + 12345L, lit(P)) * 48271L, lit(P)),
+        col("id"))
+        .limit(cap.toInt)
+    val n = math.min(nAll, cap)
     val k = sizedCells(n, 25)
     val planes = Similarity.sizedPlanes(k.toLong, 8)
     val cents = broadcast(
@@ -1077,6 +1120,9 @@ object Dedup {
           .as("dup_recall_ppm"))
   }
 
+  def d18(s: SparkSession, dir: String): DataFrame =
+    annAssignRecallAudit(s, Tables.embeddings(s, dir))
+
   val d18Sql: String = {
     val nsq = graft.functions.VectorFunctions.normSqSql("embedding")
     val qcos = cosineSql("v.embedding", "c.cemb")
@@ -1090,7 +1136,13 @@ object Dedup {
         s"list_sum(list_transform(generate_series(1, len(embedding)), i -> " +
         s"CAST(embedding[i] AS DOUBLE) * " +
         s"(CASE WHEN ((((i*1103515245 + p*2654435761 + 12345) % $P) * 48271) % $P) % 2 = 1 THEN 1.0 ELSE -1.0 END))))"
-    s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings WHERE $nsq > 0),
+    s"""WITH all_ AS (SELECT vec_id AS id, embedding FROM embeddings WHERE $nsq > 0),
+       |base AS (
+       |  SELECT id, embedding FROM (
+       |    SELECT id, embedding, row_number() OVER (ORDER BY
+       |      ((((id % $P) * 1103515245 + 181 * 2654435761 + 12345) % $P) * 48271) % $P, id) AS srk
+       |    FROM all_)
+       |  WHERE srk <= $AuditCap),
        |par AS (SELECT count(*) AS n,
        |  least(greatest(1, (count(*) + 24) // 25), 1048576) AS k FROM base),
        |pl AS (SELECT n, k, ${Similarity.sizedPlanesSql("k", 8)} AS planes FROM par),

@@ -25,8 +25,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * PRECONDITION (round-10 ADVICE, documented rather than guarded):
   * array elements must be non-null. Every caller feeds parquet-stored
-  * embedding arrays (element type non-nullable in the testdata
-  * schema, asserted by SimilaritySpec) or arithmetic derivatives of
+  * embedding arrays (zero null elements in the corpus — a DATA-level
+  * invariant asserted by SimilaritySpec) or arithmetic derivatives of
   * them; a null element here reads as 0.0 where the HOF form would
   * null the whole per-plane dot. Guarding would force
   * containsNull=true on the output array and ripple nullability into

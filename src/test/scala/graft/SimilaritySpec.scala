@@ -90,6 +90,18 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.9, s"recall@3 = $recall")
   }
 
+  test("embeddings carry no null elements (LshDotsExpr's documented precondition)") {
+    // the fused dots expression reads a null slot as 0.0 where the HOF
+    // form would null the plane — out of contract, so the contract is
+    // enforced here at the source corpus
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        val bad = Tables.embeddings(spark, dir)
+          .filter(exists(col("embedding"), x => x.isNull)).count()
+        assert(bad === 0L, s"$dir has embeddings with null elements")
+      }
+  }
+
   test("lshBucket spreads a corpus over many buckets (hyperplanes are independent)") {
     // regression for the separable-parity bug: the original sign
     // formula made every plane measure the SAME projection up to sign,

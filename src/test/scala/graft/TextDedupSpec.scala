@@ -776,6 +776,29 @@ class TextDedupSpec extends SparkSuite {
     assert(row.getLong(7) === 1000000L, "dup_recall_ppm")
   }
 
+  test("d18 AuditCap branch: capped audit == uncapped audit on the hash-preselected subset") {
+    // the cap keeps the audit's designed-quadratic exact side bounded
+    // at scale (×100 measured 1069 s uncapped); this proves the
+    // sampling branch changes the INPUT, never the mechanism: running
+    // with cap=10 must equal running uncapped on the 10 rows the
+    // portable selector would pick
+    val P = 2147483647L
+    val e = Tables.embeddings(spark, sf)
+    val capped = Dedup.annAssignRecallAudit(spark, e, cap = 10L).collect()
+    val pickedIds = e
+      .filter(graft.functions.VectorFunctions.normSq(col("embedding")) > 0)
+      .orderBy(
+        pmod(pmod(pmod(col("vec_id"), lit(P)) * 1103515245L
+          + 181L * 2654435761L + 12345L, lit(P)) * 48271L, lit(P)),
+        col("vec_id"))
+      .limit(10).select(col("vec_id")).collect().map(_.getLong(0))
+    assert(pickedIds.length === 10)
+    val manual = Dedup.annAssignRecallAudit(spark,
+      e.filter(col("vec_id").isin(pickedIds: _*)), cap = Long.MaxValue).collect()
+    assert(capped.map(_.toString).toSeq === manual.map(_.toString).toSeq)
+    assert(capped(0).getLong(0) === 10L, "audited n is the cap")
+  }
+
   test("d16 leakage-safe split: planted duplicates never straddle; the naive split leaks") {
     import spark.implicits._
     // ids 5 and 7 share text: naive id%5 puts 5 in test and 7 in train
