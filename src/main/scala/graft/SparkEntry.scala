@@ -15,10 +15,10 @@ import graft.operators._
   *  - m1–m29   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix ×2 (uniform + weighted)/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC/calibration/chi-squared/mutual info/KS/learning curve/bootstrap CI)
   *  - t1–t22   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report/langid confusion/seq packing/token budget/ppl buckets/Gopher gate/TF-IDF; t17-t19 gate the threshold/sharded scale paths directly, t20 trained-classifier audit, t21 shuffle+shards, t22 BPE drift)
   *  - d1–d18   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit/novelty/semantic dedup/span scrub/incremental near-dup/cross-source matrix/learned-codebook semantic dedup/leakage split/sized-k ANN dedup/ANN-assignment recall audit)
-  *  - s1–s15   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k, SQ8 rerank, recall audit, PQ-ADC, sized kNN join + dials form, IVF recall, norm-augmented MIPS ANN)
+  *  - s1–s16   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k, SQ8 rerank, recall audit, PQ-ADC, sized kNN join + dials form, IVF recall, norm-augmented MIPS ANN, PQ recall audit)
   *  - mm1–mm8  operators/Multimodal.scala  (binary payloads, stub decode, frames, modality stats, payload dedup, shard plan, decode budget, pHash near-dup)
-  *  - st1–st18 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission, incremental-dedup admission, incremental distinct, late-drop accounting)
-  *  - i1–i8    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental/retraction-aware rollup maintenance, incremental distinct, bucketed-layout join gate)
+  *  - st1–st19 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission, incremental-dedup admission, incremental distinct, late-drop accounting, histogram-quantile sink)
+  *  - i1–i9    operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental/retraction-aware rollup maintenance, incremental distinct, bucketed-layout join gate, compaction planning)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).
   */

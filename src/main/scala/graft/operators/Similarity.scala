@@ -922,7 +922,10 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  val s11Sql: String = {
+  /** s11's DuckDB twin, parametrized on the coarse beam so s16's
+    * recall audit can replay the identical PQ machinery at its own
+    * operating point (C=24) without duplicating the CTE chain. */
+  private def pqAdcSql(coarseC: Int): String = {
     val m = 8; val subDim = 8
     def sub(e: String, s: String) = s"($e)[$s*$subDim+1 : $s*$subDim+$subDim]"
     val subsVals = (0 until m).map(i => s"($i)").mkString(", ")
@@ -964,7 +967,7 @@ object Similarity {
        |  FROM surv s
        |  JOIN embeddings q ON q.vec_id = s.q_id
        |  JOIN embeddings c ON c.vec_id = s.cand_id
-       |  WHERE s.crk <= 96),
+       |  WHERE s.crk <= $coarseC),
        |ranked AS (
        |  SELECT q_id, cand_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
@@ -972,6 +975,69 @@ object Similarity {
        |SELECT q_id, CAST(rk AS BIGINT) AS rk, cand_id, round(cos, 6) AS cos
        |FROM ranked WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
+  }
+
+  val s11Sql: String = pqAdcSql(96)
+
+  // -------------------------------------------------------------------
+  // s16: PQ recall audit — s10's measure-don't-guess role for the
+  // PQ-ADC path (the last compressed/bucketed search family without a
+  // REGISTERED recall audit: s10 covers LSH, s13 IVF, d9 MinHash, d18
+  // ANN-assignment). SimilaritySpec pins s11's recall curve at fixed
+  // points, but a spec constant goes stale the moment the corpus or
+  // codebook changes — this key recomputes per-query recall@3 of the
+  // PQ-ADC scan at the MID beam C=24 (the knee of the measured
+  // 0.47/0.73/0.80/0.93 curve — the operating point you'd actually
+  // consider at scale, where the saturated C=96 tail hides codebook
+  // regressions) against exact brute force ON S11'S OWN SPLIT
+  // (queries vec_id<5, corpus vec_id>=16 — s10's s1-split baseline
+  // would mis-score it, the s13 lesson), in integer ppm.
+  //
+  // Scale shape: the exact side is |queries|×corpus with broadcast
+  // queries (5 rows here; an audit SAMPLE at 100 TB — d18's AuditCap
+  // argument), the PQ side is s11's own plan; the join/agg run at
+  // (q_id, cand_id) grain, ≤ 3+C rows per query.
+  def s16(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id").as("id"), col("embedding"))
+    val cb = e.filter(col("vec_id") < 16).select(col("vec_id").as("id"), col("embedding"))
+    val pq = pqAdcRerankTopK(q, corpus, cb, 3, 24).select(col("q_id"), col("cand_id"))
+    val ex = cosineTopK(q, corpus, 3).select(col("q_id"), col("cand_id"))
+    val pqn = pq.groupBy(col("q_id")).agg(count(lit(1)).as("n_pq"))
+    val hits = ex.join(pq.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+    hits.join(pqn, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_pq"), lit(0L)).as("n_pq"), col("n_hits"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  val s16Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""WITH ex AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $cos DESC, c.vec_id) AS rk
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id < 5 AND c.vec_id >= 16)
+       |  WHERE rk <= 3),
+       |ann AS (SELECT q_id, cand_id FROM (${pqAdcSql(24)})),
+       |annq AS (SELECT q_id, count(*) AS n_pq FROM ann GROUP BY 1),
+       |hits AS (
+       |  SELECT e.q_id, count(*) AS n_exact,
+       |    CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hits
+       |  FROM ex e LEFT JOIN ann a ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+       |  GROUP BY e.q_id)
+       |SELECT h.q_id, h.n_exact, COALESCE(q.n_pq, 0) AS n_pq, h.n_hits,
+       |  h.n_hits * 1000000 // h.n_exact AS recall_ppm
+       |FROM hits h LEFT JOIN annq q USING (q_id)
+       |ORDER BY q_id""".stripMargin
   }
 
   /** The CORPUS-SIZING rule for LSH self-joins: the smallest plane
@@ -1262,6 +1328,7 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_pq_recall" -> (s16 _),
     "s15_mips_ann" -> (s15 _),
     "s14_knn_join_dials" -> (s14 _),
     "s13_ivf_recall" -> (s13 _),
@@ -1276,6 +1343,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s16_pq_recall" -> s16Sql,
     "s15_mips_ann" -> s15Sql,
     "s14_knn_join_dials" -> s14Sql,
     "s13_ivf_recall" -> s13Sql,

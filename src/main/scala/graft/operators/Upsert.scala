@@ -547,7 +547,83 @@ object Upsert {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------------
+  // i9: small-file compaction planning — the table-maintenance job
+  // every lakehouse runs beside MERGE/SCD2 (i1-i3) and rollup upkeep
+  // (i5/i7). Streaming ingest (st12's sink, micro-batch appends)
+  // leaves thousands of small files per partition; scans then pay
+  // per-file open cost and the driver pays per-file planning cost.
+  // The compactor's PLAN is pure metadata work: from a file manifest
+  // ((part_key, file_id, bytes, rows) — what a table format's
+  // snapshot lists), greedily bin-pack consecutive files into output
+  // groups of ~`target` bytes via a per-partition prefix sum:
+  // group = (bytes accumulated BEFORE this file) div target — t12's
+  // concat-and-split rule applied to files instead of tokens, so a
+  // group may overshoot target by at most one file (files are atomic;
+  // the straddler closes its group). Emits per output group the file
+  // range (contiguity is the rewrite's sequential-read guarantee),
+  // byte/row volume, and integer fill_ppm vs target.
+  //
+  // Scale shape: 100 TB at 128 MB files is a ~800k-row manifest — the
+  // plan is ONE window + ONE groupBy per partition key over METADATA,
+  // never touching data; partitions plan independently (the window
+  // key), so a 1000-executor compactor plans every partition in
+  // parallel. The registered form derives its manifest from the
+  // documents table (file = 5 consecutive doc_ids per source,
+  // bytes = n_chars) so the gate SFs exercise multi-group packing at
+  // every scale; a real deployment feeds the table-format manifest.
+  val CompactTargetBytes = 4000L
+  val CompactFileDocs = 5L
+
+  /** Library API: bin-pack a file manifest into compaction groups.
+    * `manifest` columns: partCols, file_id, bytes, rows (all
+    * integral). Greedy prefix-sum packing in file_id order. */
+  def compactionPlan(manifest: DataFrame, partCols: Seq[String],
+      target: Long): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("grp", expr(s"cum_before div $target"))
+      .groupBy(partCols.map(col) :+ col("grp"): _*)
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        sum(col("rows")).as("n_rows"),
+        min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+      .withColumn("fill_ppm", expr(s"bytes * 1000000 div $target"))
+  }
+
+  def i9(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val manifest = docs
+      .groupBy(col("source"), expr(s"doc_id div $CompactFileDocs").as("file_id"))
+      .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("rows"))
+    compactionPlan(manifest, Seq("source"), CompactTargetBytes)
+      .select(col("source"), col("grp"), col("n_files"), col("bytes"),
+        col("n_rows"), col("first_file"), col("last_file"), col("fill_ppm"))
+      .orderBy(col("source"), col("grp"))
+  }
+
+  val i9Sql: String =
+    s"""WITH manifest AS (
+       |  SELECT source, doc_id // $CompactFileDocs AS file_id,
+       |    CAST(sum(n_chars) AS BIGINT) AS bytes, count(*) AS n_docs
+       |  FROM documents GROUP BY 1, 2),
+       |planned AS (
+       |  SELECT source, file_id, bytes, n_docs,
+       |    CAST(COALESCE(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM manifest)
+       |SELECT source, cum_before // $CompactTargetBytes AS grp,
+       |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_rows,
+       |  min(file_id) AS first_file, max(file_id) AS last_file,
+       |  CAST(sum(bytes) AS BIGINT) * 1000000 // $CompactTargetBytes AS fill_ppm
+       |FROM planned GROUP BY 1, 2
+       |ORDER BY source, grp""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i9_compaction_plan" -> (i9 _),
     "i8_bucketed_join" -> (i8 _),
     "i7_cdc_rollup" -> (i7 _),
     "i1_scd2_history" -> (i1 _),
@@ -558,6 +634,7 @@ object Upsert {
     "i6_inc_distinct" -> (i6 _))
 
   def oracles: Map[String, String] = Map(
+    "i9_compaction_plan" -> i9Sql,
     "i8_bucketed_join" -> i8Sql, // plain-join SQL: layout == raw parquet
     "i7_cdc_rollup" -> i7Sql, // full-rebuild SQL: retract-fold == rebuild
     "i1_scd2_history" -> i1Sql,

@@ -1201,7 +1201,121 @@ object Streams {
        |FROM f GROUP BY 1
        |ORDER BY window_start_ms""".stripMargin
 
+  // -------------------------------------------------------------------
+  // st19: streaming quantile maintenance — the MERGEABLE-SKETCH answer
+  // to "p99 latency right now" that st14's moment state (sum/count/
+  // min/max) cannot give: quantiles are not mergeable exactly, so the
+  // streaming form maintains a FIXED-BIN HISTOGRAM (the classic
+  // mergeable quantile sketch with deterministic, engine-exact reads —
+  // a t-digest answers the same question with data-dependent FP
+  // centroids that no SQL twin could replay). State per event_type is
+  // B=64 long counters over 8.00-wide value bins (integer-cent
+  // binning: bin = clamp(round(value·100) div 800, 0, 63) — §6's
+  // integer-arithmetic discipline, so both engines bin identically);
+  // batches fold in by counter ADDITION (associative+commutative ⇒
+  // any micro-batch slicing folds to the same state — st14's gate).
+  // The quantile read is the smallest bin whose cumulative count
+  // covers ceil(q·N/100), compared as 100·cum ≥ q·N in integers, and
+  // reports that bin's UPPER EDGE in cents: an exact upper bound on
+  // the true quantile, off by at most one bin width — the resolution
+  // trade a fixed-bin sketch makes for O(B) state.
+  //
+  // Scale shape: state is |event_types|·B longs — bytes, not rows; a
+  // micro-batch reduces map-side to ≤ |keys|·B partial rows before
+  // the fold shuffle; the read is a window over B-row groups. At
+  // 100 TB the same histogram state merges across 1000 executors as
+  // partial aggregates (counter addition IS Spark's partial-agg
+  // merge). Null values carry no quantile information and are
+  // filtered (st14 counts them separately as n - n_v).
+  val QBins = 64
+  val QBinCents = 800L
+
+  /** One micro-batch reduced to mergeable histogram grain:
+    * (event_type, bin) -> count. */
+  def histogramState(batch: DataFrame): DataFrame =
+    batch.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        least(greatest(expr(s"CAST(round(value * 100) AS BIGINT) div $QBinCents"),
+          lit(0L)), lit(QBins - 1L)).as("bin"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+
+  /** Fold two histogram states: counter addition on the shared grain. */
+  def histogramMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Quantile read: per event_type, the upper edge (in cents) of the
+    * first bin whose cumulative count reaches ceil(q·N/100). */
+  def quantileFinish(state: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("event_type"))
+    def pct(q: Int) =
+      min(when(col("cum") * 100 >= col("n") * q, (col("bin") + 1) * QBinCents))
+        .as(s"p${q}_ub_cents")
+    state
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), pct(50), pct(90), pct(99))
+  }
+
+  /** foreachBatch histogram sink (st14's RollupSink shape applied to
+    * the quantile sketch): each micro-batch reduces to (key, bin)
+    * grain and adds into the running counters. */
+  class HistogramSink {
+    @volatile private var state: Option[DataFrame] = None
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val partial = histogramState(batch)
+      val next = state match {
+        case None => partial
+        case Some(prev) => histogramMerge(prev, partial)
+      }
+      state = Some(next.localCheckpoint())
+    }
+    def snapshot: Option[DataFrame] = state.map(quantileFinish)
+  }
+
+  /** st19 batch twin: the 3-slice replay (st14's time cuts) folded
+    * through the same histogram state, then the quantile read. */
+  def st19(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(s, dir).select(col("event_type"), col("value"),
+      unix_millis(col("ts")).as("ms"))
+    val t1 = 1704931200000L // 2024-01-11T00:00:00Z (st14's cuts)
+    val t2 = 1705795200000L // 2024-01-21T00:00:00Z
+    val parts = Seq(
+      log.filter(col("ms") < t1),
+      log.filter(col("ms") >= t1 && col("ms") < t2),
+      log.filter(col("ms") >= t2))
+    val folded = parts.tail.foldLeft(histogramState(parts.head))(
+      (state, b) => histogramMerge(state, histogramState(b)))
+    quantileFinish(folded).orderBy(col("event_type"))
+  }
+
+  val st19Sql: String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    LEAST(GREATEST(CAST(round(value * 100) AS BIGINT) // $QBinCents, 0),
+       |      ${QBins - 1}) AS bin,
+       |    count(*) AS c
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |t AS (
+       |  SELECT event_type, bin, c,
+       |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM b)
+       |SELECT event_type, max(n) AS n,
+       |  min(CASE WHEN cum * 100 >= n * 50 THEN (bin + 1) * $QBinCents END)
+       |    AS p50_ub_cents,
+       |  min(CASE WHEN cum * 100 >= n * 90 THEN (bin + 1) * $QBinCents END)
+       |    AS p90_ub_cents,
+       |  min(CASE WHEN cum * 100 >= n * 99 THEN (bin + 1) * $QBinCents END)
+       |    AS p99_ub_cents
+       |FROM t GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_stream_quantile" -> (st19 _),
     "st18_late_drops" -> (st18 _),
     "st17_stream_distinct" -> (st17 _),
     "st16_stream_dedup_admission" -> (st16 _),
@@ -1219,6 +1333,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st19_stream_quantile" -> st19Sql, // direct recompute: folded slices == rebuild
     "st18_late_drops" -> st18Sql,
     "st17_stream_distinct" -> st17Sql, // direct recompute: fold == rebuild (i6's gate)
     "st16_stream_dedup_admission" -> st16Sql, // rebuild: streamed fold == full recompute

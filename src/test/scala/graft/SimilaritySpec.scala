@@ -494,4 +494,37 @@ class SimilaritySpec extends SparkSuite {
     got.foreach { case (qq, cc, cos) =>
       exactMap.get((qq, cc)).foreach(x => assert(cos === x, s"($qq,$cc) rerank not exact")) }
   }
+
+  test("s16 PQ recall audit: row invariants, beam-monotone hits, full beam reads exactly 1e6 ppm") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding"))
+    val c = e.filter(col("vec_id") >= 16).select(col("vec_id").as("id"), col("embedding"))
+    val cb = e.filter(col("vec_id") < 16).select(col("vec_id").as("id"), col("embedding"))
+    val exact = Similarity.cosineTopK(q, c, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    def hitsAt(cC: Int): Map[Long, Int] = {
+      val pq = Similarity.pqAdcRerankTopK(q, c, cb, 3, cC)
+        .select(col("q_id"), col("cand_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.groupBy(_._1).map { case (k, v) => k -> v.count(pq.contains) }
+    }
+    // survivor sets are beam-NESTED (coarse top-C is a prefix of the ADC
+    // order) and a global-top-3 member inside any survivor set always
+    // reranks into the top 3 — so per-query hits must be monotone in C,
+    // and the full beam must recover everything. A violation means the
+    // ADC order or the rerank broke, not just a recall dip.
+    val h12 = hitsAt(12); val h24 = hitsAt(24); val hFull = hitsAt(c.count().toInt)
+    hFull.foreach { case (k, h) => assert(h === 3, s"full beam missed hits for q$k") }
+    h12.foreach { case (k, h) => assert(h <= h24(k), s"q$k: hits dropped when beam grew") }
+    // the registered audit row reports exactly hitsAt(24) in ppm
+    val out = Similarity.s16(spark, sf).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      val (qid, nEx, nPq, nHits, ppm) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nEx === 3L && nPq === 3L, s"q$qid: audit sides must both be top-3")
+      assert(nHits === h24(qid).toLong, s"q$qid: registered row disagrees with recompute")
+      assert(ppm === nHits * 1000000L / 3L)
+    }
+  }
 }

@@ -897,4 +897,57 @@ class StreamingSpec extends SparkSuite {
         s"Spark dropped $streamed rows; the st18 model says 2 — model must match the engine")
     } finally q.stop()
   }
+
+  test("st19 streaming quantile: time-cut fold equals the batch twin; state is slicing-invariant; clamp and null semantics pinned") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t1 = 1704931200000L
+    val t2 = 1705795200000L
+    val recs = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_millis(col("ts")).as("ms"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) Option.empty[Double] else Some(r.getDouble(1)),
+        r.getLong(2)))
+    val want = Streams.st19(spark, sf).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    def run(slices: Seq[Array[(String, Option[Double], Long)]]): Set[Seq[Any]] = {
+      val mem = MemoryStream[(String, Option[Double])]
+      val sink = new Streams.HistogramSink
+      val q = mem.toDF().toDF("event_type", "value")
+        .writeStream.outputMode("append")
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+        .start()
+      try {
+        slices.foreach { sl =>
+          mem.addData(sl.map(x => (x._1, x._2)).toIndexedSeq: _*); q.processAllAvailable()
+        }
+        sink.snapshot.get.collect().map(_.toSeq).toSet
+      } finally q.stop()
+    }
+    // st14's time cuts — the exact slicing the batch twin replays
+    val byCuts = Seq(
+      recs.filter(_._3 < t1), recs.filter(x => x._3 >= t1 && x._3 < t2),
+      recs.filter(_._3 >= t2))
+    assert(run(byCuts) === want, "time-cut streamed fold diverged from the batch twin")
+    // counter addition commutes: an ARBITRARY slicing folds to the
+    // SAME full state, so the whole read (not just counts) is equal
+    val n = recs.length
+    val arb = Seq(recs.slice(0, n / 7), recs.slice(n / 7, n / 3), recs.slice(n / 3, n))
+    assert(run(arb) === want, "histogram fold must be invariant to micro-batch slicing")
+    // hand case pinning read semantics: null dropped, 600.00 clamps to
+    // the top bin, p50 = upper edge of the first bin covering rank 2
+    val hand = Seq(
+      ("x", Option(1.0)), ("x", Option(2.0)), ("x", Option(9.0)),
+      ("x", Option.empty[Double]), ("x", Option(600.0)))
+      .toDF("event_type", "value")
+    val got = Streams.quantileFinish(Streams.histogramState(hand))
+      .collect().map(_.toSeq)
+    // bins: 1.00/2.00 -> bin0, 9.00 -> bin1, 600.00 -> cents 60000 ->
+    // bin 75 clamped to 63; n=4. p50: cum(bin0)=2, 200 >= 200 -> edge
+    // 800. p90: needs cum*100 >= 360 -> bin63 (cum 4) -> 64*800.
+    // p99: 400 >= 396 -> bin63.
+    assert(got === Seq(Seq("x", 4L, 800L, 51200L, 51200L)))
+  }
 }

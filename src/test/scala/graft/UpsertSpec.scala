@@ -343,4 +343,44 @@ class UpsertSpec extends SparkSuite {
       .orderBy(col("o_orderpriority")).collect()
     assert(r.toSeq === plain.toSeq)
   }
+
+  test("i9 compaction plan: hand-computed packing, atomic straddler overshoots, volumes conserved") {
+    import spark.implicits._
+    // target 4000: source a packs files 0-1 (1000+3500 — the straddler
+    // f1 closes group 0 OVER target), then 2-3; source b's single
+    // 9000-byte file is atomic and lands alone at fill 2.25×.
+    val manifest = Seq(
+      ("a", 0L, 1000L, 10L), ("a", 1L, 3500L, 35L),
+      ("a", 2L, 900L, 9L), ("a", 3L, 2600L, 26L),
+      ("b", 0L, 9000L, 90L))
+      .toDF("source", "file_id", "bytes", "rows")
+    val got = Upsert.compactionPlan(manifest, Seq("source"), 4000L)
+      .orderBy(col("source"), col("grp")).collect().map(_.toSeq)
+    assert(got === Seq(
+      Seq("a", 0L, 2L, 4500L, 45L, 0L, 1L, 1125000L),
+      Seq("a", 1L, 2L, 3500L, 35L, 2L, 3L, 875000L),
+      Seq("b", 0L, 1L, 9000L, 90L, 0L, 0L, 2250000L)))
+    // registered form: byte/row volume conserved, file ranges ordered
+    // and non-overlapping per source (doc_ids interleave across
+    // sources, so per-source file_id VALUES legitimately skip — the
+    // guarantee is range order, not +1 steps), and the gate SF
+    // actually exercises multi-group packing
+    val docs = Tables.documents(spark, sf)
+    val out = Upsert.i9(spark, sf).collect()
+    assert(out.map(_.getLong(3)).sum ===
+      docs.agg(sum(col("n_chars"))).collect()(0).getLong(0), "bytes not conserved")
+    assert(out.map(_.getLong(4)).sum === docs.count(), "rows not conserved")
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getLong(5) > p.getLong(6),
+            s"$src: group ${n.getLong(1)} overlaps group ${p.getLong(1)}")
+        case _ =>
+      }
+      assert(sorted.forall(r => r.getLong(5) <= r.getLong(6)))
+    }
+    assert(out.groupBy(_.getString(0)).exists(_._2.length > 1),
+      "gate SF must exercise multi-group packing")
+  }
 }
