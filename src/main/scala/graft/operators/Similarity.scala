@@ -869,15 +869,34 @@ object Similarity {
     * rerank doesn't use and recall drops at every beam — s9 learned
     * the same normalize-first lesson with its min/max-shifted codes. Zero-norm rows can't normalize and
     * are dropped from corpus/queries (s9's `nrm > 0` guard). */
+  /** Shared by the composed and fused PQ paths: L2-normalize the
+    * (id, embedding) frame to (idc, ne) doubles, dropping zero-norm
+    * rows (s9's guard). */
+  private def pqNormed(df: DataFrame, idc: String): DataFrame = df
+    .select(col("id").as(idc), col("embedding"), norm(col("embedding")).as("__n"))
+    .filter(col("__n") > 0)
+    .select(col(idc), transform(col("embedding"),
+      x => x.cast("double") / col("__n")).as("ne"))
+
+  /** Shared PQ rerank tail: exact cosine over the coarse survivors,
+    * top-k with cand_id tiebreak. */
+  private def pqRerank(surv: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val s = queries.sparkSession
+    val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    surv
+      .join(queries.select(col("id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(corpus.select(col("id").as("cand_id"), col("embedding").as("ce")), Seq("cand_id"))
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(wK)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   def pqAdcRerankTopK(queries: DataFrame, corpus: DataFrame,
       codebookSrc: DataFrame, k: Int, coarseC: Int,
       m: Int = 8, subDim: Int = 8): DataFrame = {
-    val s = queries.sparkSession
-    def normed(df: DataFrame, idc: String) = df
-      .select(col("id").as(idc), col("embedding"), norm(col("embedding")).as("__n"))
-      .filter(col("__n") > 0)
-      .select(col(idc), transform(col("embedding"),
-        x => x.cast("double") / col("__n")).as("ne"))
+    def normed(df: DataFrame, idc: String) = pqNormed(df, idc)
     def subv(e: Column, i: Int) = slice(e, i * subDim + 1, subDim)
     val cb = broadcast(normed(codebookSrc, "cw_id")
       .select(col("cw_id"),
@@ -902,19 +921,72 @@ object Similarity {
     val wC = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("cand_id"))
     val surv = adc.withColumn("crk", row_number().over(wC)).filter(col("crk") <= coarseC)
       .select(col("q_id"), col("cand_id"))
-    val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
-    surv
-      .join(queries.select(col("id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
-      .join(corpus.select(col("id").as("cand_id"), col("embedding").as("ce")), Seq("cand_id"))
-      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
-      .withColumn("rk", row_number().over(wK)).filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("cand_id"),
-        round(col("cos"), 6).as("cos"))
+    pqRerank(surv, queries, corpus, k)
+  }
+
+  /** The FUSED PQ-ADC scan — same contract and bit-identical results
+    * as [[pqAdcRerankTopK]] (parity spec'd), but the encode and ADC
+    * sum stay inside whole-stage codegen with ZERO row inflation:
+    * the composed path explodes every corpus row into M·K broadcast-
+    * join rows and pays TWO (corpus×M)-grain shuffles (encode groupBy
+    * + ADC pivot groupBy) to move per-row arithmetic that never
+    * needed to leave the row; here the ~8 KB codebook is collected
+    * once (the sizedPlanes-count O(1)-driver class), embedded in
+    * [[graft.plans.PqCodesExpr]]/[[graft.plans.PqDistTableExpr]], and
+    * the scan's only shuffle is the coarse top-C window itself.
+    * At 100 TB this is the difference between shuffling corpus×M
+    * rows twice and shuffling (q, cand, adc) triples once. */
+  def pqAdcRerankTopKFused(queries: DataFrame, corpus: DataFrame,
+      codebookSrc: DataFrame, k: Int, coarseC: Int,
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{columnOf, expression}
+    import graft.plans.{PqAdcExpr, PqCodesExpr, PqDistTableExpr}
+    val dim = m * subDim
+    // codeword POSITION (ascending cw_id) replaces cw_id as the code:
+    // order-isomorphic, so the argmin tiebreak (lower position == lower
+    // cw_id) selects the identical codeword
+    val cbRows = pqNormed(codebookSrc, "cw_id").orderBy(col("cw_id")).collect()
+    val kCw = cbRows.length
+    require(kCw >= 1, "PQ codebook must have at least one non-zero-norm codeword")
+    val cbFlat = new Array[Double](kCw * dim)
+    var cw = 0
+    while (cw < kCw) {
+      val ne = cbRows(cw).getSeq[Double](1)
+      var j = 0
+      while (j < dim) { cbFlat(cw * dim + j) = ne(j); j += 1 }
+      cw += 1
+    }
+    // RAW embeddings in: normalization happens inside the expression
+    // (feeding the transform(x/norm) column instead was measured at
+    // 37 s/200k rows — project collapse inlines the normSq fold into
+    // the HOF lambda, recomputing it per element). The norm > 0 guard
+    // stays row-grain out here (the expression cannot drop rows).
+    // Vectors must carry exactly m·subDim elements (the composed path
+    // normalizes over the FULL array; the expression folds dim
+    // elements — equal only when lengths agree, as all callers' do).
+    val enc = corpus.select(col("id").as("cand_id"), col("embedding"))
+      .filter(norm(col("embedding")) > 0)
+      .select(col("cand_id"),
+        columnOf(PqCodesExpr(expression(col("embedding")), cbFlat, m, subDim, kCw)).as("codes"))
+    val qtab = queries.select(col("id").as("q_id"), col("embedding"))
+      .filter(norm(col("embedding")) > 0)
+      .select(col("q_id"),
+        columnOf(PqDistTableExpr(expression(col("embedding")), cbFlat, m, subDim, kCw)).as("qd"))
+    // project to (q_id, cand_id, adc) BEFORE the window: the coarse
+    // top-C exchange must carry 24-byte triples, not the 1 KB qd
+    // table and codes it was computed from (measured 1.7× at ×100)
+    val adc = enc.join(broadcast(qtab))
+      .select(col("q_id"), col("cand_id"),
+        columnOf(PqAdcExpr(expression(col("codes")), expression(col("qd")), kCw)).as("adc"))
+    val wC = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("cand_id"))
+    val surv = adc.withColumn("crk", row_number().over(wC)).filter(col("crk") <= coarseC)
+      .select(col("q_id"), col("cand_id"))
+    pqRerank(surv, queries, corpus, k)
   }
 
   def s11(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    pqAdcRerankTopK(
+    pqAdcRerankTopKFused(
       e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
       e.filter(col("vec_id") >= 16).select(col("vec_id").as("id"), col("embedding")),
       e.filter(col("vec_id") < 16).select(col("vec_id").as("id"), col("embedding")),
@@ -1002,7 +1074,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding"))
     val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id").as("id"), col("embedding"))
     val cb = e.filter(col("vec_id") < 16).select(col("vec_id").as("id"), col("embedding"))
-    val pq = pqAdcRerankTopK(q, corpus, cb, 3, 24).select(col("q_id"), col("cand_id"))
+    val pq = pqAdcRerankTopKFused(q, corpus, cb, 3, 24).select(col("q_id"), col("cand_id"))
     val ex = cosineTopK(q, corpus, 3).select(col("q_id"), col("cand_id"))
     val pqn = pq.groupBy(col("q_id")).agg(count(lit(1)).as("n_pq"))
     val hits = ex.join(pq.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")

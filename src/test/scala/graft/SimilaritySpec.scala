@@ -495,6 +495,26 @@ class SimilaritySpec extends SparkSuite {
       exactMap.get((qq, cc)).foreach(x => assert(cos === x, s"($qq,$cc) rerank not exact")) }
   }
 
+  test("fused PQ path is bit-identical to the composed path at tight, knee, and full beams") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding"))
+    val c = e.filter(col("vec_id") >= 16).select(col("vec_id").as("id"), col("embedding"))
+    val cb = e.filter(col("vec_id") < 16).select(col("vec_id").as("id"), col("embedding"))
+    val beams = Seq(12, 24, 96, c.count().toInt)
+    beams.foreach { beam =>
+      val composed = Similarity.pqAdcRerankTopK(q, c, cb, 3, beam)
+        .collect().map(_.toSeq).toSet
+      val fused = Similarity.pqAdcRerankTopKFused(q, c, cb, 3, beam)
+        .collect().map(_.toSeq).toSet
+      assert(fused === composed, s"fused PQ diverged from composed at beam $beam")
+    }
+    // and the fused plan actually runs the codegen'd expressions
+    val plan = Similarity.pqAdcRerankTopKFused(q, c, cb, 3, 24)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq_codes") && plan.contains("graft_pq_adc"),
+      "fused path must plan through PqCodesExpr/PqAdcExpr")
+  }
+
   test("s16 PQ recall audit: row invariants, beam-monotone hits, full beam reads exactly 1e6 ppm") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding"))
