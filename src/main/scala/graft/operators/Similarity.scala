@@ -727,11 +727,15 @@ object Similarity {
         .filter(col("__nrm") > 0.0)
         .select(col("id").as(idAs), col("embedding").as(embAs),
           sq8CodesWithNorm(col("embedding"), col("__nrm")).as(s"${idAs}_code"))
+    // fused integer dot (graft.plans.LongDotExpr): the HOF form ran an
+    // interpreted lambda per element per PAIR — |q|×|corpus|×dims
+    // dispatches on the coarse scan; pure integer fold, same result
     val pairs = broadcast(coded(queries, "q_id", "qe"))
       .join(coded(corpus, "cand_id", "ce"))
-      .withColumn("cdot", aggregate(
-        zip_with(col("q_id_code"), col("cand_id_code"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("cdot", org.apache.spark.sql.GraftSqlBridge.columnOf(
+        graft.plans.LongDotExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("q_id_code")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("cand_id_code")))))
     val wCoarse = Window.partitionBy(col("q_id")).orderBy(col("cdot").desc, col("cand_id"))
     val survivors = pairs.withColumn("crk", row_number().over(wCoarse))
       .filter(col("crk") <= coarseK)

@@ -495,6 +495,21 @@ class SimilaritySpec extends SparkSuite {
       exactMap.get((qq, cc)).foreach(x => assert(cos === x, s"($qq,$cc) rerank not exact")) }
   }
 
+  test("LongDotExpr equals the HOF integer fold on every sq8 code pair") {
+    import org.apache.spark.sql.GraftSqlBridge.{columnOf, expression}
+    val e = Tables.embeddings(spark, sf).limit(40)
+      .select(col("vec_id"), Similarity.sq8Codes(col("embedding")).as("code"))
+    val pairs = e.select(col("vec_id").as("a_id"), col("code").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("code").as("b")))
+    val both = pairs
+      .withColumn("hof", aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("fused", columnOf(graft.plans.LongDotExpr(
+        expression(col("a")), expression(col("b")))))
+    assert(both.filter(col("hof") =!= col("fused")).count() === 0L)
+    assert(both.filter(col("fused") =!= 0L).count() > 0L, "vacuous corpus")
+  }
+
   test("fused PQ path is bit-identical to the composed path at tight, knee, and full beams") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding"))
