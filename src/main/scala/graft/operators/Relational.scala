@@ -1788,7 +1788,84 @@ object Relational {
       |GROUP BY year(o_orderdate)
       |ORDER BY o_year""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q44: KMV (k-minimum-values / bottom-k) distinct estimate per group,
+  // ORACLE-GATED — the approximate-distinct q15 can't gate: HLL's
+  // register layout is engine-specific (q15 stays rows-only forever),
+  // but the KMV sketch is a deterministic function of a portable hash
+  // (t21's two-step mixing hash), so the ENTIRE estimator replays in
+  // DuckDB and hash-matches. Estimator: with h uniform on [0,P), the
+  // k-th smallest hash of D distinct keys sits near k·P/D, so
+  // D̂ = (k−1)·P div h_k (the classical bottom-k/KMV estimate);
+  // unsaturated groups (n < k) report the sketch size itself (exact).
+  // Output per event_type: exact distinct, KMV estimate, |err| ppm —
+  // all integers, the measured error beside the estimate (q15's spec
+  // asserts a bound; this REPORTS the achieved error, d9's role).
+  //
+  // Scale shape: bottom-k is a MERGEABLE summary (union two sketches →
+  // re-take the k minima), which is exactly what the plan does: the
+  // distinct pre-pass dedups map-side, and the rank-k filter plans as
+  // WindowGroupLimit (Spark's rank-limit pushdown) — each task keeps
+  // its local k minima BEFORE the shuffle, so the exchange carries
+  // ≤ k rows per (task, group), not the distinct set. The exact count
+  // rides the same deduped frame (audit-only; at 100 TB you'd drop it
+  // and keep the k·|groups|-row sketch — bytes, not rows).
+  val KmvSeed = 4242L
+  val KmvK = 64
+
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.functions.TextFunctions.P
+    val d = Tables.events(s, dir).select(col("event_type"), col("user_id")).distinct()
+    val h = d.withColumn("__h",
+      pmod(pmod(pmod(col("user_id"), lit(P)) * 1103515245L +
+        lit(KmvSeed) * 2654435761L + 12345L, lit(P)) * 48271L, lit(P)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("user_id"))
+    val sk = h.withColumn("rk", row_number().over(w)).filter(col("rk") <= KmvK)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sk"),
+        max(when(col("rk") === KmvK, col("__h"))).as("hk"))
+    val ex = d.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    // greatest(hk,1): h=0 is possible for one adversarial key; both
+    // engines guard identically so the twin can't diverge on it.
+    val est = when(col("n_sk") < KmvK, col("n_sk"))
+      .otherwise(expr(s"(${KmvK - 1}L * ${P}L) div greatest(hk, 1L)"))
+    ex.join(sk, Seq("event_type"))
+      .withColumn("n_est", est)
+      .select(col("event_type"), col("n_exact"), col("n_est"),
+        expr("abs(n_est - n_exact) * 1000000L div n_exact").as("err_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q44Sql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (
+       |  SELECT event_type, user_id,
+       |    ((((user_id % 2147483647) * 1103515245 + $KmvSeed * 2654435761 + 12345)
+       |      % 2147483647) * 48271) % 2147483647 AS h
+       |  FROM d),
+       |r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rk
+       |  FROM h),
+       |ex AS (SELECT event_type, count(*) AS n_exact FROM d GROUP BY 1),
+       |sk AS (
+       |  SELECT event_type, count(*) AS n_sk,
+       |    max(CASE WHEN rk = $KmvK THEN h END) AS hk
+       |  FROM r WHERE rk <= $KmvK GROUP BY 1),
+       |est AS (
+       |  SELECT e.event_type, e.n_exact,
+       |    CASE WHEN s.n_sk < $KmvK THEN s.n_sk
+       |         ELSE (CAST(${KmvK - 1} AS BIGINT) * 2147483647) // greatest(s.hk, 1)
+       |    END AS n_est
+       |  FROM ex e JOIN sk s USING (event_type))
+       |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_est AS BIGINT) AS n_est,
+       |  CAST(abs(n_est - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
+       |FROM est
+       |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_kmv_distinct" -> (q44 _),
     "q43_market_share" -> (q43 _),
     "q42_profit_rollup" -> (q42 _),
     "q40_late_priority" -> (q40 _),
@@ -1834,6 +1911,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q44_kmv_distinct" -> q44Sql,
     "q43_market_share" -> q43Sql,
     "q42_profit_rollup" -> q42Sql,
     "q40_late_priority" -> q40Sql,

@@ -691,4 +691,46 @@ class RelationalSpec extends SparkSuite {
     assert(got.values.exists(v => v._1 > 0.0), "the focal nation must supply something")
     assert(got.values.exists(v => v._1 < v._2), "and must not supply everything")
   }
+
+  test("q44 KMV: unsaturated groups are exact; saturated estimate replays by hand; rank-limit pushes down") {
+    // sf0.001 has 15 distinct users per event_type < k=64: the sketch
+    // is unsaturated and the estimator must degrade to the exact count.
+    val small = Relational.q44(spark, sf).collect()
+    assert(small.length === 5)
+    assert(small.forall(r => r.getAs[Long]("n_est") === r.getAs[Long]("n_exact")))
+    assert(small.forall(r => r.getAs[Long]("err_ppm") === 0L))
+
+    // sf0.01 (150 users per group) saturates the sketch: replay the
+    // estimator by hand from the same portable hash and require the
+    // registered result to match exactly, then sanity-bound the error
+    // (KMV at k=64 has ~13% typical relative error; 30% is a loose
+    // regression tripwire, the REPORTED err_ppm is the real measure).
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Relational.q44(spark, sf01).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val P = graft.functions.TextFunctions.P
+    val byType = Tables.events(spark, sf01)
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (et, xs) =>
+        val users = xs.map(_._2).distinct
+        val hs = users.map { u =>
+          val h1 = Math.floorMod(Math.floorMod(u, P) * 1103515245L +
+            Relational.KmvSeed * 2654435761L + 12345L, P)
+          (Math.floorMod(h1 * 48271L, P), u)
+        }.sorted
+        val exact = users.length.toLong
+        val est =
+          if (exact < Relational.KmvK) exact
+          else (Relational.KmvK - 1).toLong * P / math.max(hs(Relational.KmvK - 1)._1, 1L)
+        et -> ((exact, est, math.abs(est - exact) * 1000000L / exact))
+      }
+    assert(got === byType)
+    assert(got.values.forall(_._3 < 300000L), s"KMV error above 30%: $got")
+
+    // Scale shape: the rk<=k filter must plan as WindowGroupLimit so
+    // each task ships only its local k minima into the shuffle.
+    val plan = Relational.q44(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$plan")
+  }
 }
