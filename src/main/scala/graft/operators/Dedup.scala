@@ -1569,7 +1569,129 @@ object Dedup {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // d19: bloom-prefilter audit — the measure-don't-guess row for the
+  // ONE approximation in the decontamination path that has never been
+  // measured: `bloomPrefilter` (inside d6/ngramContamination) is
+  // result-transparent by construction (the exact join removes false
+  // positives), so its FP rate — the thing that decides how much
+  // shuffle it actually saves — has only ever been ESTIMATED from
+  // bits/key ("~2%"). Spark's bloom_filter_agg hashes with its own
+  // xxhash seeding, so ITS FP set can't replay in SQL; this audit runs
+  // the SAME hash-family geometry with portable arithmetic (n-gram
+  // code = the t4 polynomial fingerprint over token codes; K=3
+  // positions per key via the minhash permutation family mod M) and
+  // evaluates the bloom as a POSITION SEMI-JOIN, so the exact FP set,
+  // not a bound, replays in DuckDB. M is sized from the train n-gram
+  // count (smallest power of two ≥ BloomBitsPerKey·n — sizedPlanes'
+  // one-scalar-at-plan-time class, rule mirrored in the twin from its
+  // own COUNT(*)). Per eval source: n-gram volume, bloom passes, true
+  // hits, false negatives (MUST be 0 — a true hit's positions are in
+  // the train set by construction; the gate enforces the invariant),
+  // FP ppm among true negatives, candidate-reduction ppm, and the
+  // chosen m_bits/k dials (ScaleAudit's observability rule).
+  //
+  // Scale shape: positions explode K× the n-gram volume, the join is
+  // an equi-join on pos (bounded by M distinct values), aggregates at
+  // (source, ng) then source grain. The production form packs the
+  // SAME position set into a broadcast bitmap (bits, not rows) — the
+  // join form here is what makes the audit oracle-exact.
+  val BloomK = 3
+  val BloomBitsPerKey = 8L
+
+  /** Smallest exponent m in [10,30] with 2^m ≥ bitsPerKey·n. */
+  def bloomBitsExp(n: Long, bitsPerKey: Long = BloomBitsPerKey): Int =
+    (10 to 30).find(m => (1L << m) >= bitsPerKey * n).getOrElse(30)
+
+  private def ngCode(ng: Column): Column = fingerprint(tokenCodes(ng))
+
+  def d19(s: SparkSession, dir: String): DataFrame =
+    bloomAudit(Tables.documents(s, dir), Seq("src0", "src1"))
+
+  /** Library form of the audit (spec entry point for planted corpora):
+    * `docs` needs (source, text); sources in `evalSources` are the
+    * bloom's query side, the rest are the key side. */
+  def bloomAudit(docs: DataFrame, evalSources: Seq[String]): DataFrame = {
+    val g = docs.select(col("source"),
+      explode(shinglesK(tokens(col("text")), 5)).as("ng"))
+    val ev = g.filter(col("source").isin(evalSources: _*)).distinct()
+    val tr = g.filter(!col("source").isin(evalSources: _*)).select(col("ng")).distinct()
+    val mExp = bloomBitsExp(tr.count()) // one plan-time scalar (sizedPlanes class)
+    val mBits = 1L << mExp
+    def posJ(code: Column, j: Int): Column =
+      pmod(pmod(code, lit(P)) * permA(j) + permB(j), lit(P)) % mBits
+    def withPos(df: DataFrame): DataFrame = {
+      val c = ngCode(col("ng"))
+      df.withColumn("__pos", explode(array((0 until BloomK).map(j => posJ(c, j)): _*)))
+    }
+    val trPos = withPos(tr).select(col("__pos")).distinct()
+    val matched = withPos(ev)
+      .join(trPos, Seq("__pos"))
+      .groupBy(col("source"), col("ng")).agg(count(lit(1)).as("nm"))
+    val truth = ev.join(tr.withColumn("__hit", lit(1)), Seq("ng"), "left")
+      .join(matched, Seq("source", "ng"), "left")
+      .select(col("source"),
+        (coalesce(col("nm"), lit(0L)) === BloomK).as("pass"),
+        col("__hit").isNotNull.as("hit"))
+    truth.groupBy(col("source")).agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("hit") && !col("pass"), 1L).otherwise(0L)).as("n_fn"))
+      .select(col("source"), col("n_ngrams"), col("n_pass"), col("n_true"), col("n_fn"),
+        expr("(n_pass - n_true) * 1000000L div greatest(n_ngrams - n_true, 1L)").as("fp_ppm"),
+        expr("(n_ngrams - n_pass) * 1000000L div n_ngrams").as("reduction_ppm"),
+        lit(mBits).as("m_bits"), lit(BloomK.toLong).as("k_hashes"))
+      .orderBy(col("source"))
+  }
+
+  val d19Sql: String = {
+    val sh5 = shinglesKSql(tokensSql("text"), 5)
+    val code = fingerprintSql(s"list_transform(string_split(ng, ' '), t -> ${tcodeSql("t")})")
+    def posJ(j: Int) = s"(((code % $P) * ${permA(j)} + ${permB(j)}) % $P) % (1::BIGINT << m.mexp)"
+    val posList = (0 until BloomK).map(posJ).mkString("[", ", ", "]")
+    s"""WITH g AS (
+       |  SELECT source, ng
+       |  FROM documents, LATERAL (SELECT unnest($sh5) AS ng)),
+       |ev0 AS (SELECT DISTINCT source, ng FROM g WHERE source IN ('src0','src1')),
+       |tr0 AS (SELECT DISTINCT ng FROM g WHERE source NOT IN ('src0','src1')),
+       |m AS (
+       |  SELECT coalesce(min(b), 30) AS mexp
+       |  FROM generate_series(10, 30) t(b), (SELECT count(*) AS n FROM tr0) n
+       |  WHERE (1::BIGINT << b) >= $BloomBitsPerKey * n.n),
+       |ev AS (SELECT source, ng, $code AS code FROM ev0),
+       |tr AS (SELECT ng, $code AS code FROM tr0),
+       |trpos AS (
+       |  SELECT DISTINCT pos FROM tr, m, LATERAL (SELECT unnest($posList) AS pos)),
+       |evpos AS (
+       |  SELECT source, ng, pos FROM ev, m, LATERAL (SELECT unnest($posList) AS pos)),
+       |matched AS (
+       |  SELECT source, ng, count(*) AS nm
+       |  FROM evpos JOIN trpos USING (pos) GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT e.source,
+       |    coalesce(mt.nm, 0) = $BloomK AS pass,
+       |    t.ng IS NOT NULL AS hit
+       |  FROM ev0 e
+       |  LEFT JOIN tr0 t USING (ng)
+       |  LEFT JOIN matched mt ON mt.source = e.source AND mt.ng = e.ng)
+       |SELECT source,
+       |  count(*) AS n_ngrams,
+       |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN hit AND NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+       |  CAST((sum(CASE WHEN pass THEN 1 ELSE 0 END) - sum(CASE WHEN hit THEN 1 ELSE 0 END))
+       |    * 1000000 // greatest(count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END), 1) AS BIGINT) AS fp_ppm,
+       |  CAST((count(*) - sum(CASE WHEN pass THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT) AS reduction_ppm,
+       |  (SELECT 1::BIGINT << mexp FROM m) AS m_bits,
+       |  CAST($BloomK AS BIGINT) AS k_hashes
+       |FROM truth
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_bloom_audit" -> (d19 _),
     "d18_ann_assign_recall" -> (d18 _),
     "d17_semantic_dedup_ann" -> (d17 _),
     "d16_leakage_split" -> (d16 _),
@@ -1586,6 +1708,7 @@ object Dedup {
     "d7_neardup_clusters" -> (d7 _))
 
   def oracles: Map[String, String] = Map(
+    "d19_bloom_audit" -> d19Sql,
     "d18_ann_assign_recall" -> d18Sql,
     "d16_leakage_split" -> d16Sql,
     "d15_semantic_dedup_k" -> d15Sql,

@@ -900,4 +900,45 @@ class TextDedupSpec extends SparkSuite {
       assert(cos >= Dedup.SemTau - 5e-7, s"dup cos $cos under tau")
     }
   }
+
+  test("d19 bloom audit: zero false negatives, planted corpora pin both extremes, sizing rule") {
+    import spark.implicits._
+    // Corpus-wide invariant at the gate SF: a true train hit can never
+    // fail the bloom (its positions ARE in the train position set).
+    val r = Dedup.d19(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("n_fn") === 0L), s"bloom false negative: ${r.mkString(",")}")
+    assert(r.forall(x => x.getAs[Long]("n_pass") >= x.getAs[Long]("n_true")))
+
+    // Planted extreme 1: eval text == train text -> every eval n-gram
+    // is a true hit, everything passes, zero FP, zero reduction.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val same = Seq(("ev", shared), ("tr", shared)).toDF("source", "text")
+    val s1 = Dedup.bloomAudit(same, Seq("ev")).collect().head
+    assert(s1.getAs[Long]("n_pass") === s1.getAs[Long]("n_ngrams"))
+    assert(s1.getAs[Long]("n_true") === s1.getAs[Long]("n_ngrams"))
+    assert(s1.getAs[Long]("n_fn") === 0L)
+    assert(s1.getAs[Long]("fp_ppm") === 0L)
+    assert(s1.getAs[Long]("reduction_ppm") === 0L)
+
+    // Planted extreme 2: disjoint vocabularies -> zero true hits; with
+    // a near-empty filter (tiny train set in a >=2^10-bit domain) the
+    // bloom must also PASS ~nothing: reduction near 1e6.
+    val disj = Seq(
+      ("ev", "one two three four five six seven eight nine ten"),
+      ("tr", "uno dos tres cuatro cinco seis siete ocho nueve diez")).toDF("source", "text")
+    val s2 = Dedup.bloomAudit(disj, Seq("ev")).collect().head
+    assert(s2.getAs[Long]("n_true") === 0L)
+    assert(s2.getAs[Long]("n_fn") === 0L)
+    assert(s2.getAs[Long]("reduction_ppm") >= 900000L,
+      s"near-empty bloom passed too much: $s2")
+
+    // Sizing rule: smallest power of two >= bitsPerKey*n, clamped.
+    assert(Dedup.bloomBitsExp(1) === 10)
+    assert(Dedup.bloomBitsExp(128) === 10)       // 8*128 = 2^10
+    assert(Dedup.bloomBitsExp(129) === 11)
+    assert(Dedup.bloomBitsExp(Long.MaxValue / 16) === 30) // clamp
+    val exps = Seq(100L, 1000L, 10000L, 100000L).map(Dedup.bloomBitsExp(_))
+    assert(exps === exps.sorted, "sizing must be monotone in n")
+  }
 }
