@@ -622,7 +622,127 @@ object Upsert {
        |FROM planned GROUP BY 1, 2
        |ORDER BY source, grp""".stripMargin
 
+  // -------------------------------------------------------------------
+  // i10: z-order layout planning + file-skipping effectiveness audit —
+  // the data-CLUSTERING half of table maintenance beside i9's
+  // compaction (a 100 TB table is laid out once, then every scan pays
+  // for that choice through min/max file skipping). Rows map to a
+  // 2-D z-value (bit-interleave of two 8-bit rank buckets: user_id ×
+  // event day) and files are contiguous z-ranges; the audit computes
+  // per-file min/max stats — exactly what parquet footers give a scan
+  // planner — and replays a fixed 10%×10% box query's pruning against
+  // the SAME data laid out linearly (sorted by user only). Z-order
+  // keeps BOTH dimensions' ranges tight per file, so a 2-D box prunes
+  // multiplicatively where the linear layout prunes only its sort
+  // dimension; the report puts integers on that argument (files hit,
+  // rows scanned, scan ppm — rows_matched is layout-invariant by
+  // construction, the i8 result-transparency rule for layouts).
+  //
+  // Scale shape: bounds are a 1-row aggregate broadcast back (q23's
+  // shared-exchange class), the z-value is map-side integer math, and
+  // the audit aggregates at (layout, file) grain — ≤ 2·ZFiles rows.
+  // The real write is repartitionByRange(zv) + sortWithinPartitions
+  // (the bucketed-write-at-ingest trade i8 documents: pay the shuffle
+  // once, every 2-D-selective scan after skips).
+  val ZFiles = 256L
+
+  def i10(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("u"), expr("unix_millis(ts) div 86400000").as("d"))
+    val bounds = ev.agg(min(col("u")).as("umin"), max(col("u")).as("umax"),
+      min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    val zbits = (0 until 8).map(b =>
+      s"(((bx >> $b) & 1) << ${2 * b}) + (((by >> $b) & 1) << ${2 * b + 1})").mkString(" + ")
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("bx", expr("(u - umin) * 256 div (umax - umin + 1)"))
+      .withColumn("by", expr("(d - dmin) * 256 div (dmax - dmin + 1)"))
+      .withColumn("zv", expr(zbits))
+      // the fixed box query: [30%,40%) of each dimension's range
+      .withColumn("row_match", expr(
+        """u >= umin + (umax - umin + 1) * 3 div 10 AND
+          |u <  umin + (umax - umin + 1) * 4 div 10 AND
+          |d >= dmin + (dmax - dmin + 1) * 3 div 10 AND
+          |d <  dmin + (dmax - dmin + 1) * 4 div 10""".stripMargin))
+      .withColumn("ulo", expr("umin + (umax - umin + 1) * 3 div 10"))
+      .withColumn("uhi", expr("umin + (umax - umin + 1) * 4 div 10"))
+      .withColumn("dlo", expr("dmin + (dmax - dmin + 1) * 3 div 10"))
+      .withColumn("dhi", expr("dmin + (dmax - dmin + 1) * 4 div 10"))
+    val tagged = cells.select(lit("zorder").as("layout"),
+        expr(s"zv * $ZFiles div 65536").as("file"),
+        col("u"), col("d"), col("row_match"), col("ulo"), col("uhi"), col("dlo"), col("dhi"))
+      .unionAll(cells.select(lit("linear").as("layout"),
+        expr(s"bx * $ZFiles div 256").as("file"),
+        col("u"), col("d"), col("row_match"), col("ulo"), col("uhi"), col("dlo"), col("dhi")))
+    val files = tagged.groupBy(col("layout"), col("file")).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("u")).as("fumin"), max(col("u")).as("fumax"),
+      min(col("d")).as("fdmin"), max(col("d")).as("fdmax"),
+      sum(when(col("row_match"), 1L).otherwise(0L)).as("n_match"),
+      max(col("ulo")).as("ulo"), max(col("uhi")).as("uhi"),
+      max(col("dlo")).as("dlo"), max(col("dhi")).as("dhi"))
+    files
+      .withColumn("hit", col("fumax") >= col("ulo") && col("fumin") < col("uhi") &&
+        col("fdmax") >= col("dlo") && col("fdmin") < col("dhi"))
+      .groupBy(col("layout")).agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_files_hit"),
+        sum(when(col("hit"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matched"),
+        sum(col("n_rows")).as("n_total"))
+      .select(col("layout"), col("n_files"), col("n_files_hit"),
+        col("rows_scanned"), col("rows_matched"),
+        expr("rows_scanned * 1000000L div n_total").as("scan_ppm"))
+      .orderBy(col("layout"))
+  }
+
+  val i10Sql: String = {
+    val zbits = (0 until 8).map(b =>
+      s"(((bx >> $b) & 1) << ${2 * b}) + (((by >> $b) & 1) << ${2 * b + 1})").mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT user_id AS u, epoch_ms(ts) // 86400000 AS d FROM events),
+       |bounds AS (
+       |  SELECT min(u) AS umin, max(u) AS umax, min(d) AS dmin, max(d) AS dmax
+       |  FROM ev),
+       |cells AS (
+       |  SELECT u, d,
+       |    (u - umin) * 256 // (umax - umin + 1) AS bx,
+       |    (d - dmin) * 256 // (dmax - dmin + 1) AS by,
+       |    (u >= umin + (umax - umin + 1) * 3 // 10 AND
+       |     u <  umin + (umax - umin + 1) * 4 // 10 AND
+       |     d >= dmin + (dmax - dmin + 1) * 3 // 10 AND
+       |     d <  dmin + (dmax - dmin + 1) * 4 // 10) AS row_match,
+       |    umin + (umax - umin + 1) * 3 // 10 AS ulo,
+       |    umin + (umax - umin + 1) * 4 // 10 AS uhi,
+       |    dmin + (dmax - dmin + 1) * 3 // 10 AS dlo,
+       |    dmin + (dmax - dmin + 1) * 4 // 10 AS dhi
+       |  FROM ev, bounds),
+       |tagged AS (
+       |  SELECT 'zorder' AS layout, ($zbits) * $ZFiles // 65536 AS file,
+       |    u, d, row_match, ulo, uhi, dlo, dhi FROM cells
+       |  UNION ALL
+       |  SELECT 'linear' AS layout, bx * $ZFiles // 256 AS file,
+       |    u, d, row_match, ulo, uhi, dlo, dhi FROM cells),
+       |files AS (
+       |  SELECT layout, file, count(*) AS n_rows,
+       |    min(u) AS fumin, max(u) AS fumax, min(d) AS fdmin, max(d) AS fdmax,
+       |    sum(CASE WHEN row_match THEN 1 ELSE 0 END) AS n_match,
+       |    max(ulo) AS ulo, max(uhi) AS uhi, max(dlo) AS dlo, max(dhi) AS dhi
+       |  FROM tagged GROUP BY 1, 2),
+       |hits AS (
+       |  SELECT *, (fumax >= ulo AND fumin < uhi AND fdmax >= dlo AND fdmin < dhi) AS hit
+       |  FROM files)
+       |SELECT layout, count(*) AS n_files,
+       |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
+       |  CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  CAST(sum(n_match) AS BIGINT) AS rows_matched,
+       |  CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) * 1000000 // sum(n_rows) AS BIGINT) AS scan_ppm
+       |FROM hits
+       |GROUP BY layout
+       |ORDER BY layout""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i10_zorder_layout" -> (i10 _),
     "i9_compaction_plan" -> (i9 _),
     "i8_bucketed_join" -> (i8 _),
     "i7_cdc_rollup" -> (i7 _),
@@ -634,6 +754,7 @@ object Upsert {
     "i6_inc_distinct" -> (i6 _))
 
   def oracles: Map[String, String] = Map(
+    "i10_zorder_layout" -> i10Sql,
     "i9_compaction_plan" -> i9Sql,
     "i8_bucketed_join" -> i8Sql, // plain-join SQL: layout == raw parquet
     "i7_cdc_rollup" -> i7Sql, // full-rebuild SQL: retract-fold == rebuild

@@ -383,4 +383,38 @@ class UpsertSpec extends SparkSuite {
     assert(out.groupBy(_.getString(0)).exists(_._2.length > 1),
       "gate SF must exercise multi-group packing")
   }
+
+  test("i10 z-order: pruning is lossless and layout-invariant; z-order beats linear on the 2-D box") {
+    val r = Upsert.i10(spark, sf).collect().map(x => x.getString(0) -> x).toMap
+    val zo = r("zorder"); val li = r("linear")
+    // layouts must never change the answer (i8's transparency rule)
+    assert(zo.getAs[Long]("rows_matched") === li.getAs[Long]("rows_matched"))
+    // direct recompute of the box count with the same integer arithmetic
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id AS u", "unix_millis(ts) div 86400000 AS d")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val (umin, umax) = (ev.map(_._1).min, ev.map(_._1).max)
+    val (dmin, dmax) = (ev.map(_._2).min, ev.map(_._2).max)
+    val (ulo, uhi) = (umin + (umax - umin + 1) * 3 / 10, umin + (umax - umin + 1) * 4 / 10)
+    val (dlo, dhi) = (dmin + (dmax - dmin + 1) * 3 / 10, dmin + (dmax - dmin + 1) * 4 / 10)
+    val matched = ev.count { case (u, d) => u >= ulo && u < uhi && d >= dlo && d < dhi }.toLong
+    assert(zo.getAs[Long]("rows_matched") === matched)
+    // min/max skipping is LOSSLESS: a hit-file scan covers every match
+    assert(zo.getAs[Long]("rows_scanned") >= matched)
+    assert(li.getAs[Long]("rows_scanned") >= matched)
+    // the point of the layout: both dims tight per file -> fewer rows scanned
+    assert(zo.getAs[Long]("scan_ppm") < li.getAs[Long]("scan_ppm"),
+      s"z-order did not out-prune linear: $zo vs $li")
+    // bit-interleave sanity: extreme corners of the 256x256 bucket grid
+    val corners = spark.sql(
+      """SELECT bx, by, """ + (0 until 8).map(b =>
+        s"(((bx >> $b) & 1) << ${2 * b}) + (((by >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ") + """ AS zv
+        |FROM VALUES (255L, 0L), (0L, 255L), (255L, 255L), (0L, 0L) AS t(bx, by)""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(corners((255L, 0L)) === 0x5555L)   // odd bits empty
+    assert(corners((0L, 255L)) === 0xAAAAL)   // even bits empty
+    assert(corners((255L, 255L)) === 0xFFFFL)
+    assert(corners((0L, 0L)) === 0L)
+  }
 }
