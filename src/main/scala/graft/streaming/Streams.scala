@@ -1314,7 +1314,128 @@ object Streams {
        |FROM t GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // st20: streaming distinct-count maintenance via the KMV bottom-k
+  // sketch — the streaming twin of q44 (it maintains THE SAME sketch:
+  // same portable hash, seed, and k, so the spec can cross-gate the
+  // two keys against each other). st17 keeps exact distinct state
+  // (rows ∝ distinct keys — unbounded); this is the BOUNDED answer:
+  // state per event_type is the k=64 smallest (hash, user) pairs, a
+  // true mergeable summary — merge = dedupe-union then re-take the k
+  // minima, which is associative, commutative, AND idempotent (a user
+  // seen in two slices collapses on (event_type, user_id) before the
+  // re-rank), so ANY micro-batch slicing folds to the same state
+  // (st14's gate) and re-delivered data cannot double-count (the
+  // property counter sketches like HLL share and exact counters
+  // don't). Read = q44's estimator: D̂ = (k−1)·P div h_k, unsaturated
+  // sketches exact by construction.
+  //
+  // Scale shape: state is ≤ |event_types|·k rows — bytes, not keys;
+  // a micro-batch reduces map-side to its local k minima per key
+  // (WindowGroupLimit, q44's plan) before touching state. At 1000
+  // executors the same dedupe-union/re-rank IS the partial-agg merge.
+  //
+  // Oracle: direct recompute — bottom-k over the full corpus equals
+  // the folded slices BECAUSE the merge is a true summary union; the
+  // twin replays hash, rank, and estimator in SQL (q44's chain minus
+  // the exact-count audit column, which streaming state cannot hold).
+
+  /** One micro-batch reduced to mergeable bottom-k grain:
+    * per event_type, the k smallest (portable-hash, user) pairs. */
+  def kmvState(batch: DataFrame): DataFrame = {
+    val P = graft.functions.TextFunctions.P
+    val d = batch.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("__h",
+        pmod(pmod(pmod(col("user_id"), lit(P)) * 1103515245L +
+          lit(graft.operators.Relational.KmvSeed) * 2654435761L + 12345L,
+          lit(P)) * 48271L, lit(P)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("user_id"))
+    d.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= graft.operators.Relational.KmvK).drop("__rk")
+  }
+
+  /** Fold two sketches: dedupe-union on (event_type, user) — h is a
+    * function of user, so duplicates are exact — then re-take the k
+    * minima. Associative, commutative, idempotent. */
+  def kmvMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val u = a.unionByName(b).dropDuplicates("event_type", "user_id")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("user_id"))
+    u.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= graft.operators.Relational.KmvK).drop("__rk")
+  }
+
+  /** Estimator read (q44's formula over the maintained sketch). */
+  def kmvFinish(state: DataFrame): DataFrame = {
+    val P = graft.functions.TextFunctions.P
+    val k = graft.operators.Relational.KmvK
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("user_id"))
+    state.withColumn("__rk", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sk"),
+        max(when(col("__rk") === k, col("__h"))).as("hk"))
+      .select(col("event_type"), col("n_sk"),
+        when(col("n_sk") < k, col("n_sk"))
+          .otherwise(expr(s"(${k - 1}L * ${P}L) div greatest(hk, 1L)")).as("n_est"))
+  }
+
+  /** foreachBatch bottom-k sink (HistogramSink's shape). */
+  class KmvSink {
+    @volatile private var state: Option[DataFrame] = None
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val partial = kmvState(batch)
+      val next = state match {
+        case None => partial
+        case Some(prev) => kmvMerge(prev, partial)
+      }
+      state = Some(next.localCheckpoint())
+    }
+    def snapshot: Option[DataFrame] = state.map(kmvFinish)
+  }
+
+  /** st20 batch twin: the 3-slice replay (st14's time cuts) folded
+    * through the same sketch, then the estimator read. */
+  def st20(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      unix_millis(col("ts")).as("ms"))
+    val t1 = 1704931200000L // st14's cuts
+    val t2 = 1705795200000L
+    val parts = Seq(
+      log.filter(col("ms") < t1),
+      log.filter(col("ms") >= t1 && col("ms") < t2),
+      log.filter(col("ms") >= t2))
+    val folded = parts.tail.foldLeft(kmvState(parts.head))(
+      (state, b) => kmvMerge(state, kmvState(b)))
+    kmvFinish(folded).orderBy(col("event_type"))
+  }
+
+  val st20Sql: String = {
+    val P = graft.functions.TextFunctions.P
+    val seed = graft.operators.Relational.KmvSeed
+    val k = graft.operators.Relational.KmvK
+    s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (
+       |  SELECT event_type, user_id,
+       |    ((((user_id % $P) * 1103515245 + $seed * 2654435761 + 12345)
+       |      % $P) * 48271) % $P AS h
+       |  FROM d),
+       |r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rk
+       |  FROM h),
+       |sk AS (
+       |  SELECT event_type, count(*) AS n_sk,
+       |    max(CASE WHEN rk = $k THEN h END) AS hk
+       |  FROM r WHERE rk <= $k GROUP BY 1)
+       |SELECT event_type, CAST(n_sk AS BIGINT) AS n_sk,
+       |  CAST(CASE WHEN n_sk < $k THEN n_sk
+       |       ELSE (CAST(${k - 1} AS BIGINT) * $P) // greatest(hk, 1)
+       |  END AS BIGINT) AS n_est
+       |FROM sk
+       |ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_stream_kmv" -> (st20 _),
     "st19_stream_quantile" -> (st19 _),
     "st18_late_drops" -> (st18 _),
     "st17_stream_distinct" -> (st17 _),
@@ -1333,6 +1454,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st20_stream_kmv" -> st20Sql, // direct recompute: summary union == rebuild
     "st19_stream_quantile" -> st19Sql, // direct recompute: folded slices == rebuild
     "st18_late_drops" -> st18Sql,
     "st17_stream_distinct" -> st17Sql, // direct recompute: fold == rebuild (i6's gate)

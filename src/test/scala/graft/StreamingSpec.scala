@@ -950,4 +950,50 @@ class StreamingSpec extends SparkSuite {
     // p99: 400 >= 396 -> bin63.
     assert(got === Seq(Seq("x", 4L, 800L, 51200L, 51200L)))
   }
+
+  test("st20 streaming KMV: time-cut fold equals the batch twin; slicing-invariant; idempotent; matches q44") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t1 = 1704931200000L
+    val t2 = 1705795200000L
+    val recs = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = Streams.st20(spark, sf).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    def run(slices: Seq[Array[(String, Long, Long)]]): Set[Seq[Any]] = {
+      val mem = MemoryStream[(String, Long)]
+      val sink = new Streams.KmvSink
+      val q = mem.toDF().toDF("event_type", "user_id")
+        .writeStream.outputMode("append")
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+        .start()
+      try {
+        slices.foreach { sl =>
+          mem.addData(sl.map(x => (x._1, x._2)).toIndexedSeq: _*); q.processAllAvailable()
+        }
+        sink.snapshot.get.collect().map(_.toSeq).toSet
+      } finally q.stop()
+    }
+    val byCuts = Seq(
+      recs.filter(_._3 < t1), recs.filter(x => x._3 >= t1 && x._3 < t2),
+      recs.filter(_._3 >= t2))
+    assert(run(byCuts) === want, "time-cut streamed fold diverged from the batch twin")
+    // summary union commutes: arbitrary slicing folds to the same state
+    val n = recs.length
+    val arb = Seq(recs.slice(0, n / 7), recs.slice(n / 7, n / 3), recs.slice(n / 3, n))
+    assert(run(arb) === want, "bottom-k fold must be invariant to micro-batch slicing")
+    // idempotence: re-delivering a whole slice cannot move the sketch
+    // (exact counters double-count replays; the KMV summary must not)
+    val redeliver = Seq(recs.slice(0, n / 2), recs.slice(n / 2, n), recs.slice(0, n / 2))
+    assert(run(redeliver) === want, "re-delivered slice must be a no-op on the sketch")
+    // cross-key gate: the streamed sketch IS q44's sketch — estimates
+    // must agree exactly on the same corpus
+    val q44 = graft.operators.Relational.q44(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_est")).toMap
+    val got = Streams.st20(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_est")).toMap
+    assert(got === q44, "st20's maintained sketch diverged from q44's one-shot sketch")
+  }
 }
