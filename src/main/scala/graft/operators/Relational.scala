@@ -1864,7 +1864,152 @@ object Relational {
        |FROM est
        |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q45: sketch SET ALGEBRA — audience overlap (union / intersection
+  // distinct estimates) for every event-type pair from the SAME
+  // bottom-k sketches q44 maintains, the theta-sketch workhorse
+  // question ("how many users did both A and B") answered WITHOUT an
+  // exact pairwise distinct. Union: the k minima of A∪B are contained
+  // in (k minima of A) ∪ (k minima of B) — the summary property — so
+  // the union sketch merges two k-row frames, never the raw sets;
+  // estimate = q44's (k−1)·P div h_k. Intersection: the standard KMV
+  // ρ-estimator — among the union sketch's kept minima, the fraction
+  // present in BOTH per-type sketches, scaled by the union estimate
+  // (exact by construction when the union is unsaturated, since the
+  // sketches then ARE the sets). Exact counterparts + |err| ppm ride
+  // beside both estimates (d9's measure-don't-guess role).
+  //
+  // Scale shape: per-type sketches are ≤ k rows each (the q44 plan);
+  // everything after is pair-grain algebra over 10·2k rows — the
+  // whole point: audience overlap across T segments costs T·k sketch
+  // rows, not T² exact distinct passes over the fact table.
+  def q45(s: SparkSession, dir: String): DataFrame =
+    kmvOverlap(Tables.events(s, dir))
+
+  /** Library form (spec entry point for planted segment corpora):
+    * `ev` needs (event_type, user_id); one output row per unordered
+    * type pair. When a pair's union is unsaturated (< k) BOTH
+    * estimates are exact by construction — the sketches are the sets. */
+  def kmvOverlap(ev: DataFrame): DataFrame = {
+    val P = graft.functions.TextFunctions.P
+    val k = KmvK
+    val d = ev.select(col("event_type"), col("user_id")).distinct()
+    val h = d.withColumn("__h",
+      pmod(pmod(pmod(col("user_id"), lit(P)) * 1103515245L +
+        lit(KmvSeed) * 2654435761L + 12345L, lit(P)) * 48271L, lit(P)))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("user_id"))
+    val sk = h.withColumn("rk", row_number().over(wT)).filter(col("rk") <= k).drop("rk")
+    val types = sk.select(col("event_type")).distinct()
+    val pairs = broadcast(types.select(col("event_type").as("ta"))
+      .crossJoin(types.select(col("event_type").as("tb")))
+      .filter(col("ta") < col("tb")))
+    val aMem = pairs.join(sk, sk("event_type") === col("ta"))
+      .select(col("ta"), col("tb"), col("user_id"), col("__h"),
+        lit(1L).as("fa"), lit(0L).as("fb"))
+    val bMem = pairs.join(sk, sk("event_type") === col("tb"))
+      .select(col("ta"), col("tb"), col("user_id"), col("__h"),
+        lit(0L).as("fa"), lit(1L).as("fb"))
+    val mem = aMem.unionAll(bMem)
+      .groupBy(col("ta"), col("tb"), col("user_id"), col("__h"))
+      .agg(max(col("fa")).as("fa"), max(col("fb")).as("fb"))
+    val wP = Window.partitionBy(col("ta"), col("tb")).orderBy(col("__h"), col("user_id"))
+    val est = mem.withColumn("rk", row_number().over(wP)).filter(col("rk") <= k)
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_sk"),
+        max(when(col("rk") === k, col("__h"))).as("hk"),
+        sum(col("fa") * col("fb")).as("rho"))
+      .withColumn("union_est", when(col("n_sk") < k, col("n_sk"))
+        .otherwise(expr(s"(${k - 1}L * ${P}L) div greatest(hk, 1L)")))
+      .withColumn("inter_est", expr("rho * union_est div greatest(n_sk, 1L)"))
+    val exU = pairs.join(d, d("event_type") === col("ta") || d("event_type") === col("tb"))
+      .select(col("ta"), col("tb"), col("user_id")).distinct()
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("union_exact"))
+    val dd = d.select(col("event_type"), col("user_id"))
+    val exI = pairs
+      .join(dd.select(col("event_type").as("ea"), col("user_id")), col("ea") === col("ta"))
+      .join(dd.select(col("event_type").as("eb"), col("user_id").as("ub")),
+        col("eb") === col("tb") && col("ub") === col("user_id"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("inter_exact"))
+    est.join(exU, Seq("ta", "tb")).join(exI, Seq("ta", "tb"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .select(col("ta"), col("tb"),
+        col("union_exact"), col("union_est"),
+        expr("abs(union_est - union_exact) * 1000000L div union_exact").as("union_err_ppm"),
+        col("inter_exact"), col("inter_est"),
+        expr("abs(inter_est - inter_exact) * 1000000L div greatest(inter_exact, 1L)").as("inter_err_ppm"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val q45Sql: String = {
+    val P = graft.functions.TextFunctions.P
+    s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (
+       |  SELECT event_type, user_id,
+       |    ((((user_id % $P) * 1103515245 + $KmvSeed * 2654435761 + 12345)
+       |      % $P) * 48271) % $P AS h
+       |  FROM d),
+       |sk AS (
+       |  SELECT event_type, user_id, h FROM (
+       |    SELECT event_type, user_id, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rk
+       |    FROM h)
+       |  WHERE rk <= $KmvK),
+       |types AS (SELECT DISTINCT event_type FROM sk),
+       |pairs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb
+       |  FROM types a, types b WHERE a.event_type < b.event_type),
+       |mem AS (
+       |  SELECT ta, tb, user_id, h, max(fa) AS fa, max(fb) AS fb
+       |  FROM (
+       |    SELECT p.ta, p.tb, s.user_id, s.h, 1 AS fa, 0 AS fb
+       |    FROM pairs p JOIN sk s ON s.event_type = p.ta
+       |    UNION ALL
+       |    SELECT p.ta, p.tb, s.user_id, s.h, 0 AS fa, 1 AS fb
+       |    FROM pairs p JOIN sk s ON s.event_type = p.tb)
+       |  GROUP BY 1, 2, 3, 4),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT ta, tb, user_id, h, fa, fb,
+       |      row_number() OVER (PARTITION BY ta, tb ORDER BY h, user_id) AS rk
+       |    FROM mem)
+       |  WHERE rk <= $KmvK),
+       |est AS (
+       |  SELECT ta, tb, count(*) AS n_sk,
+       |    max(CASE WHEN rk = $KmvK THEN h END) AS hk,
+       |    CAST(sum(fa * fb) AS BIGINT) AS rho
+       |  FROM kept GROUP BY 1, 2),
+       |est2 AS (
+       |  SELECT ta, tb, n_sk, rho,
+       |    CASE WHEN n_sk < $KmvK THEN n_sk
+       |         ELSE (CAST(${KmvK - 1} AS BIGINT) * $P) // greatest(hk, 1) END AS union_est
+       |  FROM est),
+       |exu AS (
+       |  SELECT p.ta, p.tb, count(DISTINCT d.user_id) AS union_exact
+       |  FROM pairs p JOIN d ON d.event_type = p.ta OR d.event_type = p.tb
+       |  GROUP BY 1, 2),
+       |exi AS (
+       |  SELECT p.ta, p.tb, count(*) AS inter_exact
+       |  FROM pairs p
+       |  JOIN d da ON da.event_type = p.ta
+       |  JOIN d db ON db.event_type = p.tb AND db.user_id = da.user_id
+       |  GROUP BY 1, 2)
+       |SELECT e.ta, e.tb,
+       |  CAST(u.union_exact AS BIGINT) AS union_exact,
+       |  CAST(e.union_est AS BIGINT) AS union_est,
+       |  CAST(abs(e.union_est - u.union_exact) * 1000000 // u.union_exact AS BIGINT)
+       |    AS union_err_ppm,
+       |  CAST(coalesce(i.inter_exact, 0) AS BIGINT) AS inter_exact,
+       |  CAST(e.rho * e.union_est // greatest(e.n_sk, 1) AS BIGINT) AS inter_est,
+       |  CAST(abs(e.rho * e.union_est // greatest(e.n_sk, 1) - coalesce(i.inter_exact, 0))
+       |    * 1000000 // greatest(coalesce(i.inter_exact, 0), 1) AS BIGINT) AS inter_err_ppm
+       |FROM est2 e
+       |JOIN exu u USING (ta, tb)
+       |LEFT JOIN exi i USING (ta, tb)
+       |ORDER BY ta, tb""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_kmv_overlap" -> (q45 _),
     "q44_kmv_distinct" -> (q44 _),
     "q43_market_share" -> (q43 _),
     "q42_profit_rollup" -> (q42 _),
@@ -1911,6 +2056,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q45_kmv_overlap" -> q45Sql,
     "q44_kmv_distinct" -> q44Sql,
     "q43_market_share" -> q43Sql,
     "q42_profit_rollup" -> q42Sql,

@@ -733,4 +733,44 @@ class RelationalSpec extends SparkSuite {
     val plan = Relational.q44(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$plan")
   }
+
+  test("q45 KMV overlap: unsaturated pairs are exact; saturated estimates bounded; full-overlap corpus degenerates correctly") {
+    import spark.implicits._
+    // Planted UNSATURATED segments: A = users 1..40, B = 21..60 ->
+    // union 60 < k=64, so the sketches ARE the sets and both
+    // estimates must be exact: union 60, intersection 20.
+    val un = ((1L to 40L).map(("A", _)) ++ (21L to 60L).map(("B", _)))
+      .toDF("event_type", "user_id")
+    val r1 = Relational.kmvOverlap(un).collect()
+    assert(r1.length === 1)
+    val row = r1.head
+    assert(row.getAs[Long]("union_exact") === 60L)
+    assert(row.getAs[Long]("union_est") === 60L)
+    assert(row.getAs[Long]("union_err_ppm") === 0L)
+    assert(row.getAs[Long]("inter_exact") === 20L)
+    assert(row.getAs[Long]("inter_est") === 20L)
+    assert(row.getAs[Long]("inter_err_ppm") === 0L)
+
+    // Planted SATURATED partial overlap: A = 1..300, B = 151..450 ->
+    // union 450, intersection 150 (1/3 Jaccard). The rho-estimator's
+    // variance at k=64 is ~1/sqrt(k); 50% is the loose tripwire, the
+    // reported ppm is the measure.
+    val sat = ((1L to 300L).map(("A", _)) ++ (151L to 450L).map(("B", _)))
+      .toDF("event_type", "user_id")
+    val r2 = Relational.kmvOverlap(sat).collect().head
+    assert(r2.getAs[Long]("union_exact") === 450L)
+    assert(r2.getAs[Long]("inter_exact") === 150L)
+    assert(r2.getAs[Long]("union_err_ppm") < 500000L, s"union est off: $r2")
+    assert(r2.getAs[Long]("inter_err_ppm") < 500000L, s"inter est off: $r2")
+
+    // Registered corpus: every user does every event type, so all 10
+    // pairs must report union == intersection (exactly, on BOTH the
+    // exact and estimated sides — the sketches coincide pair-wise).
+    val full = Relational.q45(spark, sf).collect()
+    assert(full.length === 10)
+    full.foreach { r =>
+      assert(r.getAs[Long]("union_exact") === r.getAs[Long]("inter_exact"))
+      assert(r.getAs[Long]("union_est") === r.getAs[Long]("inter_est"))
+    }
+  }
 }
