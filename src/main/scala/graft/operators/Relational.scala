@@ -2008,7 +2008,84 @@ object Relational {
        |ORDER BY ta, tb""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q46: Count-Min frequency estimates for the heavy hitters — the
+  // FREQUENCY member of the classical mergeable-summary triad this
+  // engine now carries end-to-end oracle-gated (KMV = distinct, q44/
+  // q45/st20; bloom = membership, d19; Count-Min = "how often", here).
+  // The sketch is a d×w counter matrix (d=3 portable row hashes from
+  // the minhash permutation family, w=1024 cells); an item's estimate
+  // is the MIN over its d cells — ONE-SIDED error (never an
+  // underestimate: every cell holds the item's true count plus
+  // non-negative collision mass), which the gate turns into a hard
+  // invariant: n_est ≥ n_exact on every reported row, with the
+  // achieved overestimate in ppm beside it (d9's role). Reported for
+  // the exact top-10 heaviest users so the audit is against ground
+  // truth where CM is meant to operate (heavy hitters sit far above
+  // the collision noise floor).
+  //
+  // Scale shape: the sketch is d·w = 3072 longs — bytes, not rows —
+  // and cell filling is counter ADDITION (associative/commutative:
+  // partial-agg merge at 1000 executors, st19's histogram argument);
+  // estimates join items to ≤ d·w cells. The exact per-user counts
+  // here are the audit side only. w is fixed; at production scale it
+  // sizes like the bloom's M (power of two ≥ c·heavy-hitter count —
+  // the sizedPlanes one-scalar class), left fixed here so the three
+  // SFs measure the SAME sketch filling up (15 / 150 / 1500 users
+  // against 1024 cells — the reported over_ppm is the fill curve).
+  val CmD = 3
+  val CmW = 1024L
+
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.functions.TextFunctions.P
+    import graft.functions.TextFunctions.{permA, permB}
+    val n = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    def posJ(j: Int): Column =
+      pmod(pmod(col("user_id"), lit(P)) * permA(j) + permB(j), lit(P)) % CmW
+    val rows = n.withColumn("j", explode(array((0 until CmD).map(lit): _*)))
+      .withColumn("pos",
+        when(col("j") === 0, posJ(0)).when(col("j") === 1, posJ(1)).otherwise(posJ(2)))
+    val cells = rows.groupBy(col("j"), col("pos")).agg(sum(col("n_exact")).as("c"))
+    val est = rows.select(col("user_id"), col("n_exact"), col("j"), col("pos"))
+      .join(cells, Seq("j", "pos"))
+      .groupBy(col("user_id")).agg(max(col("n_exact")).as("n_exact"),
+        min(col("c")).as("n_est"))
+    est.orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      .select(col("user_id"), col("n_exact"), col("n_est"),
+        expr("(n_est - n_exact) * 1000000L div n_exact").as("over_ppm"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  val q46Sql: String = {
+    val P = graft.functions.TextFunctions.P
+    import graft.functions.TextFunctions.{permA, permB}
+    def posJ(j: Int) = s"(((user_id % $P) * ${permA(j)} + ${permB(j)}) % $P) % $CmW"
+    s"""WITH n AS (
+       |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+       |r AS (
+       |  SELECT user_id, n_exact, j,
+       |    CASE j WHEN 0 THEN ${posJ(0)} WHEN 1 THEN ${posJ(1)}
+       |           ELSE ${posJ(2)} END AS pos
+       |  FROM n, (SELECT unnest([0, 1, 2]) AS j)),
+       |cells AS (
+       |  SELECT j, pos, CAST(sum(n_exact) AS BIGINT) AS c
+       |  FROM r GROUP BY 1, 2),
+       |est AS (
+       |  SELECT r.user_id, max(r.n_exact) AS n_exact, min(cells.c) AS n_est
+       |  FROM r JOIN cells USING (j, pos)
+       |  GROUP BY r.user_id),
+       |top AS (
+       |  SELECT * FROM est ORDER BY n_exact DESC, user_id LIMIT 10)
+       |SELECT user_id, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_est AS BIGINT) AS n_est,
+       |  CAST((n_est - n_exact) * 1000000 // n_exact AS BIGINT) AS over_ppm
+       |FROM top
+       |ORDER BY n_exact DESC, user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_countmin_topk" -> (q46 _),
     "q45_kmv_overlap" -> (q45 _),
     "q44_kmv_distinct" -> (q44 _),
     "q43_market_share" -> (q43 _),
@@ -2056,6 +2133,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q46_countmin_topk" -> q46Sql,
     "q45_kmv_overlap" -> q45Sql,
     "q44_kmv_distinct" -> q44Sql,
     "q43_market_share" -> q43Sql,

@@ -773,4 +773,34 @@ class RelationalSpec extends SparkSuite {
       assert(r.getAs[Long]("union_est") === r.getAs[Long]("inter_est"))
     }
   }
+
+  test("q46 Count-Min: one-sided error invariant; estimates replay by hand; top-k against ground truth") {
+    val got = Relational.q46(spark, sf).collect()
+    assert(got.length === 10)
+    // CM's defining property: NEVER an underestimate
+    got.foreach(r => assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+      s"Count-Min underestimated: $r"))
+    // hand replay: rebuild the full d x w sketch from exact counts and
+    // recompute every reported estimate
+    val P = graft.functions.TextFunctions.P
+    import graft.functions.TextFunctions.{permA, permB}
+    val counts = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pos(u: Long, j: Int): Long =
+      Math.floorMod(Math.floorMod(u, P) * permA(j) + permB(j), P) % Relational.CmW
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    counts.foreach { case (u, n) =>
+      (0 until Relational.CmD).foreach { j =>
+        val k = (j, pos(u, j)); cells(k) = cells.getOrElse(k, 0L) + n } }
+    def est(u: Long): Long =
+      (0 until Relational.CmD).map(j => cells((j, pos(u, j)))).min
+    got.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getAs[Long]("n_exact") === counts(u))
+      assert(r.getAs[Long]("n_est") === est(u), s"estimate replay diverged for user $u")
+    }
+    // the reported rows ARE the exact top-10 (count desc, id tiebreak)
+    val top = counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(10).map(_._1)
+    assert(got.map(_.getLong(0)).toSeq === top)
+  }
 }
