@@ -433,9 +433,22 @@ object AsOf {
     def attr(p: LogicalPlan, name: String) = p.output.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+    val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    // The merge compares left/right key (and time) values with ONE
+    // ordering chosen from the LEFT type — a mismatched right type
+    // would otherwise surface only as an opaque codegen/ClassCast
+    // failure deep in execution. Fail at call time with the actual
+    // types instead (same-type requirement, no implicit widening:
+    // cast explicitly if you mean it).
+    def sameType(side: String, l: Attribute, r: Attribute): Unit =
+      if (l.dataType != r.dataType) throw new IllegalArgumentException(
+        s"as-of join $side types must match exactly: left ${l.name} is " +
+          s"${l.dataType.simpleString}, right ${r.name} is ${r.dataType.simpleString} " +
+          "(cast one side before joining)")
+    sameType("key", lk, rk)
+    sameType("time", lt, rt)
     GraftSqlBridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lp, rp,
-        attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime)))
+      AsOfJoinPlan(lp, rp, lk, rk, lt, rt))
   }
 }

@@ -56,11 +56,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * m·subDim long.
   */
 object PqExprs {
+  /** Dimension guard shared by the interpreted and codegen'd paths: a
+    * shorter-than-m·subDim vector through the public
+    * `pqAdcRerankTopKFused` would otherwise be a SILENT out-of-bounds
+    * read on UnsafeArrayData (garbage distances, no error). One branch
+    * per row, negligible next to the m·kCw·subDim distance loop. */
+  // public (not private[plans]): called from generated Java via the
+  // static forwarder, which only exists for public members
+  def checkDim(n: Int, dim: Int): Unit =
+    if (n < dim) throw new IllegalArgumentException(
+      s"graft_pq: input vector has $n elements; codebook expects >= $dim (m*subDim)")
+
   /** Load a raw float/double array into a local normalized double[dim]:
     * cast-then-square ascending fold for the norm (normSq's exact
     * sequence), then one division per element. */
   private[plans] def loadNormalized(arr: ArrayData, dim: Int,
       isFloat: Boolean): Array[Double] = {
+    checkDim(arr.numElements(), dim)
     val v = new Array[Double](dim)
     var i = 0
     var nsq = 0.0
@@ -137,6 +149,7 @@ case class PqCodesExpr(child: Expression, cb: Array[Double],
       val dim = m * subDim
       val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
+         |graft.plans.PqExprs.checkDim($a.numElements(), $dim);
          |double[] $v = new double[$dim];
          |double $nsq = 0.0;
          |for (int $i = 0; $i < $dim; $i++) {
@@ -166,6 +179,21 @@ case class PqCodesExpr(child: Expression, cb: Array[Double],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // A case class with an Array[Double] field compares the codebook by
+  // REFERENCE, so two structurally-identical instances (e.g. the codes
+  // column rebuilt on both branches of a self-join) never canonicalize
+  // equal and Catalyst CSE re-encodes per branch. Compare and hash the
+  // codebook by CONTENT.
+  override def equals(other: Any): Boolean = other match {
+    case p: PqCodesExpr =>
+      p.m == m && p.subDim == subDim && p.kCw == kCw &&
+        p.child == child && java.util.Arrays.equals(p.cb, cb)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Integer.valueOf(m), Integer.valueOf(subDim),
+    Integer.valueOf(kCw), Integer.valueOf(java.util.Arrays.hashCode(cb)))
 }
 
 /** Query-side ADC lookup table: out[s·kCw + cw] = L2²(sub_s(x̂), cw).
@@ -227,6 +255,7 @@ case class PqDistTableExpr(child: Expression, cb: Array[Double],
       val dim = m * subDim
       val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
+         |graft.plans.PqExprs.checkDim($a.numElements(), $dim);
          |double[] $v = new double[$dim];
          |double $nsq = 0.0;
          |for (int $i = 0; $i < $dim; $i++) {
@@ -253,6 +282,17 @@ case class PqDistTableExpr(child: Expression, cb: Array[Double],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // content-based codebook equality — see PqCodesExpr.equals
+  override def equals(other: Any): Boolean = other match {
+    case p: PqDistTableExpr =>
+      p.m == m && p.subDim == subDim && p.kCw == kCw &&
+        p.child == child && java.util.Arrays.equals(p.cb, cb)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Integer.valueOf(m), Integer.valueOf(subDim),
+    Integer.valueOf(kCw), Integer.valueOf(java.util.Arrays.hashCode(cb)))
 }
 
 /** ADC sum: Σ_s table[s·kCw + codes[s]], ascending s (the composed
@@ -276,6 +316,7 @@ case class PqAdcExpr(left: Expression, right: Expression, kCw: Int)
     val codes = codesAny.asInstanceOf[ArrayData]
     val table = tableAny.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    PqExprs.checkDim(table.numElements(), m * kCw)
     var acc = 0.0
     var s = 0
     while (s < m) {
@@ -291,6 +332,7 @@ case class PqAdcExpr(left: Expression, right: Expression, kCw: Int)
       val m = ctx.freshName("m")
       s"""
          |int $m = $c.numElements();
+         |graft.plans.PqExprs.checkDim($t.numElements(), $m * $kCw);
          |double $acc = 0.0;
          |for (int $s = 0; $s < $m; $s++) {
          |  $acc += $t.getDouble($s * $kCw + $c.getInt($s));

@@ -75,4 +75,25 @@ class AsOfPropertySpec extends SparkSuite {
         if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
     assert(got === Map(1L -> Some(101L), 2L -> None, 3L -> None))
   }
+
+  test("as-of join fails at call time with a clear message on mismatched key/time types") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1L)).toDF("k", "t", "lid")
+    val rightIntKey = Seq((1, 5L, 100L)).toDF("rk", "rt_", "rid")
+    val exKey = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(left, rightIntKey, "k", "rk", "t", "rt_")
+    }
+    assert(exKey.getMessage.contains("key types must match"))
+    assert(exKey.getMessage.contains("bigint") && exKey.getMessage.contains("int"))
+    val rightDoubleTime = Seq((1L, 5.0, 100L)).toDF("rk", "rt_", "rid")
+    val exTime = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(left, rightDoubleTime, "k", "rk", "t", "rt_")
+    }
+    assert(exTime.getMessage.contains("time types must match"))
+    // an explicit cast fixes it — the documented remedy works
+    val fixed = graft.plans.AsOf.join(left,
+      rightIntKey.withColumn("rk", col("rk").cast("long")), "k", "rk", "t", "rt_")
+      .select(col("lid"), col("rid")).collect()
+    assert(fixed.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 100L)))
+  }
 }

@@ -562,4 +562,55 @@ class SimilaritySpec extends SparkSuite {
       assert(ppm === nHits * 1000000L / 3L)
     }
   }
+
+  test("PQ expressions reject short vectors loudly instead of reading out of bounds") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    import graft.plans.{PqAdcExpr, PqCodesExpr, PqDistTableExpr}
+    val cb = Array.fill(2 * 4)(0.5) // kCw=2, m=2, subDim=2 → dim 4
+    def arr(n: Int) = Literal.create(Array.fill(n)(1.0), ArrayType(DoubleType, false))
+    // interpreted path: a 3-element vector into a dim-4 codebook
+    val exCodes = intercept[IllegalArgumentException] {
+      PqCodesExpr(arr(3), cb, 2, 2, 2).eval(null)
+    }
+    assert(exCodes.getMessage.contains("graft_pq"))
+    intercept[IllegalArgumentException] {
+      PqDistTableExpr(arr(3), cb, 2, 2, 2).eval(null)
+    }
+    // ADC: a table shorter than m*kCw
+    intercept[IllegalArgumentException] {
+      PqAdcExpr(Literal.create(Array(0, 1), ArrayType(IntegerType, false)),
+        Literal.create(Array(0.1, 0.2, 0.3), ArrayType(DoubleType, false)), 2).eval(null)
+    }
+    // codegen path: the same short vector through a real plan
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge.{columnOf, expression}
+    val df = Seq(Tuple1(Array(1.0, 2.0, 3.0))).toDF("v")
+    val exec = intercept[Exception] {
+      df.select(columnOf(PqCodesExpr(expression(col("v")), cb, 2, 2, 2))).collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(exec).exists(c => c.getMessage != null && c.getMessage.contains("graft_pq")),
+      s"expected the dim guard in the failure chain, got: $exec")
+    // valid dims still work end to end
+    val ok = df.select(columnOf(PqCodesExpr(expression(col("v")),
+      Array.fill(2 * 3)(0.5), 1, 3, 2)).as("codes")).collect()
+    assert(ok.head.getSeq[Int](0).length === 1)
+  }
+
+  test("PQ expressions with equal-content codebooks canonicalize equal (CSE-able)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.plans.{PqCodesExpr, PqDistTableExpr}
+    val cb = Array.tabulate(8)(_.toDouble)
+    val lit = Literal.create(Array.fill(4)(1.0), ArrayType(DoubleType, false))
+    // distinct array INSTANCES, equal content — must be semantically equal
+    assert(PqCodesExpr(lit, cb, 2, 2, 2).semanticEquals(PqCodesExpr(lit, cb.clone(), 2, 2, 2)))
+    assert(PqDistTableExpr(lit, cb, 2, 2, 2).semanticEquals(PqDistTableExpr(lit, cb.clone(), 2, 2, 2)))
+    assert(PqCodesExpr(lit, cb, 2, 2, 2).hashCode === PqCodesExpr(lit, cb.clone(), 2, 2, 2).hashCode)
+    // and different content must NOT be equal
+    val cb2 = cb.clone(); cb2(0) = 99.0
+    assert(!PqCodesExpr(lit, cb, 2, 2, 2).semanticEquals(PqCodesExpr(lit, cb2, 2, 2, 2)))
+  }
 }

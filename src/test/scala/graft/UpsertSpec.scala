@@ -322,8 +322,9 @@ class UpsertSpec extends SparkSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val j = spark.table("i8_lineitem_b")
-        .join(spark.table("i8_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val (ordersTbl, lineitemTbl) = Upsert.lastI8Tables.get
+      val j = spark.table(lineitemTbl)
+        .join(spark.table(ordersTbl), col("l_orderkey") === col("o_orderkey"))
       assert(j.count() > 0)
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
