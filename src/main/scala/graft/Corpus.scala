@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
@@ -353,4 +353,212 @@ object Corpus {
     val kept = flagged5.filter(col("f_budget")).select(docs.columns.toSeq.map(col): _*)
     Result(kept, flagged5, report)
   }
+
+  // -------------------------------------------------------------------
+  // e2e_curate: the COMPOSED pipeline through the oracle gate.
+  //
+  // Every stage above is oracle-gated in isolation (t1/t2/t15/t9/t3/
+  // t8/d1/d3+d7/d6/t13), but stage COMPOSITION — each stage consuming
+  // exactly the previous stage's survivor set — was only spec-tested.
+  // This key drives a 10-enabled-stage curate run over `documents` and
+  // emits the per-stage attrition LEDGER: (stage_idx, stage, surviving,
+  // id_sum), where id_sum = Σ doc_id over that stage's cumulative
+  // survivors — so a wrong-doc-kept/wrong-doc-dropped swap that
+  // preserves counts still flips the hash. The DuckDB twin chains the
+  // per-stage twins as CTEs (incl. the banded-LSH candidate pairs and
+  // a recursive-CTE transitive closure standing in for
+  // connectedComponents).
+  //
+  // Enabled: min_tokens, quality, gopher_rules, repetition (both
+  // gates), language, lm_quality, exact_dedup, near_dedup,
+  // decontaminated (eval = the doc_id % 50 slice), token_budget.
+  // Off (not DuckDB-replayable): model_quality (trained LR),
+  // semantic_dedup (k-means); sampled is off because curate keys the
+  // sampler on xxhash64(id), which DuckDB lacks — those stages still
+  // appear in the ledger as pass-throughs of the previous flag.
+  object E2e {
+    val MinTokens = 40L
+    val MinQuality = 0.5
+    val MaxDupTrigramFrac = 0.005 // any duplicated trigram drops (values are 0 or ≥1/98)
+    val MaxTopTokFrac = 0.125
+    val Lang = "en"
+    val LmFloor = -1.50 // deep in the survivor avg-log10-prob tail: drops only extreme docs, and (unlike -1.48) does NOT sit inside the one-token-perturbation gap that was killing exactly one twin of every planted near-dup pair before near_dedup could see it
+    val Tau = 0.9
+    val NgramK = 5
+    val EvalSliceMod = 50
+    val BudgetPerSource = 500L
+  }
+
+  /** Stage name → cumulative-flag column of [[Result.flagged]], in
+    * pipeline order ("input" flags everything). */
+  val StageFlags: Seq[(String, Column)] = Seq(
+    "input" -> lit(true), "min_tokens" -> col("f_tokens"),
+    "quality" -> col("f_quality"), "gopher_rules" -> col("f_gopher"),
+    "model_quality" -> col("f_model"), "repetition" -> col("f_repetition"),
+    "language" -> col("f_lang"), "lm_quality" -> col("f_lm"),
+    "exact_dedup" -> col("f_exact"), "near_dedup" -> col("f_neardup"),
+    "semantic_dedup" -> col("f_semdup"), "decontaminated" -> col("f_clean"),
+    "sampled" -> col("f_sampled"), "token_budget" -> col("f_budget"))
+
+  def e2eCurate(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ev = docs.filter(col("doc_id") % E2e.EvalSliceMod === 0)
+      .select(col("doc_id"), col("text"))
+    val r = curate(docs, cfg = Config(
+      minTokens = E2e.MinTokens, minQuality = E2e.MinQuality,
+      lang = Some(E2e.Lang), nearDupTau = E2e.Tau,
+      evalSet = Some(ev), ngramK = E2e.NgramK,
+      gopherRules = true,
+      maxTopTokFrac = Some(E2e.MaxTopTokFrac),
+      maxDupTrigramFrac = Some(E2e.MaxDupTrigramFrac),
+      minAvgLogProb = Some(E2e.LmFloor),
+      tokenBudgetPerSource = Some(E2e.BudgetPerSource)))
+    val aggs = StageFlags.flatMap { case (n, c) => Seq(
+      sum(when(c, 1L).otherwise(0L)).as(s"s_$n"),
+      coalesce(sum(when(c, col("doc_id"))), lit(0L)).as(s"i_$n")) }
+    r.flagged.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(StageFlags.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(i).as("stage_idx"), lit(n).as("stage"),
+          col(s"s_$n").as("surviving"), col(s"i_$n").as("id_sum")) }: _*)).as("p"))
+      .select("p.*")
+      .orderBy(col("stage_idx"))
+  }
+
+  /** DuckDB twin of [[e2eCurate]] — the per-stage twins chained as
+    * CTEs over the same constants. Built from the shared SQL helpers
+    * in [[graft.functions.TextFunctions]] so the two engines cannot
+    * silently diverge on tokenization/hash constants. */
+  def e2eSql: String = {
+    import graft.functions.TextFunctions._
+    val toks = tokensSql("text")
+    val allk3 = shinglesAllKSql(toks, 3)
+    val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeySql("codes", b)} AS key FROM cds")
+      .mkString("\n  UNION ALL ")
+    val ledger = StageFlags.zipWithIndex.map { case ((n, _), i) =>
+      val f = n match {
+        case "input" => "TRUE"
+        case "min_tokens" => "f_tokens"
+        case "quality" => "f_quality"
+        case "gopher_rules" | "model_quality" => "f_gopher"
+        case "repetition" => "f_rep"
+        case "language" => "f_lang"
+        case "lm_quality" => "f_lm"
+        case "exact_dedup" => "f_exact"
+        case "near_dedup" | "semantic_dedup" => "f_neardup"
+        case "decontaminated" | "sampled" => "f_clean"
+        case "token_budget" => "f_budget"
+      }
+      s"SELECT CAST($i AS INTEGER) AS stage_idx, '$n' AS stage, " +
+        s"count(*) FILTER (WHERE $f) AS surviving, " +
+        s"CAST(COALESCE(sum(doc_id) FILTER (WHERE $f), 0) AS BIGINT) AS id_sum FROM f10"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE base AS MATERIALIZED (
+       |  SELECT doc_id, text, source,
+       |    CAST(len($toks) AS BIGINT) AS n,
+       |    ${qualityScoreSql("text")} AS qual,
+       |    CAST(COALESCE(list_sum(list_transform($toks, t -> length(t))), 0) AS BIGINT) AS sl,
+       |    CAST(len(list_filter($toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS na,
+       |    CAST(len(list_intersect(list_distinct($toks), [$inList])) AS BIGINT) AS ns,
+       |    COALESCE(1.0 - CAST(len(list_distinct($allk3)) AS DOUBLE) / len($allk3), 0.0) AS dupfrac,
+       |    CAST(list_max(list_transform(list_distinct($toks), u -> len(list_filter($toks, x -> x = u)))) AS DOUBLE) / len($toks) AS ttf,
+       |    ${predLangSql("text")} AS plang
+       |  FROM documents),
+       |f5 AS MATERIALIZED (
+       |  SELECT *,
+       |    (n >= ${E2e.MinTokens}) AS f_tokens,
+       |    ((n >= ${E2e.MinTokens}) AND qual >= ${E2e.MinQuality}) AS f_quality,
+       |    ((n >= ${E2e.MinTokens}) AND qual >= ${E2e.MinQuality}
+       |      AND n BETWEEN 50 AND 100000 AND sl BETWEEN n * 3 AND n * 10
+       |      AND na * 5 >= n * 4 AND ns >= 2) AS f_gopher,
+       |    ((n >= ${E2e.MinTokens}) AND qual >= ${E2e.MinQuality}
+       |      AND n BETWEEN 50 AND 100000 AND sl BETWEEN n * 3 AND n * 10
+       |      AND na * 5 >= n * 4 AND ns >= 2
+       |      AND dupfrac <= ${E2e.MaxDupTrigramFrac} AND ttf <= ${E2e.MaxTopTokFrac}) AS f_rep,
+       |    ((n >= ${E2e.MinTokens}) AND qual >= ${E2e.MinQuality}
+       |      AND n BETWEEN 50 AND 100000 AND sl BETWEEN n * 3 AND n * 10
+       |      AND na * 5 >= n * 4 AND ns >= 2
+       |      AND dupfrac <= ${E2e.MaxDupTrigramFrac} AND ttf <= ${E2e.MaxTopTokFrac}
+       |      AND plang = '${E2e.Lang}') AS f_lang
+       |  FROM base),
+       |tk AS MATERIALIZED (SELECT doc_id, unnest($toks) AS tok FROM f5 WHERE f_lang),
+       |tf AS MATERIALIZED (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+       |tot AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS total FROM tk),
+       |lmdrop AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT tk.doc_id,
+       |      avg(log10(CAST(tf.c AS DOUBLE))) - log10((SELECT total FROM tot)) AS lp
+       |    FROM tk JOIN tf USING (tok) GROUP BY tk.doc_id)
+       |  WHERE lp < ${E2e.LmFloor}),
+       |f6 AS MATERIALIZED (
+       |  SELECT f5.*, (f_lang AND lmdrop.doc_id IS NULL) AS f_lm
+       |  FROM f5 LEFT JOIN lmdrop ON f5.doc_id = lmdrop.doc_id),
+       |ek AS MATERIALIZED (SELECT md5(text) AS h, min(doc_id) AS keep FROM f6 WHERE f_lm GROUP BY 1),
+       |f7 AS MATERIALIZED (
+       |  SELECT f6.*, (f_lm AND ek.keep = f6.doc_id) AS f_exact
+       |  FROM f6 LEFT JOIN ek ON md5(f6.text) = ek.h),
+       |s9 AS MATERIALIZED (SELECT doc_id, text FROM f7 WHERE f_exact),
+       |cds AS MATERIALIZED (SELECT doc_id, ${shingleCodesSql("text")} AS codes FROM s9),
+       |bk AS MATERIALIZED (
+       |  $bandSelects),
+       |cap AS MATERIALIZED (
+       |  SELECT doc_id, band, key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz FROM bk)
+       |  WHERE bsz <= 1000),
+       |prs AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM cap a JOIN cap b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |shs AS MATERIALIZED (SELECT doc_id, ${shingles3Sql(toks)} AS sh FROM s9),
+       |ver AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM prs
+       |  JOIN shs sa ON sa.doc_id = prs.id_a
+       |  JOIN shs sb ON sb.doc_id = prs.id_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |        (CAST(len(sa.sh) AS DOUBLE) + len(sb.sh) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE))
+       |        >= ${E2e.Tau}),
+       |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver),
+       |reach AS (
+       |  SELECT a AS id, b AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+       |nddrop AS MATERIALIZED (SELECT id FROM reach GROUP BY id HAVING min(r) < id),
+       |f8 AS MATERIALIZED (
+       |  SELECT f7.*, (f_exact AND nddrop.id IS NULL) AS f_neardup
+       |  FROM f7 LEFT JOIN nddrop ON f7.doc_id = nddrop.id),
+       |evg AS MATERIALIZED (
+       |  SELECT DISTINCT ng FROM (
+       |    SELECT unnest(${shinglesKSql(toks, E2e.NgramK)}) AS ng
+       |    FROM documents WHERE doc_id % ${E2e.EvalSliceMod} = 0)),
+       |cont AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(${shinglesKSql(toks, E2e.NgramK)}) AS ng
+       |    FROM f8 WHERE f_neardup)
+       |  JOIN evg USING (ng)),
+       |f9 AS MATERIALIZED (
+       |  SELECT f8.*, (f_neardup AND cont.doc_id IS NULL) AS f_clean
+       |  FROM f8 LEFT JOIN cont ON f8.doc_id = cont.doc_id),
+       |bt AS MATERIALIZED (
+       |  SELECT doc_id, source, n AS n_tok, round(qual, 6) AS q
+       |  FROM f9 WHERE f_clean),
+       |bdrop AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |    FROM bt)
+       |  WHERE cum >= ${E2e.BudgetPerSource}),
+       |f10 AS MATERIALIZED (
+       |  SELECT f9.*, (f_clean AND bdrop.doc_id IS NULL) AS f_budget
+       |  FROM f9 LEFT JOIN bdrop ON f9.doc_id = bdrop.doc_id)
+       |SELECT * FROM (
+       |  $ledger)
+       |ORDER BY stage_idx""".stripMargin
+  }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("e2e_curate" -> (e2eCurate _))
+
+  def oracles: Map[String, String] = Map("e2e_curate" -> e2eSql)
 }

@@ -31,10 +31,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Cleaning.queries ++ MLPrep.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ graft.streaming.Streams.queries ++ Upsert.queries
+      Multimodal.queries ++ graft.streaming.Streams.queries ++ Upsert.queries ++
+      Corpus.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Cleaning.oracles ++ MLPrep.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ graft.streaming.Streams.oracles ++ Upsert.oracles
+      Multimodal.oracles ++ graft.streaming.Streams.oracles ++ Upsert.oracles ++
+      Corpus.oracles
 }

@@ -281,4 +281,32 @@ class CorpusSpec extends SparkSuite {
     val t30 = scrubbed.filter(col("doc_id") === 30L).head()
     assert(t30.getAs[Boolean]("scrubbed") && t30.getAs[String]("clean_text") === "h0 h1 h2")
   }
+
+  test("e2e_curate ledger: 14 ordered stages, monotone survivors, active stages attrit") {
+    val rows = Corpus.e2eCurate(spark, sf).collect()
+    assert(rows.length === 14)
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Corpus.StageFlags.map(_._1), "ledger order must be pipeline order")
+    val surv = rows.map(_.getAs[Long]("surviving"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a },
+      s"cumulative flags must be monotone non-increasing: ${surv.mkString(",")}")
+    // input row covers the whole corpus with the exact id checksum
+    assert(surv.head === 500L)
+    assert(rows.head.getAs[Long]("id_sum") === 500L * 499L / 2L)
+    val byStage = rows.map(r => r.getAs[String]("stage") ->
+      ((r.getAs[Long]("surviving"), r.getAs[Long]("id_sum")))).toMap
+    // the enabled stages whose attrition is data-backed at sf0.001
+    // (committed testdata): each must drop at least one doc
+    for (Seq(prev, s) <- Seq("input", "min_tokens", "quality", "gopher_rules",
+        "model_quality", "repetition", "language", "lm_quality", "exact_dedup",
+        "near_dedup").sliding(2) if s != "model_quality" && s != "language" && s != "exact_dedup") {
+      assert(byStage(s)._1 < byStage(prev)._1, s"stage $s dropped nothing after $prev")
+    }
+    // pass-through stages (off or subsumed) carry the previous flag verbatim
+    assert(byStage("model_quality") === byStage("gopher_rules"))
+    assert(byStage("semantic_dedup") === byStage("near_dedup"))
+    assert(byStage("sampled") === byStage("decontaminated"))
+    // a dropped doc leaves the id checksum, not just the count
+    assert(byStage("near_dedup")._2 < byStage("exact_dedup")._2)
+  }
 }
