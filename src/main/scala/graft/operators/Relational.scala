@@ -1803,34 +1803,49 @@ object Relational {
   // asserts a bound; this REPORTS the achieved error, d9's role).
   //
   // Scale shape: bottom-k is a MERGEABLE summary (union two sketches →
-  // re-take the k minima), which is exactly what the plan does: the
-  // distinct pre-pass dedups map-side, and the rank-k filter plans as
-  // WindowGroupLimit (Spark's rank-limit pushdown) — each task keeps
-  // its local k minima BEFORE the shuffle, so the exchange carries
-  // ≤ k rows per (task, group), not the distinct set. The exact count
+  // re-take the k minima). Since round 13 the sketch is an ENGINE
+  // PRIMITIVE — plans/SketchAggs.KmvSketchAgg, a TypedImperativeAggregate
+  // whose bounded (h,id) TreeSet buffer IS the sketch — so Spark's
+  // partial aggregation does the summary merge: each task reduces to
+  // ≤ k entries per group BEFORE the exchange (the WindowGroupLimit
+  // construction this replaced kept ≤ k ROWS per (task, group) but
+  // still paid the window sort after the shuffle). The exact count
   // rides the same deduped frame (audit-only; at 100 TB you'd drop it
-  // and keep the k·|groups|-row sketch — bytes, not rows).
+  // and keep the k·|groups|-entry sketch — bytes, not rows).
   val KmvSeed = 4242L
   val KmvK = 64
 
-  def q44(s: SparkSession, dir: String): DataFrame = {
+  /** The portable KMV hash (t21's two-step mixing over P = 2^31−1) —
+    * ONE definition shared by q44/q45/st20 and their oracles. */
+  def kmvHash(id: Column): Column = {
     val P = graft.functions.TextFunctions.P
+    pmod(pmod(pmod(id, lit(P)) * 1103515245L +
+      lit(KmvSeed) * 2654435761L + 12345L, lit(P)) * 48271L, lit(P))
+  }
+
+  /** Attach q44's estimator read (n_sk, hk, n_est) to a frame with a
+    * `sk` sketch column from [[graft.plans.SketchAggs.kmvSketch]]:
+    * D̂ = (k−1)·P div h_k, unsaturated sketches exact by construction.
+    * greatest(hk,1): h=0 is possible for one adversarial key; both
+    * engines guard identically so the twin can't diverge on it. */
+  def withKmvEstimate(df: DataFrame): DataFrame = {
+    val P = graft.functions.TextFunctions.P
+    df.withColumn("n_sk", size(col("sk")).cast("long"))
+      .withColumn("hk", element_at(col("sk"), KmvK).getField("h"))
+      .withColumn("n_est", expr(s"CASE WHEN n_sk < $KmvK THEN n_sk " +
+        s"ELSE (${KmvK - 1}L * ${P}L) div greatest(hk, 1L) END"))
+  }
+
+  def q44(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.events(s, dir).select(col("event_type"), col("user_id")).distinct()
-    val h = d.withColumn("__h",
-      pmod(pmod(pmod(col("user_id"), lit(P)) * 1103515245L +
-        lit(KmvSeed) * 2654435761L + 12345L, lit(P)) * 48271L, lit(P)))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("user_id"))
-    val sk = h.withColumn("rk", row_number().over(w)).filter(col("rk") <= KmvK)
+    // ONE aggregate pass: exact count (audit side) and the KMV sketch
+    // ride the same shuffle; the sketch aggregate's partial buffers
+    // carry ≤ k entries per (task, group).
+    val agg = d.withColumn("__h", kmvHash(col("user_id")))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_sk"),
-        max(when(col("rk") === KmvK, col("__h"))).as("hk"))
-    val ex = d.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
-    // greatest(hk,1): h=0 is possible for one adversarial key; both
-    // engines guard identically so the twin can't diverge on it.
-    val est = when(col("n_sk") < KmvK, col("n_sk"))
-      .otherwise(expr(s"(${KmvK - 1}L * ${P}L) div greatest(hk, 1L)"))
-    ex.join(sk, Seq("event_type"))
-      .withColumn("n_est", est)
+      .agg(count(lit(1)).as("n_exact"),
+        graft.plans.SketchAggs.kmvSketch(col("__h"), col("user_id"), KmvK).as("sk"))
+    withKmvEstimate(agg)
       .select(col("event_type"), col("n_exact"), col("n_est"),
         expr("abs(n_est - n_exact) * 1000000L div n_exact").as("err_ppm"))
       .orderBy(col("event_type"))
@@ -2037,20 +2052,22 @@ object Relational {
   val CmW = 1024L
 
   def q46(s: SparkSession, dir: String): DataFrame = {
-    val P = graft.functions.TextFunctions.P
-    import graft.functions.TextFunctions.{permA, permB}
-    val n = Tables.events(s, dir).groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_exact"))
-    def posJ(j: Int): Column =
-      pmod(pmod(col("user_id"), lit(P)) * permA(j) + permB(j), lit(P)) % CmW
-    val rows = n.withColumn("j", explode(array((0 until CmD).map(lit): _*)))
-      .withColumn("pos",
-        when(col("j") === 0, posJ(0)).when(col("j") === 1, posJ(1)).otherwise(posJ(2)))
-    val cells = rows.groupBy(col("j"), col("pos")).agg(sum(col("n_exact")).as("c"))
-    val est = rows.select(col("user_id"), col("n_exact"), col("j"), col("pos"))
-      .join(cells, Seq("j", "pos"))
-      .groupBy(col("user_id")).agg(max(col("n_exact")).as("n_exact"),
-        min(col("c")).as("n_est"))
+    // The sketch is now the ENGINE PRIMITIVE (plans/SketchAggs
+    // .CmSketchAgg): ONE global aggregate over raw events fills the
+    // d×w counter matrix — weight-1 per event, so cell values equal
+    // the composed form's grouped-count sums — and partial aggregation
+    // merges 24 KB buffers across tasks (the explode→groupBy(j,pos)→
+    // join construction this replaced shuffled 3 rows per user plus a
+    // second cells join). Estimates read the broadcast 1-row sketch:
+    // min over the d cells of each user's positions.
+    val ev = Tables.events(s, dir)
+    val n = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val sk = ev.agg(graft.plans.SketchAggs
+      .cmSketch(col("user_id"), lit(1L), CmD, CmW.toInt).as("cm"))
+    val cellAt = graft.plans.SketchAggs.cmPositions(col("user_id"), CmD, CmW.toInt)
+      .map(p => element_at(col("cm"), (p + 1).cast("int")))
+    val est = n.crossJoin(broadcast(sk)) // 1-row broadcast side
+      .withColumn("n_est", least(cellAt: _*))
     est.orderBy(col("n_exact").desc, col("user_id")).limit(10)
       .select(col("user_id"), col("n_exact"), col("n_est"),
         expr("(n_est - n_exact) * 1000000L div n_exact").as("over_ppm"))

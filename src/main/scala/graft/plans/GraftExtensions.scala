@@ -109,6 +109,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
 
+    // Mergeable-summary aggregates (SketchAggs): SQL surface for the
+    // engine-primitive sketches — k/d/w arrive as int literals.
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        children match {
+          case Seq(h, id, Literal(k: Int, IntegerType)) => KmvSketchAgg(h, id, k)
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_kmv_sketch",
+              "expectedNum" -> "3 (hash, id, int literal k)",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_cm_sketch"),
+      new ExpressionInfo(classOf[CmSketchAgg].getName, "graft_cm_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        children match {
+          case Seq(key, wt, Literal(d: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+            CmSketchAgg(key, wt, d, w)
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_cm_sketch",
+              "expectedNum" -> "4 (key, weight, int literal d, int literal w)",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+      }))
+
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
 
     // SQL-surface parity for the text-analysis library: the same

@@ -1330,53 +1330,47 @@ object Streams {
   // don't). Read = q44's estimator: D̂ = (k−1)·P div h_k, unsaturated
   // sketches exact by construction.
   //
-  // Scale shape: state is ≤ |event_types|·k rows — bytes, not keys;
-  // a micro-batch reduces map-side to its local k minima per key
-  // (WindowGroupLimit, q44's plan) before touching state. At 1000
-  // executors the same dedupe-union/re-rank IS the partial-agg merge.
+  // Scale shape: state is ≤ |event_types| sketch rows — bytes, not
+  // keys; a micro-batch reduces map-side to its local k minima per key
+  // (the KmvSketchAgg partial buffer) before touching state. At 1000
+  // executors the partial-agg merge IS the summary union — since round
+  // 13 literally so: the sketch is the TypedImperativeAggregate engine
+  // primitive, not a per-query window construction.
   //
   // Oracle: direct recompute — bottom-k over the full corpus equals
   // the folded slices BECAUSE the merge is a true summary union; the
   // twin replays hash, rank, and estimator in SQL (q44's chain minus
   // the exact-count audit column, which streaming state cannot hold).
 
-  /** One micro-batch reduced to mergeable bottom-k grain:
-    * per event_type, the k smallest (portable-hash, user) pairs. */
-  def kmvState(batch: DataFrame): DataFrame = {
-    val P = graft.functions.TextFunctions.P
-    val d = batch.select(col("event_type"), col("user_id")).distinct()
-      .withColumn("__h",
-        pmod(pmod(pmod(col("user_id"), lit(P)) * 1103515245L +
-          lit(graft.operators.Relational.KmvSeed) * 2654435761L + 12345L,
-          lit(P)) * 48271L, lit(P)))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("user_id"))
-    d.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= graft.operators.Relational.KmvK).drop("__rk")
-  }
+  /** One micro-batch reduced to mergeable bottom-k grain: per
+    * event_type, ONE sketch row carrying the k smallest (hash, user)
+    * pairs — the engine primitive (plans/SketchAggs.KmvSketchAgg)
+    * whose partial-agg buffers reduce each task to ≤ k entries per
+    * type BEFORE the exchange (the row-grain WindowGroupLimit
+    * construction this replaced paid a post-shuffle sort per batch).
+    * No distinct pre-pass: the aggregate's (h,id) set dedupes. */
+  def kmvState(batch: DataFrame): DataFrame =
+    batch.withColumn("__h", graft.operators.Relational.kmvHash(col("user_id")))
+      .groupBy(col("event_type"))
+      .agg(graft.plans.SketchAggs.kmvSketch(col("__h"), col("user_id"),
+        graft.operators.Relational.KmvK).as("sk"))
 
-  /** Fold two sketches: dedupe-union on (event_type, user) — h is a
-    * function of user, so duplicates are exact — then re-take the k
-    * minima. Associative, commutative, idempotent. */
-  def kmvMerge(a: DataFrame, b: DataFrame): DataFrame = {
-    val u = a.unionByName(b).dropDuplicates("event_type", "user_id")
-    val w = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("user_id"))
-    u.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= graft.operators.Relational.KmvK).drop("__rk")
-  }
+  /** Fold two sketch frames: explode to (h, id) grain and re-run the
+    * SAME aggregate — the summary union. The aggregate's set dedupes
+    * (h is a function of user, so pair-dedup == user-dedup), making
+    * the fold associative, commutative, AND idempotent. */
+  def kmvMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .select(col("event_type"), explode(col("sk")).as("e"))
+      .select(col("event_type"), col("e.h").as("__h"), col("e.id").as("user_id"))
+      .groupBy(col("event_type"))
+      .agg(graft.plans.SketchAggs.kmvSketch(col("__h"), col("user_id"),
+        graft.operators.Relational.KmvK).as("sk"))
 
   /** Estimator read (q44's formula over the maintained sketch). */
-  def kmvFinish(state: DataFrame): DataFrame = {
-    val P = graft.functions.TextFunctions.P
-    val k = graft.operators.Relational.KmvK
-    val w = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("user_id"))
-    state.withColumn("__rk", row_number().over(w))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_sk"),
-        max(when(col("__rk") === k, col("__h"))).as("hk"))
-      .select(col("event_type"), col("n_sk"),
-        when(col("n_sk") < k, col("n_sk"))
-          .otherwise(expr(s"(${k - 1}L * ${P}L) div greatest(hk, 1L)")).as("n_est"))
-  }
+  def kmvFinish(state: DataFrame): DataFrame =
+    graft.operators.Relational.withKmvEstimate(state)
+      .select(col("event_type"), col("n_sk"), col("n_est"))
 
   /** foreachBatch bottom-k sink (HistogramSink's shape). */
   class KmvSink {

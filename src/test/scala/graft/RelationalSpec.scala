@@ -728,10 +728,17 @@ class RelationalSpec extends SparkSuite {
     assert(got === byType)
     assert(got.values.forall(_._3 < 300000L), s"KMV error above 30%: $got")
 
-    // Scale shape: the rk<=k filter must plan as WindowGroupLimit so
-    // each task ships only its local k minima into the shuffle.
+    // Scale shape: the sketch is the ENGINE PRIMITIVE aggregate — the
+    // plan must show partial aggregation (each task reduces to ≤ k
+    // sketch entries per group before the exchange) and must NOT fall
+    // back to the pre-round-13 Window/WindowGroupLimit construction.
     val plan = Relational.q44(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_graft_kmv_sketch"),
+      s"map-side partial sketch aggregation missing:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window ["),
+      s"q44 regressed to the window construction:\n$plan")
   }
 
   test("q45 KMV overlap: unsaturated pairs are exact; saturated estimates bounded; full-overlap corpus degenerates correctly") {
