@@ -30,13 +30,13 @@ class SimilaritySpec extends SparkSuite {
     assert(r.forall(row => row.getAs[Long]("votes") >= 1 && row.getAs[Long]("votes") <= 5))
   }
 
-  test("mm2 stubbed feature extraction produces 4 features in [0,1]") {
+  test("mm2 header decode: every payload parses to a known kind with dims in the generator range") {
     val r = Multimodal.mm2(spark, sf).collect()
     assert(r.length === 500)
     assert(r.forall { row =>
-      Seq("f0", "f1", "f2", "f3").forall { c =>
-        val x = row.getAs[Double](c); x >= 0 && x <= 1
-      }
+      Set("png", "jpeg", "gif")(row.getAs[String]("kind")) &&
+        row.getAs[Int]("width") >= 64 && row.getAs[Int]("width") <= 127 &&
+        row.getAs[Int]("height") >= 64 && row.getAs[Int]("height") <= 127
     })
   }
 
