@@ -366,18 +366,24 @@ object Relational {
   // -------------------------------------------------------------------
   // q19: skew-safe fact⋈dim join via Skew.saltedJoin — lineitem rows
   // scatter over (suppkey, salt) while the 4-column supplier side
-  // replicates nSalts×, so a hot supplier spreads over 8 reducer
-  // tasks instead of one straggler. The oracle is the PLAIN join+agg
-  // SQL: the gate proves salting is result-transparent. Use when the
-  // small side is too big to broadcast and AQE's skew split can't
-  // help (e.g. a following skewed aggregation).
+  // replicates nSalts×, so a hot supplier spreads over the salted
+  // reducer tasks instead of one straggler. Since round 13 the salt
+  // factor is DECIDED, not guessed: Skew.saltedJoinAuto runs the
+  // Count-Min hot-key audit (q47's machinery) and consumes its
+  // recommended factor — on the uniform gate data that resolves to 1
+  // (no skew → no needless small-side replication), on a planted hot
+  // key it scales up (SkewStressSpec). The oracle is the PLAIN
+  // join+agg SQL: the gate proves salting is result-transparent at
+  // whatever factor the audit picks. Use when the small side is too
+  // big to broadcast and AQE's skew split can't help (e.g. a
+  // following skewed aggregation).
   def q19(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"), col("l_discount"))
     val supp = Tables.supplier(s, dir)
       .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
     val n = Tables.nation(s, dir)
-    Skew.saltedJoin(li, supp, "suppkey", nSalts = 8)
+    Skew.saltedJoinAuto(li, supp, "suppkey")
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -2101,7 +2107,63 @@ object Relational {
        |ORDER BY n_exact DESC, user_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // q47: hot-key detection audit — the DECISION side of q19's salting
+  // (Skew.skewAudit's Scaladoc has the full design). One Count-Min
+  // pass over the fact join key, dim-side candidates probe the
+  // broadcast sketch, and the integer salt-factor rule (smallest power
+  // of two capping the hottest key at ~2× the mean, clamped [1,256])
+  // replays in DuckDB — the whole recommendation is hash-gated, and
+  // q19's registered path consumes it via Skew.saltedJoinAuto.
+  def q47(s: SparkSession, dir: String): DataFrame =
+    Skew.skewAudit(
+      Tables.lineitem(s, dir).select(col("l_suppkey").as("suppkey")),
+      "suppkey",
+      Tables.supplier(s, dir).select(col("s_suppkey").as("suppkey")))
+
+  val q47Sql: String = {
+    val P = graft.functions.TextFunctions.P
+    import graft.functions.TextFunctions.{permA, permB}
+    def posJ(k: String, j: Int) = s"((($k % $P) * ${permA(j)} + ${permB(j)}) % $P) % $CmW"
+    def posCase(k: String) =
+      s"CASE j WHEN 0 THEN ${posJ(k, 0)} WHEN 1 THEN ${posJ(k, 1)} ELSE ${posJ(k, 2)} END"
+    s"""WITH f AS (SELECT l_suppkey AS k FROM lineitem),
+       |n AS (SELECT count(*) AS n_rows FROM f),
+       |g AS (SELECT k, count(*) AS c FROM f GROUP BY 1),
+       |cells AS (
+       |  SELECT j, ${posCase("k")} AS pos, CAST(sum(c) AS BIGINT) AS cell
+       |  FROM g, (SELECT unnest([0, 1, 2]) AS j) GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
+       |probe AS (
+       |  SELECT cand.k, j, ${posCase("cand.k")} AS pos
+       |  FROM cand, (SELECT unnest([0, 1, 2]) AS j)),
+       |est AS (
+       |  SELECT probe.k, min(COALESCE(cells.cell, 0)) AS est
+       |  FROM probe LEFT JOIN cells USING (j, pos) GROUP BY probe.k),
+       |nk AS (SELECT count(*) AS n_keys FROM cand),
+       |ex AS (SELECT CAST(max(c) AS BIGINT) AS exact_max FROM g),
+       |hot AS (SELECT k AS hot_key, est AS est_max FROM est ORDER BY est DESC, k LIMIT 1),
+       |base AS (
+       |  SELECT n.n_rows, nk.n_keys, hot.hot_key, hot.est_max, ex.exact_max,
+       |    n.n_rows // greatest(nk.n_keys, 1) AS mean_per_key
+       |  FROM n, nk, ex, hot),
+       |salted AS (
+       |  SELECT *, (est_max + 2 * greatest(mean_per_key, 1) - 1)
+       |    // (2 * greatest(mean_per_key, 1)) AS r
+       |  FROM base)
+       |SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+       |  hot_key, CAST(est_max AS BIGINT) AS est_max, exact_max,
+       |  CAST(mean_per_key AS BIGINT) AS mean_per_key,
+       |  CAST(est_max * 1000000 // greatest(mean_per_key, 1) AS BIGINT) AS skew_ppm,
+       |  CAST(CASE WHEN r <= 1 THEN 1 WHEN r <= 2 THEN 2 WHEN r <= 4 THEN 4
+       |    WHEN r <= 8 THEN 8 WHEN r <= 16 THEN 16 WHEN r <= 32 THEN 32
+       |    WHEN r <= 64 THEN 64 WHEN r <= 128 THEN 128 ELSE 256 END AS BIGINT)
+       |    AS rec_salts
+       |FROM salted""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_skew_audit" -> (q47 _),
     "q46_countmin_topk" -> (q46 _),
     "q45_kmv_overlap" -> (q45 _),
     "q44_kmv_distinct" -> (q44 _),
@@ -2150,6 +2212,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q47_skew_audit" -> q47Sql,
     "q46_countmin_topk" -> q46Sql,
     "q45_kmv_overlap" -> q45Sql,
     "q44_kmv_distinct" -> q44Sql,

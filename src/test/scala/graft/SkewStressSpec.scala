@@ -180,4 +180,44 @@ class SkewStressSpec extends SparkSuite {
     }
     out
   }
+
+  test("hot-key audit DECIDES the salt: 1 on uniform keys, scaled up on the 10% head, consumed by saltedJoinAuto") {
+    import spark.implicits._
+    // uniform fact → no skew → the audit must not replicate the dim
+    val uniform = spark.range(200000L)
+      .select(pmod(xxhash64(col("id")), lit(2000L)).as("k"), col("id").as("payload"))
+    val udim = spark.range(2000L).select(col("id").as("k"), (col("id") * 7L).as("dim_v"))
+    // CM collisions (2000 keys over 1024 cells) can inflate the
+    // hottest ESTIMATE a little — the audit may say 2, never 256
+    val uniformRec = Skew.recommendSalts(uniform, "k", udim)
+    assert(uniformRec <= 2,
+      s"uniform keys must not pay meaningful small-side replication: $uniformRec")
+
+    // the planted 10% head: mean = 2M/20k = 100 rows/key, hottest ≈
+    // 200k (CM one-sided: estimate ≥ truth) → ratio ~2000/2 → clamp 256
+    val audit = Skew.skewAudit(skewedFact, "k", dim).collect().head
+    assert(audit.getAs[Long]("hot_key") === 0L, "audit must finger the planted hot key")
+    assert(audit.getAs[Long]("est_max") >= audit.getAs[Long]("exact_max"),
+      "Count-Min estimates are one-sided: never below the true count")
+    assert(audit.getAs[Long]("rec_salts") === 256L,
+      s"a 2000x head must recommend the max factor: $audit")
+
+    // the consumed factor bounds the straggler AND stays transparent
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "32") {
+      val auto = taskShuffleReads {
+        Skew.saltedJoinAuto(skewedFact, dim, "k").select(count(lit(1))).collect()
+      }
+      val spread = heaviestStageSpread(auto)
+      assert(spread < 1.7,
+        s"auto-salted join still has a straggler: spread $spread")
+      val a = Skew.saltedJoinAuto(skewedFact, dim, "k").agg(
+        count(lit(1)), sum(col("payload")), sum(col("dim_v"))).collect()(0).toSeq
+      val b = skewedFact.join(dim, "k").agg(
+        count(lit(1)), sum(col("payload")), sum(col("dim_v"))).collect()(0).toSeq
+      assert(a === b, "auto salting must be result-transparent")
+    }
+  }
 }
