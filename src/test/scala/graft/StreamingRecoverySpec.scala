@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.{DurableSinks, DurableState, Streams}
+
+/** Checkpoint/kill/resume proof for the durable foreachBatch sinks
+  * (round-12 VERDICT directive 3): a REAL file source + REAL
+  * checkpointLocation, the query stopped mid-stream, a FRESH sink
+  * instance (simulating a new JVM — no in-memory state survives), and
+  * the resumed run must end exactly equal to the one-shot batch twin.
+  * Replay tolerance (foreachBatch is at-least-once) and commit
+  * atomicity are asserted directly against the store. */
+class StreamingRecoverySpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("DurableState: commit is atomic — frames without a manifest flip are invisible") {
+    import spark.implicits._
+    val dir = tmp("graft-ds")
+    val store = new DurableState(spark, dir)
+    assert(store.loadAll().isEmpty && store.nextFoldIndex === 0L)
+    store.commit(0L, Map("s" -> Seq((1L, "a")).toDF("k", "v")))
+    assert(store.committed === Some((0L, 1L)))
+    // simulate a crash mid-commit of batch 1: frames land, manifest doesn't
+    Seq((2L, "b")).toDF("k", "v").write.parquet(s"$dir/commit=1/s")
+    val reopened = new DurableState(spark, dir)
+    assert(reopened.committed === Some((0L, 1L)),
+      "an unflipped commit directory must stay invisible")
+    assert(reopened.loadAll()("s").collect().map(_.toSeq).toSeq === Seq(Seq(1L, "a")))
+    // the next real commit of batch 1 overwrites the debris and lands
+    reopened.commit(1L, Map("s" -> Seq((2L, "b")).toDF("k", "v")))
+    assert(reopened.committed === Some((1L, 2L)))
+    assert(reopened.loadAll()("s").collect().map(_.toSeq).toSeq === Seq(Seq(2L, "b")))
+    assert(reopened.alreadyApplied(0L) && reopened.alreadyApplied(1L) &&
+      !reopened.alreadyApplied(2L))
+  }
+
+  test("replayed batchIds are no-ops: kmv, rollup, and distinct sinks absorb redelivery") {
+    import spark.implicits._
+    val b0 = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("event_type", "user_id")
+    val b1 = Seq(("a", 4L), ("b", 1L)).toDF("event_type", "user_id")
+    val kmv = new DurableSinks.DurableKmvSink(spark, tmp("graft-kmv"))
+    kmv.apply(b0, 0L); kmv.apply(b1, 1L)
+    val before = kmv.snapshot.get.collect().map(_.toSeq).toSet
+    kmv.apply(b1, 1L) // redelivery of the SAME batch
+    kmv.apply(b0, 0L) // and of an older one
+    assert(kmv.snapshot.get.collect().map(_.toSeq).toSet === before)
+
+    val r0 = Seq((1L, "a", 1.5, 100L), (2L, "b", 2.0, 150L))
+      .toDF("user_id", "event_type", "value", "ms")
+    val r1 = Seq((1L, "a", 4.0, 300L)).toDF("user_id", "event_type", "value", "ms")
+    val roll = new DurableSinks.DurableRollupSink(spark, tmp("graft-roll"),
+      Seq("user_id", "event_type"), "value", "ms")
+    roll.apply(r0, 0L); roll.apply(r1, 1L)
+    val rBefore = roll.snapshot.get.collect().map(_.toSeq).toSet
+    roll.apply(r1, 1L)
+    assert(roll.snapshot.get.collect().map(_.toSeq).toSet === rBefore)
+
+    val d0 = Seq(("d1", 1L), ("d1", 2L)).toDF("day", "user_id")
+    val d1 = Seq(("d1", 2L), ("d2", 2L)).toDF("day", "user_id")
+    val dc = new DurableSinks.DurableDistinctCountSink(spark, tmp("graft-dc"))
+    dc.apply(d0, 0L); dc.apply(d1, 1L)
+    val dBefore = dc.result.get.collect().map(_.toSeq).toSet
+    dc.apply(d1, 1L) // a replayed fold must not bump first_batch ordinals
+    assert(dc.result.get.collect().map(_.toSeq).toSet === dBefore)
+    assert(dBefore === Set(Seq("d1", 2L, 0L), Seq("d2", 1L, 1L)))
+  }
+
+  test("st20 durable KMV: file source + checkpoint, kill, FRESH instance resumes to the batch twin") {
+    import spark.implicits._
+    val src = tmp("graft-src")
+    val cp = tmp("graft-cp")
+    val state = tmp("graft-state")
+    val slice1 = (1L to 400L).map(u => (s"t${u % 3}", u))
+    val slice2 = (300L to 700L).map(u => (s"t${u % 3}", u)) // overlap: dedup matters
+    val schema = slice1.toDF("event_type", "user_id").schema
+
+    def run(sink: DurableSinks.DurableKmvSink): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch((b: DataFrame, id: Long) => sink.apply(b, id))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    slice1.toDF("event_type", "user_id").write.mode("append").parquet(src)
+    run(new DurableSinks.DurableKmvSink(spark, state)) // first life: consume slice1, die
+    slice2.toDF("event_type", "user_id").write.mode("append").parquet(src)
+    val second = new DurableSinks.DurableKmvSink(spark, state) // new JVM: no memory
+    run(second) // resumes from the checkpoint: must NOT re-read slice1's files
+    val got = second.snapshot.get.orderBy("event_type").collect().map(_.toSeq).toSeq
+    val want = Streams.kmvFinish(Streams.kmvState(
+        (slice1 ++ slice2).toDF("event_type", "user_id")))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(got === want, "resumed durable sketch diverged from the one-shot batch twin")
+  }
+
+  test("st14 durable rollup and st17 durable distinct: kill/resume equals the batch twin; fold ordinal survives") {
+    import spark.implicits._
+    // rollup
+    val all = Seq(
+      (1L, "a", java.lang.Double.valueOf(1.5), 100L),
+      (2L, "b", null.asInstanceOf[java.lang.Double], 150L),
+      (1L, "b", java.lang.Double.valueOf(4.0), 300L),
+      (2L, "b", java.lang.Double.valueOf(6.0), 400L))
+    val rollDir = tmp("graft-roll2")
+    val first = new DurableSinks.DurableRollupSink(spark, rollDir,
+      Seq("user_id", "event_type"), "value", "ms")
+    first.apply(all.take(2).toDF("user_id", "event_type", "value", "ms"), 0L)
+    // kill; resume with a fresh instance over the same store
+    val resumed = new DurableSinks.DurableRollupSink(spark, rollDir,
+      Seq("user_id", "event_type"), "value", "ms")
+    resumed.apply(all.drop(2).toDF("user_id", "event_type", "value", "ms"), 1L)
+    val ord = Seq(col("user_id"), col("event_type"))
+    val got = resumed.snapshot.get.orderBy(ord: _*).collect().map(_.toSeq).toSeq
+    val want = graft.operators.Upsert.rollupFinish(graft.operators.Upsert.rollupState(
+        all.toDF("user_id", "event_type", "value", "ms"),
+        Seq("user_id", "event_type"), "value", "ms"))
+      .orderBy(ord: _*).collect().map(_.toSeq).toSeq
+    assert(got === want)
+
+    // distinct: first_batch ordinals must keep counting across the restart
+    val dcDir = tmp("graft-dc2")
+    val dc1 = new DurableSinks.DurableDistinctCountSink(spark, dcDir)
+    dc1.apply(Seq(("d1", 1L)).toDF("day", "user_id"), 0L)
+    val dc2 = new DurableSinks.DurableDistinctCountSink(spark, dcDir)
+    dc2.apply(Seq(("d1", 1L), ("d2", 5L)).toDF("day", "user_id"), 1L)
+    val rows = dc2.result.get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows === Map("d1" -> ((1L, 0L)), "d2" -> ((1L, 1L))),
+      "fold ordinal must survive the restart (d2 first seen by fold 1, not 0)")
+  }
+
+  test("st12 durable upsert and st16 durable dedup-admission: kill/resume equals the in-memory twins") {
+    import spark.implicits._
+    // upsert
+    val upDir = tmp("graft-up")
+    val u0 = Seq((1L, 100L, 10L, "a"), (2L, 150L, 11L, "b"))
+      .toDF("user_id", "ms", "event_id", "v")
+    val u1 = Seq((1L, 200L, 12L, "c"), (3L, 50L, 13L, "d"))
+      .toDF("user_id", "ms", "event_id", "v")
+    val up1 = new DurableSinks.DurableUpsertSink(spark, upDir,
+      Seq("user_id"), Seq(col("ms"), col("event_id")))
+    up1.apply(u0, 0L)
+    val up2 = new DurableSinks.DurableUpsertSink(spark, upDir,
+      Seq("user_id"), Seq(col("ms"), col("event_id")))
+    up2.apply(u1, 1L)
+    val mem = new Streams.UpsertSink(Seq("user_id"), Seq(col("ms"), col("event_id")))
+    mem.apply(u0, 0L); mem.apply(u1, 1L)
+    assert(up2.snapshot.get.orderBy("user_id").collect().map(_.toSeq).toSeq ===
+      mem.snapshot.get.orderBy("user_id").collect().map(_.toSeq).toSeq)
+
+    // dedup admission: doc 3 is a near-dup of doc 1 ACROSS the restart
+    // boundary — the resumed index must still catch it
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val ddDir = tmp("graft-dd")
+    val b0 = Seq((1L, base), (2L, "completely different text about spark and catalyst planning"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, base + " x"), (4L, "another unrelated document entirely about parquet files"))
+      .toDF("doc_id", "text")
+    val dd1 = new DurableSinks.DurableDedupAdmissionSink(spark, ddDir)
+    dd1.apply(b0, 0L)
+    val dd2 = new DurableSinks.DurableDedupAdmissionSink(spark, ddDir)
+    dd2.apply(b1, 1L)
+    val memDd = new Streams.DedupAdmissionSink()
+    memDd.apply(b0, 0L); memDd.apply(b1, 1L)
+    val gotD = dd2.decisions.get.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val wantD = memDd.decisions.get.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(gotD === wantD)
+    val admitted = gotD.map(r => r.head -> r(1)).toMap
+    assert(admitted(3L) === false,
+      "near-dup arriving after the restart must be rejected by the RESUMED index")
+
+    // histogram
+    val hDir = tmp("graft-h")
+    val h0 = Seq(("a", 1.0, 100L), ("a", 2.0, 110L)).toDF("event_type", "value", "ms")
+    val h1 = Seq(("a", 50.0, 120L), ("b", 3.0, 130L)).toDF("event_type", "value", "ms")
+    val hs1 = new DurableSinks.DurableHistogramSink(spark, hDir)
+    hs1.apply(h0, 0L)
+    val hs2 = new DurableSinks.DurableHistogramSink(spark, hDir)
+    hs2.apply(h1, 1L)
+    val memH = new Streams.HistogramSink
+    memH.apply(h0, 0L); memH.apply(h1, 1L)
+    assert(hs2.snapshot.get.orderBy("event_type").collect().map(_.toSeq).toSeq ===
+      memH.snapshot.get.orderBy("event_type").collect().map(_.toSeq).toSeq)
+  }
+}
