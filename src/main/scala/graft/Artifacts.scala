@@ -60,6 +60,24 @@ object Artifacts {
     df.select("id", "band", "key")
   }
 
+  /** Persist the (doc_id, sh) shingle store the verify step of the
+    * incremental near-dup paths probes (the band index finds
+    * CANDIDATES; exact Jaccard needs the old docs' shingle sets —
+    * re-shingling the corpus per batch is the same non-starter as
+    * re-banding it). */
+  def saveShingleStore(sh: DataFrame, path: String): Unit =
+    sh.select("doc_id", "sh").write.mode("overwrite").parquet(path)
+
+  /** Reload a shingle store for
+    * [[graft.operators.Dedup.pairJaccard]] verification. */
+  def loadShingleStore(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    requireCols(df, "shingle store",
+      "doc_id" -> { case LongType => },
+      "sh" -> { case ArrayType(org.apache.spark.sql.types.StringType, _) => })
+    df.select("doc_id", "sh")
+  }
+
   /** Nullability-insensitive structural check: a mis-pointed path
     * fails fast with expected-vs-found instead of a downstream
     * analysis error. */

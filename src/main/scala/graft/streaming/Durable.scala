@@ -126,14 +126,26 @@ object DurableSinks {
       store.loadAll().get("state").map(Upsert.rollupFinish)
   }
 
-  /** st16's DedupAdmissionSink (three state frames). */
+  /** st16's DedupAdmissionSink (three state frames). `bootstrap` =
+    * (band-index path, shingle-store path) from [[graft.Artifacts]]:
+    * preloads the state when — and only when — the durable store is
+    * FRESH (a resumed store already contains the folded history,
+    * which supersedes the bootstrap snapshot). */
   class DurableDedupAdmissionSink(spark: SparkSession, dir: String,
-      tau: Double = graft.operators.Dedup.IncTau) {
+      tau: Double = graft.operators.Dedup.IncTau,
+      bootstrap: Option[(String, String)] = None) {
     import graft.functions.TextFunctions.{shingles3, tokens}
     private val store = new DurableState(spark, dir)
+    private def bootstrapped(st: Map[String, DataFrame]): Map[String, DataFrame] =
+      if (st.nonEmpty) st
+      else bootstrap.map { case (indexPath, shinglesPath) => Map(
+        "index" -> graft.Artifacts.loadBandIndex(spark, indexPath),
+        "shstore" -> graft.Artifacts.loadShingleStore(spark, shinglesPath)
+          .select(col("doc_id").as("id"), col("sh")))
+      }.getOrElse(st)
     def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (store.alreadyApplied(batchId)) return
-      val st = store.loadAll()
+      val st = bootstrapped(store.loadAll())
       val keysB = graft.operators.Dedup.bandKeys(batch, "text", "doc_id")
       val shB = batch.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
       val probe = st.get("index").map(_.unionByName(keysB)).getOrElse(keysB)

@@ -1019,13 +1019,30 @@ object Streams {
     * function of the global id order and the fold == rebuild oracle
     * would break. The streaming hot-bucket defense is upstream exact
     * dedup (the same doctrine), not bucket dropping. */
-  class DedupAdmissionSink(tau: Double = graft.operators.Dedup.IncTau) {
+  class DedupAdmissionSink(tau: Double = graft.operators.Dedup.IncTau,
+      /** Start the stream against an EXISTING corpus: a persisted
+        * band index + shingle store ([[graft.Artifacts]]) preload the
+        * state, so the first micro-batch already dedups against the
+        * whole history instead of an empty index (round-12 VERDICT
+        * directive 8 — the production cold-start wiring). */
+      bootstrap: Option[(String, String)] = None) {
     import graft.functions.TextFunctions.{jaccardAuto, shingles3, tokens}
     @volatile private var index: Option[DataFrame] = None   // (id, band, key), all seen
     @volatile private var shStore: Option[DataFrame] = None // (id, sh), all seen
     @volatile private var acc: Option[DataFrame] = None     // (doc_id, admitted)
+    private var bootstrapped = false
+    private def ensureBootstrap(s: org.apache.spark.sql.SparkSession): Unit =
+      if (!bootstrapped) {
+        bootstrap.foreach { case (indexPath, shinglesPath) =>
+          index = Some(graft.Artifacts.loadBandIndex(s, indexPath))
+          shStore = Some(graft.Artifacts.loadShingleStore(s, shinglesPath)
+            .select(col("doc_id").as("id"), col("sh")))
+        }
+        bootstrapped = true
+      }
     def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       val s = batch.sparkSession
+      ensureBootstrap(s)
       val keysB = graft.operators.Dedup.bandKeys(batch, "text", "doc_id")
       val shB = batch.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
       val probe = index.map(_.unionByName(keysB)).getOrElse(keysB)
