@@ -1180,9 +1180,14 @@ object TextOps {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
-  /** Library API: merge-accurate BPE token count per text value.
-    * `merges` apply in order (rank order of a real merges table). */
-  def bpeTokenCount(text: Column, merges: Seq[(String, String)] = DefaultMerges): Column = {
+  /** COMPOSED reference form of the BPE counter: one interpreted
+    * `aggregate` HOF per merge rule unrolled into the expression tree.
+    * Exact and oracle-replayable, but expression size (and interpreted
+    * per-element cost) grows linearly with the merges table — the
+    * 25-rule in-repo oracle duty only. [[bpeTokenCount]] is the
+    * production path; TextLayoutSpec differential-gates the two. */
+  def bpeTokenCountComposed(text: Column,
+      merges: Seq[(String, String)] = DefaultMerges): Column = {
     val words = tokens(text)
     aggregate(
       transform(words, w => {
@@ -1190,6 +1195,37 @@ object TextOps {
         size(merges.foldLeft(chars) { case (a, (l, r)) => applyMerge(a, l, r) }).cast("long")
       }),
       lit(0L), (acc, n) => acc + n)
+  }
+
+  /** Library API: merge-accurate BPE token count per text value.
+    * `merges` apply in order (rank order of a real merges table).
+    * Backed by the compiled [[graft.plans.BpeCountExpr]] since round
+    * 13, so a REAL 32k-50k-rule published merges table is usable (the
+    * composed form above was measured superlinear in wall and
+    * analysis cost past a few hundred rules — PLANS.md curve); the
+    * registered t22 runs THIS path against the unchanged DuckDB twin,
+    * and identical greedy semantics vs the composed form are spec'd. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)] = DefaultMerges): Column =
+    org.apache.spark.sql.GraftSqlBridge.columnOf(graft.plans.BpeCountExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(text),
+      merges.map(_._1).toArray, merges.map(_._2).toArray))
+
+  /** Deterministic synthetic merges table of size `n` for scale
+    * rehearsal: DefaultMerges first (so small prefixes stay the
+    * hand-checked rules), then letter-pair rules in a fixed order —
+    * the content is immaterial to the cost curve (work is
+    * rules × symbols), the SIZE is the experiment. */
+  def syntheticMerges(n: Int): Seq[(String, String)] = {
+    val extra = for {
+      a <- 'a' to 'z'; b <- 'a' to 'z'
+      if !DefaultMerges.contains((a.toString, b.toString))
+    } yield (a.toString, b.toString)
+    val doubled = for (a <- 'a' to 'z'; b <- 'a' to 'z')
+      yield (s"$a$b", a.toString) // merged-symbol lefts: fire after pair rules
+    val paired = for (a <- 'a' to 'z'; b <- 'a' to 'z')
+      yield (s"$a$b", s"$b$a") // merged × merged
+    (DefaultMerges ++ extra ++ doubled ++ doubled.map { case (l, r) => (r, l) } ++ paired)
+      .take(n)
   }
 
   /** t22's sample selector: t21's portable two-step mixing hash at its

@@ -482,4 +482,65 @@ class TextLayoutSpec extends SparkSuite {
     // precondition)
     assert(Tables.documents(spark, sf).filter(col("text").contains(S)).count() === 0)
   }
+
+  test("compiled BPE counter == composed HOF fold (randomized differential, 25 rules)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val letters = "theinorandsgul"
+    val texts = (1 to 300).map { _ =>
+      Seq.fill(1 + rnd.nextInt(8))(
+        (1 to (1 + rnd.nextInt(9))).map(_ => letters(rnd.nextInt(letters.length))).mkString)
+        .mkString(" ")
+    } :+ "" :+ "a" :+ "the the the" :+ "aaaa bbbb"
+    val df = texts.toDF("text")
+    val got = df.select(
+      TextOps.bpeTokenCount(col("text")).as("fast"),
+      TextOps.bpeTokenCountComposed(col("text")).as("ref")).collect()
+    got.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) === r.getLong(1), s"compiled BPE diverged on '$t'")
+    }
+    // and the real gate corpus agrees end-to-end
+    val corpus = Tables.documents(spark, sf).select(
+      sum(TextOps.bpeTokenCount(col("text"))).as("fast"),
+      sum(TextOps.bpeTokenCountComposed(col("text"))).as("ref")).head()
+    assert(corpus.getLong(0) === corpus.getLong(1))
+  }
+
+  test("compiled BPE counter takes a 2500-rule table and matches a plain-Scala mirror") {
+    import spark.implicits._
+    val merges = TextOps.syntheticMerges(2500)
+    assert(merges.length === 2500)
+    // sequential greedy mirror, written independently of BpeApply
+    def mirror(text: String): Long = {
+      text.split(" ", -1).map { w =>
+        if (w.isEmpty) 0L
+        else {
+          var syms: Vector[String] = w.split("", -1).filter(_.nonEmpty).toVector
+          merges.foreach { case (l, r) =>
+            syms = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+              else acc :+ x
+            }
+          }
+          syms.size.toLong
+        }
+      }.sum
+    }
+    val texts = Seq(
+      "the theatre of operations and the band played on",
+      "aaaa abab baba cccc",
+      "", "x", "supercalifragilistic expialidocious",
+      "in on at and the for ing")
+    val got = texts.toDF("text")
+      .select(TextOps.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === texts.map(mirror),
+      "2500-rule compiled counter diverged from the sequential mirror")
+    // whole-corpus smoke at full table size: runs, and merging can
+    // only shrink symbol counts from the character bound
+    val chk = Tables.documents(spark, sf).limit(100)
+      .select(sum(TextOps.bpeTokenCount(col("text"), merges)).as("b"),
+        sum(length(col("text"))).as("c")).head()
+    assert(chk.getLong(0) <= chk.getLong(1))
+  }
 }
