@@ -198,6 +198,14 @@ object Bench {
     // overflows, so fall back to the (unique) short family ids.
     val line = Seq(fmt(3, false), fmt(2, false), fmt(3, true), fmt(2, true))
       .find(_.length <= 1900).getOrElse(fmt(2, true))
+    // The stdout line is tail-truncation-prone on the driver side
+    // (ADVICE r12: ~16 per-key timings fell off BENCH_r12's captured
+    // tail) — ALSO write the FULL untruncated JSON (long keys, 3dp) to
+    // a file in the repo so every per-key timing survives the round
+    // regardless of how much of stdout the driver keeps.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), fmt(3, false) + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
     println(line)
   }
