@@ -1915,33 +1915,34 @@ object Relational {
     val P = graft.functions.TextFunctions.P
     val k = KmvK
     val d = ev.select(col("event_type"), col("user_id")).distinct()
-    val h = d.withColumn("__h",
-      pmod(pmod(pmod(col("user_id"), lit(P)) * 1103515245L +
-        lit(KmvSeed) * 2654435761L + 12345L, lit(P)) * 48271L, lit(P)))
-    val wT = Window.partitionBy(col("event_type")).orderBy(col("__h"), col("user_id"))
-    val sk = h.withColumn("rk", row_number().over(wT)).filter(col("rk") <= k).drop("rk")
+    val h = d.withColumn("__h", kmvHash(col("user_id")))
+    // per-type sketches from the ENGINE PRIMITIVE (q44's aggregate);
+    // the set algebra is then pure ARRAY expressions over T sketch
+    // rows — union = k smallest of A∪B (the summary property:
+    // array_union dedupes exact (h,id) structs, array_sort orders by
+    // the struct's (h,id), slice keeps k), rho = union members present
+    // in BOTH sketches. The pre-round-13 form re-ranked exploded
+    // sketch rows through a pair-grain window; this never leaves the
+    // sketch row.
+    val sk = h.groupBy(col("event_type"))
+      .agg(graft.plans.SketchAggs.kmvSketch(col("__h"), col("user_id"), k).as("sk"))
+    val skPairs = sk.select(col("event_type").as("ta"), col("sk").as("ska"))
+      .join(broadcast(sk.select(col("event_type").as("tb"), col("sk").as("skb"))),
+        col("ta") < col("tb"))
+    val est = skPairs
+      .withColumn("sk", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("n_sk", size(col("sk")).cast("long"))
+      .withColumn("hk", element_at(col("sk"), k).getField("h"))
+      .withColumn("rho", size(array_intersect(col("sk"),
+        array_intersect(col("ska"), col("skb")))).cast("long"))
+      .withColumn("union_est", when(col("n_sk") < k, col("n_sk"))
+        .otherwise(expr(s"(${k - 1}L * ${P}L) div greatest(hk, 1L)")))
+      .withColumn("inter_est", expr("rho * union_est div greatest(n_sk, 1L)"))
+      .select(col("ta"), col("tb"), col("n_sk"), col("union_est"), col("inter_est"))
     val types = sk.select(col("event_type")).distinct()
     val pairs = broadcast(types.select(col("event_type").as("ta"))
       .crossJoin(types.select(col("event_type").as("tb")))
       .filter(col("ta") < col("tb")))
-    val aMem = pairs.join(sk, sk("event_type") === col("ta"))
-      .select(col("ta"), col("tb"), col("user_id"), col("__h"),
-        lit(1L).as("fa"), lit(0L).as("fb"))
-    val bMem = pairs.join(sk, sk("event_type") === col("tb"))
-      .select(col("ta"), col("tb"), col("user_id"), col("__h"),
-        lit(0L).as("fa"), lit(1L).as("fb"))
-    val mem = aMem.unionAll(bMem)
-      .groupBy(col("ta"), col("tb"), col("user_id"), col("__h"))
-      .agg(max(col("fa")).as("fa"), max(col("fb")).as("fb"))
-    val wP = Window.partitionBy(col("ta"), col("tb")).orderBy(col("__h"), col("user_id"))
-    val est = mem.withColumn("rk", row_number().over(wP)).filter(col("rk") <= k)
-      .groupBy(col("ta"), col("tb"))
-      .agg(count(lit(1)).as("n_sk"),
-        max(when(col("rk") === k, col("__h"))).as("hk"),
-        sum(col("fa") * col("fb")).as("rho"))
-      .withColumn("union_est", when(col("n_sk") < k, col("n_sk"))
-        .otherwise(expr(s"(${k - 1}L * ${P}L) div greatest(hk, 1L)")))
-      .withColumn("inter_est", expr("rho * union_est div greatest(n_sk, 1L)"))
     val exU = pairs.join(d, d("event_type") === col("ta") || d("event_type") === col("tb"))
       .select(col("ta"), col("tb"), col("user_id")).distinct()
       .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("union_exact"))
