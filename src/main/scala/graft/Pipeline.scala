@@ -39,7 +39,14 @@ object Pipeline {
     * target here: clipping a skewed 0/1 label (IQR = 0) would collapse
     * it to a constant. (The pandas reference clips every numeric
     * column including the target — a latent bug this port fixes.) */
-  def clean(dfIn: DataFrame, noClip: Set[String] = Set.empty): DataFrame = {
+  def clean(dfIn: DataFrame, noClip: Set[String] = Set.empty,
+      /** Impute/clip parameters from exact percentiles instead of the
+        * sketch — the ORACLE-PARITY switch (functions.Quantiles'
+        * contract: exact answers bit-match DuckDB's quantile_cont,
+        * sketch answers match no other engine). The library default
+        * stays the scale-safe sketch; e2e_clean's hash gate runs
+        * exact so the WHOLE cleaning chain replays cross-engine. */
+      exactQuantiles: Boolean = false): DataFrame = {
     // one scan: per-column non-null counts + parse rate of string cols
     // (try_to_timestamp is ANSI-safe); the O(#columns) row is the only
     // thing collected
@@ -59,11 +66,17 @@ object Pipeline {
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val tsCols = df.schema.fields.filter(_.dataType == TimestampType).map(_.name)
 
-    // one pass: median + quartiles for every numeric column
+    // one pass: median + quartiles for every numeric column (through
+    // the Quantiles chokepoint: sketch by default, exact on the
+    // oracle-parity path)
     val paramAggs = numCols.flatMap { c =>
-      Seq(expr(s"approx_percentile($c, 0.5)").cast("double").as(s"__med_$c"),
-        expr(s"approx_percentile($c, 0.25)").cast("double").as(s"__q1_$c"),
-        expr(s"approx_percentile($c, 0.75)").cast("double").as(s"__q3_$c"))
+      Seq(
+        graft.functions.Quantiles.quantile(col(c), 0.5, exactQuantiles)
+          .cast("double").as(s"__med_$c"),
+        graft.functions.Quantiles.quantile(col(c), 0.25, exactQuantiles)
+          .cast("double").as(s"__q1_$c"),
+        graft.functions.Quantiles.quantile(col(c), 0.75, exactQuantiles)
+          .cast("double").as(s"__q3_$c"))
     }
     val withNum = if (paramAggs.isEmpty) df else {
       val params = df.agg(paramAggs.head, paramAggs.tail.toSeq: _*)
@@ -511,4 +524,67 @@ object Pipeline {
       df.filter(col("__r") >= 20).drop("__r"),
       df.filter(col("__r") < 20).drop("__r"))
   }
+
+  // -------------------------------------------------------------------
+  // e2e_clean: the reference's clean_data chain (main.py:66-129)
+  // through the oracle gate AS A COMPOSITION — every ingredient
+  // (median impute c2, IQR clip c4, mode impute c3, label encode c5,
+  // frequency encode c6, calendar features c7, all-null drop c8) is
+  // individually gated, but the reference's value is the CHAIN over a
+  // whole table: this key hash-gates the full cleaned events frame,
+  // row for row and column for column (e2e_curate's rationale applied
+  // to the cleaning side of the reference). Exact quantiles on this
+  // path only (the Quantiles chokepoint contract); order by the
+  // cleaned event_id (unique, clip is a no-op on a uniform id).
+  def e2eClean(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    clean(Tables.events(s, dir), exactQuantiles = true)
+      .orderBy(col("event_id"))
+
+  /** DuckDB twin: the same chain replayed column for column. Fixed
+    * branch per column for this corpus (asserted stable across SFs:
+    * event_type 5 distinct → label, props 100 distinct → frequency,
+    * no all-null columns, no datetime-like strings). */
+  val e2eCleanSql: String = {
+    def cleanNum(c: String) =
+      s"""least(greatest(coalesce(CAST(e.$c AS DOUBLE), p.med_$c),
+         |    p.q1_$c - (p.q3_$c - p.q1_$c) * 1.5),
+         |  p.q3_$c + (p.q3_$c - p.q1_$c) * 1.5)""".stripMargin
+    val numParams = Seq("event_id", "user_id", "value").flatMap(c => Seq(
+      s"quantile_cont($c, 0.5) AS med_$c",
+      s"quantile_cont($c, 0.25) AS q1_$c",
+      s"quantile_cont($c, 0.75) AS q3_$c")).mkString(",\n    ")
+    s"""WITH p AS (
+       |  SELECT
+       |    $numParams
+       |  FROM events),
+       |codes AS (
+       |  SELECT event_type AS et,
+       |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS DOUBLE) AS et_code
+       |  FROM (SELECT DISTINCT event_type FROM events)),
+       |freqs AS (
+       |  SELECT props AS pv, CAST(count(*) AS DOUBLE) AS p_freq
+       |  FROM events GROUP BY 1)
+       |SELECT
+       |  ${cleanNum("event_id")} AS event_id,
+       |  ${cleanNum("user_id")} AS user_id,
+       |  c.et_code AS event_type,
+       |  ${cleanNum("value")} AS value,
+       |  f.p_freq AS props,
+       |  CAST(year(e.ts) AS DOUBLE) AS ts_year,
+       |  CAST(month(e.ts) AS DOUBLE) AS ts_month,
+       |  CAST(day(e.ts) AS DOUBLE) AS ts_day,
+       |  CAST(hour(e.ts) AS DOUBLE) AS ts_hour,
+       |  CAST(isodow(e.ts) AS DOUBLE) AS ts_dow,
+       |  CAST(week(e.ts) AS DOUBLE) AS ts_weekofyear
+       |FROM events e
+       |CROSS JOIN p
+       |JOIN codes c ON c.et = e.event_type
+       |JOIN freqs f ON f.pv = e.props
+       |ORDER BY event_id""".stripMargin
+  }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("e2e_clean" -> (e2eClean _))
+
+  def oracles: Map[String, String] = Map("e2e_clean" -> e2eCleanSql)
 }

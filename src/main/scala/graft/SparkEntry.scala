@@ -32,11 +32,11 @@ object SparkEntry {
     Relational.queries ++ Cleaning.queries ++ MLPrep.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.Streams.queries ++ Upsert.queries ++
-      Corpus.queries
+      Corpus.queries ++ Pipeline.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Cleaning.oracles ++ MLPrep.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.Streams.oracles ++ Upsert.oracles ++
-      Corpus.oracles
+      Corpus.oracles ++ Pipeline.oracles
 }
