@@ -49,14 +49,26 @@ object SketchAggs {
       GraftSqlBridge.expression(key), GraftSqlBridge.expression(weight), d, w)
       .toAggregateExpression())
 
-  /** The d row-hash positions of `key` in a d×w Count-Min sketch —
-    * the lookup side of [[cmSketch]], same permA/permB row hashes.
-    * Returns the flattened cell indices (j·w + pos_j). */
   private[plans] def integral(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType => true
     case _ => false
   }
 
+  /** Fixed-width binned counter array as a Column aggregate — the
+    * FOURTH mergeable summary as an engine primitive (KMV distinct,
+    * CM frequency, bloom membership, THIS = quantiles via st19's
+    * fixed-bin histogram). `bin` must already be clamped to [0, b)
+    * by the caller (the binning rule is the operator's semantics, not
+    * the sketch's); an out-of-range bin throws rather than silently
+    * corrupting a neighbor cell. Output: array<long> of b counters. */
+  def binnedCounts(bin: Column, weight: Column, b: Int): Column =
+    GraftSqlBridge.columnOf(BinnedCountsAgg(
+      GraftSqlBridge.expression(bin), GraftSqlBridge.expression(weight), b)
+      .toAggregateExpression())
+
+  /** The d row-hash positions of `key` in a d×w Count-Min sketch —
+    * the lookup side of [[cmSketch]], same permA/permB row hashes.
+    * Returns the flattened cell indices (j·w + pos_j). */
   def cmPositions(key: Column, d: Int, w: Int): Seq[Column] = {
     import org.apache.spark.sql.functions._
     val P = graft.functions.TextFunctions.P
@@ -264,4 +276,81 @@ case class CmSketchAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CmSketchAgg =
     copy(keyExpr = newChildren(0), weightExpr = newChildren(1))
+}
+
+/** Binned counter-array aggregate — see [[SketchAggs.binnedCounts]].
+  * CmSketchAgg's buffer/merge/serialize contract with the identity
+  * positioning (no hashing: the bin IS the cell). Null bin or weight
+  * rows are skipped; an out-of-range bin fails loudly. */
+case class BinnedCountsAgg(
+    binExpr: Expression, weightExpr: Expression, b: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(binExpr, weightExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_binned_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (binExpr.dataType, weightExpr.dataType) match {
+      case (bt, wt) if SketchAggs.integral(bt) && SketchAggs.integral(wt) && b >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (bt, wt) => TypeCheckResult.TypeCheckFailure(
+        s"graft_binned_counts requires integral (bin, weight) and b >= 1, " +
+          s"got (${bt.simpleString}, ${wt.simpleString}, b=$b)")
+    }
+
+  private def longOf(e: Expression, v: Any): Long = e.dataType match {
+    case LongType => v.asInstanceOf[Long]
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case ShortType => v.asInstanceOf[Short].toLong
+    case ByteType => v.asInstanceOf[Byte].toLong
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](b)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val bv = binExpr.eval(input)
+    val wv = weightExpr.eval(input)
+    if (bv != null && wv != null) {
+      val bin = longOf(binExpr, bv)
+      if (bin < 0 || bin >= b) throw new IllegalArgumentException(
+        s"graft_binned_counts: bin $bin outside [0, $b) — clamp upstream")
+      buf(bin.toInt) += longOf(weightExpr, wv)
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BinnedCountsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BinnedCountsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BinnedCountsAgg =
+    copy(binExpr = newChildren(0), weightExpr = newChildren(1))
 }

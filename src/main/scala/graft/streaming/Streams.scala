@@ -1247,22 +1247,35 @@ object Streams {
   val QBins = 64
   val QBinCents = 800L
 
-  /** One micro-batch reduced to mergeable histogram grain:
-    * (event_type, bin) -> count. */
+  /** One micro-batch reduced to mergeable histogram grain: ONE row per
+    * event_type carrying the B-counter array — the engine-primitive
+    * form (plans/SketchAggs.BinnedCountsAgg, the quartet's quantile
+    * member): partial aggregation merges B-long buffers map-side, so
+    * the fold shuffle carries |keys| sketch rows, not |keys|·B
+    * (bin, count) rows. */
   def histogramState(batch: DataFrame): DataFrame =
     batch.filter(col("value").isNotNull)
       .select(col("event_type"),
         least(greatest(expr(s"CAST(round(value * 100) AS BIGINT) div $QBinCents"),
           lit(0L)), lit(QBins - 1L)).as("bin"))
-      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(graft.plans.SketchAggs.binnedCounts(col("bin"), lit(1L), QBins).as("hist"))
 
-  /** Fold two histogram states: counter addition on the shared grain. */
+  /** Fold two histogram states: counter addition — explode to (bin,
+    * count) grain and re-run the SAME aggregate (kmvMerge's pattern;
+    * addition is associative+commutative so any slicing folds equal). */
   def histogramMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("event_type"), col("bin"))
-      .agg(sum(col("c")).as("c"))
+    a.unionByName(b)
+      .select(col("event_type"), posexplode(col("hist")).as(Seq("bin", "c")))
+      .groupBy(col("event_type"))
+      .agg(graft.plans.SketchAggs.binnedCounts(col("bin"), col("c"), QBins).as("hist"))
 
   /** Quantile read: per event_type, the upper edge (in cents) of the
-    * first bin whose cumulative count reaches ceil(q·N/100). */
+    * first bin whose cumulative count reaches ceil(q·N/100). The walk
+    * explodes one sketch row to its B bins — construction-bounded
+    * (≤ |event_types|·B rows), never corpus rows. Zero bins cannot
+    * move the read: cum is flat across them, so the min() upper edge
+    * still lands on the first OCCUPIED covering bin. */
   def quantileFinish(state: DataFrame): DataFrame = {
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
     val wAll = Window.partitionBy(col("event_type"))
@@ -1270,6 +1283,7 @@ object Streams {
       min(when(col("cum") * 100 >= col("n") * q, (col("bin") + 1) * QBinCents))
         .as(s"p${q}_ub_cents")
     state
+      .select(col("event_type"), posexplode(col("hist")).as(Seq("bin", "c")))
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
       .groupBy(col("event_type"))

@@ -75,4 +75,25 @@ class SketchAggsSpec extends SparkSuite {
       assert(posDf.getLong(j) === j * w + pos)
     }
   }
+
+  test("binned counts: hand-built array, null-skip, weight merge, loud out-of-range") {
+    import spark.implicits._
+    val b = 8
+    val rows = Seq(Some(0L), Some(3L), Some(3L), None, Some(7L))
+    val got = rows.toDF("bin")
+      .agg(SketchAggs.binnedCounts(col("bin"), lit(1L), b)).collect().head.getSeq[Long](0)
+    assert(got.toSeq === Seq(1L, 0L, 0L, 2L, 0L, 0L, 0L, 1L))
+    // weighted re-aggregation (the histogramMerge pattern) is exact addition
+    val merged = Seq((0L, 5L), (3L, 2L), (3L, 2L), (7L, 1L)).toDF("bin", "c")
+      .agg(SketchAggs.binnedCounts(col("bin"), col("c"), b)).collect().head.getSeq[Long](0)
+    assert(merged.toSeq === Seq(5L, 0L, 0L, 4L, 0L, 0L, 0L, 1L))
+    // out-of-range bins fail loudly instead of corrupting a neighbor
+    val ex = intercept[Exception] {
+      Seq(9L).toDF("bin").agg(SketchAggs.binnedCounts(col("bin"), lit(1L), b)).collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("graft_binned_counts")), s"wanted the bin guard, got $ex")
+  }
 }
