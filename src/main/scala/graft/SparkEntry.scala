@@ -19,6 +19,9 @@ import graft.operators._
   *  - mm1–mm8  operators/Multimodal.scala  (binary payloads, header decode, frames, modality stats, payload dedup, shard plan, decode budget, pHash near-dup)
   *  - st1–st20 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission, incremental-dedup admission, incremental distinct, late-drop accounting, histogram-quantile sink, streaming KMV distinct)
   *  - i1–i10   operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental/retraction-aware rollup maintenance, incremental distinct, bucketed-layout join gate, compaction planning, z-order layout)
+  *  - q47      operators/Skew.scala        (Count-Min hot-key audit deciding q19's salt factor)
+  *  - e2e_curate Corpus.scala              (the composed 10-stage curation pipeline, per-stage attrition ledger)
+  *  - e2e_clean  Pipeline.scala            (the reference's clean_data chain, whole-frame hash gate)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).
   */
