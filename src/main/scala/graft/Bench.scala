@@ -107,11 +107,23 @@ object Bench {
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
     }
+    // Family ids (q22, mm4, ...) used to be unique; e2e_curate /
+    // e2e_clean both shorten to "e2e", so a colliding family keeps
+    // its FULL key everywhere (per-key map, prev lookups, flags) —
+    // a duplicate JSON key would silently drop one timing.
+    val shortOf: String => String = {
+      val ids = sortedQueries.map(_._1.takeWhile(_ != '_'))
+      val dup = ids.groupBy(identity).collect { case (v, xs) if xs.size > 1 => v }.toSet
+      (name: String) => {
+        val sid = name.takeWhile(_ != '_')
+        if (dup.contains(sid)) name else sid
+      }
+    }
     sortedQueries.grouped(bucketSize).zipWithIndex.foreach { case (bucket, bi) =>
       bucket.foreach { case (name, fn) =>
         val n = if (name == "m14_grid_search" || name == "m7_feature_importance") 3 else 2
         var times = (1 to n).map(_ => runOnce(fn))
-        val short = name.takeWhile(_ != '_')
+        val short = shortOf(name)
         if (times.flatten.isEmpty) errs += short
         else {
           // some-but-not-all runs failed: the min time stands but the
@@ -141,10 +153,10 @@ object Bench {
           runOnce(qmap(name)) match {
             case Some(t2) =>
               results(i) = (name, math.min(t, t2), susp, b)
-              calrr += name.takeWhile(_ != '_')
+              calrr += shortOf(name)
             // a query that succeeded in the sweep but threw on the
             // re-run is an intermittent failure — surface it
-            case None => flaky += name.takeWhile(_ != '_')
+            case None => flaky += shortOf(name)
           }
         }
       }
@@ -178,7 +190,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     val calStr = calPoints.map(num(2, _)).mkString("[", ",", "]")
     val rerunStr = results.filter(_._3)
-      .map(r => "\"" + r._1.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+      .map(r => "\"" + shortOf(r._1) + "\"").mkString("[", ",", "]")
     val errStr = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyStr = flaky.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // calrr can span whole buckets (25 names); emit the count plus the
@@ -188,7 +200,7 @@ object Bench {
       s"""{"n":${calrr.size},"buckets":${hotBuckets.mkString("[", ",", "]")}}"""
     def fmt(dec: Int, short: Boolean): String = {
       val qs = results.map { case (k, v, _, _) =>
-        val key = if (short) k.takeWhile(_ != '_') else k // family ids (q22, mm4…) are unique
+        val key = if (short) shortOf(k) else k // collision-aware (e2e_* keeps full keys)
         s""""$key":${num(dec, v)}"""
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
