@@ -78,6 +78,26 @@ object Artifacts {
     df.select("doc_id", "sh")
   }
 
+  /** Persist a [[graft.operators.Skew.cmSummary]] ((cm, n_rows) 1-row
+    * frame) — the ingest-time hot-key sketch that lets
+    * [[graft.operators.Skew.saltedJoinAuto]]'s artifact overload skip
+    * the per-join fact scan (q47's audit, amortized the same way d13
+    * amortizes banding). */
+  def saveCmSketch(summary: DataFrame, path: String): Unit =
+    summary.select("cm", "n_rows").write.mode("overwrite").parquet(path)
+
+  /** Reload a Count-Min summary for
+    * [[graft.operators.Skew.skewAuditFromSketch]] /
+    * `recommendSaltsFromSketch` — probe-equality with the pre-save
+    * frame is the spec'd contract (ArtifactsSpec). */
+  def loadCmSketch(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    requireCols(df, "count-min summary",
+      "cm" -> { case ArrayType(LongType, _) => },
+      "n_rows" -> { case LongType => })
+    df.select("cm", "n_rows")
+  }
+
   /** Nullability-insensitive structural check: a mis-pointed path
     * fails fast with expected-vs-found instead of a downstream
     * analysis error. */

@@ -1836,8 +1836,15 @@ object Relational {
     * engines guard identically so the twin can't diverge on it. */
   def withKmvEstimate(df: DataFrame): DataFrame = {
     val P = graft.functions.TextFunctions.P
+    // hk is guarded by an explicit when(): element_at(sk, k) on an
+    // unsaturated sketch (n_sk < k) is an ANSI INVALID_ARRAY_INDEX
+    // error in Spark 4, and relying on the downstream CASE to keep it
+    // lazy only works while Catalyst happens to inline hk into the
+    // ELSE branch — any plan shape that materializes hk eagerly would
+    // turn a valid small group into a runtime error (r13 ADVICE).
     df.withColumn("n_sk", size(col("sk")).cast("long"))
-      .withColumn("hk", element_at(col("sk"), KmvK).getField("h"))
+      .withColumn("hk", when(col("n_sk") >= KmvK,
+        element_at(col("sk"), KmvK).getField("h")))
       .withColumn("n_est", expr(s"CASE WHEN n_sk < $KmvK THEN n_sk " +
         s"ELSE (${KmvK - 1}L * ${P}L) div greatest(hk, 1L) END"))
   }
@@ -1932,7 +1939,10 @@ object Relational {
     val est = skPairs
       .withColumn("sk", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
       .withColumn("n_sk", size(col("sk")).cast("long"))
-      .withColumn("hk", element_at(col("sk"), k).getField("h"))
+      // same explicit guard as withKmvEstimate: never index past an
+      // unsaturated sketch's end, regardless of optimizer inlining
+      .withColumn("hk", when(col("n_sk") >= k,
+        element_at(col("sk"), k).getField("h")))
       .withColumn("rho", size(array_intersect(col("sk"),
         array_intersect(col("ska"), col("skb")))).cast("long"))
       .withColumn("union_est", when(col("n_sk") < k, col("n_sk"))

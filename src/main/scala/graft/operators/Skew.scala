@@ -58,32 +58,39 @@ object Skew {
   // error only ever INFLATES the estimate, so the recommendation errs
   // toward more salts — safe, never under-provisioned.
 
-  /** One-row skew report for `fact.key`, candidates from the dim side:
-    * (n_rows, n_keys, hot_key, est_max, exact_max, mean_per_key,
-    * skew_ppm, rec_salts). exact_max is the audit column (d9's
-    * measure-don't-guess role): the true hottest count, beside the
-    * sketch estimate the decision actually uses. */
-  def skewAudit(fact: DataFrame, key: String, candidates: DataFrame): DataFrame = {
+  /** The one-row persistable (cm, n_rows) Count-Min summary of
+    * `fact.key` — the input everything below probes, and the artifact
+    * [[graft.Artifacts.saveCmSketch]] persists so repeated joins
+    * against the same fact pay the audit's fact scan ONCE at ingest
+    * (the d13 band-index lifecycle applied to skew; r13 VERDICT #5). */
+  def cmSummary(fact: DataFrame, key: String): DataFrame = {
+    import graft.plans.SketchAggs
+    fact.agg(
+      SketchAggs.cmSketch(col(key), lit(1L), Relational.CmD, Relational.CmW.toInt).as("cm"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  /** Skew report computed from a pre-built [[cmSummary]] (fresh or
+    * reloaded from an artifact): (n_rows, n_keys, hot_key, est_max,
+    * mean_per_key, skew_ppm, rec_salts). No fact scan happens here —
+    * the plan is dim-bounded probes of a broadcast 1-row sketch.
+    * Empty `candidates` → empty frame (callers degrade to 1 salt). */
+  def skewAuditFromSketch(summary: DataFrame, key: String,
+      candidates: DataFrame): DataFrame = {
     import graft.plans.SketchAggs
     val d = Relational.CmD
     val w = Relational.CmW.toInt
-    val sk = fact.agg(
-      SketchAggs.cmSketch(col(key), lit(1L), d, w).as("cm"),
-      count(lit(1)).as("n_rows"))
     val cellAt = SketchAggs.cmPositions(col(key), d, w)
       .map(p => element_at(col("cm"), (p + 1).cast("int")))
     val est = candidates.select(col(key)).distinct()
-      .crossJoin(broadcast(sk)) // 1-row broadcast side
+      .crossJoin(broadcast(summary)) // 1-row broadcast side
       .withColumn("est", least(cellAt: _*))
     val nk = est.agg(count(lit(1)).as("n_keys"))
-    val exactMax = fact.groupBy(col(key)).agg(count(lit(1)).as("__c"))
-      .agg(max(col("__c")).as("exact_max"))
     // deterministic hottest pick: highest estimate, smallest key —
     // a tiny sort over dim-bounded rows
     est.orderBy(col("est").desc, col(key)).limit(1)
       .select(col("n_rows"), col(key).as("hot_key"), col("est").as("est_max"))
       .crossJoin(broadcast(nk))
-      .crossJoin(broadcast(exactMax))
       .withColumn("mean_per_key", expr("n_rows div greatest(n_keys, 1L)"))
       .withColumn("skew_ppm",
         expr("est_max * 1000000L div greatest(mean_per_key, 1L)"))
@@ -94,18 +101,51 @@ object Skew {
           "WHEN __r <= 8 THEN 8L WHEN __r <= 16 THEN 16L WHEN __r <= 32 THEN 32L " +
           "WHEN __r <= 64 THEN 64L WHEN __r <= 128 THEN 128L ELSE 256L END"))
       .select(col("n_rows"), col("n_keys"), col("hot_key"), col("est_max"),
+        col("mean_per_key"), col("skew_ppm"), col("rec_salts"))
+  }
+
+  /** One-row skew report for `fact.key`, candidates from the dim side:
+    * (n_rows, n_keys, hot_key, est_max, exact_max, mean_per_key,
+    * skew_ppm, rec_salts). exact_max is the audit column (d9's
+    * measure-don't-guess role): the true hottest count, beside the
+    * sketch estimate the decision actually uses — it needs the fact
+    * itself, which is why the sketch-only form above omits it. */
+  def skewAudit(fact: DataFrame, key: String, candidates: DataFrame): DataFrame = {
+    val exactMax = fact.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("exact_max"))
+    skewAuditFromSketch(cmSummary(fact, key), key, candidates)
+      .crossJoin(broadcast(exactMax))
+      .select(col("n_rows"), col("n_keys"), col("hot_key"), col("est_max"),
         col("exact_max"), col("mean_per_key"), col("skew_ppm"), col("rec_salts"))
   }
 
+  /** rec_salts from a pre-built/reloaded [[cmSummary]] — total: an
+    * empty dim side yields an empty audit, which degrades to 1 salt
+    * (the join of anything with an empty dim is empty anyway). */
+  def recommendSaltsFromSketch(summary: DataFrame, key: String,
+      candidates: DataFrame): Int =
+    skewAuditFromSketch(summary, key, candidates).select(col("rec_salts"))
+      .collect().headOption.map(_.getLong(0).toInt).getOrElse(1)
+
   /** The salt factor [[saltedJoin]] should use for fact⋈dim on `key` —
-    * [[skewAudit]]'s rec_salts, collected (one small job; the audit
-    * plan is a single fact pass plus dim-bounded probes). */
+    * rec_salts, collected (one small job; the audit plan is a single
+    * fact pass plus dim-bounded probes). */
   def recommendSalts(fact: DataFrame, key: String, candidates: DataFrame): Int =
-    skewAudit(fact, key, candidates).select(col("rec_salts"))
-      .head().getLong(0).toInt
+    recommendSaltsFromSketch(cmSummary(fact, key), key, candidates)
 
   /** [[saltedJoin]] with the factor DECIDED by the Count-Min audit
-    * instead of guessed — q19's registered path. */
+    * instead of guessed — q19's registered path. Pays one fact scan
+    * for the sketch; amortize with the overload below. */
   def saltedJoinAuto(big: DataFrame, small: DataFrame, key: String): DataFrame =
     saltedJoin(big, small, key, math.max(1, recommendSalts(big, key, small)))
+
+  /** [[saltedJoinAuto]] against a PERSISTED sketch: repeated joins on
+    * the same fact reuse the ingest-time [[cmSummary]] artifact
+    * ([[graft.Artifacts.loadCmSketch]]) instead of re-scanning the
+    * fact per join — the audit cost is paid once per ingest, not once
+    * per query. */
+  def saltedJoinAuto(big: DataFrame, small: DataFrame, key: String,
+      summary: DataFrame): DataFrame =
+    saltedJoin(big, small, key,
+      math.max(1, recommendSaltsFromSketch(summary, key, small)))
 }

@@ -535,7 +535,46 @@ object Upsert {
     * zero-exchange plan assertion without fixed global names. */
   @volatile private[graft] var lastI8Tables: Option[(String, String)] = None
 
+  /** GC for run-scoped i8 tables (r13 ADVICE): run-scoping fixed the
+    * cross-session drop race but nothing ever dropped PRIOR runs'
+    * tables — every i8 invocation (Bench runs it 2+ times per SF,
+    * plus Verify re-runs) left two full bucketed copies of
+    * orders/lineitem in the warehouse. Two cases:
+    * (a) same JVM: drop the pair recorded in [[lastI8Tables]] before
+    *     writing the new one (UpsertSpec's plan assertion re-opens the
+    *     pair within the same i8 call's aftermath, before the next i8
+    *     run, so this never races a reader);
+    * (b) dead sessions: sweep warehouse `i8_*` directories whose name
+    *     lacks the LIVE applicationId AND are older than
+    *     [[I8GcAgeMs]] — the age gate means a concurrent live session
+    *     sharing the warehouse (whose tables are written and joined
+    *     within seconds) is never touched, keeping the round-12
+    *     no-cross-session-drops invariant. */
+  private val I8GcAgeMs = 30L * 60 * 1000
+  private def gcI8Tables(s: SparkSession): Unit = {
+    lastI8Tables.foreach { case (o, l) =>
+      resetManagedTable(s, o); resetManagedTable(s, l)
+    }
+    lastI8Tables = None
+    val app = s.sparkContext.applicationId.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]", "_")
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) {
+      val cutoff = System.currentTimeMillis() - I8GcAgeMs
+      fs.listStatus(wh).foreach { st =>
+        val n = st.getPath.getName
+        if ((n.startsWith("i8_orders_b_") || n.startsWith("i8_lineitem_b_")) &&
+            !n.contains(app) && st.getModificationTime < cutoff) {
+          s.sql(s"DROP TABLE IF EXISTS $n")
+          fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+
   def i8(s: SparkSession, dir: String): DataFrame = {
+    gcI8Tables(s)
     val ordersTbl = runScopedName(s, "i8_orders_b")
     val lineitemTbl = runScopedName(s, "i8_lineitem_b")
     lastI8Tables = Some((ordersTbl, lineitemTbl))

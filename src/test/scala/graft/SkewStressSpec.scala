@@ -220,4 +220,41 @@ class SkewStressSpec extends SparkSuite {
       assert(a === b, "auto salting must be result-transparent")
     }
   }
+
+  test("saltedJoinAuto is total on an empty dim side: degrades to 1 salt, returns empty") {
+    import spark.implicits._
+    // r13 ADVICE: recommendSalts .head()'d an empty audit frame and
+    // threw NoSuchElementException instead of degrading.
+    val emptyDim = spark.range(0L).select(col("id").as("k"), col("id").as("dim_v"))
+    assert(Skew.recommendSalts(skewedFact, "k", emptyDim) === 1)
+    assert(Skew.saltedJoinAuto(skewedFact, emptyDim, "k").count() === 0L)
+  }
+
+  test("persisted CM sketch: reloaded artifact is probe-equal and feeds saltedJoinAuto without a fact scan") {
+    import spark.implicits._
+    // r13 VERDICT #5: the audit's fact pass should be payable ONCE at
+    // ingest. Save the summary, reload it, and require the decision
+    // (rec_salts) and full probe rows to match the in-memory form.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cm-art").toString
+    val summary = Skew.cmSummary(skewedFact, "k")
+    graft.Artifacts.saveCmSketch(summary, dir)
+    val reloaded = graft.Artifacts.loadCmSketch(spark, dir)
+    val fresh = Skew.skewAuditFromSketch(summary, "k", dim)
+      .collect().map(_.toSeq).toSeq
+    val fromArtifact = Skew.skewAuditFromSketch(reloaded, "k", dim)
+      .collect().map(_.toSeq).toSeq
+    assert(fromArtifact === fresh, "reloaded sketch must be probe-equal")
+    assert(Skew.recommendSaltsFromSketch(reloaded, "k", dim) === 256)
+    // the overload consumes the artifact and stays result-transparent
+    val a = Skew.saltedJoinAuto(skewedFact, dim, "k", reloaded).agg(
+      count(lit(1)), sum(col("payload")), sum(col("dim_v"))).collect()(0).toSeq
+    val b = skewedFact.join(dim, "k").agg(
+      count(lit(1)), sum(col("payload")), sum(col("dim_v"))).collect()(0).toSeq
+    assert(a === b)
+    // a mis-pointed path fails fast with the artifact contract error
+    val bad = java.nio.file.Files.createTempDirectory("graft-cm-bad").toString
+    dim.write.mode("overwrite").parquet(bad)
+    val e = intercept[IllegalArgumentException](graft.Artifacts.loadCmSketch(spark, bad))
+    assert(e.getMessage.contains("count-min summary"))
+  }
 }

@@ -39,6 +39,89 @@ class StreamingRecoverySpec extends SparkSuite {
       !reopened.alreadyApplied(2L))
   }
 
+  test("DurableState: a crash INSIDE the manifest flip loses no state (r13 weak mark)") {
+    import spark.implicits._
+    // The old layer flipped by delete(_latest) → rename(tmp, _latest):
+    // dying between the two left ZERO manifests and a resumed store
+    // read as fresh. Versioned manifests must make that window
+    // impossible: inject the exact mid-flip wreckage — batch 1's data
+    // dirs AND its tmp manifest present, rename never executed — and
+    // the store must still resolve batch 0's state.
+    val dir = tmp("graft-midflip")
+    val store = new DurableState(spark, dir)
+    store.commit(0L, Map("s" -> Seq((1L, "a")).toDF("k", "v")))
+    Seq((2L, "b")).toDF("k", "v").write.parquet(s"$dir/commit=1/s")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_latest.tmp.1"),
+      "1 2\ns commit=1/s".getBytes("UTF-8"))
+    val reopened = new DurableState(spark, dir)
+    assert(reopened.committed === Some((0L, 1L)),
+      "mid-flip crash wreckage must not hide (or replace) committed state")
+    assert(reopened.loadAll()("s").collect().map(_.toSeq).toSeq === Seq(Seq(1L, "a")))
+    // the redelivered batch then commits cleanly over the wreckage
+    reopened.commit(1L, Map("s" -> Seq((2L, "b")).toDF("k", "v")))
+    assert(reopened.committed === Some((1L, 2L)))
+    assert(reopened.loadAll()("s").collect().map(_.toSeq).toSeq === Seq(Seq(2L, "b")))
+    val names = new java.io.File(dir).list().toSet
+    assert(names.contains("_latest.v1") && !names.contains("_latest.v0") &&
+      !names.exists(_.startsWith("_latest.tmp.")),
+      s"flip must leave exactly the new manifest visible, got $names")
+  }
+
+  test("DurableState: a crash between flip and GC (two manifests) resolves to the max version") {
+    import spark.implicits._
+    val dir = tmp("graft-twoman")
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/commit=0/s")
+    Seq((2L, "b")).toDF("k", "v").write.parquet(s"$dir/commit=1/s")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_latest.v0"),
+      "0 1\ns commit=0/s".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_latest.v1"),
+      "1 2\ns commit=1/s".getBytes("UTF-8"))
+    val store = new DurableState(spark, dir)
+    assert(store.committed === Some((1L, 2L)))
+    assert(store.loadAll()("s").collect().map(_.toSeq).toSeq === Seq(Seq(2L, "b")))
+  }
+
+  test("DurableState.commitDelta: segments accrue, compact at the cadence, and GC drops stale dirs") {
+    import spark.implicits._
+    val dir = tmp("graft-delta")
+    val store = new DurableState(spark, dir)
+    store.commitDelta(0L, Map("f" -> Seq(1L).toDF("v")), compactEvery = 3)
+    store.commitDelta(1L, Map("f" -> Seq(2L).toDF("v")), compactEvery = 3)
+    assert(store.segments("f") === Seq("commit=0/f", "commit=1/f"),
+      "two deltas under the cadence stay separate segments")
+    // third delta hits the cadence: the commit rewrites the union as ONE segment
+    store.commitDelta(2L, Map("f" -> Seq(3L).toDF("v")), compactEvery = 3)
+    assert(store.segments("f") === Seq("commit=2/f"))
+    assert(store.loadAll()("f").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
+      "compaction must preserve the union")
+    val dirs = new java.io.File(dir).list().filter(_.startsWith("commit=")).toSet
+    assert(dirs === Set("commit=2"), s"stale delta dirs must be GC'd, got $dirs")
+  }
+
+  test("delta sinks write O(batch), not O(history): per-commit bytes stay flat over 3 batches") {
+    import spark.implicits._
+    val dir = tmp("graft-obatch")
+    val dc = new DurableSinks.DurableDistinctCountSink(spark, dir)
+    def batch(day: String, lo: Long) =
+      spark.range(lo, lo + 50000L).select(lit(day).as("day"), col("id").as("user_id"))
+    def commitBytes(id: Long): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/commit=$id")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    dc.apply(batch("d0", 0L), 0L)
+    dc.apply(batch("d1", 100000L), 1L)
+    dc.apply(batch("d2", 200000L), 2L)
+    val b0 = commitBytes(0L); val b2 = commitBytes(2L)
+    // the old whole-frame layer rewrote history every commit: batch 2
+    // carried 3 days of keys (~3× batch 0). Deltas must stay ~flat.
+    assert(b2 < (b0 * 3) / 2,
+      s"commit 2 wrote $b2 bytes vs commit 0's $b0 — state I/O is not O(batch)")
+    val got = dc.result.get.orderBy("day").collect().map(_.toSeq).toSeq
+    assert(got === Seq(Seq("d0", 50000L, 0L), Seq("d1", 50000L, 1L),
+      Seq("d2", 50000L, 2L)))
+  }
+
   test("replayed batchIds are no-ops: kmv, rollup, and distinct sinks absorb redelivery") {
     import spark.implicits._
     val b0 = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("event_type", "user_id")
