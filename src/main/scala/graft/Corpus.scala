@@ -172,9 +172,14 @@ object Corpus {
     else {
       val dupOk = cfg.maxDupTrigramFrac.map { m =>
         val allk = shinglesAllK(tokens(col(textCol)), 3)
-        // docs too short for trigrams (size 0 → null frac) pass
-        coalesce(lit(1.0) - size(array_distinct(allk)).cast("double") / size(allk),
-          lit(0.0)) <= m
+        // docs too short for trigrams pass — guarded with when(), not
+        // coalesce: ANSI divide-by-zero is an ERROR, not a null, so an
+        // unguarded x/size(allk) crashes the whole run on any ≤2-token
+        // doc (found by the full-stack planted-victim spec: the
+        // min_tokens victim killed the repetition gate)
+        when(size(allk) > 0,
+          lit(1.0) - size(array_distinct(allk)).cast("double") / size(allk))
+          .otherwise(lit(0.0)) <= m
       }.getOrElse(lit(true))
       val base = flagged0.withColumn("__dup_ok", dupOk)
       cfg.maxTopTokFrac match {
@@ -400,28 +405,108 @@ object Corpus {
     "semantic_dedup" -> col("f_semdup"), "decontaminated" -> col("f_clean"),
     "sampled" -> col("f_sampled"), "token_budget" -> col("f_budget"))
 
-  def e2eCurate(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val ev = docs.filter(col("doc_id") % E2e.EvalSliceMod === 0)
-      .select(col("doc_id"), col("text"))
-    val r = curate(docs, cfg = Config(
-      minTokens = E2e.MinTokens, minQuality = E2e.MinQuality,
-      lang = Some(E2e.Lang), nearDupTau = E2e.Tau,
-      evalSet = Some(ev), ngramK = E2e.NgramK,
-      gopherRules = true,
-      maxTopTokFrac = Some(E2e.MaxTopTokFrac),
-      maxDupTrigramFrac = Some(E2e.MaxDupTrigramFrac),
-      minAvgLogProb = Some(E2e.LmFloor),
-      tokenBudgetPerSource = Some(E2e.BudgetPerSource)))
+  /** The per-stage attrition LEDGER of a curate run: (stage_idx,
+    * stage, surviving, id_sum) — id_sum = Σ doc_id over the stage's
+    * cumulative survivors, so a wrong-doc-kept/wrong-doc-dropped swap
+    * that preserves counts still flips the hash. ONE aggregation over
+    * the flagged frame, exploded to 14 rows. */
+  private def attritionLedger(flagged: DataFrame): DataFrame = {
     val aggs = StageFlags.flatMap { case (n, c) => Seq(
       sum(when(c, 1L).otherwise(0L)).as(s"s_$n"),
       coalesce(sum(when(c, col("doc_id"))), lit(0L)).as(s"i_$n")) }
-    r.flagged.agg(aggs.head, aggs.tail: _*)
+    flagged.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(StageFlags.zipWithIndex.map { case ((n, _), i) =>
         struct(lit(i).as("stage_idx"), lit(n).as("stage"),
           col(s"s_$n").as("surviving"), col(s"i_$n").as("id_sum")) }: _*)).as("p"))
       .select("p.*")
       .orderBy(col("stage_idx"))
+  }
+
+  private def e2eConfig: Config = Config(
+    minTokens = E2e.MinTokens, minQuality = E2e.MinQuality,
+    lang = Some(E2e.Lang), nearDupTau = E2e.Tau,
+    ngramK = E2e.NgramK,
+    gopherRules = true,
+    maxTopTokFrac = Some(E2e.MaxTopTokFrac),
+    maxDupTrigramFrac = Some(E2e.MaxDupTrigramFrac),
+    minAvgLogProb = Some(E2e.LmFloor),
+    tokenBudgetPerSource = Some(E2e.BudgetPerSource))
+
+  def e2eCurate(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ev = docs.filter(col("doc_id") % E2e.EvalSliceMod === 0)
+      .select(col("doc_id"), col("text"))
+    val r = curate(docs, cfg = e2eConfig.copy(evalSet = Some(ev)))
+    attritionLedger(r.flagged)
+  }
+
+  // -------------------------------------------------------------------
+  // e2e_curate_full: ALL 13 stages live (r13 VERDICT directive 2).
+  //
+  // e2e_curate hash-gates the 10 DuckDB-replayable stages; the three
+  // that ride along as pass-throughs there (model_quality's trained
+  // LR, semantic_dedup's k-means codebook, sampled's xxhash64
+  // thresholds) are enabled here, so the COMPOSITION of every stage —
+  // each consuming exactly the previous stage's survivor set — runs as
+  // a registered key. Rows-only by design (t20/d17's category: an
+  // iteratively-trained model and engine-specific hashes have no SQL
+  // twin); the spec side is CorpusSpec's full-stack planted-victim
+  // test (one victim per stage, all gates ON simultaneously) plus the
+  // ledger invariants asserted at sf0.001.
+  //
+  // The trained gate follows t20's distillation shape: the seed is the
+  // doc_id % 3 slice labeled by the t2 heuristic, so the model is
+  // deterministic given the corpus (LBFGS on a fixed frame) and needs
+  // no external labels. Embeddings come from the embeddings table
+  // (vec_id is doc_id-aligned by TESTDATA construction — the same
+  // pairing d5/d11 use).
+  object E2eFull {
+    val SeedMod = 3L
+    val SeedLabelQuality = 0.5
+    val MinModelProb = 0.4
+    val SemanticTau = 0.9
+    /** k follows [[graft.operators.Dedup.sizedCells]] (cells ≈ N/500):
+      * a FIXED k would push every cell past MaxBucket as SF grows and
+      * the conservative-keep cap would silently stop the stage from
+      * attriting — the exact failure shape d15's Scaladoc documents. */
+    val SemanticTargetCell = 500
+    val SamplePerSource = 8L
+    /** Every TwinMod-th doc carries its predecessor's embedding — the
+      * testdata embeddings have NO natural near-dup pairs (max
+      * pairwise cosine ≈ 0.48 at sf0.001), so the semantic stage
+      * would be vacuously exercised without planting. A planted twin
+      * drops iff BOTH docs of the pair survive the lexical stages —
+      * which is exactly the composition property this key exists to
+      * drive (a lexically-dropped doc must not shield its twin). */
+    val TwinMod = 25L
+  }
+
+  def e2eCurateFull(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ev = docs.filter(col("doc_id") % E2e.EvalSliceMod === 0)
+      .select(col("doc_id"), col("text"))
+    val seed = docs.filter(col("doc_id") % E2eFull.SeedMod === 0)
+      .select(col("text"),
+        (qualityScore(col("text")) >= E2eFull.SeedLabelQuality).cast("double").as("label"))
+    val model = QualityClassifier.train(seed, "text", "label")
+    val embBase = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val prevEmb = embBase.select((col("doc_id") + 1).as("doc_id"),
+      col("embedding").as("__pe"))
+    val emb = embBase.join(prevEmb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % E2eFull.TwinMod === E2eFull.TwinMod - 1 &&
+          col("__pe").isNotNull, col("__pe"))
+          .otherwise(col("embedding")).as("embedding"))
+    val k = graft.operators.Dedup.sizedCells(docs.count(),
+      E2eFull.SemanticTargetCell)
+    val r = curate(docs, cfg = e2eConfig.copy(
+      evalSet = Some(ev),
+      qualityModel = Some(model), minModelProb = E2eFull.MinModelProb,
+      embeddings = Some(emb), semanticTau = E2eFull.SemanticTau,
+      semanticK = k,
+      samplePerSource = Some(E2eFull.SamplePerSource)))
+    attritionLedger(r.flagged)
   }
 
   /** DuckDB twin of [[e2eCurate]] — the per-stage twins chained as
@@ -558,7 +643,10 @@ object Corpus {
   }
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("e2e_curate" -> (e2eCurate _))
+    Map("e2e_curate" -> (e2eCurate _),
+      "e2e_curate_full" -> (e2eCurateFull _))
 
+  // e2e_curate_full has no oracle entry: rows-only by design (trained
+  // LR + k-means + xxhash64 sampler are not DuckDB-replayable).
   def oracles: Map[String, String] = Map("e2e_curate" -> e2eSql)
 }

@@ -282,6 +282,122 @@ class CorpusSpec extends SparkSuite {
     assert(t30.getAs[Boolean]("scrubbed") && t30.getAs[String]("clean_text") === "h0 h1 h2")
   }
 
+  test("full stack: ALL 13 stages ON simultaneously, each drops exactly its planted victim") {
+    import spark.implicits._
+    // r13 VERDICT directive 2: the per-stage victim tests above each
+    // enable a SUBSET of gates; this one runs every gate at once, so a
+    // stage interaction (a victim dying early, a gate starving a later
+    // stage) can't hide. Vocabulary design: all well-shaped docs draw
+    // stopwords + a shared `commonJword` vocabulary (so the trained
+    // gate scores them high and the unigram LM sees frequent tokens);
+    // the bad family (zzzJx/qqqJqK) depends only on j and i%3, so a
+    // FRESH bad doc shares its tokens with the seed.
+    def body(uniq: Int => String) =
+      (1 to 20).map(j => s"the a of common${j}word ${uniq(j)}").mkString(" ")
+    def good(i: Int) = body(j => s"u${i}x$j") // identical shape ⇒ identical quality score
+    def badFam(i: Int) = (1 to 20).map(j => s"the a of zzz${j}x qqq${j}q${i % 3}").mkString(" ")
+    val seed = ((1 to 10).map(i => (body(j => s"g${i}x$j"), 1.0)) ++
+      (1 to 10).map(i => (badFam(i), 0.0))).toDF("text", "label")
+    val model = QualityClassifier.train(seed, "text", "label")
+
+    val evalGram = "alphaword betaword gammaword deltaword epsword"
+    val srcA = Seq(
+      (1L, good(1), "srcA"), (2L, good(2), "srcA"), (3L, good(3), "srcA"),
+      (4L, good(4), "srcA"), (5L, good(5), "srcA"),
+      (901L, "tiny text", "srcA"),                               // min_tokens
+      (902L, (1 to 20).map(_ => "the a of and in").mkString(" "), "srcA"), // quality: all stopwords
+      (903L, "the a " + (1 to 38).map(j => s"gopherlongword$j").mkString(" "), "srcA"), // gopher: 40 toks < 50
+      (904L, (1 to 20).map(j => s"the a of zzz${j}x qqq${j}q1").mkString(" "), "srcA"), // model: bad family
+      (905L, "a of " + (1 to 40).map(j => s"the common${j}word").mkString(" "), "srcA"), // repetition: the = 0.49
+      (906L, (1 to 15).map(_ => "the a common1word loopcycle").mkString(" "), "srcA"),   // repetition: dup trigrams
+      (907L, (1 to 20).map(j => s"el la los the a common${j}word").mkString(" "), "srcA"), // language: es
+      (908L, "the a of " + (1 to 97).map(j => s"rareu${j}x").mkString(" "), "srcA"),     // lm: unique vocab
+      (909L, good(1), "srcA"),                                   // exact dup of 1
+      (910L, good(2).replace("u2x20", "EDITED"), "srcA"),        // near dup of 2
+      (911L, good(11), "srcA"),                                  // semantic twin (embedding of 1)
+      (912L, good(12).replace("common9word u12x9", evalGram), "srcA")) // decontaminated
+    val srcS = (1001L to 1030L).map(i => (i, body(j => s"s${i}x$j"), "srcS"))
+    val docs = (srcA ++ srcS).toDF("doc_id", "text", "source")
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0), 911L -> v(1, 0, 0, 0))
+      .toDF("doc_id", "embedding")
+    val evalSet = Seq((5000L, evalGram + " closingword")).toDF("doc_id", "text")
+
+    val r = Corpus.curate(docs, cfg = Corpus.Config(
+      gopherRules = true,
+      qualityModel = Some(model), minModelProb = 0.2,
+      maxTopTokFrac = Some(0.4), maxDupTrigramFrac = Some(0.5),
+      lang = Some("en"),
+      minAvgLogProb = Some(-2.5),
+      nearDupTau = 0.9,
+      embeddings = Some(emb), semanticTau = 0.95, semanticK = 2,
+      evalSet = Some(evalSet), ngramK = 5,
+      samplePerSource = Some(10L),
+      tokenBudgetPerSource = Some(400L)))
+    val flags = r.flagged.collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+
+    // each victim passes every stage BEFORE its own and fails exactly there
+    val victimStage = Seq(901L -> "f_tokens", 902L -> "f_quality", 903L -> "f_gopher",
+      904L -> "f_model", 905L -> "f_repetition", 906L -> "f_repetition",
+      907L -> "f_lang", 908L -> "f_lm", 909L -> "f_exact", 910L -> "f_neardup",
+      911L -> "f_semdup", 912L -> "f_clean")
+    val flagOrder = Corpus.StageFlags.map(_._1).zip(Seq("__input__", "f_tokens",
+      "f_quality", "f_gopher", "f_model", "f_repetition", "f_lang", "f_lm",
+      "f_exact", "f_neardup", "f_semdup", "f_clean", "f_sampled", "f_budget"))
+      .map(_._2).filter(_ != "__input__")
+    victimStage.foreach { case (id, failAt) =>
+      val row = flags(id)
+      val upTo = flagOrder.takeWhile(_ != failAt)
+      upTo.foreach(f => assert(row.getAs[Boolean](f),
+        s"victim $id must pass $f (its stage is $failAt)"))
+      assert(!row.getAs[Boolean](failAt), s"victim $id must fail exactly at $failAt")
+    }
+    // good docs 1-4 survive everything (5 falls to the token budget:
+    // identical quality scores make the walk id-ordered, and the
+    // 400-token budget covers exactly four 100-token docs)
+    (1L to 4L).foreach(i => assert(flags(i).getAs[Boolean]("f_budget"), s"good doc $i dropped"))
+    assert(flags(5L).getAs[Boolean]("f_sampled") && !flags(5L).getAs[Boolean]("f_budget"),
+      "doc 5 must fall exactly at token_budget")
+    // sampled: srcA is under the cap (nothing hash-dropped there);
+    // srcS is hash-thresholded — the drop set must equal the library's
+    // own sampler predicate, with real attrition both ways
+    assert(srcA.map(_._1).forall(id =>
+      flags(id).getAs[Boolean]("f_sampled") === flags(id).getAs[Boolean]("f_clean")))
+    val nC = srcS.count(t => flags(t._1).getAs[Boolean]("f_clean")).toLong
+    assert(nC === 30L, "every srcS filler reaches the sampler")
+    val thr = graft.functions.Sampling.Buckets * math.min(10L, nC) / nC
+    val pred = docs.filter(col("source") === "srcS")
+      .select(col("doc_id"),
+        (graft.functions.Sampling.bucket(xxhash64(col("doc_id"))) < lit(thr)).as("want"))
+      .collect().map(row => row.getAs[Long]("doc_id") -> row.getAs[Boolean]("want")).toMap
+    srcS.map(_._1).foreach { id =>
+      assert(flags(id).getAs[Boolean]("f_sampled") === pred(id),
+        s"srcS doc $id sampling decision must match the sampler predicate")
+    }
+    assert(srcS.map(_._1).count(pred(_)) > 0 && srcS.map(_._1).count(!pred(_)) > 0,
+      "the cap must both keep and drop srcS docs")
+  }
+
+  test("e2e_curate_full ledger at sf0.001: every stage live, formerly-passthrough stages attrit") {
+    val rows = Corpus.e2eCurateFull(spark, sf).collect()
+    assert(rows.length === 14)
+    assert(rows.map(_.getAs[String]("stage")).toSeq === Corpus.StageFlags.map(_._1))
+    val surv = rows.map(_.getAs[Long]("surviving"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a },
+      s"cumulative flags must be monotone non-increasing: ${surv.mkString(",")}")
+    assert(surv.head === 500L)
+    val byStage = rows.map(r => r.getAs[String]("stage") -> r.getAs[Long]("surviving")).toMap
+    // the three stages e2e_curate carries as pass-throughs are LIVE
+    // here: each must drop at least one doc at sf0.001
+    assert(byStage("model_quality") < byStage("gopher_rules"),
+      "trained gate must attrit")
+    assert(byStage("semantic_dedup") < byStage("near_dedup"),
+      "planted embedding twins must attrit")
+    assert(byStage("sampled") < byStage("decontaminated"),
+      "per-source cap must attrit")
+    assert(byStage("token_budget") < byStage("sampled"))
+  }
+
   test("e2e_curate ledger: 14 ordered stages, monotone survivors, active stages attrit") {
     val rows = Corpus.e2eCurate(spark, sf).collect()
     assert(rows.length === 14)
