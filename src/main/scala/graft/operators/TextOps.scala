@@ -1224,8 +1224,21 @@ object TextOps {
       yield (s"$a$b", a.toString) // merged-symbol lefts: fire after pair rules
     val paired = for (a <- 'a' to 'z'; b <- 'a' to 'z')
       yield (s"$a$b", s"$b$a") // merged × merged
-    (DefaultMerges ++ extra ++ doubled ++ doubled.map { case (l, r) => (r, l) } ++ paired)
-      .take(n)
+    // published-tokenizer sizes (32k-50k) need deeper composition
+    // tiers; each tier only references symbols earlier tiers create,
+    // so every prefix stays a WELL-FORMED merges table (the property
+    // the pair-rank execution form's equivalence proof needs).
+    // distinct keeps first occurrence, so the historical prefix order
+    // (and with it the 25/250/2500 curve points) is unchanged.
+    val trip = for (a <- 'a' to 'z'; b <- 'a' to 'z'; c <- 'a' to 'z')
+      yield (s"$a$b", c.toString) // pair + char: 17,576
+    val tripR = for (a <- 'a' to 'z'; b <- 'a' to 'z'; c <- 'a' to 'z')
+      yield (a.toString, s"$b$c") // char + pair: 17,576
+    val quad = for (a <- 'a' to 'z'; b <- 'a' to 'z'; c <- 'a' to 'z'; d <- 'a' to 'z')
+      yield (s"$a$b", s"$c$d") // pair + pair: bottomless tail
+    (DefaultMerges ++ extra ++ doubled ++ doubled.map { case (l, r) => (r, l) } ++
+      paired ++ trip ++ tripR ++ quad)
+      .distinct.take(n)
   }
 
   /** t22's sample selector: t21's portable two-step mixing hash at its

@@ -483,6 +483,55 @@ class TextLayoutSpec extends SparkSuite {
     assert(Tables.documents(spark, sf).filter(col("text").contains(S)).count() === 0)
   }
 
+  test("pair-rank BPE == sequential rule-scan: randomized differential at 2500 and 50k rules") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the execution path (countTokensRanked, table-size-independent)
+    // must match the reference rule-scan loop symbol for symbol — on
+    // random texts, adversarial overlap shapes, and the gate corpus
+    val rnd = new scala.util.Random(4321)
+    val letters = "theinorandsgulbcfmpw"
+    val texts = (1 to 400).map { _ =>
+      Seq.fill(1 + rnd.nextInt(8))(
+        (1 to (1 + rnd.nextInt(12))).map(_ => letters(rnd.nextInt(letters.length))).mkString)
+        .mkString(" ")
+    } ++ Seq("", "a", "aa", "aaaa", "aaaaaaa", "abababab", "aabbaabb",
+      "the the the", "abba abab baba", "zzzzzz qqq")
+    for (n <- Seq(2500, 50000)) {
+      val merges = operators.TextOps.syntheticMerges(n)
+      assert(merges.length === n, s"syntheticMerges must reach $n rules")
+      val lefts = merges.map(_._1).toArray
+      val rights = merges.map(_._2).toArray
+      val table = new plans.BpeTable(lefts, rights)
+      texts.foreach { t =>
+        val u = UTF8String.fromString(t)
+        assert(plans.BpeApply.countTokensRanked(u, table) ===
+          plans.BpeApply.countTokens(u, lefts, rights),
+          s"ranked BPE diverged from sequential on '$t' at n=$n")
+      }
+    }
+    // gate corpus through the registered expression: exact sequential
+    // differential at 2500 rules (the sequential driver loop at 50k
+    // would cost minutes — the 50k equivalence is pinned by the text
+    // battery above), plus a 50k smoke: runs, and merging can only
+    // shrink counts as the table grows
+    val merges2500 = operators.TextOps.syntheticMerges(2500)
+    val l25 = merges2500.map(_._1).toArray
+    val r25 = merges2500.map(_._2).toArray
+    val corpus = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val viaExpr = Tables.documents(spark, sf)
+      .select(sum(operators.TextOps.bpeTokenCount(col("text"), merges2500)))
+      .head().getLong(0)
+    val viaSeq = corpus.map(t =>
+      plans.BpeApply.countTokens(UTF8String.fromString(t), l25, r25)).sum
+    assert(viaExpr === viaSeq,
+      "registered expression at 2500 rules diverged from the sequential reference on the corpus")
+    val via50k = Tables.documents(spark, sf)
+      .select(sum(operators.TextOps.bpeTokenCount(col("text"),
+        operators.TextOps.syntheticMerges(50000))))
+      .head().getLong(0)
+    assert(via50k <= viaExpr, "a larger merges table can only merge more")
+  }
+
   test("compiled BPE counter == composed HOF fold (randomized differential, 25 rules)") {
     import spark.implicits._
     val rnd = new scala.util.Random(1234)
