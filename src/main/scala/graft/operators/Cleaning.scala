@@ -725,7 +725,114 @@ object Cleaning {
       |  CAST(max(gap) AS DOUBLE) AS max_abs_gap
       |FROM j""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c18: the GK-sketch rank-error audit (round-13 VERDICT directive 4).
+  // functions.Quantiles defaults EVERY percentile call site to
+  // approx_percentile at accuracy 10k, and the library's own
+  // measure-don't-guess rule (d9/s10/d18) says: a default
+  // approximation needs a registered key that MEASURES its error, not
+  // a Scaladoc claim. This audit runs the default sketch beside the
+  // exact percentile over the exact distributions the cleaning family
+  // feeds it — c2's masked events.value median, c4's l_quantity
+  // quartiles, c15's events.value median and MAD deviations — and
+  // checks the sketch value's TRUE rank against the type-7 target.
+  //
+  // Gate shape: the sketch's value is engine- and merge-order-specific
+  // (GK merge is not order-invariant), so the raw error can't be
+  // hash-gated. What IS deterministic: n, the exact percentile (the
+  // oracle side), the guarantee bound (rank error ≤ n/accuracy, i.e.
+  // 100 ppm at the 10k default), and WHETHER the measured error sits
+  // inside the bound. The oracle asserts within_bound = TRUE — if any
+  // SF's sketch ever drifts past its contract, the hash flips and the
+  // driver gate FAILS. The raw rank_err_ppm is spec-pinned
+  // (CleaningSpec) rather than gated.
+  //
+  // Scale shape: two scan-bound passes per distribution (one for the
+  // three aggregates, one to rank the 1-row broadcast sketch value) —
+  // the same pattern as c2/c4 themselves; nothing leaves the
+  // aggregate grain.
+
+  /** Full audit row for one (distribution, p): n_vals, exact_val,
+    * sketch_val, rank_err_ppm, bound_ppm, within_bound. `within`
+    * allows one rank of slack over n/accuracy: the target-rank
+    * convention differs by at most one position between the type-7
+    * definition used here and the sketch's own. */
+  def quantileSketchError(df: DataFrame, valueCol: String, p: Double,
+      site: String,
+      accuracy: Int = graft.functions.Quantiles.DefaultAccuracy): DataFrame = {
+    import graft.functions.Quantiles
+    val v = col(valueCol)
+    val base = df.filter(v.isNotNull).select(v.as("__v"))
+    val agg1 = base.agg(
+      count(lit(1)).as("n_vals"),
+      Quantiles.quantile(col("__v"), p, exact = true).as("exact_val"),
+      Quantiles.quantile(col("__v"), p, accuracy = accuracy).as("sketch_val"))
+    base.crossJoin(broadcast(agg1)) // provably 1 row
+      .groupBy(col("n_vals"), col("exact_val"), col("sketch_val"))
+      .agg(
+        sum(when(col("__v") < col("sketch_val"), 1L).otherwise(0L)).as("__lt"),
+        sum(when(col("__v") <= col("sketch_val"), 1L).otherwise(0L)).as("__le"))
+      // the sketch value occupies 0-based ranks [__lt, __le-1]; error =
+      // distance from that interval to the type-7 target p·(n−1)
+      .withColumn("__t", lit(p) * (col("n_vals") - 1).cast("double"))
+      .withColumn("__err", greatest(lit(0.0),
+        col("__lt").cast("double") - col("__t"),
+        col("__t") - (col("__le") - 1).cast("double")))
+      .select(
+        lit(site).as("site"), lit(p).as("p"), col("n_vals"),
+        col("exact_val"), col("sketch_val"),
+        ceil(col("__err") * 1000000.0 / col("n_vals").cast("double")).cast("long")
+          .as("rank_err_ppm"),
+        lit(1000000L / accuracy).as("bound_ppm"),
+        (col("__err") <= col("n_vals").cast("double") / accuracy + 1.0)
+          .as("within_bound"))
+  }
+
+  def c18(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val c2dist = ev.filter(col("event_type") =!= "error")
+      .select(col("value").as("v"))
+    val liQty = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("double").as("v"))
+    val evAll = ev.select(col("value").as("v")).filter(col("v").isNotNull)
+    val evMed = evAll.agg(
+      graft.functions.Quantiles.quantile(col("v"), 0.5, exact = true).as("__m"))
+    val absDev = evAll.crossJoin(broadcast(evMed))
+      .select(abs(col("v") - col("__m")).as("v"))
+    val gateCols = Seq("site", "p", "n_vals", "exact_val", "bound_ppm",
+      "within_bound").map(col)
+    Seq(
+      quantileSketchError(c2dist, "v", 0.5, "c2_value_median"),
+      quantileSketchError(liQty, "v", 0.25, "c4_qty_q1"),
+      quantileSketchError(liQty, "v", 0.75, "c4_qty_q3"),
+      quantileSketchError(evAll, "v", 0.5, "c15_value_median"),
+      quantileSketchError(absDev, "v", 0.5, "c15_absdev_mad"))
+      .map(_.select(gateCols: _*)) // sketch_val/rank_err_ppm are engine-specific: spec-pinned, not gated
+      .reduce(_.unionByName(_))
+      .orderBy(col("site"), col("p"))
+  }
+
+  val c18Sql: String =
+    """WITH c2v AS (SELECT value AS v FROM events WHERE event_type <> 'error' AND value IS NOT NULL),
+      |liv AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_quantity IS NOT NULL),
+      |eva AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+      |evm AS (SELECT quantile_cont(v, 0.5) AS m FROM eva),
+      |dev AS (SELECT abs(v - (SELECT m FROM evm)) AS v FROM eva)
+      |SELECT * FROM (
+      |  SELECT 'c2_value_median' AS site, CAST(0.5 AS DOUBLE) AS p, count(*) AS n_vals,
+      |    quantile_cont(v, 0.5) AS exact_val, CAST(100 AS BIGINT) AS bound_ppm, TRUE AS within_bound FROM c2v
+      |  UNION ALL
+      |  SELECT 'c4_qty_q1', CAST(0.25 AS DOUBLE), count(*), quantile_cont(v, 0.25), 100, TRUE FROM liv
+      |  UNION ALL
+      |  SELECT 'c4_qty_q3', CAST(0.75 AS DOUBLE), count(*), quantile_cont(v, 0.75), 100, TRUE FROM liv
+      |  UNION ALL
+      |  SELECT 'c15_value_median', CAST(0.5 AS DOUBLE), count(*), quantile_cont(v, 0.5), 100, TRUE FROM eva
+      |  UNION ALL
+      |  SELECT 'c15_absdev_mad', CAST(0.5 AS DOUBLE), count(*), quantile_cont(v, 0.5), 100, TRUE FROM dev)
+      |ORDER BY site, p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c18_quantile_sketch_error" -> (c18 _),
     "c17_amount_audit" -> (c17 _),
     "c16_benford_audit" -> (c16 _),
     "c15_robust_outliers" -> (c15 _),
@@ -739,6 +846,7 @@ object Cleaning {
     "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
+    "c18_quantile_sketch_error" -> c18Sql,
     "c17_amount_audit" -> c17Sql,
     "c16_benford_audit" -> c16Sql,
     "c15_robust_outliers" -> c15Sql,

@@ -650,4 +650,45 @@ class CleaningSpec extends SparkSuite {
     assert(got.getDouble(2) > seClt / 2 && got.getDouble(2) < seClt * 2,
       s"se_boot ${got.getDouble(2)} vs CLT $seClt")
   }
+
+  test("c18 quantile sketch audit: default-accuracy rank error within contract+one-rank on every cleaning distribution") {
+    // the library's DEFAULT percentile path is the GK sketch at 10k —
+    // this pins its measured rank error inside the contract on the
+    // very distributions c2/c4/c15 feed it (the registered c18 gates
+    // the within_bound outcome; the raw ppm lives here)
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val evAll = ev.select(col("value").as("v")).filter(col("v").isNotNull)
+    val dists = Seq(
+      ("c2_value_median", ev.filter(col("event_type") =!= "error")
+        .select(col("value").as("v")), 0.5),
+      ("c4_qty_q1", Tables.lineitem(spark, sf)
+        .select(col("l_quantity").cast("double").as("v")), 0.25),
+      ("c15_value_median", evAll, 0.5))
+    dists.foreach { case (site, df, p) =>
+      val row = operators.Cleaning.quantileSketchError(df, "v", p, site).head()
+      assert(row.getAs[Boolean]("within_bound"), s"$site breaks the sketch contract: $row")
+      // contract bound (100 ppm) + ONE rank of discretization: the
+      // sketch returns an element, the type-7 target is fractional —
+      // at n=1000 a perfect answer already reads as 500 ppm
+      val oneRankPpm = (1000000L + row.getAs[Long]("n_vals") - 1) / row.getAs[Long]("n_vals")
+      assert(row.getAs[Long]("rank_err_ppm") <= 100L + oneRankPpm,
+        s"$site rank error ${row.getAs[Long]("rank_err_ppm")} ppm > bound+rank " +
+          s"${100L + oneRankPpm}: $row")
+    }
+    // the measure moves: a deliberately coarse sketch (accuracy 20 ⇒
+    // bound 50,000 ppm) shows real error on the continuous column yet
+    // stays within ITS OWN bound — the audit distinguishes accuracies
+    // rather than printing zeros
+    val coarse = operators.Cleaning.quantileSketchError(
+      evAll, "v", 0.5, "coarse", accuracy = 20).head()
+    assert(coarse.getAs[Boolean]("within_bound"))
+    assert(coarse.getAs[Long]("bound_ppm") === 50000L)
+    assert(coarse.getAs[Long]("rank_err_ppm") > 1500L,
+      s"accuracy-20 sketch should show error beyond contract+discretization, got $coarse")
+    // and the registered key's gate shape: 5 sites, all within bound
+    val rows = operators.Cleaning.c18(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Boolean]("within_bound")))
+  }
 }
