@@ -96,4 +96,88 @@ class MultimodalHeaderSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------- mm9: WAV / MP4 -------------------------
+  import graft.operators.Multimodal.{buildMediaPayload, parseMediaHeader}
+
+  // spec-transcription helpers, written independently of the generator
+  private def le16b(x: Int) = bytes(x, x >> 8)
+  private def le32b(x: Long) = bytes(x.toInt, (x >> 8).toInt, (x >> 16).toInt, (x >> 24).toInt)
+  private def be32b(x: Long) = bytes((x >> 24).toInt, (x >> 16).toInt, (x >> 8).toInt, x.toInt)
+  private def fourcc(s: String) = s.getBytes("US-ASCII")
+
+  test("planted WAV: the textbook 44-byte mono 8kHz PCM16 header parses to 1000 ms") {
+    // 16000 data bytes at 8000 Hz mono 16-bit = 8000 frames = 1 s
+    val wav = fourcc("RIFF") ++ le32b(36 + 16000) ++ fourcc("WAVE") ++
+      fourcc("fmt ") ++ le32b(16) ++ le16b(1) ++ le16b(1) ++ le32b(8000) ++
+      le32b(16000) ++ le16b(2) ++ le16b(16) ++
+      fourcc("data") ++ le32b(16000) // header only: data size field is the contract
+    assert(parseMediaHeader(wav) === (("wav", 8000L, 1000L)))
+  }
+
+  test("planted WAV: LIST chunk (odd size, padded) before fmt; stereo 44.1kHz") {
+    // real encoders put LIST/INFO chunks first — the walk must skip
+    // them, including the RIFF odd-size pad byte
+    val list = fourcc("LIST") ++ le32b(5) ++ bytes('I', 'N', 'F', 'O', 'x') ++ bytes(0)
+    val dataBytes = 441000L // 110250 frames at 44100 Hz stereo 16-bit = 2.5 s
+    val wav = fourcc("RIFF") ++ le32b(36 + 14 + dataBytes) ++ fourcc("WAVE") ++
+      list ++
+      fourcc("fmt ") ++ le32b(16) ++ le16b(1) ++ le16b(2) ++ le32b(44100) ++
+      le32b(44100L * 4) ++ le16b(4) ++ le16b(16) ++
+      fourcc("data") ++ le32b(dataBytes)
+    assert(parseMediaHeader(wav) === (("wav", 44100L, 2500L)))
+  }
+
+  test("planted MP4: free box before moov; mvhd v0 at 600 timescale") {
+    // ftyp + free + moov[mvhd v0: timescale 600, duration 1500 = 2.5 s]
+    val mvhd = be32b(108) ++ fourcc("mvhd") ++ bytes(0, 0, 0, 0) ++
+      be32b(0) ++ be32b(0) ++ be32b(600) ++ be32b(1500) ++
+      Array.fill[Byte](108 - 28)(0)
+    val mp4 = be32b(16) ++ fourcc("ftyp") ++ fourcc("isom") ++ be32b(512) ++
+      be32b(12) ++ fourcc("free") ++ fourcc("pad.") ++
+      be32b(8 + 108) ++ fourcc("moov") ++ mvhd
+    assert(parseMediaHeader(mp4) === (("mp4", 600L, 2500L)))
+  }
+
+  test("planted MP4: mvhd VERSION 1 (64-bit creation/duration) parses through the long layout") {
+    // v1 mvhd: 120-byte box, 8-byte creation/modification/duration
+    val mvhd = be32b(120) ++ fourcc("mvhd") ++ bytes(1, 0, 0, 0) ++
+      be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(0) ++ // creation, modification (u64 each)
+      be32b(90000) ++ // timescale
+      be32b(0) ++ be32b(270000) ++ // duration u64 = 270000 → 3 s
+      Array.fill[Byte](120 - 40)(0)
+    val mp4 = be32b(16) ++ fourcc("ftyp") ++ fourcc("mp42") ++ be32b(0) ++
+      be32b(8 + 120) ++ fourcc("moov") ++ mvhd
+    assert(parseMediaHeader(mp4) === (("mp4", 90000L, 3000L)))
+  }
+
+  test("media garbage and truncation report unknown instead of throwing") {
+    assert(parseMediaHeader(Array.empty[Byte]) === (("unknown", -1L, -1L)))
+    assert(parseMediaHeader("not media at all".getBytes("UTF-8")) === (("unknown", -1L, -1L)))
+    // RIFF but not WAVE (an AVI would say 'AVI ')
+    assert(parseMediaHeader(fourcc("RIFF") ++ le32b(4) ++ fourcc("AVI ")) ===
+      (("unknown", -1L, -1L)))
+    // WAV with a chunk size running past the buffer, then nothing
+    assert(parseMediaHeader(fourcc("RIFF") ++ le32b(100) ++ fourcc("WAVE") ++
+      fourcc("fmt ") ++ le32b(16)) === (("unknown", -1L, -1L)))
+    // MP4 box size pointing past the buffer
+    assert(parseMediaHeader(be32b(16) ++ fourcc("ftyp") ++ fourcc("isom") ++ be32b(0) ++
+      be32b(4096) ++ fourcc("moov")) === (("unknown", -1L, -1L)))
+    // moov present but no mvhd child
+    assert(parseMediaHeader(be32b(16) ++ fourcc("ftyp") ++ fourcc("isom") ++ be32b(0) ++
+      be32b(16) ++ fourcc("moov") ++ be32b(8) ++ fourcc("iods")) === (("unknown", -1L, -1L)))
+  }
+
+  test("media generator/parser round-trip across parameter grids") {
+    for (ch <- Seq(1, 2); rate <- Seq(8000L, 16000L, 44100L); nb <- Seq(0, 7, 4096)) {
+      val body = Array.fill[Byte](nb)(0x5a)
+      val got = parseMediaHeader(buildMediaPayload(0, ch, rate, body))
+      val want = ("wav", rate, nb.toLong / (ch * 2) * 1000L / rate)
+      assert(got === want, s"wav ch=$ch rate=$rate nb=$nb")
+    }
+    for (ts <- Seq(600, 1000, 90000); dur <- Seq(0L, 601L, 123456L)) {
+      val got = parseMediaHeader(buildMediaPayload(1, ts, dur, "x".getBytes))
+      assert(got === (("mp4", ts.toLong, dur * 1000L / ts)), s"mp4 ts=$ts dur=$dur")
+    }
+  }
 }
