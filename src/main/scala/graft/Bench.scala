@@ -205,11 +205,23 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
     }
+    // Past ~190 keys even short ids + 2dp overflow the tail and the
+    // captured artifact ends MID-KEY — invalid JSON (r13 VERDICT
+    // "what's wrong" 3). When no full form fits, emit a COMPLETE line
+    // that carries the top-N slowest keys (what a reader checks first)
+    // and points at the committed full map instead: bench_last.json
+    // below always holds every key at 3dp.
+    def fmtTop(dec: Int, topN: Int): String = {
+      val qs = results.sortBy(-_._2).take(topN)
+        .map { case (k, v, _, _) => s""""$k":${num(dec, v)}""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","n_queries":${results.size},"queries_top":$qs,"queries_file":"bench_last.json","sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
+    }
     // stay well inside the 2000-char tail as the query count grows:
-    // full keys at 3 then 2 decimals; past ~78 queries even that
-    // overflows, so fall back to the (unique) short family ids.
-    val line = Seq(fmt(3, false), fmt(2, false), fmt(3, true), fmt(2, true))
-      .find(_.length <= 1900).getOrElse(fmt(2, true))
+    // full keys at 3 then 2 decimals, then short family ids, then the
+    // top-N + pointer form — every candidate is COMPLETE JSON.
+    val line = (Seq(fmt(3, false), fmt(2, false), fmt(3, true), fmt(2, true)) ++
+      Seq(40, 25, 10).map(fmtTop(2, _)))
+      .find(_.length <= 1900).getOrElse(fmtTop(2, 5))
     // The stdout line is tail-truncation-prone on the driver side
     // (ADVICE r12: ~16 per-key timings fell off BENCH_r12's captured
     // tail) — ALSO write the FULL untruncated JSON (long keys, 3dp) to

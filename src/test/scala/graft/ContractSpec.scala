@@ -9,7 +9,11 @@ class ContractSpec extends AnyFunSuite {
 
   private val rowsOnly = Set(
     "q15_approx_distinct", "m7_feature_importance", "m14_grid_search",
-    "t20_quality_classifier", "d17_semantic_dedup_ann")
+    "t20_quality_classifier", "d17_semantic_dedup_ann",
+    // round 14: all 13 curation stages composed — trained LR + learned
+    // k-means + xxhash64 sampler have no SQL twin; composition is
+    // spec-gated by CorpusSpec's full-stack planted victims
+    "e2e_curate_full")
   // t22_bpe_drift left this set in round 11: the greedy BPE fold is
   // now DuckDB-expressible (one replace() per rule over the
   // double-separator symbol string) and hash-gated.
