@@ -108,6 +108,14 @@ object Corpus {
       embeddings: Option[DataFrame] = None,
       semanticTau: Double = 0.9,
       semanticK: Int = 8,
+      /** ANN-assisted centroid assignment for the semantic stage
+        * (Hamming probe radius; [[Dedup.semanticDedup]]'s dial).
+        * REQUIRED once semanticK is sized to the corpus
+        * (Dedup.sizedCells): exact assignment is N·k per pass —
+        * N²/targetCell when k scales with N, the measured d15 trap.
+        * None = exact (right for small fixed k and for twin-exact
+        * spec baselines). */
+      semanticAnnProbes: Option[Int] = None,
       /** t13's token-budget stage: per source, keep survivors from
         * highest quality down until this many tokens are taken
         * (greedy prefix on (6dp-rounded quality DESC, id) — the
@@ -281,7 +289,7 @@ object Corpus {
         val embSurv = emb.join(surv, emb(idCol) === col("__eid")).drop("__eid")
           .localCheckpoint()
         val drops = Dedup.semanticDedup(embSurv, idCol, "embedding",
-            cfg.semanticK, cfg.semanticTau)
+            cfg.semanticK, cfg.semanticTau, annProbes = cfg.semanticAnnProbes)
           .filter(!col("kept")).select(col("id").as("__sdrop"))
         flagged2.join(drops, id === col("__sdrop"), "left")
           .withColumn("f_semdup", col("f_neardup") && col("__sdrop").isNull)
@@ -505,6 +513,11 @@ object Corpus {
       qualityModel = Some(model), minModelProb = E2eFull.MinModelProb,
       embeddings = Some(emb), semanticTau = E2eFull.SemanticTau,
       semanticK = k,
+      // sized k ⇒ ANN-assisted assignment (the d15 rule): radius-2
+      // probing keeps training+assignment N·log²k; identical planted
+      // twins hash identically, so a probe miss keeps BOTH — the
+      // conservative direction
+      semanticAnnProbes = Some(2),
       samplePerSource = Some(E2eFull.SamplePerSource)))
     attritionLedger(r.flagged)
   }
