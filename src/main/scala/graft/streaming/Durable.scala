@@ -126,21 +126,32 @@ class DurableState(spark: SparkSession, dir: String) {
     commitSegments(batchId,
       frames.map { case (n, df) => n -> (Seq.empty[String], Some(df)) })
 
-  /** Delta commit: each frame's DataFrame is this batch's APPEND-ONLY
-    * contribution; the new state is (previous segments ∪ delta). Only
-    * the delta is written — unless the frame's segment count has
-    * reached `compactEvery`, in which case the union is rewritten as
-    * one segment (compaction rides a regular commit, so atomicity and
-    * crash behavior are identical to any other commit). */
+  /** Delta commit: each frame's DataFrame is this batch's
+    * contribution; the new state is (previous segments ∪ delta),
+    * interpreted by the sink's read-time merge. Only the delta is
+    * written — unless the frame's segment count has reached
+    * `compactEvery`, in which case the union is rewritten as one
+    * segment (compaction rides a regular commit, so atomicity and
+    * crash behavior are identical to any other commit).
+    *
+    * `reduce` (per frame, optional): applied to the union at
+    * compaction time. Append-only frames leave it identity; frames
+    * with merge-on-read semantics (an upsert's latest-per-key, a
+    * counter's sum) pass their reducer so compacted state stays
+    * O(live state) instead of O(all history) — correct whenever the
+    * reducer is idempotent over its own output (reduce(reduce(U) ∪ d)
+    * = reduce(U ∪ d)), which merge-on-read reads guarantee anyway. */
   def commitDelta(batchId: Long, deltas: Map[String, DataFrame],
-      compactEvery: Int = DurableState.DefaultCompactEvery): Unit = {
+      compactEvery: Int = DurableState.DefaultCompactEvery,
+      reduce: Map[String, DataFrame => DataFrame] = Map.empty): Unit = {
     val live = segments
     val plan = deltas.map { case (name, delta) =>
       val prev = live.getOrElse(name, Seq.empty)
       if (prev.size + 1 >= compactEvery) {
         val union = (prev.map(d => spark.read.parquet(new Path(root, d).toString)) :+ delta)
           .reduce(_.unionByName(_))
-        name -> (Seq.empty[String], Some(union)) // compact: one fresh segment
+        val compacted = reduce.get(name).map(_(union)).getOrElse(union)
+        name -> (Seq.empty[String], Some(compacted)) // compact: one fresh segment
       } else name -> (prev, Some(delta)) // append: keep prev, add delta
     }
     commitSegments(batchId, plan)
@@ -211,22 +222,27 @@ object DurableState {
   * [[DurableState.DefaultCompactEvery]] segments. */
 object DurableSinks {
 
-  /** st12's UpsertSink. Whole-frame commits: the snapshot is one row
-    * per live key (merge-latest must rewrite or go merge-on-read; at
-    * key cardinalities where rewriting hurts, the production shape is
-    * i3's MERGE into a real table format). */
+  /** st12's UpsertSink — MERGE-ON-READ deltas (round 14: the r13
+    * rebuild left this sink rewriting its whole key-snapshot per
+    * batch; that is O(live keys) per trigger, which GROWS for an
+    * upsert as keys accrue). Each batch commits only its own
+    * latest-per-key rows; the snapshot read resolves latest-per-key
+    * over the union of live segments (latestSnapshot is idempotent
+    * over its own output, so it doubles as the compaction reducer —
+    * compacted state stays one row per live key). The production
+    * analogue is i3's MERGE into a table format with merge-on-read
+    * read paths. */
   class DurableUpsertSink(spark: SparkSession, dir: String,
       keys: Seq[String], ordering: Seq[org.apache.spark.sql.Column]) {
+    import graft.operators.Upsert
     private val store = new DurableState(spark, dir)
+    private val latest = (df: DataFrame) => Upsert.latestSnapshot(df, keys, ordering)
     def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (store.alreadyApplied(batchId)) return
-      val next = store.loadAll().get("snap") match {
-        case None => graft.operators.Upsert.latestSnapshot(batch, keys, ordering)
-        case Some(prev) => graft.operators.Upsert.mergeLatest(prev, batch, keys, ordering)
-      }
-      store.commit(batchId, Map("snap" -> next))
+      store.commitDelta(batchId, Map("snap" -> latest(batch)),
+        reduce = Map("snap" -> latest))
     }
-    def snapshot: Option[DataFrame] = store.loadAll().get("snap")
+    def snapshot: Option[DataFrame] = store.loadAll().get("snap").map(latest)
   }
 
   /** st14's RollupSink. Whole-frame: state is O(groups). */

@@ -122,6 +122,32 @@ class StreamingRecoverySpec extends SparkSuite {
       Seq("d2", 50000L, 2L)))
   }
 
+  test("durable upsert: merge-on-read deltas, reducing compaction keeps one row per live key") {
+    import spark.implicits._
+    val dir = tmp("graft-updelta")
+    val sink = new DurableSinks.DurableUpsertSink(spark, dir,
+      Seq("user_id"), Seq(col("ms"), col("event_id")))
+    val mem = new Streams.UpsertSink(Seq("user_id"), Seq(col("ms"), col("event_id")))
+    // the same 50 keys updated every batch — the worst case for a
+    // whole-frame rewrite (state never shrinks), the best showcase for
+    // deltas (each commit carries only the batch)
+    (0L until 9L).foreach { i =>
+      val b = (0L until 50L).map(k => (k, i * 100 + k, i, s"v${i}_$k"))
+        .toDF("user_id", "ms", "event_id", "v")
+      sink.apply(b, i); mem.apply(b, i)
+    }
+    assert(sink.snapshot.get.orderBy("user_id").collect().map(_.toSeq).toSeq ===
+      mem.snapshot.get.orderBy("user_id").collect().map(_.toSeq).toSeq,
+      "merge-on-read snapshot must equal the in-memory twin after 9 folds")
+    // compaction fired at the 8-segment cadence AND reduced: state
+    // rows stay O(live keys), not O(batches · keys)
+    val store = new DurableState(spark, dir)
+    val segs = store.segments("snap")
+    assert(segs.size === 2, s"expected compacted base + one delta, got $segs")
+    assert(store.loadAll()("snap").count() === 100L,
+      "compacted base must hold ONE row per live key (50) + the post-compaction delta (50)")
+  }
+
   test("replayed batchIds are no-ops: kmv, rollup, and distinct sinks absorb redelivery") {
     import spark.implicits._
     val b0 = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("event_type", "user_id")

@@ -532,6 +532,40 @@ class TextLayoutSpec extends SparkSuite {
     assert(via50k <= viaExpr, "a larger merges table can only merge more")
   }
 
+  test("pair-rank BPE == sequential on RANDOM well-formed merges tables (20 seeded tables)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the equivalence claim is for any WELL-FORMED table (each rule's
+    // symbols are base chars or creations of earlier rules) — not just
+    // syntheticMerges' structured tiers. Build random tables by the
+    // same process BPE training uses: repeatedly merge two existing
+    // symbols and add the result to the pool.
+    val letters = "abcdefgh"
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val pool = scala.collection.mutable.ArrayBuffer[String](letters.map(_.toString): _*)
+      val rules = (1 to 200).map { _ =>
+        val l = pool(rnd.nextInt(pool.length))
+        val r = pool(rnd.nextInt(pool.length))
+        pool += (l + r)
+        (l, r)
+      }.distinct
+      val lefts = rules.map(_._1).toArray
+      val rights = rules.map(_._2).toArray
+      val table = new plans.BpeTable(lefts, rights)
+      val texts = (1 to 60).map { _ =>
+        Seq.fill(1 + rnd.nextInt(6))(
+          (1 to (1 + rnd.nextInt(14))).map(_ => letters(rnd.nextInt(letters.length))).mkString)
+          .mkString(" ")
+      }
+      texts.foreach { t =>
+        val u = UTF8String.fromString(t)
+        assert(plans.BpeApply.countTokensRanked(u, table) ===
+          plans.BpeApply.countTokens(u, lefts, rights),
+          s"seed=$seed diverged on '$t' (rules=${rules.take(20)}...)")
+      }
+    }
+  }
+
   test("compiled BPE counter == composed HOF fold (randomized differential, 25 rules)") {
     import spark.implicits._
     val rnd = new scala.util.Random(1234)
