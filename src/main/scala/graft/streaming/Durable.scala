@@ -314,6 +314,87 @@ object DurableSinks {
     def decisions: Option[DataFrame] = store.loadAll().get("acc")
   }
 
+  /** st21's StreamCurateSink, durable — the composed curate admission
+    * with every state frame as per-batch deltas: `hashes`, `index`,
+    * `shstore`, and the decision log `acc` are append-only by
+    * construction; the per-source token counters (`taken`) are
+    * per-batch increments merged by SUM at read time and compacted by
+    * the same reduction. Per-batch I/O is O(batch) across all five
+    * frames. */
+  class DurableCurateSink(spark: SparkSession, dir: String,
+      tau: Double = graft.operators.Dedup.IncTau) {
+    import graft.functions.TextFunctions.{shingles3, tokens}
+    private val store = new DurableState(spark, dir)
+    private val sumTaken = (df: DataFrame) =>
+      df.groupBy(col("source")).agg(sum(col("tok_seen")).as("tok_seen"))
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (store.alreadyApplied(batchId)) return
+      val st = store.loadAll()
+      val flagged = Streams.curateRowFlags(
+        batch.select(col("doc_id"), col("source"), col("text")))
+      val g = flagged.filter(col("gate_ok"))
+      val ek = g.select(col("__h"), col("doc_id").as("__kid"))
+        .groupBy(col("__h")).agg(min(col("__kid")).as("__keep"))
+      val stateHit = st.get("hashes").map(h =>
+          g.join(h, Seq("__h"), "left_semi").select(col("doc_id").as("__sh_hit")))
+        .getOrElse(g.select(col("doc_id").as("__sh_hit")).limit(0))
+      val f2 = flagged
+        .join(ek, Seq("__h"), "left")
+        .join(stateHit, col("doc_id") === col("__sh_hit"), "left")
+        .withColumn("exact_ok", col("gate_ok") && col("__keep") === col("doc_id") &&
+          col("__sh_hit").isNull)
+        .drop("__keep", "__sh_hit")
+      val surv = f2.filter(col("exact_ok")).select(col("doc_id"), col("text"))
+      val keysB = graft.operators.Dedup.bandKeys(surv, "text", "doc_id")
+      val minB = keysB.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+      val shB = surv.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
+      // index segments hold per-batch bucket minima; the live head is
+      // the min over segments (sumMin reducer compacts the same way)
+      val probe = st.get("index").map(ix => ix.unionByName(minB)
+          .groupBy(col("band"), col("key")).agg(min(col("m")).as("m")))
+        .getOrElse(minB)
+      val allSh = st.get("shstore").map(_.unionByName(shB)).getOrElse(shB)
+      val cands = keysB.select(col("band"), col("key"), col("id").as("id_new"))
+        .join(probe, Seq("band", "key"))
+        .filter(col("m") < col("id_new"))
+        .select(col("id_new"), col("m").as("id_old")).distinct()
+      val dup = graft.operators.Dedup.pairJaccard(cands,
+          allSh.withColumnRenamed("id", "doc_id"))
+        .filter(col("jac") >= tau)
+        .select(col("id_new").as("__dup")).distinct()
+      val f3 = f2.join(dup, col("doc_id") === col("__dup"), "left")
+        .withColumn("near_ok", col("exact_ok") && col("__dup").isNull)
+        .drop("__dup")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("__bid"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val base = st.get("taken").map(sumTaken).getOrElse(
+        f3.select(col("source"), col("n_tok").as("tok_seen")).limit(0))
+      val nearSurv = f3.filter(col("near_ok"))
+        .select(col("doc_id").as("__bid"), col("source"), col("n_tok").as("__btok"))
+        .withColumn("__cum", coalesce(sum(col("__btok")).over(w), lit(0L)))
+        .join(base, Seq("source"), "left")
+        .withColumn("__before", col("__cum") + coalesce(col("tok_seen"), lit(0L)))
+      val adm = nearSurv.filter(col("__before") < Streams.CurateBudget)
+        .select(col("__bid").as("__adm"))
+      val out = f3.join(adm, col("doc_id") === col("__adm"), "left")
+        .withColumn("admitted", col("near_ok") && col("__adm").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("gate_ok"), col("exact_ok"), col("near_ok"), col("admitted"))
+      val takenDelta = nearSurv.groupBy(col("source"))
+        .agg(sum(col("__btok")).as("tok_seen"))
+      val minIndex = (df: DataFrame) =>
+        df.groupBy(col("band"), col("key")).agg(min(col("m")).as("m"))
+      store.commitDelta(batchId, Map(
+        "hashes" -> g.select(col("__h")).distinct(),
+        "index" -> minB, "shstore" -> shB,
+        "taken" -> takenDelta, "acc" -> out),
+        reduce = Map("taken" -> sumTaken, "index" -> minIndex,
+          "hashes" -> ((df: DataFrame) => df.distinct())))
+    }
+    def decisions: Option[DataFrame] = store.loadAll().get("acc")
+  }
+
   /** st17's DistinctCountSink. `keys` deltas are the batch's FRESH
     * (day, user) pairs; `acc` deltas are per-day increments stamped
     * with the fold ordinal, merged at read time by sum/min — both

@@ -958,6 +958,19 @@ object Streams {
   // banding with subject ALL docs and partners restricted to earlier
   // ids; the DuckDB oracle is that full computation — streamed fold
   // == rebuild, st14's gate applied to dedup.
+  //
+  // SCALE CAVEAT (round 14, measured): the ANY-earlier-member
+  // candidate rule is quadratic inside near-dup families — the ×100
+  // rehearsal corpus (100-doc one-token-perturbed families) yields
+  // 214M candidate pairs here. Historical ×100 wall numbers for this
+  // key hid that: Bench/TimeQuery run `.count()`, and Catalyst
+  // ELIMINATES the final left join under count (the dup side is
+  // provably distinct-keyed and its columns prune away — verified:
+  // the count plan contains no Join), so the expensive subtree never
+  // ran. st16 stays the pair-exact oracle baseline (the d15 role);
+  // st21's bucket-head rule is the scale path (the d17 role) — its
+  // budget stage CONSUMES the dedup flags, so its measured cost is
+  // the real one at every scale.
   def st16(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{jaccardAuto, shingles3, tokens}
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -1459,7 +1472,243 @@ object Streams {
        |ORDER BY event_type""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // st21: streaming CURATE — the composed admission pipeline a
+  // continuously-ingesting LLM-data build runs, st15 and st16 fused
+  // with the row-local quality gates into ONE stateful operator
+  // (round 14; e2e_curate is the batch composition gate, this is its
+  // arrival-order streaming twin). Per arriving doc, in id order:
+  //   gate    row-local: token floor AND t2 quality AND language
+  //   exact   reject if an earlier-id gate-survivor had the same md5
+  //           (hash-set state)
+  //   near    banded-LSH among exact-survivors with the BUCKET-HEAD
+  //           candidate rule: a doc verifies (shingle-Jaccard ≥ τ)
+  //           against the smallest-id member of each of its band
+  //           buckets — equal to min-earlier-per-bucket since ids
+  //           arrive in increasing order. Candidates are O(N·bands)
+  //           where st16's any-earlier-member rule is quadratic
+  //           inside near-dup families (measured: 214M candidate
+  //           pairs at ×100 — the one-token-perturbed corpus forms
+  //           100-doc families, and C(100,2)·families all-pairs
+  //           spilled the disk). A head that fails verification while
+  //           a non-head member would have passed admits the doc —
+  //           conservative-KEEP, the MaxBucket trade — and rejected
+  //           docs' keys STAY indexed (they can be heads), keeping
+  //           chain transitivity.
+  //   budget  st15's rule per source among near-survivors: admit
+  //           while the source's running token total is under budget
+  // State folds forward like the other sinks (hash set ∪=, index ∪=,
+  // shingle store ∪=, per-source token counters +=) and every
+  // decision depends only on the global id order, so the admitted set
+  // is micro-batch-slicing-invariant; the DuckDB oracle is the full
+  // batch recomputation (fold == rebuild, st16's gate applied to the
+  // whole composition). Budget counters accumulate ALL near-survivor
+  // tokens (admitted or not) — decision-equivalent to st15's
+  // admitted-only counter (the prefix-crossing argument) and exactly
+  // the twin's window math.
+  val CurateMinTokens = 40L
+  val CurateMinQuality = 0.5
+  val CurateLang = "en"
+  val CurateBudget = 500L
+
+  private[streaming] def curateRowFlags(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{predLang, qualityScore, tokens}
+    docs
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .withColumn("gate_ok", col("n_tok") >= CurateMinTokens &&
+        qualityScore(col("text")) >= CurateMinQuality &&
+        predLang(col("text")) === CurateLang)
+      .withColumn("__h", md5(col("text")))
+  }
+
+  /** In-memory streaming curate sink (foreachBatch). Durable twin:
+    * [[DurableSinks.DurableCurateSink]]. */
+  class StreamCurateSink(tau: Double = graft.operators.Dedup.IncTau) {
+    import graft.functions.TextFunctions.{shingles3, tokens}
+    @volatile private var hashes: Option[DataFrame] = None  // (__h) of gate-survivors
+    @volatile private var index: Option[DataFrame] = None   // (band, key, m): per-bucket min id
+    @volatile private var shStore: Option[DataFrame] = None // (id, sh) of exact-survivors
+    @volatile private var taken: Option[DataFrame] = None   // (source, tok_seen) over near-survivors
+    @volatile private var acc: Option[DataFrame] = None
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val flagged = curateRowFlags(
+        batch.select(col("doc_id"), col("source"), col("text")))
+      val g = flagged.filter(col("gate_ok"))
+      // exact: rejected if the hash was seen in an EARLIER batch, or
+      // an earlier id in THIS batch (keep-min)
+      val ek = g.select(col("__h"), col("doc_id").as("__kid"))
+        .groupBy(col("__h")).agg(min(col("__kid")).as("__keep"))
+      val stateHit = hashes.map(h =>
+          g.join(h, Seq("__h"), "left_semi").select(col("doc_id").as("__sh_hit")))
+        .getOrElse(flagged.sparkSession.emptyDataFrame
+          .withColumn("__sh_hit", lit(0L)).limit(0)
+          .select(col("__sh_hit")))
+      val f2 = flagged
+        .join(ek, Seq("__h"), "left")
+        .join(stateHit, col("doc_id") === col("__sh_hit"), "left")
+        .withColumn("exact_ok", col("gate_ok") && col("__keep") === col("doc_id") &&
+          col("__sh_hit").isNull)
+        .drop("__keep", "__sh_hit")
+      // near: probe state ∪ batch bucket minima among exact survivors
+      // (index state = per-bucket min id; ids arrive increasing, so a
+      // bucket's head is set by its first doc and never changes)
+      val surv = f2.filter(col("exact_ok")).select(col("doc_id"), col("text"))
+      val keysB = graft.operators.Dedup.bandKeys(surv, "text", "doc_id")
+      val minB = keysB.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+      val shB = surv.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
+      val probe = index.map(_.unionByName(minB)
+          .groupBy(col("band"), col("key")).agg(min(col("m")).as("m")))
+        .getOrElse(minB)
+      val allSh = shStore.map(_.unionByName(shB)).getOrElse(shB)
+      val cands = keysB.select(col("band"), col("key"), col("id").as("id_new"))
+        .join(probe, Seq("band", "key"))
+        .filter(col("m") < col("id_new"))
+        .select(col("id_new"), col("m").as("id_old")).distinct()
+      val dup = graft.operators.Dedup.pairJaccard(cands,
+          allSh.withColumnRenamed("id", "doc_id"))
+        .filter(col("jac") >= tau)
+        .select(col("id_new").as("__dup")).distinct()
+      val f3 = f2.join(dup, col("doc_id") === col("__dup"), "left")
+        .withColumn("near_ok", col("exact_ok") && col("__dup").isNull)
+        .drop("__dup")
+      // budget: per-source arrival-order prefix among near survivors,
+      // offset by the state counters
+      val w = Window.partitionBy(col("source")).orderBy(col("__bid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = taken.getOrElse(
+        flagged.sparkSession.emptyDataFrame
+          .withColumn("source", lit("")).withColumn("tok_seen", lit(0L)).limit(0)
+          .select(col("source"), col("tok_seen")))
+      val nearSurv = f3.filter(col("near_ok"))
+        .select(col("doc_id").as("__bid"), col("source"), col("n_tok").as("__btok"))
+        .withColumn("__cum", coalesce(sum(col("__btok")).over(w), lit(0L)))
+        .join(base, Seq("source"), "left")
+        .withColumn("__before", col("__cum") + coalesce(col("tok_seen"), lit(0L)))
+      val adm = nearSurv.filter(col("__before") < CurateBudget)
+        .select(col("__bid").as("__adm"))
+      val out = f3.join(adm, col("doc_id") === col("__adm"), "left")
+        .withColumn("admitted", col("near_ok") && col("__adm").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("gate_ok"), col("exact_ok"), col("near_ok"), col("admitted"))
+      // fold state forward
+      hashes = Some(hashes.map(_.unionByName(g.select(col("__h"))))
+        .getOrElse(g.select(col("__h"))).distinct().localCheckpoint())
+      index = Some(probe.localCheckpoint())
+      shStore = Some(allSh.localCheckpoint())
+      val batchTok = nearSurv.groupBy(col("source"))
+        .agg(sum(col("__btok")).as("__new"))
+      taken = Some(base.join(batchTok, Seq("source"), "full")
+        .select(col("source"),
+          (coalesce(col("tok_seen"), lit(0L)) + coalesce(col("__new"), lit(0L)))
+            .as("tok_seen"))
+        .localCheckpoint())
+      acc = Some(acc.map(_.unionByName(out)).getOrElse(out).localCheckpoint())
+    }
+    def decisions: Option[DataFrame] = acc
+  }
+
+  /** st21 batch twin: the identical composition recomputed whole. */
+  def st21(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{shingles3, tokens}
+    val flagged = curateRowFlags(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+    val ek = flagged.filter(col("gate_ok"))
+      .select(col("__h"), col("doc_id").as("__kid"))
+      .groupBy(col("__h")).agg(min(col("__kid")).as("__keep"))
+    val f2 = flagged.join(ek, Seq("__h"), "left")
+      .withColumn("exact_ok", col("gate_ok") && col("__keep") === col("doc_id"))
+      .drop("__keep")
+    val surv = f2.filter(col("exact_ok")).select(col("doc_id"), col("text"))
+    val keys = graft.operators.Dedup.bandKeys(surv, "text", "doc_id")
+    // bucket-head candidates: O(N·bands), never all-pairs (see the
+    // operator comment above — the ×100 family corpus makes any-pairs
+    // quadratic); the bucket min aggregates BEFORE the join, so the
+    // candidate join is keys ⋈ (≤ one row per bucket)
+    val bmin = keys.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+    val pairs = keys.select(col("band"), col("key"), col("id").as("id_new"))
+      .join(bmin, Seq("band", "key"))
+      .filter(col("m") < col("id_new"))
+      .select(col("id_new"), col("m").as("id_old")).distinct()
+    val sh = surv.select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+    val dup = graft.operators.Dedup.pairJaccard(pairs, sh)
+      .filter(col("jac") >= graft.operators.Dedup.IncTau)
+      .select(col("id_new").as("__dup")).distinct()
+    val f3 = f2.join(dup, col("doc_id") === col("__dup"), "left")
+      .withColumn("near_ok", col("exact_ok") && col("__dup").isNull)
+      .drop("__dup")
+    val w = Window.partitionBy(col("source")).orderBy(col("__bid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val adm = f3.filter(col("near_ok"))
+      .select(col("doc_id").as("__bid"), col("source"), col("n_tok").as("__btok"))
+      .withColumn("__cum", coalesce(sum(col("__btok")).over(w), lit(0L)))
+      .filter(col("__cum") < CurateBudget)
+      .select(col("__bid").as("__adm"))
+    f3.join(adm, col("doc_id") === col("__adm"), "left")
+      .withColumn("admitted", col("near_ok") && col("__adm").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("gate_ok"), col("exact_ok"), col("near_ok"), col("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val st21Sql: String = {
+    import graft.functions.TextFunctions._
+    val toks = tokensSql("text")
+    val codes = shingleCodesSql("text")
+    val bkeys = (0 until Bands).map(b => s"${bandKeySql("codes", b)} AS b$b").mkString(", ")
+    val kv = (0 until Bands).map(b => s"($b, b$b)").mkString(", ")
+    val sh3 = shingles3Sql(toks)
+    val inter = "len(list_intersect(n.sh, o.sh))"
+    val jac = s"CASE WHEN len(n.sh) + len(o.sh) - $inter <> 0 THEN " +
+      s"CAST($inter AS DOUBLE) / (len(n.sh) + len(o.sh) - $inter) END"
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id, source, text,
+       |    CAST(len($toks) AS BIGINT) AS n_tok,
+       |    (CAST(len($toks) AS BIGINT) >= $CurateMinTokens
+       |      AND ${qualityScoreSql("text")} >= $CurateMinQuality
+       |      AND ${predLangSql("text")} = '$CurateLang') AS gate_ok
+       |  FROM documents),
+       |ek AS MATERIALIZED (
+       |  SELECT md5(text) AS h, min(doc_id) AS keep FROM f WHERE gate_ok GROUP BY 1),
+       |f2 AS MATERIALIZED (
+       |  SELECT f.*, (gate_ok AND ek.keep = f.doc_id) AS exact_ok
+       |  FROM f LEFT JOIN ek ON md5(f.text) = ek.h),
+       |s9 AS MATERIALIZED (SELECT doc_id, text FROM f2 WHERE exact_ok),
+       |c AS MATERIALIZED (SELECT doc_id, $codes AS codes FROM s9),
+       |k AS MATERIALIZED (SELECT doc_id, $bkeys FROM c),
+       |bk AS MATERIALIZED (
+       |  SELECT doc_id, band, key FROM k,
+       |    LATERAL (SELECT * FROM (VALUES $kv) v(band, key))
+       |  WHERE key IS NOT NULL),
+       |bmin AS MATERIALIZED (
+       |  SELECT band, key, min(doc_id) AS m FROM bk GROUP BY 1, 2),
+       |prs AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_new, bmin.m AS id_old
+       |  FROM bk a JOIN bmin ON a.band = bmin.band AND a.key = bmin.key
+       |  WHERE bmin.m < a.doc_id),
+       |shs AS MATERIALIZED (SELECT doc_id, $sh3 AS sh FROM s9),
+       |dup AS MATERIALIZED (
+       |  SELECT DISTINCT p.id_new FROM prs p
+       |  JOIN shs n ON n.doc_id = p.id_new
+       |  JOIN shs o ON o.doc_id = p.id_old
+       |  WHERE $jac >= ${graft.operators.Dedup.IncTau}),
+       |f3 AS MATERIALIZED (
+       |  SELECT f2.*, (exact_ok AND dup.id_new IS NULL) AS near_ok
+       |  FROM f2 LEFT JOIN dup ON f2.doc_id = dup.id_new),
+       |adm AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |    FROM f3 WHERE near_ok)
+       |  WHERE cum < $CurateBudget)
+       |SELECT f3.doc_id, source, n_tok, gate_ok, exact_ok, near_ok,
+       |  (near_ok AND adm.doc_id IS NOT NULL) AS admitted
+       |FROM f3 LEFT JOIN adm ON f3.doc_id = adm.doc_id
+       |ORDER BY f3.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_stream_curate" -> (st21 _),
     "st20_stream_kmv" -> (st20 _),
     "st19_stream_quantile" -> (st19 _),
     "st18_late_drops" -> (st18 _),
@@ -1479,6 +1728,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st21_stream_curate" -> st21Sql, // rebuild: composed fold == full recompute
     "st20_stream_kmv" -> st20Sql, // direct recompute: summary union == rebuild
     "st19_stream_quantile" -> st19Sql, // direct recompute: folded slices == rebuild
     "st18_late_drops" -> st18Sql,

@@ -367,6 +367,58 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("st21 streaming curate: two slicings AND the durable kill/resume equal the batch rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = Streams.st21(spark, sf).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    // every stage attrits somewhere, or the composition test is vacuous
+    val rows = want.toSeq.map(s => (s(3), s(4), s(5), s(6)))
+    assert(rows.exists(_._1 == false), "gate never rejected")
+    assert(rows.exists(r => r._1 == true && r._3 == false), "near-dedup never rejected")
+    assert(rows.exists(r => r._3 == true && r._4 == false), "budget never bound")
+    def run(cuts: Seq[Int], mk: () => (org.apache.spark.sql.DataFrame, Long) => Unit,
+        out: () => Set[Seq[Any]]): Set[Seq[Any]] = {
+      val mem = MemoryStream[(Long, String, String)]
+      val fold = mk()
+      val q = mem.toDF().toDF("doc_id", "source", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => fold(b, id))
+        .start()
+      try {
+        var prev = 0
+        cuts.foreach { c =>
+          mem.addData(recs.slice(prev, c).toIndexedSeq: _*); q.processAllAvailable(); prev = c
+        }
+        out()
+      } finally q.stop()
+    }
+    val n = recs.length
+    // in-memory sink, two different slicings
+    def memRun(cuts: Seq[Int]): Set[Seq[Any]] = {
+      val sink = new Streams.StreamCurateSink()
+      run(cuts, () => sink.apply _, () => sink.decisions.get.collect().map(_.toSeq).toSet)
+    }
+    assert(memRun(Seq(n / 4, n / 2, 3 * n / 4, n)) === want,
+      "4-slice streamed curate diverged from the batch rebuild")
+    assert(memRun(Seq(n / 3, n)) === want,
+      "2-slice streamed curate diverged from the batch rebuild")
+    // durable sink: first life consumes half, a FRESH instance (new
+    // JVM — no in-memory state) resumes over the same store
+    val dir = java.nio.file.Files.createTempDirectory("graft-st21-dur").toString
+    val first = new graft.streaming.DurableSinks.DurableCurateSink(spark, dir)
+    first.apply(recs.slice(0, n / 2).toSeq.toDF("doc_id", "source", "text"), 0L)
+    val resumed = new graft.streaming.DurableSinks.DurableCurateSink(spark, dir)
+    resumed.apply(recs.slice(n / 2, n).toSeq.toDF("doc_id", "source", "text"), 1L)
+    resumed.apply(recs.slice(n / 2, n).toSeq.toDF("doc_id", "source", "text"), 1L) // redelivery no-op
+    assert(resumed.decisions.get.collect().map(_.toSeq).toSet === want,
+      "durable kill/resume curate diverged from the batch rebuild")
+  }
+
   test("st16 streaming dedup admission: two different slicings equal the batch rebuild") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
