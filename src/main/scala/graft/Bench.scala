@@ -104,7 +104,13 @@ object Bench {
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      // toRdd.count materializes the FULL output plan (what Verify's
+      // oracle dump pays). Dataset.count() lets Catalyst prune every
+      // column and then ELIMINATE multiplicity-preserving joins — the
+      // round-14 audit found 20 keys whose count plan dropped join
+      // subtrees (e2e_curate: 67 joins → 0), so their wall numbers
+      // measured a degenerate plan.
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
     }
     // Family ids (q22, mm4, ...) used to be unique; e2e_curate /

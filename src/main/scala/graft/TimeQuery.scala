@@ -21,7 +21,9 @@ object TimeQuery {
     dirs.foreach { dir =>
       val times = (1 to reps).map { r =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
+        // toRdd.count: full-output materialization (Bench's runOnce
+        // rationale — Dataset.count() elides join subtrees)
+        val n = SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
         val t = (System.nanoTime() - t0) / 1e9
         println(f"[time] $name $dir run$r: $t%.2f s, $n rows")
         t
