@@ -1409,10 +1409,27 @@ object Dedup {
       oldKeys.withColumn("__new", lit(false))
         .unionByName(newKeys.withColumn("__new", lit(true))),
       maxBucket, col("band"), col("key"))
+    // BUCKET-HEAD candidates (round 14): one partner per (new doc,
+    // bucket) — the bucket's smallest id, or its second-smallest when
+    // the doc IS the head. The old any-member rule was quadratic
+    // inside near-dup families under MaxBucket (the ×100 rehearsal
+    // corpus forms 100-doc one-token-perturbed families, well under
+    // the 1000 cap — candidates were ~new·family·bands, measured
+    // superlinear at 80.9 s / exponent 1.18 once the count()-elision
+    // bug stopped hiding it). The bucket minima aggregate BEFORE the
+    // probe join, so the join is newKeys ⋈ (≤ one row per bucket) —
+    // O(batch·bands) candidates. A head that fails verification while
+    // another member would pass reads as non-dup: conservative-KEEP,
+    // st21's documented trade; for family-structured dups the head IS
+    // a family member, so verification holds.
+    val mins = index.groupBy(col("band"), col("key"))
+      .agg(slice(array_sort(collect_set(col("id"))), 1, 2).as("__ms"))
     index.filter(col("__new")).select(col("band"), col("key"), col("id").as("id_new"))
-      .join(index.select(col("band"), col("key"), col("id").as("id_other")),
-        Seq("band", "key"))
-      .filter(col("id_other") =!= col("id_new"))
+      .join(mins, Seq("band", "key"))
+      .withColumn("id_other",
+        when(element_at(col("__ms"), 1) =!= col("id_new"), element_at(col("__ms"), 1))
+          .otherwise(when(size(col("__ms")) >= 2, element_at(col("__ms"), 2))))
+      .filter(col("id_other").isNotNull)
       .select(col("id_new"), col("id_other")).distinct()
   }
 
@@ -1510,10 +1527,17 @@ object Dedup {
        |    LATERAL (SELECT * FROM (VALUES $kv) v(band, key))
        |  WHERE key IS NOT NULL
        |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $MaxBucket),
+       |bmins AS MATERIALIZED (
+       |  SELECT band, key, (list_sort(list(DISTINCT doc_id)))[1:2] AS ms
+       |  FROM bk GROUP BY 1, 2),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_other
-       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key, cut
-       |  WHERE a.doc_id >= cut.c AND b.doc_id <> a.doc_id),
+       |  SELECT DISTINCT a.doc_id AS id_new,
+       |    CASE WHEN ms[1] <> a.doc_id THEN ms[1]
+       |         WHEN len(ms) >= 2 THEN ms[2] END AS id_other
+       |  FROM bk a JOIN bmins USING (band, key), cut
+       |  WHERE a.doc_id >= cut.c
+       |    AND (CASE WHEN ms[1] <> a.doc_id THEN ms[1]
+       |              WHEN len(ms) >= 2 THEN ms[2] END) IS NOT NULL),
        |shs AS (SELECT doc_id, $sh AS sh FROM documents),
        |scored AS (
        |  SELECT p.id_new, p.id_other, $jac AS jac

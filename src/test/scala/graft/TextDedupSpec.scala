@@ -506,16 +506,22 @@ class TextDedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // rebuild: band the WHOLE corpus, apply the same MaxBucket cap
     // (over the same full key set the incremental side caps on), keep
-    // pairs whose subject is new
+    // pairs whose subject is new — under the SAME bucket-head rule
+    // (round 14: one partner per (subject, bucket) — the bucket's
+    // smallest id, or its second-smallest when the subject is the
+    // head), computed here independently via plain Scala groupBys
     val fullKeys0 = Dedup.bandKeys(docs, "text", "doc_id")
     val fullKeys = fullKeys0.withColumn("__bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
       .filter(col("__bsz") <= Dedup.MaxBucket).drop("__bsz")
-    val full = fullKeys.as("a").join(fullKeys.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("x"), col("b.id").as("y")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._1 >= cut).toSet
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byBucket = fullKeys.groupBy(t => (t._2, t._3))
+      .map { case (bk, xs) => bk -> xs.map(_._1).distinct.sorted.take(2) }
+    val full = fullKeys.flatMap { case (id, band, key) =>
+      val ms = byBucket((band, key))
+      val partner = if (ms.head != id) Some(ms.head) else ms.drop(1).headOption
+      partner.map(p => (id, p))
+    }.filter(_._1 >= cut).distinct.toSet
     assert(inc === full, "incremental probing must be indistinguishable from a rebuild")
     assert(inc.nonEmpty)
     // the flag surface finds the planted near-dups, and at least one
