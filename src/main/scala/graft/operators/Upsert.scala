@@ -545,12 +545,50 @@ object Upsert {
     *     pair within the same i8 call's aftermath, before the next i8
     *     run, so this never races a reader);
     * (b) dead sessions: sweep warehouse `i8_*` directories whose name
-    *     lacks the LIVE applicationId AND are older than
-    *     [[I8GcAgeMs]] — the age gate means a concurrent live session
-    *     sharing the warehouse (whose tables are written and joined
-    *     within seconds) is never touched, keeping the round-12
-    *     no-cross-session-drops invariant. */
+    *     lacks the LIVE applicationId AND whose lease marker (see
+    *     [[touchLeases]]) has gone stale for [[I8GcAgeMs]]. The lease
+    *     is a `_graft_lease` file inside the table dir that the OWNING
+    *     JVM's daemon heartbeat re-touches every [[I8LeaseBeatMs]]
+    *     while it is alive — so a concurrent session that wrote its
+    *     tables and then STALLED >30 min (debugger, GC pause, slow SF)
+    *     keeps its tables (round-15 ADVICE: the old write-time-mtime
+    *     heuristic deleted them mid-query), while a dead JVM's lease
+    *     ages out and its orphans are reclaimed. Dirs with NO lease
+    *     file (pre-lease layouts) fall back to dir mtime. */
   private val I8GcAgeMs = 30L * 60 * 1000
+  private val I8LeaseBeatMs = 5L * 60 * 1000
+  private val LeaseName = "_graft_lease"
+  /** Table dirs this JVM owns; the heartbeat re-touches their leases. */
+  private val leasedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var heartbeatStarted = false
+  private def touchLease(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(tableDir, LeaseName)
+      val out = fs.create(p, true); out.write('1'); out.close()
+    } catch { case _: java.io.IOException => () } // lease is best-effort
+  private def touchLeases(s: SparkSession): Unit = {
+    val it = leasedDirs.iterator()
+    while (it.hasNext) {
+      val d = new org.apache.hadoop.fs.Path(it.next())
+      val fs = d.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(d)) touchLease(fs, d) else it.remove()
+    }
+  }
+  private def ensureHeartbeat(s: SparkSession): Unit =
+    if (!heartbeatStarted) synchronized {
+      if (!heartbeatStarted) {
+        val t = new Thread(() => {
+          while (true) {
+            Thread.sleep(I8LeaseBeatMs)
+            try touchLeases(s) catch { case _: Throwable => () }
+          }
+        }, "graft-i8-lease-heartbeat")
+        t.setDaemon(true); t.start()
+        heartbeatStarted = true
+      }
+    }
   private def gcI8Tables(s: SparkSession): Unit = {
     lastI8Tables.foreach { case (o, l) =>
       resetManagedTable(s, o); resetManagedTable(s, l)
@@ -565,9 +603,16 @@ object Upsert {
       fs.listStatus(wh).foreach { st =>
         val n = st.getPath.getName
         if ((n.startsWith("i8_orders_b_") || n.startsWith("i8_lineitem_b_")) &&
-            !n.contains(app) && st.getModificationTime < cutoff) {
-          s.sql(s"DROP TABLE IF EXISTS $n")
-          fs.delete(st.getPath, true)
+            !n.contains(app)) {
+          val lease = new org.apache.hadoop.fs.Path(st.getPath, LeaseName)
+          val lastAlive =
+            try { if (fs.exists(lease)) fs.getFileStatus(lease).getModificationTime
+                  else st.getModificationTime }
+            catch { case _: java.io.IOException => Long.MaxValue } // unreadable: keep
+          if (lastAlive < cutoff) {
+            s.sql(s"DROP TABLE IF EXISTS $n")
+            fs.delete(st.getPath, true)
+          }
         }
       }
     }
@@ -587,6 +632,14 @@ object Upsert {
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
       lineitemTbl, "l_orderkey", 8)
+    // lease the new table dirs (see gcI8Tables doc) and keep them
+    // fresh from the daemon heartbeat while this JVM lives
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    Seq(ordersTbl, lineitemTbl).foreach { t =>
+      leasedDirs.add(new org.apache.hadoop.fs.Path(wh, t).toString)
+    }
+    touchLeases(s)
+    ensureHeartbeat(s)
     val dec2 = graft.functions.ExactNum.dec2 _
     s.table(lineitemTbl)
       .join(s.table(ordersTbl), col("l_orderkey") === col("o_orderkey"))

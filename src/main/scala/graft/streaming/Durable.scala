@@ -68,12 +68,19 @@ class DurableState(spark: SparkSession, dir: String) {
 
   private def manifestPath(batchId: Long) = new Path(root, s"$ManifestPrefix$batchId")
 
-  /** All committed manifest versions, descending. */
+  /** All committed manifest versions, descending. Only names whose
+    * suffix is PURELY numeric count: a stray non-conforming file in
+    * the store root (editor backup, a copy artifact like
+    * `_latest.v3 (1)`) must not brick reads of otherwise-intact state
+    * with a NumberFormatException — the rename flip only ever creates
+    * `_latest.v<digits>`, so anything else is not a manifest. */
   private def manifestVersions: Seq[Long] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(ManifestPrefix))
-      .map(_.stripPrefix(ManifestPrefix).toLong)
+      .map(_.stripPrefix(ManifestPrefix))
+      .filter(s => s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
+      .map(_.toLong)
       .sorted(Ordering[Long].reverse)
 
   private def readManifest(batchId: Long): (Long, Long, Seq[(String, String)]) = {
@@ -263,40 +270,52 @@ object DurableSinks {
       store.loadAll().get("state").map(Upsert.rollupFinish)
   }
 
-  /** st16's DedupAdmissionSink (three state frames, ALL append-only by
-    * construction — index rows, shingle rows, and decisions only ever
-    * accrue), so each batch commits pure deltas: its own band keys,
-    * its own shingle rows, its own decisions. `bootstrap` = (band-index
-    * path, shingle-store path) from [[graft.Artifacts]]: folded into
-    * the FIRST delta when — and only when — the durable store is fresh
-    * (a resumed store already contains the folded history, which
-    * supersedes the bootstrap snapshot). */
+  /** st16's DedupAdmissionSink, durable. Candidates follow st16's
+    * BUCKET-HEAD rule (see Streams.DedupAdmissionSink — per bucket the
+    * smallest seen id, O(batch·bands) candidates, never all-pairs):
+    * `index` segments hold per-batch bucket minima merged by MIN at
+    * read time (and compacted by the same reduction); `shstore` holds
+    * bucket-head shingle rows only — a doc that heads no bucket at its
+    * own fold can never head one later under id-ordered arrivals, so
+    * its row is provably never read and is never committed. Segment
+    * ids are disjoint, decisions accrue append-only. `bootstrap` =
+    * (band-index path, shingle-store path) from [[graft.Artifacts]]:
+    * aggregated to heads and folded into the FIRST delta when — and
+    * only when — the durable store is fresh (a resumed store already
+    * contains the folded history, which supersedes the bootstrap
+    * snapshot). */
   class DurableDedupAdmissionSink(spark: SparkSession, dir: String,
       tau: Double = graft.operators.Dedup.IncTau,
       bootstrap: Option[(String, String)] = None) {
     import graft.functions.TextFunctions.{shingles3, tokens}
     private val store = new DurableState(spark, dir)
+    private val minIndex = (df: DataFrame) =>
+      df.groupBy(col("band"), col("key")).agg(min(col("m")).as("m"))
     def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (store.alreadyApplied(batchId)) return
       val st = store.loadAll()
       val boot = if (st.nonEmpty) None
-        else bootstrap.map { case (indexPath, shinglesPath) => (
-          graft.Artifacts.loadBandIndex(spark, indexPath),
-          graft.Artifacts.loadShingleStore(spark, shinglesPath)
-            .select(col("doc_id").as("id"), col("sh")))
+        else bootstrap.map { case (indexPath, shinglesPath) =>
+          val heads = graft.Artifacts.loadBandIndex(spark, indexPath)
+            .groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+          (heads,
+            graft.Artifacts.loadShingleStore(spark, shinglesPath)
+              .select(col("doc_id").as("id"), col("sh"))
+              .join(heads.select(col("m").as("id")).distinct(), Seq("id"), "left_semi"))
         }
       val keysB = graft.operators.Dedup.bandKeys(batch, "text", "doc_id")
+      val minB = keysB.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
       val shB = batch.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
       val oldIndex = Seq(st.get("index"), boot.map(_._1)).flatten
         .reduceOption(_.unionByName(_))
       val oldSh = Seq(st.get("shstore"), boot.map(_._2)).flatten
         .reduceOption(_.unionByName(_))
-      val probe = oldIndex.map(_.unionByName(keysB)).getOrElse(keysB)
+      val probe = minIndex(oldIndex.map(_.unionByName(minB)).getOrElse(minB))
       val allSh = oldSh.map(_.unionByName(shB)).getOrElse(shB)
       val cands = keysB.select(col("band"), col("key"), col("id").as("id_new"))
-        .join(probe.select(col("band"), col("key"), col("id").as("id_old")), Seq("band", "key"))
-        .filter(col("id_old") < col("id_new"))
-        .select(col("id_new"), col("id_old")).distinct()
+        .join(probe, Seq("band", "key"))
+        .filter(col("m") < col("id_new"))
+        .select(col("id_new"), col("m").as("id_old")).distinct()
       val dup = graft.operators.Dedup.pairJaccard(cands,
           allSh.withColumnRenamed("id", "doc_id"))
         .filter(col("jac") >= tau)
@@ -304,12 +323,17 @@ object DurableSinks {
       val decisions = batch.select(col("doc_id"))
         .join(dup.withColumn("__d", lit(true)), Seq("doc_id"), "left")
         .select(col("doc_id"), col("__d").isNull.as("admitted"))
+      // heads-only shingle delta: a batch doc's row persists iff the
+      // folded index has it as some bucket's head
+      val shDelta = shB.join(probe.select(col("m").as("id")).distinct(),
+        Seq("id"), "left_semi")
       // Deltas: this batch's contribution only (bootstrap rides the
       // first delta — a one-time O(bootstrap) cost, like any ingest).
       store.commitDelta(batchId, Map(
-        "index" -> boot.map(_._1.unionByName(keysB)).getOrElse(keysB),
-        "shstore" -> boot.map(_._2.unionByName(shB)).getOrElse(shB),
-        "acc" -> decisions))
+        "index" -> boot.map(_._1.unionByName(minB)).getOrElse(minB),
+        "shstore" -> boot.map(_._2.unionByName(shDelta)).getOrElse(shDelta),
+        "acc" -> decisions),
+        reduce = Map("index" -> minIndex))
     }
     def decisions: Option[DataFrame] = store.loadAll().get("acc")
   }

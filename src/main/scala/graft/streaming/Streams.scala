@@ -959,20 +959,51 @@ object Streams {
   // ids; the DuckDB oracle is that full computation — streamed fold
   // == rebuild, st14's gate applied to dedup.
   //
-  // SCALE CAVEAT (round 14, measured): the ANY-earlier-member
-  // candidate rule is quadratic inside near-dup families — the ×100
-  // rehearsal corpus (100-doc one-token-perturbed families) yields
-  // 214M candidate pairs here. Historical ×100 wall numbers for this
-  // key hid that: Bench/TimeQuery run `.count()`, and Catalyst
-  // ELIMINATES the final left join under count (the dup side is
-  // provably distinct-keyed and its columns prune away — verified:
-  // the count plan contains no Join), so the expensive subtree never
-  // ran. st16 stays the pair-exact oracle baseline (the d15 role);
-  // st21's bucket-head rule is the scale path (the d17 role) — its
-  // budget stage CONSUMES the dedup flags, so its measured cost is
-  // the real one at every scale.
+  // CANDIDATE RULE (round 15 — the round-14 scale catch, closed): a
+  // doc's candidate partner per bucket is the bucket's HEAD (smallest
+  // id), with the bucket minima aggregated BEFORE the probe join —
+  // candidate volume is O(N·bands), never all-pairs. The ANY-earlier-
+  // member rule this replaces is quadratic inside near-dup families
+  // (the ×100 rehearsal corpus's 100-doc one-token-perturbed families
+  // yield 214M candidate pairs; MaxBucket can't help — family buckets
+  // sit under the cap), and count()-elision had hidden that cost until
+  // round 14's toRdd re-measurement. Because arrivals are id-ordered
+  // (st15's contract) a bucket's head NEVER changes once created, so
+  // the head rule is a pure function of the global id order — the
+  // fold == rebuild oracle and the slicing-invariance property both
+  // survive intact. Trade (st21's documented one): conservative-KEEP —
+  // a doc whose bucket head fails Jaccard verification is admitted
+  // even if some other earlier member would have verified; on the
+  // testdata head == any-member exactly (StreamingSpec proves it
+  // against [[st16PairExact]], the spec-only pair-exact reference).
   def st16(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{jaccardAuto, shingles3, tokens}
+    import graft.functions.TextFunctions.{shingles3, tokens}
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val keys = graft.operators.Dedup.bandKeys(docs, "text", "doc_id")
+    val bmin = keys.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+    val pairs = keys.select(col("band"), col("key"), col("id").as("id_new"))
+      .join(bmin, Seq("band", "key"))
+      .filter(col("m") < col("id_new"))
+      .select(col("id_new"), col("m").as("id_old")).distinct()
+    val sh = docs.select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+    val dup = graft.operators.Dedup.pairJaccard(pairs, sh)
+      .filter(col("jac") >= graft.operators.Dedup.IncTau)
+      .select(col("id_new").as("doc_id")).distinct()
+    docs.select(col("doc_id"))
+      .join(dup.withColumn("__d", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__d").isNull.as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SPEC-ONLY pair-exact reference (the BpeApply pattern): the
+    * any-earlier-member candidate rule st16 used through round 14 —
+    * exact "no earlier near-dup anywhere" semantics, quadratic inside
+    * near-dup families (see the candidate-rule note above), kept so
+    * StreamingSpec can prove head-rule == any-member on the testdata
+    * and document the conservative-KEEP divergence boundary. NOT
+    * registered; never run at scale. */
+  def st16PairExact(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{shingles3, tokens}
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val keys = graft.operators.Dedup.bandKeys(docs, "text", "doc_id")
     val pairs = keys.select(col("band"), col("key"), col("id").as("id_new"))
@@ -1000,14 +1031,16 @@ object Streams {
       s"CAST($inter AS DOUBLE) / (len(n.sh) + len(o.sh) - $inter) END"
     s"""WITH c AS (SELECT doc_id, $codes AS codes FROM documents),
        |k AS (SELECT doc_id, $keys FROM c),
-       |bk AS (
+       |bk AS MATERIALIZED (
        |  SELECT doc_id, band, key FROM k,
        |    LATERAL (SELECT * FROM (VALUES $kv) v(band, key))
        |  WHERE key IS NOT NULL),
+       |bmin AS MATERIALIZED (
+       |  SELECT band, key, min(doc_id) AS m FROM bk GROUP BY 1, 2),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
-       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
-       |    AND b.doc_id < a.doc_id),
+       |  SELECT DISTINCT a.doc_id AS id_new, bmin.m AS id_old
+       |  FROM bk a JOIN bmin ON a.band = bmin.band AND a.key = bmin.key
+       |  WHERE bmin.m < a.doc_id),
        |shs AS (SELECT doc_id, $sh3 AS sh FROM documents),
        |dup AS (
        |  SELECT DISTINCT p.id_new FROM pairs p
@@ -1020,36 +1053,54 @@ object Streams {
   }
 
   /** foreachBatch incremental-dedup sink (st16's streaming form): per
-    * micro-batch, band the batch, probe the accumulated index, verify
-    * with exact Jaccard against the shingle store, emit (doc_id,
-    * admitted), then fold the batch's keys and shingles forward.
-    * localCheckpoint bounds lineage per batch (UpsertSink's note: the
-    * production index is a MERGE-capable table).
+    * micro-batch, band the batch, probe the accumulated BUCKET-HEAD
+    * index (st16's candidate rule — per bucket only the smallest seen
+    * id, folded by min-merge, so candidate volume is O(batch·bands)
+    * and state is one row per live bucket, never one per (doc, band)),
+    * verify with exact Jaccard against the shingle store, emit
+    * (doc_id, admitted), then fold the batch's bucket minima and
+    * shingles forward. localCheckpoint bounds lineage per batch
+    * (UpsertSink's note: the production index is a MERGE-capable
+    * table).
+    *
+    * The SHINGLE STORE retains bucket HEADS only: a candidate partner
+    * is always a bucket head, and under id-ordered arrivals a bucket's
+    * head never changes once created — a doc that heads no bucket can
+    * never head one later, so its shingles are provably never read
+    * again and are dropped at fold time. State shrinks from O(docs) to
+    * O(head docs) with decisions bit-identical (StreamingSpec's
+    * slicing tests and StreamingRecoverySpec's kill/resume test pin
+    * this against the batch twin).
     *
     * Deliberately UNCAPPED, unlike the batch `incrementalNearDupPairs`
     * (MaxBucket): a mid-stream cap would depend on how much of the
     * bucket has ARRIVED, so the admitted set would stop being a pure
     * function of the global id order and the fold == rebuild oracle
-    * would break. The streaming hot-bucket defense is upstream exact
-    * dedup (the same doctrine), not bucket dropping. */
+    * would break. With head-rule candidates a cap is also unnecessary:
+    * a hot bucket contributes ≤ 1 candidate per arriving member. */
   class DedupAdmissionSink(tau: Double = graft.operators.Dedup.IncTau,
       /** Start the stream against an EXISTING corpus: a persisted
         * band index + shingle store ([[graft.Artifacts]]) preload the
-        * state, so the first micro-batch already dedups against the
-        * whole history instead of an empty index (round-12 VERDICT
-        * directive 8 — the production cold-start wiring). */
+        * state (the index aggregated to bucket heads, the shingle
+        * store filtered to them), so the first micro-batch already
+        * dedups against the whole history instead of an empty index
+        * (round-12 VERDICT directive 8 — the production cold-start
+        * wiring). */
       bootstrap: Option[(String, String)] = None) {
-    import graft.functions.TextFunctions.{jaccardAuto, shingles3, tokens}
-    @volatile private var index: Option[DataFrame] = None   // (id, band, key), all seen
-    @volatile private var shStore: Option[DataFrame] = None // (id, sh), all seen
+    import graft.functions.TextFunctions.{shingles3, tokens}
+    @volatile private var index: Option[DataFrame] = None   // (band, key, m): bucket heads
+    @volatile private var shStore: Option[DataFrame] = None // (id, sh), bucket heads only
     @volatile private var acc: Option[DataFrame] = None     // (doc_id, admitted)
     private var bootstrapped = false
     private def ensureBootstrap(s: org.apache.spark.sql.SparkSession): Unit =
       if (!bootstrapped) {
         bootstrap.foreach { case (indexPath, shinglesPath) =>
-          index = Some(graft.Artifacts.loadBandIndex(s, indexPath))
+          val heads = graft.Artifacts.loadBandIndex(s, indexPath)
+            .groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+          index = Some(heads)
           shStore = Some(graft.Artifacts.loadShingleStore(s, shinglesPath)
-            .select(col("doc_id").as("id"), col("sh")))
+            .select(col("doc_id").as("id"), col("sh"))
+            .join(heads.select(col("m").as("id")).distinct(), Seq("id"), "left_semi"))
         }
         bootstrapped = true
       }
@@ -1057,13 +1108,16 @@ object Streams {
       val s = batch.sparkSession
       ensureBootstrap(s)
       val keysB = graft.operators.Dedup.bandKeys(batch, "text", "doc_id")
+      val minB = keysB.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
       val shB = batch.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
-      val probe = index.map(_.unionByName(keysB)).getOrElse(keysB)
+      val probe = index.map(_.unionByName(minB)
+          .groupBy(col("band"), col("key")).agg(min(col("m")).as("m")))
+        .getOrElse(minB)
       val allSh = shStore.map(_.unionByName(shB)).getOrElse(shB)
       val cands = keysB.select(col("band"), col("key"), col("id").as("id_new"))
-        .join(probe.select(col("band"), col("key"), col("id").as("id_old")), Seq("band", "key"))
-        .filter(col("id_old") < col("id_new"))
-        .select(col("id_new"), col("id_old")).distinct()
+        .join(probe, Seq("band", "key"))
+        .filter(col("m") < col("id_new"))
+        .select(col("id_new"), col("m").as("id_old")).distinct()
       val dup = graft.operators.Dedup.pairJaccard(cands,
           allSh.withColumnRenamed("id", "doc_id"))
         .filter(col("jac") >= tau)
@@ -1072,7 +1126,11 @@ object Streams {
         .join(dup.withColumn("__d", lit(true)), Seq("doc_id"), "left")
         .select(col("doc_id"), col("__d").isNull.as("admitted"))
       index = Some(probe.localCheckpoint())
-      shStore = Some(allSh.localCheckpoint())
+      // heads-only retention (see class doc): keep a shingle row iff
+      // its id heads at least one bucket in the folded index
+      shStore = Some(allSh
+        .join(probe.select(col("m").as("id")).distinct(), Seq("id"), "left_semi")
+        .localCheckpoint())
       acc = Some(acc.map(_.unionByName(decisions)).getOrElse(decisions).localCheckpoint())
     }
     def decisions: Option[DataFrame] = acc

@@ -168,6 +168,30 @@ class MultimodalHeaderSpec extends AnyFunSuite {
       be32b(16) ++ fourcc("moov") ++ be32b(8) ++ fourcc("iods")) === (("unknown", -1L, -1L)))
   }
 
+  test("WAV chunk sizes >= 2^31 terminate (round-15 ADVICE: Int-truncated cursor)") {
+    // Declared size 0xFFFFFFF8: through toInt (-8) the old cursor
+    // advanced by 8 + (-8) = 0 — an INFINITE LOOP; other large sizes
+    // stepped the cursor backwards until cc(i) threw. The Long-cursor
+    // walk must stop at the buffer end and report what it found.
+    val frozen = fourcc("RIFF") ++ le32b(100) ++ fourcc("WAVE") ++
+      fourcc("JUNK") ++ le32b(0xFFFFFFF8L) ++ Array.fill[Byte](16)(0)
+    assert(parseMediaHeader(frozen) === (("unknown", -1L, -1L)))
+    // backward-stepping size (0x80000010 -> toInt negative): must not
+    // re-walk earlier bytes or throw
+    val backward = fourcc("RIFF") ++ le32b(100) ++ fourcc("WAVE") ++
+      fourcc("JUNK") ++ le32b(0x80000010L) ++ Array.fill[Byte](16)(0)
+    assert(parseMediaHeader(backward) === (("unknown", -1L, -1L)))
+    // a TRAILING data chunk with a huge declared size keeps the
+    // documented truncation behavior: the declared size IS the
+    // contract once fmt was parsed (duration from header fields)
+    val bigData = fourcc("RIFF") ++ le32b(0xFFFFFFF0L) ++ fourcc("WAVE") ++
+      fourcc("fmt ") ++ le32b(16) ++ le16b(1) ++ le16b(1) ++ le32b(8000) ++
+      le32b(16000) ++ le16b(2) ++ le16b(16) ++
+      fourcc("data") ++ le32b(0x80000000L)
+    assert(parseMediaHeader(bigData) ===
+      (("wav", 8000L, 0x80000000L / 2 * 1000L / 8000L)))
+  }
+
   test("media generator/parser round-trip across parameter grids") {
     for (ch <- Seq(1, 2); rate <- Seq(8000L, 16000L, 44100L); nb <- Seq(0, 7, 4096)) {
       val body = Array.fill[Byte](nb)(0x5a)

@@ -81,6 +81,22 @@ class StreamingRecoverySpec extends SparkSuite {
     assert(store.loadAll()("s").collect().map(_.toSeq).toSeq === Seq(Seq(2L, "b")))
   }
 
+  test("DurableState: stray non-numeric _latest.v* files never brick reads (round-15 ADVICE)") {
+    import spark.implicits._
+    val dir = tmp("graft-stray")
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/commit=0/s")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_latest.v0"),
+      "0 1\ns commit=0/s".getBytes("UTF-8"))
+    // editor backup + copy artifact: the old `.toLong` parse threw
+    // NumberFormatException and permanently bricked the store
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_latest.v0~"), Array[Byte]())
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_latest.v3 (1)"), Array[Byte]())
+    val store = new DurableState(spark, dir)
+    assert(store.committed === Some((0L, 1L)),
+      "non-conforming names must be ignored, not parsed")
+    assert(store.loadAll()("s").collect().map(_.toSeq).toSeq === Seq(Seq(1L, "a")))
+  }
+
   test("DurableState.commitDelta: segments accrue, compact at the cadence, and GC drops stale dirs") {
     import spark.implicits._
     val dir = tmp("graft-delta")

@@ -452,6 +452,32 @@ class StreamingSpec extends SparkSuite {
       "2-slice streamed fold diverged from the batch rebuild")
   }
 
+  test("st16 bucket-head rule vs the pair-exact reference (divergence boundary)") {
+    // st16's registered form probes only each bucket's HEAD (smallest
+    // id); st16PairExact is the spec-only any-earlier-member reference
+    // it replaced (quadratic inside near-dup families — round-14's
+    // 214M-pair ×100 measurement). Two claims:
+    // (1) one-sided by construction: every head-rule REJECTION is
+    //     backed by a verified pair the any-member rule also sees, so
+    //     head-rejected ⊆ pair-exact-rejected (conservative-KEEP);
+    // (2) on this corpus the rules agree EXACTLY — the only possible
+    //     divergence is a doc whose bucket head fails Jaccard while a
+    //     later member would verify, which the one-token-perturbed
+    //     families never produce.
+    val head = Streams.st16(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exact = Streams.st16PairExact(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(head.keySet === exact.keySet)
+    val headRejected = head.filter(!_._2).keySet
+    val exactRejected = exact.filter(!_._2).keySet
+    assert(headRejected.nonEmpty, "non-vacuous: some doc must be rejected")
+    assert(headRejected.subsetOf(exactRejected),
+      "a head-rule rejection without a pair-exact rejection is impossible by construction")
+    assert(head === exact,
+      "head rule diverged from pair-exact on this corpus (conservative-KEEP fired)")
+  }
+
   test("st14 rollup fold is invariant to spark.sql.shuffle.partitions") {
     // The mergeable-state design claims ANY re-sharding of the fold is
     // harmless (associative+commutative state, exact-decimal sums).
