@@ -440,13 +440,18 @@ object Corpus {
     minAvgLogProb = Some(E2e.LmFloor),
     tokenBudgetPerSource = Some(E2e.BudgetPerSource))
 
-  def e2eCurate(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** e2e_curate's curate run, pre-ledger — exposed for the dev-only
+    * stage profiler ([[CurateProfile]]), which times cumulative
+    * flag-column cuts of `flagged` to attribute wall-clock per stage. */
+  private[graft] def e2eResult(s: org.apache.spark.sql.SparkSession, dir: String): Result = {
     val docs = Tables.documents(s, dir)
     val ev = docs.filter(col("doc_id") % E2e.EvalSliceMod === 0)
       .select(col("doc_id"), col("text"))
-    val r = curate(docs, cfg = e2eConfig.copy(evalSet = Some(ev)))
-    attritionLedger(r.flagged)
+    curate(docs, cfg = e2eConfig.copy(evalSet = Some(ev)))
   }
+
+  def e2eCurate(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    attritionLedger(e2eResult(s, dir).flagged)
 
   // -------------------------------------------------------------------
   // e2e_curate_full: ALL 13 stages live (r13 VERDICT directive 2).

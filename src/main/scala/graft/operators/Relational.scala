@@ -535,17 +535,40 @@ object Relational {
       |ORDER BY user_id, event_id""".stripMargin
 
   // -------------------------------------------------------------------
-  // q15 (rows-only): approximate distinct via HLL sketch vs exact.
-  // The HLL implementation is Spark-specific so no SQL oracle; the
-  // spec asserts |approx-exact|/exact < 0.1. At 100 TB approx_count_
-  // distinct is the right default — single pass, fixed memory.
-  def q15(s: SparkSession, dir: String): DataFrame = {
+  // q15: approximate distinct via HLL sketch vs exact — GATED (round
+  // 15, the q44 treatment it half-had). The HLL ESTIMATE is
+  // engine-specific (Spark's HLL++ registers have no DuckDB twin), so
+  // it cannot be a hashed column; what CAN be gated is the CLAIM. The
+  // registered row carries (exact count, the ppm bound, bound_ok) and
+  // the oracle recomputes the exact count and asserts bound_ok = TRUE
+  // — if Spark's estimate at rsd 0.02 ever errs past Q15BoundPpm
+  // (3·rsd = 6% = 60000 ppm, the standard 3σ envelope; HLL++'s sparse
+  // mode makes small groups near-exact) the boolean flips and the
+  // hash gate FAILS. The estimate itself stays visible to library
+  // callers via q15Estimates. At 100 TB approx_count_distinct is the
+  // right default — single pass, fixed memory.
+  val Q15BoundPpm = 60000L
+  /** Library read: per-type HLL estimate beside the exact count. */
+  def q15Estimates(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
-  }
+  def q15(s: SparkSession, dir: String): DataFrame =
+    q15Estimates(s, dir)
+      .select(col("event_type"), col("exact_users"),
+        lit(Q15BoundPpm).as("bound_ppm"),
+        (expr("abs(approx_users - exact_users) * 1000000L div exact_users")
+          <= Q15BoundPpm).as("bound_ok"))
+      .orderBy(col("event_type"))
+
+  val q15Sql: String =
+    s"""SELECT event_type,
+       |  count(DISTINCT user_id) AS exact_users,
+       |  CAST($Q15BoundPpm AS BIGINT) AS bound_ppm,
+       |  TRUE AS bound_ok
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
   // q16: the SAME as-of semantics as q14, but through the custom
@@ -1807,8 +1830,9 @@ object Relational {
 
   // -------------------------------------------------------------------
   // q44: KMV (k-minimum-values / bottom-k) distinct estimate per group,
-  // ORACLE-GATED — the approximate-distinct q15 can't gate: HLL's
-  // register layout is engine-specific (q15 stays rows-only forever),
+  // ORACLE-GATED — the approximate-distinct q15's ESTIMATE can't gate
+  // (HLL's register layout is engine-specific; since round 15 q15
+  // gates the exact counts + the certified error-bound claim instead),
   // but the KMV sketch is a deterministic function of a portable hash
   // (t21's two-step mixing hash), so the ENTIRE estimator replays in
   // DuckDB and hash-matches. Estimator: with h uniform on [0,P), the
@@ -2234,6 +2258,7 @@ object Relational {
     "q15_approx_distinct" -> (q15 _))
 
   def oracles: Map[String, String] = Map(
+    "q15_approx_distinct" -> q15Sql, // exact counts + certified bound claim
     "q47_skew_audit" -> q47Sql,
     "q46_countmin_topk" -> q46Sql,
     "q45_kmv_overlap" -> q45Sql,

@@ -27,73 +27,81 @@ import org.apache.spark.sql.types._
   */
 object Excel {
 
-  /** Read one sheet of an .xlsx into a typed DataFrame. `sheet` =
-    * None → the workbook's first sheet. With `header`, row 1 names
-    * the columns; names are normalized like `Ingest.normalizeColumns`.
-    * With `inferTypes`, each column becomes long/double/boolean when
-    * every non-null cell parses as one (CSV-inference ergonomics);
-    * otherwise everything is string. */
+  /** Read one sheet of an Excel workbook into a typed DataFrame —
+    * BOTH formats, like the reference's pd.read_excel (main.py:409):
+    * .xlsx (zip magic `PK`) via the StAX reader below, legacy .xls
+    * (CFB magic D0 CF 11 E0) via the dependency-free BIFF8 reader
+    * ([[Biff]], round 15 — previously a documented rejection). The
+    * two parsers share this method's inference/DataFrame tail, so a
+    * workbook round-tripped between formats types identically.
+    *
+    * `sheet` = None → the workbook's first sheet. With `header`,
+    * row 1 names the columns; names are normalized like
+    * `Ingest.normalizeColumns`. With `inferTypes`, each column
+    * becomes long/double/boolean when every non-null cell parses as
+    * one (CSV-inference ergonomics); otherwise everything is string. */
   def read(s: SparkSession, path: String, sheet: Option[String] = None,
       header: Boolean = true, inferTypes: Boolean = true): DataFrame = {
-    rejectLegacyXls(path)
-    val zip = new ZipFile(path)
-    try {
-      val shared = readSharedStrings(zip)
-      val sheetPath = resolveSheetPath(zip, sheet)
-      val rows = readSheetRows(zip, sheetPath, shared)
-      if (rows.isEmpty) return s.emptyDataFrame
-      val width = rows.map(_.length).max
-      val padded = rows.map(r => r.padTo(width, null: String))
-      val names =
-        if (header) padded.head.zipWithIndex.map { case (n, i) =>
-          if (n == null || n.trim.isEmpty) s"_c$i"
-          else n.trim.toLowerCase.replaceAll("\\s+", "_")
-        }
-        else (0 until width).map(i => s"_c$i").toArray
-      val data = if (header) padded.tail else padded
-      val types: Array[DataType] =
-        if (!inferTypes) Array.fill(width)(StringType)
-        else (0 until width).map { i =>
-          val vals = data.flatMap(r => Option(r(i)))
-          if (vals.isEmpty) StringType
-          else if (vals.forall(v => v.matches("-?\\d+") &&
-            scala.util.Try(v.toLong).isSuccess)) LongType
-          else if (vals.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
-          else if (vals.forall(v => v == "true" || v == "false")) BooleanType
-          else StringType
-        }.toArray
-      val schema = StructType(names.zip(types).map { case (n, t) =>
-        StructField(n, t, nullable = true)
-      })
-      val converted = data.map { r =>
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(r.zip(types).map {
-          case (null, _) => null
-          case (v, LongType) => v.toLong
-          case (v, DoubleType) => v.toDouble
-          case (v, BooleanType) => v == "true"
-          case (v, _) => v
-        }))
+    val rows =
+      if (isCfb(path)) Biff.readRows(path, sheet)
+      else {
+        val zip = new ZipFile(path)
+        try {
+          val shared = readSharedStrings(zip)
+          val sheetPath = resolveSheetPath(zip, sheet)
+          readSheetRows(zip, sheetPath, shared)
+        } finally zip.close()
       }
-      s.createDataFrame(java.util.Arrays.asList(converted: _*), schema)
-    } finally zip.close()
+    rowsToDataFrame(s, rows, header, inferTypes)
   }
 
-  /** Legacy .xls (BIFF / OLE2 compound file, magic D0 CF 11 E0) is not
-    * a zip — without this check a user uploading an old-format
-    * workbook gets an opaque "zip END header not found" instead of an
-    * actionable message. The reference accepts both formats via
-    * pd.read_excel (main.py:409); this library supports .xlsx only
-    * and says so crisply. */
-  private def rejectLegacyXls(path: String): Unit = {
+  /** Shared tail of both Excel parsers: raw string rows → normalized
+    * names → per-column type inference → typed DataFrame. */
+  private[sources] def rowsToDataFrame(s: SparkSession, rows: Seq[Array[String]],
+      header: Boolean, inferTypes: Boolean): DataFrame = {
+    if (rows.isEmpty) return s.emptyDataFrame
+    val width = rows.map(_.length).max
+    val padded = rows.map(r => r.padTo(width, null: String))
+    val names =
+      if (header) padded.head.zipWithIndex.map { case (n, i) =>
+        if (n == null || n.trim.isEmpty) s"_c$i"
+        else n.trim.toLowerCase.replaceAll("\\s+", "_")
+      }
+      else (0 until width).map(i => s"_c$i").toArray
+    val data = if (header) padded.tail else padded
+    val types: Array[DataType] =
+      if (!inferTypes) Array.fill(width)(StringType)
+      else (0 until width).map { i =>
+        val vals = data.flatMap(r => Option(r(i)))
+        if (vals.isEmpty) StringType
+        else if (vals.forall(v => v.matches("-?\\d+") &&
+          scala.util.Try(v.toLong).isSuccess)) LongType
+        else if (vals.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+        else if (vals.forall(v => v == "true" || v == "false")) BooleanType
+        else StringType
+      }.toArray
+    val schema = StructType(names.zip(types).map { case (n, t) =>
+      StructField(n, t, nullable = true)
+    })
+    val converted = data.map { r =>
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(r.zip(types).map {
+        case (null, _) => null
+        case (v, LongType) => v.toLong
+        case (v, DoubleType) => v.toDouble
+        case (v, BooleanType) => v == "true"
+        case (v, _) => v
+      }))
+    }
+    s.createDataFrame(java.util.Arrays.asList(converted: _*), schema)
+  }
+
+  /** CFB/OLE2 magic (D0 CF 11 E0 ...) marks a legacy .xls workbook. */
+  private def isCfb(path: String): Boolean = {
     val in = new java.io.FileInputStream(path)
-    val magic = try {
+    try {
       val b = new Array[Byte](4)
-      val n = in.read(b)
-      if (n == 4) b else Array.empty[Byte]
+      in.read(b) == 4 && b.sameElements(Biff.CfbMagic.take(4))
     } finally in.close()
-    if (magic.sameElements(Array(0xD0, 0xCF, 0x11, 0xE0).map(_.toByte)))
-      throw new IllegalArgumentException(
-        s"legacy .xls (BIFF) workbook not supported — convert to .xlsx or CSV: $path")
   }
 
   /** Hard ceiling for [[write]]: one under Excel's own 1,048,576-row

@@ -83,16 +83,16 @@ class IngestSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Excel.read(spark, path, sheet = Some("nope")) }
   }
 
-  test("legacy .xls (BIFF) is rejected with an actionable message, not a zip error") {
+  test("corrupt CFB .xls reports an actionable error, not a zip error (round 15: real .xls now READS — LegacyXlsSpec)") {
     import graft.sources.Excel
     val path = java.nio.file.Files.createTempFile("graft-legacy", ".xls").toString
     val out = new java.io.FileOutputStream(path)
     out.write(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)) // OLE2 magic
-    out.write(new Array[Byte](512))
+    out.write(new Array[Byte](512)) // ...but zeroed structures: corrupt
     out.close()
     val e = intercept[IllegalArgumentException] { Excel.read(spark, path) }
-    assert(e.getMessage.contains("legacy .xls"))
-    assert(e.getMessage.contains("convert to .xlsx or CSV"))
+    assert(e.getMessage.contains("CFB") || e.getMessage.contains("Workbook"),
+      s"unexpected: ${e.getMessage}")
   }
 
   test("Excel.write refuses frames over the row cap instead of collecting them") {

@@ -43,14 +43,20 @@ class RelationalSpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
-  test("q15 HLL error within 10% of exact") {
-    val r = Relational.q15(spark, sf).collect()
+  test("q15 HLL error within 10% of exact; the gated bound claim holds") {
+    val r = Relational.q15Estimates(spark, sf).collect()
     assert(r.nonEmpty)
     r.foreach { row =>
       val approx = row.getAs[Long]("approx_users").toDouble
       val exact = row.getAs[Long]("exact_users").toDouble
       assert(math.abs(approx - exact) / exact < 0.1)
     }
+    // the registered (oracle-gated) form: every bound_ok must be true —
+    // the DuckDB twin asserts literal TRUE, so a false here IS the
+    // hash-gate failure surfaced early
+    val gated = Relational.q15(spark, sf).collect()
+    assert(gated.forall(_.getAs[Boolean]("bound_ok")),
+      "HLL estimate escaped the certified 60000 ppm envelope")
   }
 
   test("q16 custom as-of operator is planned, codegen'd, and matches the union+window formulation") {
