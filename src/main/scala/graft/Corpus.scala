@@ -207,9 +207,23 @@ object Corpus {
       }
     }
 
-    // stage 4: language — row-local flag on repetition survivors
+    // stage 4: language — row-local flag on repetition survivors.
+    //
+    // The stage-1..4 frame is materialized ONCE (round 15 —
+    // CurateProfile measurement, PLANS.md): every downstream branch
+    // (the LM token frame, the exact-dedup keep set, the near-dup
+    // band/shingle frames, decontamination's corpus side, the sampler
+    // counts, the budget window, and the final ledger pass) otherwise
+    // carries the full stage-1..4 lineage and re-runs the row-local
+    // tokenize/quality/Gopher expressions per branch — the composed
+    // ledger was paying the upstream pipeline 2× at ×10 (38.3 s vs a
+    // 17.4 s single pass) and it dominated the ×100 exponent (0.72).
+    // eager = false: constructing the plan must not execute it; at
+    // 100 TB swap for persist(DISK_ONLY) — same plan, spill-backed and
+    // recomputable (stage 5's note).
     val f3 = cfg.lang.map(l => predLang(col(textCol)) === l).getOrElse(lit(true))
     val flaggedL = flaggedR.withColumn("f_lang", col("f_repetition") && f3)
+      .localCheckpoint(eager = false)
 
     // stage 5: corpus-unigram-LM quality (t8's shape on survivors):
     // ONE rollup yields per-token counts and the grand total
