@@ -32,4 +32,23 @@ object Sampling {
   /** DuckDB twin of [[bucket]] (keys are non-negative, so `%` = pmod). */
   def bucketSql(key: String): String =
     s"(($key % $KeyMask) * $HashA + $HashB) % $Buckets"
+
+  /** Deterministic TRAINING-sample cap (round 15): the iteratively-
+    * trained operators (m7's RF, m14's CV grid, t20's LBFGS seed)
+    * measured ~linear training wall in corpus size (m7: ×10 4.7 s →
+    * ×100 49.5 s, exponent 1.02) — at 100 TB an uncapped training
+    * pass IS the job. Statistically, importances/AUC/classifier
+    * weights converge long before 10^6 rows; past the cap the sample
+    * is a fixed-size deterministic hash-slice (same keep/drop hash as
+    * the samplers, so reruns and engines agree), and below it the
+    * frame passes through untouched — the oracle-gate SFs (≤ sf0.1)
+    * sit far under every cap, so gated outputs are byte-identical.
+    * The count() is one cheap narrow-column pass, paid only by the
+    * training path. */
+  def capTrainingSample(df: org.apache.spark.sql.DataFrame, cap: Long,
+      key: Column*): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    if (n <= cap) df
+    else df.filter(bucket(xxhash64(key: _*)) < Buckets * cap / n)
+  }
 }

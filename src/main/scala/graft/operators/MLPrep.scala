@@ -20,6 +20,12 @@ import graft.functions.TextFunctions.{tcode, tcodeSql}
   * single-node; this shape is what survives 100 TB.
   */
 object MLPrep {
+  /** Training-sample cap for the iteratively-trained keys (m7 RF,
+    * m14 CV grid) — Sampling.capTrainingSample's doc has the measured
+    * rationale; every oracle-gate SF sits far below it, so gated
+    * outputs are unaffected. */
+  val TrainCap = 1000000L
+
 
   // -------------------------------------------------------------------
   // m1: z-score scaling (ref main.py:244-246 StandardScaler). Sample
@@ -325,13 +331,19 @@ object MLPrep {
   // m7 (rows-only): MLlib RandomForest feature importances — the
   // distributed twin of the reference's model-based importances
   // (main.py:374-383). Seeded for stability; no SQL oracle (tree
-  // training isn't SQL-expressible).
+  // training isn't SQL-expressible). Training sample capped at
+  // [[TrainCap]] rows (Sampling.capTrainingSample's rationale —
+  // uncapped, the RF wall was linear in corpus size: exponent 1.02).
   def m7(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.regression.RandomForestRegressor
     val feats = Array("l_quantity", "l_discount", "l_tax")
-    val li = Tables.lineitem(s, dir).select(
-      (feats.map(col) :+ col("l_extendedprice").as("label")).toSeq: _*)
+    val li = graft.functions.Sampling.capTrainingSample(
+      Tables.lineitem(s, dir).select(
+        (feats.map(col) :+ col("l_extendedprice").as("label") :+
+          col("l_orderkey") :+ col("l_linenumber")).toSeq: _*),
+      TrainCap, col("l_orderkey"), col("l_linenumber"))
+      .drop("l_orderkey", "l_linenumber")
     val assembled = new VectorAssembler()
       .setInputCols(feats).setOutputCol("features").transform(li)
     val model = new RandomForestRegressor()
@@ -602,9 +614,15 @@ object MLPrep {
     import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_quantity"), col("l_discount"), col("l_tax"),
-        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"))
+    // capped like m7: the CV grid trains 2 points × 3 folds, so an
+    // uncapped pass pays 6 linear-in-corpus LBFGS fits
+    val li = graft.functions.Sampling.capTrainingSample(
+      Tables.lineitem(s, dir)
+        .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
+          col("l_orderkey"), col("l_linenumber")),
+      TrainCap, col("l_orderkey"), col("l_linenumber"))
+      .drop("l_orderkey", "l_linenumber")
     val assembled = new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
       .setOutputCol("features").transform(li)

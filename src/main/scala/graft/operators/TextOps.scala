@@ -1101,13 +1101,20 @@ object TextOps {
   // Scale: training touches only the SEED; scoring is one stateless
   // map-side transform (no vocabulary state, m19's hashing-trick
   // argument) — the whole audit is two scans + one per-source agg.
+  /** t20's LBFGS seed cap (Sampling.capTrainingSample's rationale —
+    * training wall must not scale with the corpus; a 200k-doc seed is
+    * far past classifier convergence for 8k hashed features). */
+  val T20SeedCap = 200000L
+
   def t20(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .withColumn("__label",
         (round(qualityScore(col("text")), 6) >= 0.5).cast("double"))
       .withColumn("__seed", pmod(xxhash64(col("doc_id")), lit(2L)) === 0)
     val model = graft.QualityClassifier.train(
-      docs.filter(col("__seed")), "text", "__label")
+      graft.functions.Sampling.capTrainingSample(
+        docs.filter(col("__seed")), T20SeedCap, col("doc_id")),
+      "text", "__label")
     graft.QualityClassifier.score(model, docs.filter(!col("__seed")), "text")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_holdout"),

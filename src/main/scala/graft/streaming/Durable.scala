@@ -409,9 +409,14 @@ object DurableSinks {
         .agg(sum(col("__btok")).as("tok_seen"))
       val minIndex = (df: DataFrame) =>
         df.groupBy(col("band"), col("key")).agg(min(col("m")).as("m"))
+      // heads-only shingle delta (StreamCurateSink's round-15 note): a
+      // batch doc's shingles persist iff the folded index has it as
+      // some bucket's head — non-heads are provably never probed again
+      val shDelta = shB.join(probe.select(col("m").as("id")).distinct(),
+        Seq("id"), "left_semi")
       store.commitDelta(batchId, Map(
         "hashes" -> g.select(col("__h")).distinct(),
-        "index" -> minB, "shstore" -> shB,
+        "index" -> minB, "shstore" -> shDelta,
         "taken" -> takenDelta, "acc" -> out),
         reduce = Map("taken" -> sumTaken, "index" -> minIndex,
           "hashes" -> ((df: DataFrame) => df.distinct())))

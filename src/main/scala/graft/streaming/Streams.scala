@@ -1648,11 +1648,17 @@ object Streams {
         .withColumn("admitted", col("near_ok") && col("__adm").isNotNull)
         .select(col("doc_id"), col("source"), col("n_tok"),
           col("gate_ok"), col("exact_ok"), col("near_ok"), col("admitted"))
-      // fold state forward
+      // fold state forward; the shingle store keeps bucket HEADS only
+      // (st16's round-15 argument: a candidate partner is always some
+      // bucket's head, and under id-ordered arrivals a doc heading no
+      // bucket at its own fold can never head one later — its shingles
+      // are provably never read again)
       hashes = Some(hashes.map(_.unionByName(g.select(col("__h"))))
         .getOrElse(g.select(col("__h"))).distinct().localCheckpoint())
       index = Some(probe.localCheckpoint())
-      shStore = Some(allSh.localCheckpoint())
+      shStore = Some(allSh
+        .join(probe.select(col("m").as("id")).distinct(), Seq("id"), "left_semi")
+        .localCheckpoint())
       val batchTok = nearSurv.groupBy(col("source"))
         .agg(sum(col("__btok")).as("__new"))
       taken = Some(base.join(batchTok, Seq("source"), "full")
