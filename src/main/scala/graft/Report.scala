@@ -127,6 +127,9 @@ object Report {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
 
     val histSection = {
+      // Driver-side collect is bounded by construction: VizData caps
+      // histograms at 5 numeric columns × the fixed bin count (m8's
+      // B), so this is O(columns·bins) rows — never O(data).
       val all = viz.histograms.collect().toSeq
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       all.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, rows) =>

@@ -464,7 +464,11 @@ object Dedup {
       useBloom: Boolean = true): DataFrame = {
     val evalG0 = eval.select(col(idCol).as("id"),
       explode(shinglesK(tokens(col(textCol)), k)).as("ng"))
-    val trainG = train.select(explode(shinglesK(tokens(col(textCol)), k)).as("ng")).distinct()
+    // The train n-gram set feeds BOTH the bloom aggregate and the
+    // exact join — checkpoint it so the tokenize+shingle+distinct scan
+    // runs once, not per branch (persist(DISK_ONLY) at 100 TB).
+    val trainG0 = train.select(explode(shinglesK(tokens(col(textCol)), k)).as("ng")).distinct()
+    val trainG = if (useBloom) trainG0.localCheckpoint(false) else trainG0
     val evalG = if (useBloom) bloomPrefilter(evalG0, "ng", trainG, "ng") else evalG0
     val hits = evalG.join(trainG, Seq("ng"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared")) // evalG n-grams are per-doc distinct
@@ -1680,8 +1684,15 @@ object Dedup {
   def bloomAudit(docs: DataFrame, evalSources: Seq[String]): DataFrame = {
     val g = docs.select(col("source"),
       explode(shinglesK(tokens(col("text")), 5)).as("ng"))
+    // ev feeds two join branches and tr three (the count scalar, the
+    // position set, the truth semi-join) — without a cut point each
+    // branch re-executes the tokenize+shingle scan (e2e_curate's
+    // round-15 lineage lesson). One checkpoint per side pays the scan
+    // once; at 100 TB make these persist(DISK_ONLY).
     val ev = g.filter(col("source").isin(evalSources: _*)).distinct()
+      .localCheckpoint(false)
     val tr = g.filter(!col("source").isin(evalSources: _*)).select(col("ng")).distinct()
+      .localCheckpoint(false)
     val mExp = bloomBitsExp(tr.count()) // one plan-time scalar (sizedPlanes class)
     val mBits = 1L << mExp
     def posJ(code: Column, j: Int): Column =

@@ -60,7 +60,8 @@ import org.apache.spark.sql.functions._
   * batches) serves sinks whose output records arrival order
   * (DistinctCountSink's first_batch).
   */
-class DurableState(spark: SparkSession, dir: String) {
+class DurableState(spark: SparkSession, dir: String,
+    retainVersions: Int = 1) {
   private val root = new Path(dir)
   private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val ManifestPrefix = "_latest.v"
@@ -125,6 +126,30 @@ class DurableState(spark: SparkSession, dir: String) {
       dirs.map(d => spark.read.parquet(new Path(root, d).toString))
         .reduce(_.unionByName(_))
     }.toMap
+
+  /** TIME TRAVEL: frames AS OF `batchId` — the state the newest
+    * retained manifest with version ≤ batchId describes (the standard
+    * snapshot-read contract: "as of" = the latest commit not after the
+    * asked-for point). Empty map when no such version is retained —
+    * either the store never committed that early or `retainVersions`
+    * has already GC'd it; set `retainVersions > 1` at construction to
+    * keep history readable. Reads are side-effect-free (no GC, no
+    * manifest writes), so concurrent commits stay safe: GC only ever
+    * removes versions older than the retention window this reader was
+    * constructed with. Cost model: delta-committed frames share their
+    * segment prefix across versions, so retention holds only the
+    * per-batch deltas extra (a compaction's pre-compaction segments
+    * stay on disk until their last referencing manifest ages out);
+    * whole-frame commits hold one full copy per retained version. */
+  def asOf(batchId: Long): Map[String, DataFrame] =
+    manifestVersions.find(_ <= batchId) match {
+      case None => Map.empty
+      case Some(v) =>
+        readManifest(v)._3.groupBy(_._1).view.mapValues { entries =>
+          entries.map(e => spark.read.parquet(new Path(root, e._2).toString))
+            .reduce(_.unionByName(_))
+        }.toMap
+    }
 
   /** Whole-frame commit: `frames` REPLACE the previous state (one
     * segment each). For key/sketch-bounded state where a full write is
@@ -195,13 +220,20 @@ class DurableState(spark: SparkSession, dir: String) {
     gc(batchId, entries.map(_._2).toSet)
   }
 
-  /** After a successful flip: drop older manifest versions, stray temp
-    * files, and commit dirs no live segment references. Runs strictly
-    * AFTER the new manifest is visible — a crash anywhere in GC leaves
-    * extra (harmless) files, never less state. */
+  /** After a successful flip: drop manifest versions beyond the
+    * retention window, stray temp files, and commit dirs no RETAINED
+    * manifest references (retention > 1 keeps older versions readable
+    * via [[asOf]] — their segments stay live even when the newest
+    * manifest no longer lists them, e.g. after a compaction). Runs
+    * strictly AFTER the new manifest is visible — a crash anywhere in
+    * GC leaves extra (harmless) files, never less state. */
   private def gc(batchId: Long, liveSegs: Set[String]): Unit = {
-    manifestVersions.filter(_ < batchId).foreach(v => fs.delete(manifestPath(v), false))
-    val liveDirs = liveSegs.map(_.split("/")(0)) + s"commit=$batchId"
+    val keep = retainVersions max 1
+    val versions = manifestVersions // descending; head == batchId
+    versions.drop(keep).foreach(v => fs.delete(manifestPath(v), false))
+    val retainedSegs = liveSegs ++
+      versions.slice(1, keep).flatMap(v => readManifest(v)._3.map(_._2))
+    val liveDirs = retainedSegs.map(_.split("/")(0)) + s"commit=$batchId"
     fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith("commit=") && !liveDirs.contains(n)) fs.delete(p, true)
@@ -240,9 +272,10 @@ object DurableSinks {
     * analogue is i3's MERGE into a table format with merge-on-read
     * read paths. */
   class DurableUpsertSink(spark: SparkSession, dir: String,
-      keys: Seq[String], ordering: Seq[org.apache.spark.sql.Column]) {
+      keys: Seq[String], ordering: Seq[org.apache.spark.sql.Column],
+      retainVersions: Int = 1) {
     import graft.operators.Upsert
-    private val store = new DurableState(spark, dir)
+    private val store = new DurableState(spark, dir, retainVersions)
     private val latest = (df: DataFrame) => Upsert.latestSnapshot(df, keys, ordering)
     def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (store.alreadyApplied(batchId)) return
@@ -250,6 +283,12 @@ object DurableSinks {
         reduce = Map("snap" -> latest))
     }
     def snapshot: Option[DataFrame] = store.loadAll().get("snap").map(latest)
+    /** TIME TRAVEL (st22): the latest-per-key snapshot as of
+      * `batchId` — the merge-on-read resolve over the segments the
+      * retained manifest ≤ batchId lists. None once retention has aged
+      * the version out (or the store never reached it). */
+    def snapshotAsOf(batchId: Long): Option[DataFrame] =
+      store.asOf(batchId).get("snap").map(latest)
   }
 
   /** st14's RollupSink. Whole-frame: state is O(groups). */

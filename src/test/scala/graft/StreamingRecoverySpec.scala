@@ -138,6 +138,64 @@ class StreamingRecoverySpec extends SparkSuite {
       Seq("d2", 50000L, 2L)))
   }
 
+  test("time travel (st22): retention keeps old versions readable, asOf resolves max-version-<=-b") {
+    import spark.implicits._
+    val dir = tmp("graft-asof")
+    val store = new DurableState(spark, dir, retainVersions = 2)
+    store.commit(0L, Map("s" -> Seq((1L, "a")).toDF("k", "v")))
+    store.commit(1L, Map("s" -> Seq((1L, "a"), (2L, "b")).toDF("k", "v")))
+    store.commit(2L, Map("s" -> Seq((3L, "c")).toDF("k", "v")))
+    // retention = 2: versions 1 and 2 live, version 0 aged out
+    assert(store.asOf(0L).isEmpty, "version 0 must be GC'd past the retention window")
+    assert(store.asOf(1L)("s").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "asOf(1) must read version 1's whole-frame segment even after commit 2 replaced it")
+    assert(store.asOf(2L)("s").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(store.asOf(99L)("s").collect().map(_.getLong(0)).toSeq === Seq(3L),
+      "asOf past the head resolves to the newest version")
+    // a reader with default retention on the SAME store must still see both
+    assert(new DurableState(spark, dir).asOf(1L)("s").count() === 2L)
+  }
+
+  test("time travel: an old version survives a compaction that rewrote its segments") {
+    import spark.implicits._
+    val dir = tmp("graft-asof-compact")
+    val store = new DurableState(spark, dir, retainVersions = 3)
+    store.commitDelta(0L, Map("f" -> Seq(1L).toDF("v")), compactEvery = 3)
+    store.commitDelta(1L, Map("f" -> Seq(2L).toDF("v")), compactEvery = 3)
+    // batch 2 compacts: the head manifest references ONLY commit=2/f,
+    // but version 1 still lists commit=0/f + commit=1/f — retention GC
+    // must keep those dirs alive for the as-of read.
+    store.commitDelta(2L, Map("f" -> Seq(3L).toDF("v")), compactEvery = 3)
+    assert(store.segments("f") === Seq("commit=2/f"))
+    assert(store.asOf(1L)("f").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "pre-compaction segments must stay readable while a retained manifest lists them")
+    assert(store.asOf(2L)("f").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // default retention (1): the same sequence GCs everything but the head
+    val dir1 = tmp("graft-asof-r1")
+    val s1 = new DurableState(spark, dir1)
+    s1.commitDelta(0L, Map("f" -> Seq(1L).toDF("v")), compactEvery = 3)
+    s1.commitDelta(1L, Map("f" -> Seq(2L).toDF("v")), compactEvery = 3)
+    assert(s1.asOf(0L).isEmpty && s1.asOf(1L)("f").count() === 2L)
+  }
+
+  test("time travel: DurableUpsertSink.snapshotAsOf equals the latest-row window over the log prefix") {
+    import spark.implicits._
+    val dir = tmp("graft-asof-upsert")
+    val sink = new DurableSinks.DurableUpsertSink(spark, dir,
+      Seq("k"), Seq(col("ms")), retainVersions = 3)
+    def b(rows: (Long, Long, String)*) = rows.toSeq.toDF("k", "ms", "v")
+    sink.apply(b((1L, 10L, "a"), (2L, 10L, "x")), 0L)
+    sink.apply(b((1L, 20L, "b"), (3L, 20L, "y")), 1L)
+    sink.apply(b((2L, 30L, "z")), 2L)
+    def snap(id: Long) = sink.snapshotAsOf(id).get.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(snap(0L) === Seq((1L, "a"), (2L, "x")))
+    assert(snap(1L) === Seq((1L, "b"), (2L, "x"), (3L, "y")),
+      "as-of 1 must merge version 1's RETAINED delta list, not the head's")
+    assert(snap(2L) === Seq((1L, "b"), (2L, "z"), (3L, "y")))
+    assert(sink.snapshot.get.count() === 3L)
+  }
+
   test("durable upsert: merge-on-read deltas, reducing compaction keeps one row per live key") {
     import spark.implicits._
     val dir = tmp("graft-updelta")
