@@ -720,29 +720,38 @@ object Streams {
   // builds ONCE per dataset (Artifacts.cachedTempDir, q19's artifact
   // lifecycle); reruns pay only the as-of read — the recurring
   // production path.
-  def st22(s: SparkSession, dir: String): DataFrame = {
+  private val St22Keys = Seq("user_id")
+  private def st22Ord = Seq(col("ms"), col("event_id"))
+
+  /** The retain-3 upsert store st22/st23 read: st12's three
+    * time-sliced batches folded once per dataset (q19's cachedTempDir
+    * lifecycle — reruns pay only the as-of read). */
+  private def st22Sink(s: SparkSession, dir: String): DurableSinks.DurableUpsertSink = {
     val t1 = 1704931200000L // st12's slice boundaries
     val t2 = 1705795200000L
-    val keys = Seq("user_id")
-    val ord = Seq(col("ms"), col("event_id"))
     val storeDir = graft.Artifacts.cachedTempDir(s"st22:$dir") { d =>
       val log = Tables.events(s, dir).select(col("user_id"), col("event_id"),
         col("event_type"), col("value"), unix_millis(col("ts")).as("ms"))
-      val sink = new DurableSinks.DurableUpsertSink(s, d, keys, ord,
+      val sink = new DurableSinks.DurableUpsertSink(s, d, St22Keys, st22Ord,
         retainVersions = 3)
       Seq(log.filter(col("ms") < t1),
         log.filter(col("ms") >= t1 && col("ms") < t2),
         log.filter(col("ms") >= t2))
         .zipWithIndex.foreach { case (b, i) => sink.apply(b, i.toLong) }
     }
-    new DurableSinks.DurableUpsertSink(s, storeDir, keys, ord, retainVersions = 3)
-      .snapshotAsOf(1L)
-      .getOrElse(throw new IllegalStateException(
-        s"st22: version 1 not retained in $storeDir"))
+    new DurableSinks.DurableUpsertSink(s, storeDir, St22Keys, st22Ord,
+      retainVersions = 3)
+  }
+
+  private def st22SnapAsOf(s: SparkSession, dir: String, batchId: Long): DataFrame =
+    st22Sink(s, dir).snapshotAsOf(batchId).getOrElse(throw new IllegalStateException(
+      s"st22: version $batchId not retained for $dir"))
+
+  def st22(s: SparkSession, dir: String): DataFrame =
+    st22SnapAsOf(s, dir, 1L)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ms"))
       .orderBy(col("user_id"))
-  }
 
   val st22Sql: String =
     """SELECT user_id, event_id, event_type, value, ms FROM (
@@ -751,6 +760,55 @@ object Streams {
       |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
       |  FROM events WHERE epoch_ms(ts) < 1705795200000)
       |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // st23: VERSION DIFF — "what changed in the corpus between snapshot
+  // A and snapshot B", the audit question time travel exists to
+  // answer (a training-data build that pins version B wants the CDC
+  // delta vs the version A it trained on last week). Composes st22's
+  // as-of reads with i4's cdcDiff: two retained versions of the same
+  // durable upsert store (version 0 = the first slice's state, the
+  // head = the full log's) full-outer-joined on the key with null-safe
+  // compare — INSERT for keys new in B, UPDATE where (value, ms)
+  // moved; DELETE can't occur for an append-only upsert log and the
+  // explicit-frame DELETE path stays covered by UpsertSpec. Scale
+  // shape: ONE co-partitioned full-outer join of two key-grain
+  // snapshots (cdcDiff's floor) — the store build amortizes across
+  // st22/st23 via the shared cachedTempDir artifact, and the as-of
+  // reads are segment-list-bounded. Oracle: the same diff in SQL over
+  // the two window-prefix snapshots.
+  def st23(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Upsert.cdcDiff(
+        st22SnapAsOf(s, dir, 0L), st22SnapAsOf(s, dir, 2L),
+        St22Keys, Seq("value", "ms"))
+      .orderBy(col("user_id"))
+
+  val st23Sql: String =
+    """WITH snap_a AS (
+      |  SELECT user_id, value, ms FROM (
+      |    SELECT user_id, value, epoch_ms(ts) AS ms,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |    FROM events WHERE epoch_ms(ts) < 1704931200000)
+      |  WHERE rn = 1),
+      |snap_b AS (
+      |  SELECT user_id, value, ms FROM (
+      |    SELECT user_id, value, epoch_ms(ts) AS ms,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1)
+      |SELECT user_id, op, old_value, new_value, old_ms, new_ms FROM (
+      |  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |    CASE WHEN a.user_id IS NULL THEN 'INSERT'
+      |         WHEN b.user_id IS NULL THEN 'DELETE'
+      |         WHEN a.value IS DISTINCT FROM b.value
+      |           OR a.ms IS DISTINCT FROM b.ms THEN 'UPDATE' END AS op,
+      |    a.value AS old_value, b.value AS new_value,
+      |    a.ms AS old_ms, b.ms AS new_ms
+      |  FROM snap_a a FULL OUTER JOIN snap_b b ON a.user_id = b.user_id)
+      |WHERE op IS NOT NULL
       |ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -1828,6 +1886,7 @@ object Streams {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st23_version_diff" -> (st23 _),
     "st22_time_travel" -> (st22 _),
     "st21_stream_curate" -> (st21 _),
     "st20_stream_kmv" -> (st20 _),
@@ -1849,6 +1908,7 @@ object Streams {
     "st7_stream_asof" -> (st7 _))
 
   def oracles: Map[String, String] = Map(
+    "st23_version_diff" -> st23Sql, // as-of pair diff == SQL diff of the window prefixes
     "st22_time_travel" -> st22Sql, // as-of read == one-shot window over the log prefix
     "st21_stream_curate" -> st21Sql, // rebuild: composed fold == full recompute
     "st20_stream_kmv" -> st20Sql, // direct recompute: summary union == rebuild
