@@ -196,6 +196,48 @@ class StreamingRecoverySpec extends SparkSuite {
     assert(sink.snapshot.get.count() === 3L)
   }
 
+  test("time travel property: random commit/delta/compact sequences match an in-memory version model") {
+    import spark.implicits._
+    // Model: version -> expected multiset of longs, for every batch
+    // ever committed. After each commit, every version inside the
+    // retention window must read back exactly its model state via
+    // asOf, and every aged-out version must read empty — under
+    // whole-frame commits, delta commits, and cadence compactions
+    // interleaved by a seeded RNG (the GC's segment-union-across-
+    // retained-manifests logic is the code under test).
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 4) {
+      val retain = 1 + rnd.nextInt(3) // 1..3
+      val dir = tmp(s"graft-asof-prop$trial")
+      val store = new DurableState(spark, dir, retainVersions = retain)
+      val model = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      var state = Seq.empty[Long]
+      val nBatches = 5 + rnd.nextInt(4)
+      for (b <- 0L until nBatches.toLong) {
+        val vals = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(1000))
+        if (rnd.nextBoolean()) { // whole-frame replace
+          state = vals
+          store.commit(b, Map("f" -> vals.toDF("v")))
+        } else { // delta append, sometimes forcing a compaction
+          state = state ++ vals
+          store.commitDelta(b, Map("f" -> vals.toDF("v")),
+            compactEvery = if (rnd.nextBoolean()) 2 else 8)
+        }
+        model(b) = state
+        for (v <- 0L to b) {
+          val got = store.asOf(v)
+          if (v <= b - retain)
+            assert(got.isEmpty,
+              s"trial $trial: version $v should be aged out at head $b (retain $retain)")
+          else
+            assert(got("f").collect().map(_.getLong(0)).sorted.toSeq ===
+              model(v).sorted,
+              s"trial $trial: asOf($v) at head $b (retain $retain) diverged from the model")
+        }
+      }
+    }
+  }
+
   test("durable upsert: merge-on-read deltas, reducing compaction keeps one row per live key") {
     import spark.implicits._
     val dir = tmp("graft-updelta")
