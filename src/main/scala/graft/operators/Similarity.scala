@@ -253,18 +253,30 @@ object Similarity {
       (if (probes >= 2) for { q <- 1 until planes; p <- 0 until q }
         yield (1L << p) | (1L << q)
       else Seq.empty)
-    val cb = cents.select(col("cid"), col("cemb"),
-      lshBucket(col("cemb"), planes).as("__bucket"))
+    // The codebook side is ALWAYS the small one (k centroids vs the
+    // corpus) — hint the broadcast so the probe join never shuffles
+    // the exploded point rows (each carries its embedding ×
+    // probe-bucket fan-out; an SMJ here shuffles that whole volume
+    // once per Lloyd iteration).
+    val cb = broadcast(cents.select(col("cid"), col("cemb"),
+      lshBucket(col("cemb"), planes).as("__bucket")))
     val pb = points
       .select(col("id"), col("embedding"),
         lshBucket(col("embedding"), planes).as("__b0")) // hashed ONCE per point
       .select(col("id"), col("embedding"),
         explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)).as("__bucket"))
-    val w = Window.partitionBy(col("id")).orderBy(col("__ccos").desc, col("cid"))
+    // Best candidate via max_by, NOT a row_number window: the window
+    // shuffled EVERY (point, candidate-centroid) row — O(points ·
+    // probeBuckets · bucketOccupancy) rows through one exchange, the
+    // dominant term of the Lloyd loop at ×100 — where max_by's
+    // partial aggregation reduces each map task to one row per point
+    // before the shuffle. Tie rule identical to the exact path:
+    // highest cos, then smallest cid (max over (cos, −cid) is
+    // order-free — no FP accumulation, just pairwise comparison).
     val best = pb.join(cb, Seq("__bucket"))
       .withColumn("__ccos", cosineAuto(s, col("embedding"), col("cemb")))
-      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
-      .select(col("id"), col("cid").as("cell"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("__ccos"), -col("cid"))).as("cell"))
     points.select(col("id"), col("embedding"))
       .join(best, Seq("id"), "left")
       .withColumn("cell", coalesce(col("cell"), lit(-2L)))
