@@ -302,8 +302,13 @@ object Corpus {
         // k-means iteration (connectedComponents' own lesson)
         val embSurv = emb.join(surv, emb(idCol) === col("__eid")).drop("__eid")
           .localCheckpoint()
+        // collapseExact = false: stage 5's exact dedup already removed
+        // byte-identical payloads upstream, so the collapse would be
+        // the identity here and its by-vector shuffle pure overhead
+        // (+32 s at ×100, measured)
         val drops = Dedup.semanticDedup(embSurv, idCol, "embedding",
-            cfg.semanticK, cfg.semanticTau, annProbes = cfg.semanticAnnProbes)
+            cfg.semanticK, cfg.semanticTau, annProbes = cfg.semanticAnnProbes,
+            collapseExact = false)
           .filter(!col("kept")).select(col("id").as("__sdrop"))
         flagged2.join(drops, id === col("__sdrop"), "left")
           .withColumn("f_semdup", col("f_neardup") && col("__sdrop").isNull)

@@ -845,7 +845,13 @@ object Dedup {
       // superlinear (d15's Scaladoc). Probe-bucket misses assign cell
       // −2 and are KEPT (the cap's conservative-keep rule applied to
       // assignment misses). None = exact N·k assignment.
-      annProbes: Option[Int] = None): DataFrame = {
+      annProbes: Option[Int] = None,
+      // ANN path only: pre-collapse byte-identical embeddings to their
+      // min-id rep before training (see below). Pass FALSE when an
+      // exact-dedup stage upstream already collapsed identical
+      // payloads (Corpus.curate) — there the collapse is the identity
+      // and its groupBy-by-vector shuffle is pure overhead.
+      collapseExact: Boolean = true): DataFrame = {
     val s = emb.sparkSession
     val base0 = emb.select(col(idCol).as("id"), col(embCol).as("embedding"))
     val baseAll = base0.filter(normSq(col("embedding")) > 0)
@@ -870,7 +876,7 @@ object Dedup {
     // checkpoint it so the scan+vector-parse runs once, not per
     // consumer branch (ScanAudit; persist(DISK_ONLY) at 100 TB).
     val (base, twinRows) = annProbes match {
-      case Some(_) =>
+      case Some(_) if collapseExact =>
         val g = baseAll.groupBy(col("embedding"))
           .agg(min(col("id")).as("__rep"), collect_list(col("id")).as("__ids"))
           .localCheckpoint(false)
@@ -880,7 +886,7 @@ object Dedup {
           .select(col("__rep"), col("__selfcos"), explode(col("__ids")).as("id"))
           .filter(col("id") =!= col("__rep"))
         (reps, Some(twins))
-      case None => (baseAll.localCheckpoint(false), None)
+      case _ => (baseAll.localCheckpoint(false), None)
     }
     val zeros = base0.filter(normSq(col("embedding")) <= 0)
       .select(col("id"), lit(-1L).as("cell"), lit(true).as("kept"),
@@ -933,9 +939,12 @@ object Dedup {
         // dup_of = rep at the engine-computed self-cosine (the value
         // the uncollapsed pair join would have produced for the same
         // bits); cell −2 (probe miss) → kept unconditionally, the
-        // same per-row rule the assignment stage applies.
+        // same per-row rule the assignment stage applies. Cells come
+        // from the CHECKPOINTED `assigned`, not repOut — repOut's
+        // lineage holds the whole pair stage, and feeding it to both
+        // union branches would execute that stage twice.
         val twOut = tw.join(
-            repOut.select(col("id").as("__rep"), col("cell").as("__rcell")),
+            assigned.select(col("id").as("__rep"), col("cell").as("__rcell")),
             Seq("__rep"))
           .select(col("id"), col("__rcell").as("cell"),
             (col("__rcell") === -2L).as("kept"),
