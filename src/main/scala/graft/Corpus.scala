@@ -302,10 +302,16 @@ object Corpus {
         // k-means iteration (connectedComponents' own lesson)
         val embSurv = emb.join(surv, emb(idCol) === col("__eid")).drop("__eid")
           .localCheckpoint()
-        // collapseExact = false: stage 5's exact dedup already removed
-        // byte-identical payloads upstream, so the collapse would be
-        // the identity here and its by-vector shuffle pure overhead
-        // (+32 s at ×100, measured)
+        // collapseExact = false — a perf choice, stated precisely:
+        // stage 5's exact dedup removes byte-identical TEXTS, and this
+        // corpus's embeddings are text-derived, so byte-identical
+        // embeddings among survivors need two distinct texts to embed
+        // to the same bits — rare enough that the by-vector collapse
+        // shuffle is overhead here (+32 s at ×100, measured adjacent).
+        // The trade when it does happen: such twins keep the
+        // UNCOLLAPSED semantics (cap-suppressed pairs in an oversized
+        // cell are conservatively kept), i.e. curate's pre-round-15
+        // behavior, never a wrong pair.
         val drops = Dedup.semanticDedup(embSurv, idCol, "embedding",
             cfg.semanticK, cfg.semanticTau, annProbes = cfg.semanticAnnProbes,
             collapseExact = false)

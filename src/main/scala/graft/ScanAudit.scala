@@ -27,10 +27,8 @@ object ScanAudit {
     p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan, reused)
       case q: QueryStageExec => scans(q.plan, reused)
-      case r: ReusedExchangeExec => r.child match {
-        // the reused child's scans are NOT re-executed
-        case c => scans(c, reused = true)
-      }
+      // the reused child's scans are NOT re-executed
+      case r: ReusedExchangeExec => scans(r.child, reused = true)
       case f: FileSourceScanExec =>
         val root = f.relation.location.rootPaths.headOption
           .map(_.getName).getOrElse("?")

@@ -979,6 +979,20 @@ object Dedup {
     * (at ×10 of sf0.1, k=6 puts every cell over the default cap —
     * measured; the cap is the safety net, this rule is the sizing
     * strategy). */
+  /** The BUCKET-HEAD fold — the st16/st21 candidate rule, ONE
+    * definition shared by the in-memory sinks, the durable sinks,
+    * their bootstrap folds and the registered keys (a tie-break or
+    * naming change must not let the twins silently diverge): per
+    * (band, key) bucket the head is the smallest id. */
+  def bucketHeads(df: DataFrame): DataFrame =
+    df.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+
+  /** Merge of head frames — min of mins (idempotent: heads ∪ heads
+    * folds to the same heads), for unioning a prior index with a
+    * batch delta. */
+  def bucketHeadsMerge(df: DataFrame): DataFrame =
+    df.groupBy(col("band"), col("key")).agg(min(col("m")).as("m"))
+
   def sizedCells(n: Long, targetCell: Int = 500): Int =
     math.max(1L, (n + targetCell - 1) / targetCell).min(1 << 20).toInt
 

@@ -559,8 +559,13 @@ object Relational {
     q15Estimates(s, dir)
       .select(col("event_type"), col("exact_users"),
         lit(Q15BoundPpm).as("bound_ppm"),
-        (expr("abs(approx_users - exact_users) * 1000000L div exact_users")
-          <= Q15BoundPpm).as("bound_ok"))
+        // exact_users = 0 (a group whose user_ids are all NULL): both
+        // sides count 0 and the estimate is exact, but the ppm divide
+        // would be 0/0 — NULL (or an ANSI error) where the oracle says
+        // TRUE. Guard the degenerate group as trivially in-bound.
+        (col("exact_users") === 0 ||
+          expr("abs(approx_users - exact_users) * 1000000L div exact_users")
+            <= Q15BoundPpm).as("bound_ok"))
       .orderBy(col("event_type"))
 
   val q15Sql: String =

@@ -146,13 +146,22 @@ object Biff {
       while (p < parts.length && o >= parts(p).length) { p += 1; o = 0 }
     }
     def hasMore: Boolean = { ensure(); p < parts.length }
-    def u8(): Int = { ensure(); val v = parts(p)(o) & 0xff; o += 1; v }
+    /** ensure() + reject exhaustion: a truncated workbook (declared
+      * lengths past the bytes present, missing CONTINUE) must surface
+      * as the reader's actionable IllegalArgumentException contract,
+      * not an IndexOutOfBoundsException from parts(p). */
+    private def need(): Unit = {
+      ensure()
+      if (p >= parts.length) throw new IllegalArgumentException(
+        "not a readable .xls: record data ends mid-structure (truncated file?)")
+    }
+    def u8(): Int = { need(); val v = parts(p)(o) & 0xff; o += 1; v }
     def u16(): Int = u8() | (u8() << 8)
     def u32(): Long = u16().toLong | (u16().toLong << 16)
     def skip(n: Long): Unit = {
       var left = n
       while (left > 0) {
-        ensure()
+        need()
         val take = math.min(left, (parts(p).length - o).toLong).toInt
         o += take; left -= take
       }
@@ -170,7 +179,7 @@ object Biff {
       var charPart = -1  // part we last read chars from
       var read = 0
       while (read < cch) {
-        ensure()
+        need() // cch past the data present = truncation, not a crash
         if (charPart != p) {
           // crossed into a CONTINUE record mid-character-data (or the
           // chars start in the record after the header): a fresh

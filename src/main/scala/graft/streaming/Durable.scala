@@ -329,21 +329,21 @@ object DurableSinks {
     import graft.functions.TextFunctions.{shingles3, tokens}
     private val store = new DurableState(spark, dir)
     private val minIndex = (df: DataFrame) =>
-      df.groupBy(col("band"), col("key")).agg(min(col("m")).as("m"))
+      df.transform(graft.operators.Dedup.bucketHeadsMerge)
     def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (store.alreadyApplied(batchId)) return
       val st = store.loadAll()
       val boot = if (st.nonEmpty) None
         else bootstrap.map { case (indexPath, shinglesPath) =>
           val heads = graft.Artifacts.loadBandIndex(spark, indexPath)
-            .groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+            .transform(graft.operators.Dedup.bucketHeads)
           (heads,
             graft.Artifacts.loadShingleStore(spark, shinglesPath)
               .select(col("doc_id").as("id"), col("sh"))
               .join(heads.select(col("m").as("id")).distinct(), Seq("id"), "left_semi"))
         }
       val keysB = graft.operators.Dedup.bandKeys(batch, "text", "doc_id")
-      val minB = keysB.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+      val minB = keysB.transform(graft.operators.Dedup.bucketHeads)
       val shB = batch.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
       val oldIndex = Seq(st.get("index"), boot.map(_._1)).flatten
         .reduceOption(_.unionByName(_))
@@ -409,12 +409,12 @@ object DurableSinks {
         .drop("__keep", "__sh_hit")
       val surv = f2.filter(col("exact_ok")).select(col("doc_id"), col("text"))
       val keysB = graft.operators.Dedup.bandKeys(surv, "text", "doc_id")
-      val minB = keysB.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+      val minB = keysB.transform(graft.operators.Dedup.bucketHeads)
       val shB = surv.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
       // index segments hold per-batch bucket minima; the live head is
       // the min over segments (sumMin reducer compacts the same way)
       val probe = st.get("index").map(ix => ix.unionByName(minB)
-          .groupBy(col("band"), col("key")).agg(min(col("m")).as("m")))
+          .transform(graft.operators.Dedup.bucketHeadsMerge))
         .getOrElse(minB)
       val allSh = st.get("shstore").map(_.unionByName(shB)).getOrElse(shB)
       val cands = keysB.select(col("band"), col("key"), col("id").as("id_new"))
@@ -447,7 +447,7 @@ object DurableSinks {
       val takenDelta = nearSurv.groupBy(col("source"))
         .agg(sum(col("__btok")).as("tok_seen"))
       val minIndex = (df: DataFrame) =>
-        df.groupBy(col("band"), col("key")).agg(min(col("m")).as("m"))
+        df.transform(graft.operators.Dedup.bucketHeadsMerge)
       // heads-only shingle delta (StreamCurateSink's round-15 note): a
       // batch doc's shingles persist iff the folded index has it as
       // some bucket's head — non-heads are provably never probed again

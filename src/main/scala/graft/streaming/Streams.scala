@@ -1094,7 +1094,7 @@ object Streams {
     import graft.functions.TextFunctions.{shingles3, tokens}
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val keys = graft.operators.Dedup.bandKeys(docs, "text", "doc_id")
-    val bmin = keys.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+    val bmin = keys.transform(graft.operators.Dedup.bucketHeads)
     val pairs = keys.select(col("band"), col("key"), col("id").as("id_new"))
       .join(bmin, Seq("band", "key"))
       .filter(col("m") < col("id_new"))
@@ -1210,7 +1210,7 @@ object Streams {
       if (!bootstrapped) {
         bootstrap.foreach { case (indexPath, shinglesPath) =>
           val heads = graft.Artifacts.loadBandIndex(s, indexPath)
-            .groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+            .transform(graft.operators.Dedup.bucketHeads)
           index = Some(heads)
           shStore = Some(graft.Artifacts.loadShingleStore(s, shinglesPath)
             .select(col("doc_id").as("id"), col("sh"))
@@ -1222,10 +1222,10 @@ object Streams {
       val s = batch.sparkSession
       ensureBootstrap(s)
       val keysB = graft.operators.Dedup.bandKeys(batch, "text", "doc_id")
-      val minB = keysB.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+      val minB = keysB.transform(graft.operators.Dedup.bucketHeads)
       val shB = batch.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
       val probe = index.map(_.unionByName(minB)
-          .groupBy(col("band"), col("key")).agg(min(col("m")).as("m")))
+          .transform(graft.operators.Dedup.bucketHeadsMerge))
         .getOrElse(minB)
       val allSh = shStore.map(_.unionByName(shB)).getOrElse(shB)
       val cands = keysB.select(col("band"), col("key"), col("id").as("id_new"))
@@ -1726,10 +1726,10 @@ object Streams {
       // bucket's head is set by its first doc and never changes)
       val surv = f2.filter(col("exact_ok")).select(col("doc_id"), col("text"))
       val keysB = graft.operators.Dedup.bandKeys(surv, "text", "doc_id")
-      val minB = keysB.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+      val minB = keysB.transform(graft.operators.Dedup.bucketHeads)
       val shB = surv.select(col("doc_id").as("id"), shingles3(tokens(col("text"))).as("sh"))
       val probe = index.map(_.unionByName(minB)
-          .groupBy(col("band"), col("key")).agg(min(col("m")).as("m")))
+          .transform(graft.operators.Dedup.bucketHeadsMerge))
         .getOrElse(minB)
       val allSh = shStore.map(_.unionByName(shB)).getOrElse(shB)
       val cands = keysB.select(col("band"), col("key"), col("id").as("id_new"))
@@ -1802,7 +1802,7 @@ object Streams {
     // operator comment above — the ×100 family corpus makes any-pairs
     // quadratic); the bucket min aggregates BEFORE the join, so the
     // candidate join is keys ⋈ (≤ one row per bucket)
-    val bmin = keys.groupBy(col("band"), col("key")).agg(min(col("id")).as("m"))
+    val bmin = keys.transform(graft.operators.Dedup.bucketHeads)
     val pairs = keys.select(col("band"), col("key"), col("id").as("id_new"))
       .join(bmin, Seq("band", "key"))
       .filter(col("m") < col("id_new"))
