@@ -23,7 +23,7 @@ object ScanAudit {
     * the EXECUTED plan, descending into AQE stages and reused
     * exchanges (a ReusedExchange means the scan did NOT re-run — those
     * count separately so dedup-by-Spark shows up as such). */
-  private def scans(p: SparkPlan, reused: Boolean = false): Seq[(String, Boolean)] =
+  private[graft] def scans(p: SparkPlan, reused: Boolean = false): Seq[(String, Boolean)] =
     p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan, reused)
       case q: QueryStageExec => scans(q.plan, reused)

@@ -34,4 +34,32 @@ class ScaleAuditSpec extends SparkSuite {
     assert(tight(("minhash_bands", "overcap_rows")) > 0L,
       "planted near-dups share band buckets; a cap of 1 must show loss")
   }
+
+  // -------------------------------------------------------------------
+  // Scan-multiplicity regression guard (round 15): the keys whose
+  // lineage-re-execution disease was fixed (one localCheckpoint at the
+  // shared frontier) must not silently regress to scanning their fact
+  // table once per consumer branch. Counts the EXECUTED parquet scans
+  // of the named table in the finalized adaptive plan via
+  // ScanAudit.scans; ReusedExchange descendants count as reused, not
+  // executed. Bounds are the post-fix counts + 0 slack — a new branch
+  // that forgets the checkpoint shows up as a +1 here.
+  test("fixed keys stay single-scan: d6/d19/d17 executed-scan bounds hold") {
+    def executedScans(key: String, table: String): Int = {
+      val df = SparkEntry.queries(key)(spark, sf)
+      df.queryExecution.toRdd.count()
+      ScanAudit.scans(df.queryExecution.executedPlan)
+        .count { case (t, reused) => t == table && !reused }
+    }
+    // d6: eval side + the checkpointed train side = 2 documents scans
+    assert(executedScans("d6_decontaminate", "documents.parquet") <= 2,
+      "d6 must not re-execute the tokenize+shingle scan per branch")
+    // d19: ev + tr checkpoints leave 2 documents scans
+    assert(executedScans("d19_bloom_audit", "documents.parquet") <= 2,
+      "d19 must not re-execute the shingle scan per audit branch")
+    // d17: count scalar + the collapse groupBy read = 2 embeddings
+    // scans (training/assignment read the checkpointed collapse)
+    assert(executedScans("d17_semantic_dedup_ann", "embeddings.parquet") <= 2,
+      "d17 must not re-scan embeddings per Lloyd iteration")
+  }
 }
