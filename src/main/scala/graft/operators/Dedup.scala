@@ -899,7 +899,7 @@ object Dedup {
     val assigned = (annProbes match {
       case Some(pr) =>
         Similarity.annAssign(base, cents.select(col("cid"), col("cemb")),
-            Similarity.sizedPlanes(k.toLong, 8), pr)
+            Similarity.sizedPlanes(k.toLong, 8), pr, codebookRows = k.toLong)
           .select(col("id"), col("cell"), col("embedding"))
       case None => base.join(cents)
         .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
@@ -970,15 +970,6 @@ object Dedup {
   val SemK = 6
   val SemIters = 3
 
-  /** The CELL-sizing rule for [[semanticDedup]] — sizedPlanes'
-    * argument on the quantizer side: cells ≈ N / targetCell keeps
-    * expected cell population (and therefore within-cell pair cost)
-    * constant as the corpus grows. A FIXED k makes cells grow
-    * linearly with N and pairs quadratically until the MaxBucket cap
-    * silently converts the blowup into kept-everything recall loss
-    * (at ×10 of sf0.1, k=6 puts every cell over the default cap —
-    * measured; the cap is the safety net, this rule is the sizing
-    * strategy). */
   /** The BUCKET-HEAD fold — the st16/st21 candidate rule, ONE
     * definition shared by the in-memory sinks, the durable sinks,
     * their bootstrap folds and the registered keys (a tie-break or
@@ -993,6 +984,15 @@ object Dedup {
   def bucketHeadsMerge(df: DataFrame): DataFrame =
     df.groupBy(col("band"), col("key")).agg(min(col("m")).as("m"))
 
+  /** The CELL-sizing rule for [[semanticDedup]] — sizedPlanes'
+    * argument on the quantizer side: cells ≈ N / targetCell keeps
+    * expected cell population (and therefore within-cell pair cost)
+    * constant as the corpus grows. A FIXED k makes cells grow
+    * linearly with N and pairs quadratically until the MaxBucket cap
+    * silently converts the blowup into kept-everything recall loss
+    * (at ×10 of sf0.1, k=6 puts every cell over the default cap —
+    * measured; the cap is the safety net, this rule is the sizing
+    * strategy). */
   def sizedCells(n: Long, targetCell: Int = 500): Int =
     math.max(1L, (n + targetCell - 1) / targetCell).min(1 << 20).toInt
 
@@ -1010,7 +1010,7 @@ object Dedup {
     * with sizedPlanes LSH and assign each point against its bucket's
     * centroids only — the machinery exists in Similarity; the exact
     * N·k form is the oracle-parity baseline it would be audited
-    * against). */
+    * against — and d17 is exactly that registered dial). */
   def d15(s: SparkSession, dir: String): DataFrame =
     semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = SemK, tau = SemTau, iters = SemIters,
@@ -1179,7 +1179,8 @@ object Dedup {
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
         first(col("embedding")).as("embedding"))
-    val ann = Similarity.annAssign(base, cents, planes, probes = 2)
+    val ann = Similarity.annAssign(base, cents, planes, probes = 2,
+      codebookRows = k.toLong)
     // d15's keep-first pruning, reduced to the pruned-id SET (the
     // audit doesn't need dup_of): pruned iff an earlier-id same-cell
     // row is ≥ τ cosine-similar, cells capped exactly like d15.

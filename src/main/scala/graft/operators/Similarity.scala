@@ -195,7 +195,8 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = annProbes match {
         case Some(pr) =>
-          annAssign(corpus.select(col("id"), col("embedding")), cents, annPlanes, pr)
+          annAssign(corpus.select(col("id"), col("embedding")), cents, annPlanes, pr,
+              codebookRows = k.toLong)
             .filter(col("cell") >= 0)
             .select(col("id"), col("cell").as("cid"), col("embedding"))
         case None => corpus.select(col("id"), col("embedding"))
@@ -242,7 +243,15 @@ object Similarity {
     * conservative unassigned bucket — a semantic-dedup caller keeps
     * those rows). Returns (id, embedding, cell). */
   def annAssign(points: DataFrame, cents: DataFrame,
-      planes: Int, probes: Int = 2): DataFrame = {
+      planes: Int, probes: Int = 2,
+      // Codebook row count when the caller knows it (it always does —
+      // it is k). The broadcast hint is only correct while the codebook
+      // fits the broadcast limits; above [[AnnBroadcastMaxRows]] the
+      // hint is OMITTED and the planner falls back to a shuffle join —
+      // slower, but it degrades instead of hard-failing at the 8 GB
+      // broadcast / driver-memory wall. Negative = unknown → hint kept
+      // (the historical behavior; every library caller passes k).
+      codebookRows: Long = -1L): DataFrame = {
     val s = points.sparkSession
     require(probes >= 0 && probes <= 2, s"probes is a Hamming radius in [0, 2], got $probes")
     // planes is a plan-time Int, so the flip-mask set is a literal
@@ -253,13 +262,20 @@ object Similarity {
       (if (probes >= 2) for { q <- 1 until planes; p <- 0 until q }
         yield (1L << p) | (1L << q)
       else Seq.empty)
-    // The codebook side is ALWAYS the small one (k centroids vs the
+    // The codebook side is USUALLY the small one (k centroids vs the
     // corpus) — hint the broadcast so the probe join never shuffles
     // the exploded point rows (each carries its embedding ×
     // probe-bucket fan-out; an SMJ here shuffles that whole volume
-    // once per Lloyd iteration).
-    val cb = broadcast(cents.select(col("cid"), col("cemb"),
-      lshBucket(col("cemb"), planes).as("__bucket")))
+    // once per Lloyd iteration). But "usually" is not "always": k is
+    // sized to the corpus (sizedCells caps at 2^20 — safely under the
+    // rows cap — but a caller can pass any k), and a forced broadcast
+    // above the 8 GB / driver-memory wall hard-fails where the
+    // planner's own choice would degrade to a shuffle join. So the
+    // hint is conditional on the caller-supplied row count.
+    val cbCols = cents.select(col("cid"), col("cemb"),
+      lshBucket(col("cemb"), planes).as("__bucket"))
+    val cb = if (codebookRows < 0 || codebookRows <= AnnBroadcastMaxRows)
+      broadcast(cbCols) else cbCols
     val pb = points
       .select(col("id"), col("embedding"),
         lshBucket(col("embedding"), planes).as("__b0")) // hashed ONCE per point
@@ -1127,6 +1143,15 @@ object Similarity {
        |FROM hits h LEFT JOIN annq q USING (q_id)
        |ORDER BY q_id""".stripMargin
   }
+
+  /** Broadcast ceiling for [[annAssign]]'s codebook side, in centroid
+    * ROWS. A 64-dim float centroid row is ~350 bytes as an unsafe row
+    * (256 B vector + id/bucket longs + offsets), so 4M rows ≈ 1.4 GB —
+    * comfortable against the 8 GB broadcast hard limit with driver
+    * headroom for the hash relation's build. [[graft.operators.Dedup.sizedCells]]
+    * caps k at 2^20, so every sized caller broadcasts; the ceiling
+    * exists for direct library callers with corpus-scale k. */
+  val AnnBroadcastMaxRows: Long = 4L << 20
 
   /** The CORPUS-SIZING rule for LSH self-joins: the smallest plane
     * count whose expected bucket population N/2^planes is at most

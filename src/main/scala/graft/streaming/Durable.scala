@@ -140,7 +140,16 @@ class DurableState(spark: SparkSession, dir: String,
     * segment prefix across versions, so retention holds only the
     * per-batch deltas extra (a compaction's pre-compaction segments
     * stay on disk until their last referencing manifest ages out);
-    * whole-frame commits hold one full copy per retained version. */
+    * whole-frame commits hold one full copy per retained version.
+    *
+    * LIFETIME CAVEAT: the returned frames are LAZY — they hold paths,
+    * not data, so the concurrent-commit safety above is bounded by the
+    * retention window: once later commits advance GC past this
+    * version, the segments a pending handle references are deleted and
+    * an action on it fails with FileNotFound. Consume (or
+    * `localCheckpoint`/persist) an as-of frame before the window can
+    * slide past its version; size `retainVersions` to cover the
+    * longest reader you intend to run. */
   def asOf(batchId: Long): Map[String, DataFrame] =
     manifestVersions.find(_ <= batchId) match {
       case None => Map.empty

@@ -57,9 +57,14 @@ class ScaleAuditSpec extends SparkSuite {
     // d19: ev + tr checkpoints leave 2 documents scans
     assert(executedScans("d19_bloom_audit", "documents.parquet") <= 2,
       "d19 must not re-execute the shingle scan per audit branch")
-    // d17: count scalar + the collapse groupBy read = 2 embeddings
-    // scans (training/assignment read the checkpointed collapse)
-    assert(executedScans("d17_semantic_dedup_ann", "embeddings.parquet") <= 2,
+    // d17: the n-count job runs (and scans) BEFORE the final plan, so
+    // it is invisible to this walk, and the lazy localCheckpoint hides
+    // the collapse-groupBy's parquet read behind an RDDScanExec once
+    // executed — the only FileSourceScanExec left in the finalized
+    // plan is the zeros branch's. Measured count: 1. The bound still
+    // catches checkpoint removal (every Lloyd branch would surface its
+    // own parquet scan, blowing straight past it).
+    assert(executedScans("d17_semantic_dedup_ann", "embeddings.parquet") <= 1,
       "d17 must not re-scan embeddings per Lloyd iteration")
   }
 }

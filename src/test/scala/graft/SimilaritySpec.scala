@@ -613,4 +613,25 @@ class SimilaritySpec extends SparkSuite {
     val cb2 = cb.clone(); cb2(0) = 99.0
     assert(!PqCodesExpr(lit, cb, 2, 2, 2).semanticEquals(PqCodesExpr(lit, cb2, 2, 2, 2)))
   }
+
+  test("annAssign codebook broadcast is conditional: over-ceiling rows drop the hint, results unchanged") {
+    val base = Tables.embeddings(spark, sf)
+      .filter(graft.functions.VectorFunctions.normSq(col("embedding")) > 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cents = Similarity.trainCodebook(base, k = 8, iters = 1,
+        seedHash = id => pmod(id * 48271L + 11L, lit(2147483647L)))
+      .select(col("id").as("cid"), col("embedding").as("cemb"))
+    val hinted = Similarity.annAssign(base, cents, planes = 3, probes = 2,
+      codebookRows = 8L)
+    val unhinted = Similarity.annAssign(base, cents, planes = 3, probes = 2,
+      codebookRows = Similarity.AnnBroadcastMaxRows + 1)
+    // the hint must actually come and go with the row count (the
+    // planner may still CHOOSE broadcast from stats — that's the
+    // point: degrade to planner choice, never hard-require the hint)
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cell")).orderBy(col("id")).collect().toSeq
+    assert(rows(unhinted) === rows(hinted), "assignment moved with the join strategy")
+  }
 }
