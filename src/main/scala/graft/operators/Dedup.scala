@@ -1074,8 +1074,8 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
-  // d17 (rows-only): the SIZED-k semantic dedup made affordable —
-  // d15's Scaladoc adjudication turned into a registered operator.
+  // d17: the SIZED-k semantic dedup made affordable — d15's Scaladoc
+  // adjudication turned into a registered operator.
   // k = sizedCells(N) (cells grow with the corpus, cell population
   // pinned) is only viable with ANN-ASSISTED assignment
   // (Similarity.annAssign: centroids bucket by sized-plane LSH,
@@ -1083,11 +1083,24 @@ object Dedup {
   // ~constant instead of k), which replaces the exact N·k assignment
   // measured superlinear (17.4× at ×10). Probe-bucket misses assign
   // cell −2 and are KEPT — assignment misses degrade to conservative
-  // keep, the same failure direction as the cell cap. Rows-only by
-  // design: iterative k-means training is m7/m14/t20's category; the
-  // pruning semantics are spec-covered (every dup pair is a true
-  // ≥τ same-cell neighbor) and d15 remains the exact-assignment
-  // oracle-gated baseline this form is audited against.
+  // keep, the same failure direction as the cell cap.
+  //
+  // ORACLE-GATED since round 16 (it was rows-only through r15): the
+  // whole pipeline is deterministic — portable-seed init, each Lloyd
+  // iteration an ANN assignment (d18Sql's probe machinery) followed
+  // by DECIMAL(28,12)-exact per-dim means (d15Sql's iterCte), a
+  // deterministic final assignment, and d11's keep-first pruning — so
+  // d15's unrolled-CTE replay extends to it: [[d17Sql]] regenerates
+  // the probe rule (sized planes, Hamming-≤2 flip set, cos/cid argmax)
+  // per unrolled iteration plus the ANN path's pre-collapse of
+  // byte-identical embeddings. The "training is rows-only" adjudication
+  // that covered d17 through r15 belongs to MLlib's partition-order-
+  // dependent optimizers (m7/m14/t20); Lloyd over order-free decimal
+  // means has no such term, which is the same reason d15 was gateable.
+  // On the gate corpora embeddings are distinct, so the collapse CTEs
+  // are the identity there (their semantics are spec-gated with
+  // planted twins); d15 remains the exact-assignment baseline and d18
+  // the recall audit.
   def d17(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val n = e.filter(normSq(col("embedding")) > 0).count()
@@ -1098,6 +1111,124 @@ object Dedup {
       .select(col("id"), col("cell"), col("kept"), col("dup_of"),
         round(col("dup_cos"), 6).as("dup_cos"))
       .orderBy(col("id"))
+  }
+
+  /** DuckDB twin of [[d17]] — d15Sql's unrolled-Lloyd replay with the
+    * two ANN-path extensions: (1) the pre-collapse of byte-identical
+    * embeddings to their min-id rep (grp/base/twins — the identity on
+    * the distinct-vector gate corpora, structural parity for the ×100
+    * twin-heavy shape), and (2) every assignment — per Lloyd iteration
+    * AND final — replaced by annAssign's probe rule (d18Sql's
+    * machinery: sized planes from the mirrored k chain, one bucket per
+    * rep, Hamming-≤2 flip set, cos DESC / cid ASC argmax; training
+    * misses pull no centroid, final misses coalesce to cell −2 and are
+    * kept). Point buckets are iteration-independent, so pdots/pbk/
+    * probes are computed once and every unrolled iteration joins the
+    * same probe CTE — the SQL mirror of "hashed ONCE per point". */
+  val d17Sql: String = {
+    val nsq = graft.functions.VectorFunctions.normSqSql("embedding")
+    val acos = cosineSql("p.embedding", "c.cemb")
+    val pcos = cosineSql("a.embedding", "b.embedding")
+    val scos = cosineSql("embedding", "embedding")
+    val P = 2147483647L
+    val dots =
+      s"list_transform(range(pl.planes), p -> " +
+        s"list_sum(list_transform(generate_series(1, len(embedding)), i -> " +
+        s"CAST(embedding[i] AS DOUBLE) * " +
+        s"(CASE WHEN ((((i*1103515245 + p*2654435761 + 12345) % $P) * 48271) % $P) % 2 = 1 THEN 1.0 ELSE -1.0 END))))"
+    // one ANN-assisted Lloyd iteration, unrolled: bucket the previous
+    // centroids, assign each rep to its best probe-bucket centroid
+    // (annAssign's cos DESC / cid ASC argmax; probe misses pull no
+    // centroid that round), then d15's DECIMAL(28,12)-exact per-dim
+    // means — empty cells vanish from cents$n in both engines
+    def iterCte(n: Int): String =
+      s"""cbk$n AS (
+         |  SELECT cid, cemb,
+         |    CAST(${Similarity.lshBucketSizedSql("cemb", "pl.planes")} AS BIGINT) AS bucket
+         |  FROM cents${n - 1}, pl),
+         |asg$n AS (
+         |  SELECT id, embedding, cell FROM (
+         |    SELECT pr.id, p.embedding, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY pr.id ORDER BY $acos DESC, c.cid) AS rk
+         |    FROM probes pr JOIN base p USING (id) JOIN cbk$n c ON pr.bucket = c.bucket)
+         |  WHERE rk = 1),
+         |cents$n AS (
+         |  SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cemb FROM (
+         |    SELECT cell AS cid, u.pos AS pos,
+         |      CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM (SELECT cell, unnest(list_transform(range(len(embedding)),
+         |            p -> {'pos': p, 'x': embedding[p+1]})) AS u
+         |          FROM asg$n)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cid)""".stripMargin
+    val iters = (1 to SemIters).map(iterCte).mkString(",\n")
+    s"""WITH all_ AS (SELECT vec_id AS id, embedding FROM embeddings WHERE $nsq > 0),
+       |par AS (SELECT count(*) AS n,
+       |  least(greatest(1, (count(*) + 24) // 25), 1048576) AS k FROM all_),
+       |pl AS (SELECT n, k, ${Similarity.sizedPlanesSql("k", 8)} AS planes FROM par),
+       |grp AS (SELECT embedding, min(id) AS rep, list(id) AS ids
+       |  FROM all_ GROUP BY embedding),
+       |base AS (SELECT rep AS id, embedding FROM grp),
+       |twins AS (
+       |  SELECT id, rep, selfcos FROM (
+       |    SELECT unnest(ids) AS id, rep, $scos AS selfcos
+       |    FROM grp WHERE len(ids) > 1)
+       |  WHERE id <> rep),
+       |cents0 AS (
+       |  SELECT cid, cemb FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY (id * 48271 + 11) % $P, id) - 1
+       |      AS BIGINT) AS cid, embedding AS cemb
+       |    FROM base), par
+       |  WHERE cid < par.k),
+       |pdots AS (SELECT id, embedding, $dots AS dots FROM base, pl),
+       |pbk AS (
+       |  SELECT id, embedding,
+       |    CAST(list_sum(list_transform(range(len(dots)), p ->
+       |      CASE WHEN dots[p+1] > 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM pdots),
+       |probes AS (
+       |  SELECT id, unnest(list_prepend(bucket,
+       |    flatten(list_transform(range(pl.planes), q ->
+       |      list_prepend(xor(bucket, (1::BIGINT << q)),
+       |        list_transform(range(q), p ->
+       |          xor(xor(bucket, (1::BIGINT << q)), (1::BIGINT << p)))))))) AS bucket
+       |  FROM pbk, pl),
+       |$iters,
+       |cbkF AS (
+       |  SELECT cid, cemb,
+       |    CAST(${Similarity.lshBucketSizedSql("cemb", "pl.planes")} AS BIGINT) AS bucket
+       |  FROM cents$SemIters, pl),
+       |asgF AS (
+       |  SELECT id, cell FROM (
+       |    SELECT pr.id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY pr.id ORDER BY $acos DESC, c.cid) AS rk
+       |    FROM probes pr JOIN base p USING (id) JOIN cbkF c ON pr.bucket = c.bucket)
+       |  WHERE rk = 1),
+       |assigned AS (
+       |  SELECT b.id, b.embedding, COALESCE(a.cell, -2) AS cell
+       |  FROM base b LEFT JOIN asgF a USING (id)),
+       |capped AS (SELECT * FROM assigned WHERE cell >= 0
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= $MaxBucket),
+       |near AS (
+       |  SELECT id_a AS id, id_b AS dup_of, cos AS dup_cos FROM (
+       |    SELECT a.id AS id_a, b.id AS id_b, $pcos AS cos,
+       |      row_number() OVER (PARTITION BY a.id ORDER BY $pcos DESC, b.id) AS rk
+       |    FROM capped a JOIN capped b ON a.cell = b.cell AND b.id < a.id
+       |    WHERE $pcos >= $SemTau) WHERE rk = 1),
+       |res AS (
+       |  SELECT s.id, s.cell, n.dup_of IS NULL AS kept, n.dup_of, n.dup_cos
+       |  FROM assigned s LEFT JOIN near n USING (id)
+       |  UNION ALL
+       |  SELECT t.id, a.cell, (a.cell = -2) AS kept,
+       |    CASE WHEN a.cell >= 0 THEN t.rep END AS dup_of,
+       |    CASE WHEN a.cell >= 0 THEN t.selfcos END AS dup_cos
+       |  FROM twins t JOIN assigned a ON t.rep = a.id
+       |  UNION ALL
+       |  SELECT vec_id AS id, CAST(-1 AS BIGINT) AS cell, true AS kept,
+       |    CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS dup_cos
+       |  FROM embeddings WHERE $nsq <= 0)
+       |SELECT id, cell, kept, dup_of, round(dup_cos, 6) AS dup_cos
+       |FROM res ORDER BY id""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -1876,6 +2007,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "d19_bloom_audit" -> d19Sql,
     "d18_ann_assign_recall" -> d18Sql,
+    "d17_semantic_dedup_ann" -> d17Sql,
     "d16_leakage_split" -> d16Sql,
     "d15_semantic_dedup_k" -> d15Sql,
     "d14_cross_source_dups" -> d14Sql,
