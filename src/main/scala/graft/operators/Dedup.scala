@@ -1231,6 +1231,91 @@ object Dedup {
        |FROM res ORDER BY id""".stripMargin
   }
 
+  /** SQL-twin GENERATOR for [[semanticDedup]]'s DROP SET on the ANN
+    * path with `collapseExact = false` — d17Sql's machinery factored
+    * for callers that embed the semantic stage inside a larger twin
+    * (e2e_curate_fixed). Emits a comma-joined CTE chain (all names
+    * `sd_`-prefixed; terminal CTE `semdrop(id)`) over an existing CTE
+    * `inCte` that must provide (id BIGINT, embedding FLOAT[]) rows
+    * with nonzero norms already filtered. `kExpr` is a scalar SQL
+    * expression for k (mirror [[sizedCells]] from the same count the
+    * Spark side uses). Dropped = ids with an earlier-id same-cell ≥τ
+    * cosine neighbor after `iters` unrolled ANN Lloyd rounds + the
+    * final radius-2 assignment; probe misses and capped cells emit no
+    * drops (the conservative-keep rule). */
+  def semanticDropsSql(inCte: String, kExpr: String, tau: Double,
+      iters: Int = 5): String = {
+    val acos = cosineSql("p.embedding", "c.cemb")
+    val pcos = cosineSql("a.embedding", "b.embedding")
+    val P = 2147483647L
+    val dots =
+      s"list_transform(range(sd_pl.planes), p -> " +
+        s"list_sum(list_transform(generate_series(1, len(embedding)), i -> " +
+        s"CAST(embedding[i] AS DOUBLE) * " +
+        s"(CASE WHEN ((((i*1103515245 + p*2654435761 + 12345) % $P) * 48271) % $P) % 2 = 1 THEN 1.0 ELSE -1.0 END))))"
+    def iterCte(n: Int): String =
+      s"""sd_cbk$n AS (
+         |  SELECT cid, cemb,
+         |    CAST(${Similarity.lshBucketSizedSql("cemb", "sd_pl.planes")} AS BIGINT) AS bucket
+         |  FROM sd_cents${n - 1}, sd_pl),
+         |sd_asg$n AS (
+         |  SELECT id, embedding, cell FROM (
+         |    SELECT pr.id, p.embedding, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY pr.id ORDER BY $acos DESC, c.cid) AS rk
+         |    FROM sd_probes pr JOIN $inCte p USING (id) JOIN sd_cbk$n c ON pr.bucket = c.bucket)
+         |  WHERE rk = 1),
+         |sd_cents$n AS (
+         |  SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS cemb FROM (
+         |    SELECT cell AS cid, u.pos AS pos,
+         |      CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM (SELECT cell, unnest(list_transform(range(len(embedding)),
+         |            p -> {'pos': p, 'x': embedding[p+1]})) AS u
+         |          FROM sd_asg$n)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cid)""".stripMargin
+    val iterSql = (1 to iters).map(iterCte).mkString(",\n")
+    s"""sd_par AS (SELECT $kExpr AS k),
+       |sd_pl AS (SELECT k, ${Similarity.sizedPlanesSql("k", 8)} AS planes FROM sd_par),
+       |sd_cents0 AS (
+       |  SELECT cid, cemb FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY (id * 48271 + 11) % $P, id) - 1
+       |      AS BIGINT) AS cid, embedding AS cemb
+       |    FROM $inCte), sd_par
+       |  WHERE cid < sd_par.k),
+       |sd_pdots AS (SELECT id, embedding, $dots AS dots FROM $inCte, sd_pl),
+       |sd_pbk AS (
+       |  SELECT id, embedding,
+       |    CAST(list_sum(list_transform(range(len(dots)), p ->
+       |      CASE WHEN dots[p+1] > 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM sd_pdots),
+       |sd_probes AS (
+       |  SELECT id, unnest(list_prepend(bucket,
+       |    flatten(list_transform(range(sd_pl.planes), q ->
+       |      list_prepend(xor(bucket, (1::BIGINT << q)),
+       |        list_transform(range(q), p ->
+       |          xor(xor(bucket, (1::BIGINT << q)), (1::BIGINT << p)))))))) AS bucket
+       |  FROM sd_pbk, sd_pl),
+       |$iterSql,
+       |sd_cbkF AS (
+       |  SELECT cid, cemb,
+       |    CAST(${Similarity.lshBucketSizedSql("cemb", "sd_pl.planes")} AS BIGINT) AS bucket
+       |  FROM sd_cents$iters, sd_pl),
+       |sd_asgF AS (
+       |  SELECT id, cell FROM (
+       |    SELECT pr.id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY pr.id ORDER BY $acos DESC, c.cid) AS rk
+       |    FROM sd_probes pr JOIN $inCte p USING (id) JOIN sd_cbkF c ON pr.bucket = c.bucket)
+       |  WHERE rk = 1),
+       |sd_capped AS (
+       |  SELECT i.id, i.embedding, a.cell
+       |  FROM $inCte i JOIN sd_asgF a USING (id) WHERE a.cell >= 0
+       |  QUALIFY count(*) OVER (PARTITION BY a.cell) <= $MaxBucket),
+       |semdrop AS (
+       |  SELECT DISTINCT a.id FROM sd_capped a JOIN sd_capped b
+       |  ON a.cell = b.cell AND b.id < a.id
+       |  WHERE $pcos >= $tau)""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // d18: the ANN-ASSIGNMENT recall audit — the measure-don't-guess
   // companion d17 was missing: d9 audits MinHash, s10 LSH, s13 IVF,

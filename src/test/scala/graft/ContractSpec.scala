@@ -10,11 +10,19 @@ class ContractSpec extends AnyFunSuite {
   // q15_approx_distinct left this set in round 15: the HLL estimate
   // stays out of the hashed columns and the gated row carries exact
   // counts + the certified error-bound claim as a literal boolean.
+  // d17_semantic_dedup_ann left this set in round 16: the sized-k ANN
+  // pipeline is fully deterministic and d17Sql replays it (unrolled
+  // ANN Lloyd + probe rule + pre-collapse).
   private val rowsOnly = Set(
     "m7_feature_importance", "m14_grid_search",
-    "t20_quality_classifier", "d17_semantic_dedup_ann",
-    // round 14: all 13 curation stages composed — trained LR + learned
-    // k-means + xxhash64 sampler have no SQL twin; composition is
+    "t20_quality_classifier",
+    // round 14: all 13 curation stages composed — the trained LR is
+    // MLlib-iterative with no SQL twin, and the per-doc trained scores
+    // cannot reach the oracle as a fixture (the driver's DuckDB sees
+    // only the 10 fixed tables, and oracle SQL is one static string
+    // across SFs). The COMPOSITION is gated since round 16 by
+    // e2e_curate_fixed (all 13 stages live with portable stand-ins in
+    // the three engine-specific slots); the trained form stays
     // spec-gated by CorpusSpec's full-stack planted victims
     "e2e_curate_full")
   // t22_bpe_drift left this set in round 11: the greedy BPE fold is
