@@ -12,11 +12,16 @@ package graft
   * had a sweep window where an idle-machine re-run couldn't reproduce
   * the recorded numbers):
   *  1. The SAME fixed CPU-bound calibration kernel is timed BETWEEN
-  *     every ~25-query bucket, not just at the endpoints — a mid-sweep
+  *     every ~10-query bucket (25 through r15; tightened with the
+  *     drift metric in r16), not just at the endpoints — a mid-sweep
   *     contention window is localized to its bucket in the emitted
   *     `cal` array instead of being invisible (round 6: a 10 s artifact
   *     on one query was indistinguishable from a real 8.5× regression
-  *     until a manual re-measurement).
+  *     until a manual re-measurement). The stdout line carries `drift`
+  *     (max/min of the cal readings — the sweep's trust signal) and
+  *     bench_last.json carries per-key `queries_norm` (time·calRef/its
+  *     bucket's cal) plus the mechanical `comparison_rule` a judge
+  *     applies across rounds.
   *  2. Any query whose min-of-N exceeds 3× its previous-round time
   *     (read from the checked-in bench_prev.json snapshot) gets an
   *     automatic extra run and is flagged in the `rerun` list — so a
@@ -64,12 +69,18 @@ object Bench {
     // across rounds and machines. CAL_INFLATE multiplies the reading
     // — the synthetic-contention knob for testing the calrr trigger.
     val calInflate = sys.env.getOrElse("SPARK_GRAFT_CAL_INFLATE", "1.0").toDouble
-    def calibrate(): Double = {
+    def calOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(200000000L).selectExpr("sum(id * 2 + 1)").collect()
       (System.nanoTime() - t0) / 1e9 * calInflate
     }
-    calibrate() // throwaway: JITs the calibration kernel itself
+    // min-of-2 per reading (r16): the ~0.25 s kernel carries ±25%
+    // single-run scheduler jitter, which drowned the drift signal
+    // (idle max/min measured 2.26 on single runs, ~1.2 on min-of-2) —
+    // min is the noise-floor estimator, and the kernel itself is
+    // unchanged so cal_ref keeps its unit across rounds.
+    def calibrate(): Double = math.min(calOnce(), calOnce())
+    calOnce() // throwaway: JITs the calibration kernel itself
 
     // Previous-round per-query times (short family ids) and the
     // RECORDED reference cal, both from the checked-in bench_prev.json
@@ -90,7 +101,15 @@ object Bench {
     // third run (iterative training has the widest variance). A query
     // whose min still exceeds 3× its previous-round time gets ONE more
     // run and a rerun flag — self-diagnosing the d9-class artifact.
-    val bucketSize = 25
+    //
+    // Bucket size 10 since r16 (was 25): r15's calibration-normalized
+    // total moved OPPOSITE to the raw total because the cal probes and
+    // the workload drifted differently across a multi-hour session —
+    // finer interleaving localizes drift to ~10-query windows and
+    // makes the per-key time/cal ratios (bench_last.json's
+    // queries_norm) the cross-round comparison currency; `drift` (max
+    // cal / min cal over the sweep) is the trust signal.
+    val bucketSize = 10
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val calPoints = scala.collection.mutable.ArrayBuffer(calibrate())
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean, Int)]
@@ -178,14 +197,30 @@ object Bench {
     // and the full interleaved cal array ships alongside for readers
     // who want their own normalization.
     val rerunCal = if (hotBuckets.nonEmpty) Some(calPoints.last) else None
-    val totalNorm = results.groupBy(_._4).map { case (bi, rs) =>
+    // per-BUCKET effective cal: mean of the two bounding readings; a
+    // re-run bucket's min-merged times come from the CLEANER of its
+    // two measurement windows — normalizing clean times by the
+    // inflated in-sweep cal would double-correct (deflate) them
+    def bucketCal(bi: Int): Double = {
       val cSweep = (calPoints(bi) + calPoints(bi + 1)) / 2.0
-      // a re-run bucket's min-merged times come from the CLEANER of
-      // its two measurement windows — normalizing clean times by the
-      // inflated in-sweep cal would double-correct (deflate) them
-      val c = if (hotBuckets.contains(bi)) math.min(cSweep, rerunCal.get) else cSweep
-      rs.map(_._2).sum * calRef / c
+      if (hotBuckets.contains(bi)) math.min(cSweep, rerunCal.get) else cSweep
+    }
+    val totalNorm = results.groupBy(_._4).map { case (bi, rs) =>
+      rs.map(_._2).sum * calRef / bucketCal(bi)
     }.sum
+    // Sweep-wide drift metric (r15 VERDICT directive 2): how much the
+    // machine moved UNDER the sweep. The r15 disease was a session-long
+    // TREND (~1.5× slower over hours) — point spikes are a different
+    // failure with their own mechanism (hot buckets → calrr) — so the
+    // metric is the trend ratio median(last 5 cal)/median(first 5 cal),
+    // robust to the ~2× single-reading scheduler jitter a 0.2 s kernel
+    // carries even min-of-2 (measured idle: max/min 3.1, trend ~1.0).
+    // >1 = machine got slower under the sweep; ~1.0 = raw totals
+    // comparable end-to-end.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val drift = median(calPoints.takeRight(5).toSeq) / median(calPoints.take(5).toSeq)
     val sfName = new java.io.File(sfDir).getName
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON line out of that tail — keep the line compact
@@ -209,7 +244,7 @@ object Bench {
         val key = if (short) shortOf(k) else k // collision-aware (e2e_* keeps full keys)
         s""""$key":${num(dec, v)}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
+      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"drift":${num(2, drift)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
     }
     // Past ~190 keys even short ids + 2dp overflow the tail and the
     // captured artifact ends MID-KEY — invalid JSON (r13 VERDICT
@@ -220,7 +255,7 @@ object Bench {
     def fmtTop(dec: Int, topN: Int): String = {
       val qs = results.sortBy(-_._2).take(topN)
         .map { case (k, v, _, _) => s""""$k":${num(dec, v)}""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"unit":"sec","n_queries":${results.size},"queries_top":$qs,"queries_file":"bench_last.json","sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
+      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"drift":${num(2, drift)},"unit":"sec","n_queries":${results.size},"queries_top":$qs,"queries_file":"bench_last.json","sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
     }
     // stay well inside the 2000-char tail as the query count grows:
     // full keys at 3 then 2 decimals, then short family ids, then the
@@ -232,9 +267,21 @@ object Bench {
     // (ADVICE r12: ~16 per-key timings fell off BENCH_r12's captured
     // tail) — ALSO write the FULL untruncated JSON (long keys, 3dp) to
     // a file in the repo so every per-key timing survives the round
-    // regardless of how much of stdout the driver keeps.
+    // regardless of how much of stdout the driver keeps. The file form
+    // additionally carries queries_norm — per-key time/cal ratios
+    // rescaled by calRef (time · calRef / its bucket's cal) — and the
+    // MECHANICAL cross-round comparison rule, so a judge reads
+    // regressions off queries_norm without re-deriving the method.
+    val qsNorm = results.map { case (k, v, _, bi) =>
+      s""""$k":${num(3, v * calRef / bucketCal(bi))}""" }.mkString("{", ",", "}")
+    val rule = "compare queries_norm across rounds (same calRef source): " +
+      "a key regressed iff its queries_norm grew >1.5x AND >0.4s; " +
+      "trust raw `queries` only when both rounds' drift (end/start cal " +
+      "trend, ~1.0 idle) is within [0.8, 1.25]"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), fmt(3, false) + "\n")
+      java.nio.file.Paths.get("bench_last.json"),
+      fmt(3, false).dropRight(1) +
+        s""","queries_norm":$qsNorm,"cal_ref_used":${num(3, calRef)},"comparison_rule":"$rule"}""" + "\n")
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
     println(line)

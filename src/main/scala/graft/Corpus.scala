@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
+import graft.Config.CutOps
 
 /** End-to-end corpus curation — the composed pipeline an LLM
   * training-data build runs over raw documents (the shape of CCNet /
@@ -244,11 +245,11 @@ object Corpus {
     // ledger was paying the upstream pipeline 2× at ×10 (38.3 s vs a
     // 17.4 s single pass) and it dominated the ×100 exponent (0.72).
     // eager = false: constructing the plan must not execute it; at
-    // 100 TB swap for persist(DISK_ONLY) — same plan, spill-backed and
+    // 100 TB set Config.lineageCut = DiskPersist — same plan, spill-backed and
     // recomputable (stage 5's note).
     val f3 = cfg.lang.map(l => predLang(col(textCol)) === l).getOrElse(lit(true))
     val flaggedL = flaggedR.withColumn("f_lang", col("f_repetition") && f3)
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
 
     // stage 5: corpus-unigram-LM quality (t8's shape on survivors):
     // ONE rollup yields per-token counts and the grand total
@@ -260,7 +261,8 @@ object Corpus {
     // __tok, the scoring groupBy on __lid) shuffle on DIFFERENT keys,
     // so ReuseExchange can't serve both and the whole upstream flag
     // pipeline would be re-run per consumer — d8's localCheckpoint
-    // pattern (at 100 TB, persist(DISK_ONLY) — same plan, spill-backed).
+    // pattern (at 100 TB, Config.lineageCut = DiskPersist — same plan,
+    // spill-backed).
     // eager = false: merely CONSTRUCTING the curate plan must not
     // execute the upstream pipeline (the default eager=true does);
     // materialization happens on first action. The trade stands
@@ -273,7 +275,7 @@ object Corpus {
       case Some(minLp) =>
         val toks = flaggedL.filter(col("f_lang"))
           .select(id.as("__lid"), explode(tokens(col(textCol))).as("__tok"))
-          .localCheckpoint(eager = false)
+          .cutLineage(eager = false)
         val tfAll = toks.rollup(col("__tok")).agg(count(lit(1)).as("__tf"))
         val tf = tfAll.filter(col("__tok").isNotNull)
         val total = tfAll.filter(col("__tok").isNull).select(col("__tf").as("__total"))
@@ -326,7 +328,7 @@ object Corpus {
         // without this the quality/LM/dedup stages re-execute per
         // k-means iteration (connectedComponents' own lesson)
         val embSurv = emb.join(surv, emb(idCol) === col("__eid")).drop("__eid")
-          .localCheckpoint()
+          .cutLineage()
         // collapseExact = false — a perf choice, stated precisely:
         // stage 5's exact dedup removes byte-identical TEXTS, and this
         // corpus's embeddings are text-derived, so byte-identical

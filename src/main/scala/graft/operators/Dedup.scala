@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
+import graft.Config.CutOps
 
 /** E-family: deduplication (SURVEY.md §2.E) — the operators a 100 TB
   * pretraining-data pipeline runs before anything else.
@@ -98,7 +99,7 @@ object Dedup {
     // and the chosen path evaluates it AGAIN from scratch. Both paths
     // need stable edges anyway (the iterative one re-reads them every
     // round).
-    val edges = pairs.localCheckpoint()
+    val edges = pairs.cutLineage()
     if (edges.count() <= localEdgeThreshold) connectedComponentsLocal(edges)
     else connectedComponentsIterative(edges, maxIter)
   }
@@ -143,9 +144,9 @@ object Dedup {
     // failure mode.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .cutLineage()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+      .withColumn("cluster", col("id")).cutLineage()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -161,7 +162,7 @@ object Dedup {
       val parents = prop.select(col("id").as("__pid"), col("cluster").as("__pcluster"))
       val next = prop.join(parents, prop("cluster") === col("__pid"), "left")
         .select(prop("id"), coalesce(col("__pcluster"), prop("cluster")).as("cluster"))
-        .localCheckpoint()
+        .cutLineage()
       converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).isEmpty
       labels = next
@@ -466,9 +467,10 @@ object Dedup {
       explode(shinglesK(tokens(col(textCol)), k)).as("ng"))
     // The train n-gram set feeds BOTH the bloom aggregate and the
     // exact join — checkpoint it so the tokenize+shingle+distinct scan
-    // runs once, not per branch (persist(DISK_ONLY) at 100 TB).
+    // runs once, not per branch (Config.lineageCut = DiskPersist at
+    // 100 TB — the cut survives executor loss there).
     val trainG0 = train.select(explode(shinglesK(tokens(col(textCol)), k)).as("ng")).distinct()
-    val trainG = if (useBloom) trainG0.localCheckpoint(false) else trainG0
+    val trainG = if (useBloom) trainG0.cutLineage(eager = false) else trainG0
     val evalG = if (useBloom) bloomPrefilter(evalG0, "ng", trainG, "ng") else evalG0
     val hits = evalG.join(trainG, Seq("ng"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared")) // evalG n-grams are per-doc distinct
@@ -538,7 +540,7 @@ object Dedup {
     val d = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), simhash16(tokenCodes(col("text"))).as("sim"))
-      .localCheckpoint()
+      .cutLineage()
     val a = d.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
     val b = d.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
     val edges = a.join(b, col("id_b") === col("id_a") + 1)
@@ -590,12 +592,12 @@ object Dedup {
     // re-scanned and re-exploded per consumer. The repartition sets
     // explode parallelism from the split count (one file at small SF)
     // to the core count; at 100 TB swap localCheckpoint for
-    // persist(DISK_ONLY) — same plan, spill-backed.
+    // Config.lineageCut = DiskPersist — same plan, spill-backed.
     val spans = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(shinglesAllK(tokens(col("text")), 8)).as("span"))
       .select(col("doc_id"), xxhash64(col("span")).as("sh"))
-      .localCheckpoint()
+      .cutLineage()
     val df = spans.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("__ndocs"))
     spans.join(df, Seq("sh"))
       .groupBy(col("doc_id"))
@@ -641,7 +643,7 @@ object Dedup {
       .select(col("doc_id"),
         shingles3(tokens(col("text"))).as("sh"),
         minhashSignature(shingleCodes(col("text"))).as("sig"))
-      .localCheckpoint()
+      .cutLineage()
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
     a.join(b, col("doc_b") === col("doc_a") + 1)
@@ -874,19 +876,19 @@ object Dedup {
     // distinct, so the collapse is the identity there.
     // base feeds every Lloyd iteration plus the final assignment —
     // checkpoint it so the scan+vector-parse runs once, not per
-    // consumer branch (ScanAudit; persist(DISK_ONLY) at 100 TB).
+    // consumer branch (ScanAudit; Config.lineageCut = DiskPersist at 100 TB).
     val (base, twinRows) = annProbes match {
       case Some(_) if collapseExact =>
         val g = baseAll.groupBy(col("embedding"))
           .agg(min(col("id")).as("__rep"), collect_list(col("id")).as("__ids"))
-          .localCheckpoint(false)
+          .cutLineage(eager = false)
         val reps = g.select(col("__rep").as("id"), col("embedding"))
         val twins = g.filter(size(col("__ids")) > 1)
           .withColumn("__selfcos", cosineAuto(s, col("embedding"), col("embedding")))
           .select(col("__rep"), col("__selfcos"), explode(col("__ids")).as("id"))
           .filter(col("id") =!= col("__rep"))
         (reps, Some(twins))
-      case _ => (baseAll.localCheckpoint(false), None)
+      case _ => (baseAll.cutLineage(eager = false), None)
     }
     val zeros = base0.filter(normSq(col("embedding")) <= 0)
       .select(col("id"), lit(-1L).as("cell"), lit(true).as("kept"),
@@ -906,7 +908,7 @@ object Dedup {
         .groupBy(col("id"))
         .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
           first(col("embedding")).as("embedding"))
-    }).localCheckpoint(false)
+    }).cutLineage(eager = false)
     // cell −2 (ANN assignment miss) must not form its own pair pool —
     // unassigned rows are kept unconditionally (no-op on exact path)
     val capped = capBuckets(assigned.filter(col("cell") >= 0), maxCell, col("cell"))
@@ -1376,13 +1378,13 @@ object Dedup {
     val nAll = all.count() // one scalar at plan time (d17/s12's documented class)
     // base feeds the codebook sample, the exact N·k side, the ANN
     // side, and both prunings — one checkpoint pays the scan once
-    // (ScanAudit; persist(DISK_ONLY) at 100 TB).
+    // (ScanAudit; Config.lineageCut = DiskPersist at 100 TB).
     val base = (if (nAll <= cap) all else
       all.orderBy(
         pmod(pmod(pmod(col("id"), lit(P)) * 1103515245L
           + 181L * 2654435761L + 12345L, lit(P)) * 48271L, lit(P)),
         col("id"))
-        .limit(cap.toInt)).localCheckpoint(false)
+        .limit(cap.toInt)).cutLineage(eager = false)
     val n = math.min(nAll, cap)
     val k = sizedCells(n, 25)
     val planes = Similarity.sizedPlanes(k.toLong, 8)
@@ -1600,7 +1602,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(shinglesAllK(col("tk"), k)).as(Seq("sp0", "span")))
       .select(col("doc_id"), col("sp0"), xxhash64(col("span")).as("sh"))
-      .localCheckpoint() // at 100 TB swap for persist(DISK_ONLY) (d8)
+      .cutLineage() // at 100 TB set Config.lineageCut = DiskPersist (d8)
     val dfreq = spans.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("nd"))
     val per = spans.join(dfreq, Seq("sh"))
       .groupBy(col("doc_id"))
@@ -1993,11 +1995,11 @@ object Dedup {
     // position set, the truth semi-join) — without a cut point each
     // branch re-executes the tokenize+shingle scan (e2e_curate's
     // round-15 lineage lesson). One checkpoint per side pays the scan
-    // once; at 100 TB make these persist(DISK_ONLY).
+    // once; at 100 TB set Config.lineageCut = DiskPersist.
     val ev = g.filter(col("source").isin(evalSources: _*)).distinct()
-      .localCheckpoint(false)
+      .cutLineage(eager = false)
     val tr = g.filter(!col("source").isin(evalSources: _*)).select(col("ng")).distinct()
-      .localCheckpoint(false)
+      .cutLineage(eager = false)
     val mExp = bloomBitsExp(tr.count()) // one plan-time scalar (sizedPlanes class)
     val mBits = 1L << mExp
     def posJ(code: Column, j: Int): Column =

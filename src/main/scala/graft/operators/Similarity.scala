@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions.P
 import graft.functions.VectorFunctions._
+import graft.Config.CutOps
 
 /** F-family: similarity search over `embeddings` (SURVEY.md §2.F).
   *
@@ -190,7 +191,7 @@ object Similarity {
       .withColumn("cid",
         row_number().over(Window.orderBy(col("__h"), col("id"))).cast("long") - 1)
       .select(col("cid"), col("embedding").as("cemb"))
-      .localCheckpoint()
+      .cutLineage()
     val annPlanes = sizedPlanes(k.toLong, 8)
     for (_ <- 1 to iters) {
       val assigned = annProbes match {
@@ -217,7 +218,7 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("cemb"))
-        .localCheckpoint()
+        .cutLineage()
     }
     cents.select(col("cid").as("id"), col("cemb").as("embedding"))
   }

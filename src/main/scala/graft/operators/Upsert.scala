@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Config.CutOps
 
 /** Incremental dimension maintenance — the MERGE / SCD2 surface every
   * warehouse pipeline runs nightly and this engine previously lacked.
@@ -464,12 +465,12 @@ object Upsert {
     // reference (~30 scans in the un-checkpointed plan). localCheckpoint
     // stands in for that persistence: each frame materializes once.
     val oldSnap = latestSnapshot(purch.filter(col("ms") < CutoffMs),
-      Seq("user_id"), Seq(col("ms"), col("event_id"))).localCheckpoint()
+      Seq("user_id"), Seq(col("ms"), col("event_id"))).cutLineage()
     val newSnap = latestSnapshot(purch, Seq("user_id"), Seq(col("ms"), col("event_id")))
-      .localCheckpoint()
+      .cutLineage()
     val state = snapshotRollup(oldSnap, "day", "value")
     val changes = cdcDiff(oldSnap, newSnap, Seq("user_id"), Seq("day", "value"))
-      .localCheckpoint()
+      .cutLineage()
     cdcRollupApply(state, changes, newSnap, "day", "value")
       .select(col("day"), col("n"), col("n_v"), col("sum_v"), col("mn"), col("mx"))
       .orderBy(col("day"))
