@@ -238,6 +238,73 @@ class StreamingRecoverySpec extends SparkSuite {
     }
   }
 
+  test("time travel property: held asOf handles survive upsert/compact/GC interleavings (>=100 random schedules)") {
+    import spark.implicits._
+    // r15 VERDICT directive 8: the sequential GC model test above
+    // covers retain/GC after each commit; this one covers the
+    // CONCURRENT-reader claim — "compaction can't strand a retained
+    // version" — by taking LAZY asOf handles mid-schedule and
+    // consuming them only after later upserts, cadence compactions,
+    // and their GCs have all run. An interleaving = one handle
+    // consumed at a strictly later head than it was taken at (i.e.
+    // with at least one commit+GC — and at compactEvery 2, usually a
+    // segment rewrite — in between). Handles whose version ages out of
+    // the window are discarded unconsumed: reading past retention is
+    // documented FileNotFound (DurableState.asOf's lifetime caveat),
+    // not a correctness surface.
+    val rnd = new scala.util.Random(20260817L)
+    val latest = (df: DataFrame) =>
+      graft.operators.Upsert.latestSnapshot(df, Seq("k"), Seq(col("ms")))
+    var interleavings = 0
+    for (trial <- 0 until 60) {
+      val retain = 1 + rnd.nextInt(3)
+      val compactEvery = Seq(2, 3, 8)(rnd.nextInt(3))
+      val dir = tmp(s"graft-asof-conc$trial")
+      val store = new DurableState(spark, dir, retainVersions = retain)
+      val model = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+      var state = Map.empty[Long, Long] // key -> latest ms
+      var ms = 0L
+      val held = scala.collection.mutable.ArrayBuffer.empty[(Long, DataFrame)]
+      def consume(v: Long, f: DataFrame, head: Long): Unit = {
+        val got = latest(f).select(col("k"), col("ms")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === model(v),
+          s"trial $trial: held asOf($v) consumed at head $head " +
+            s"(retain $retain, compactEvery $compactEvery) diverged from the model")
+        if (head > v) interleavings += 1
+      }
+      val nBatches = 3 + rnd.nextInt(3)
+      for (b <- 0L until nBatches.toLong) {
+        val rows = Seq.fill(1 + rnd.nextInt(2)) {
+          ms += 1; (rnd.nextInt(4).toLong, ms)
+        }
+        if (rnd.nextInt(4) == 0) { // whole-frame replace (O(state) commit)
+          state = rows.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).max }
+          store.commit(b, Map("snap" -> latest(rows.toDF("k", "ms"))))
+        } else { // delta upsert — the DurableUpsertSink fold
+          state = state ++ rows.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).max }
+          store.commitDelta(b, Map("snap" -> rows.toDF("k", "ms")),
+            compactEvery = compactEvery, reduce = Map("snap" -> latest))
+        }
+        model(b) = state
+        store.asOf(b).get("snap").foreach(f => held += ((b, f)))
+        // consume one OLD handle (taken at an earlier head) whenever
+        // one is still retained — each such consume is an interleaving
+        val live = held.filter(h => h._1 > b - retain && h._1 < b)
+        if (live.nonEmpty) {
+          val (v, f) = live(rnd.nextInt(live.size))
+          consume(v, f, b)
+        }
+        held.filterInPlace(_._1 > b - retain)
+      }
+      // drain: every handle still inside the window must read its
+      // model state after the final commit's compaction+GC
+      held.foreach { case (v, f) => consume(v, f, nBatches - 1L) }
+    }
+    assert(interleavings >= 100,
+      s"only $interleavings cross-commit handle consumes — raise trials")
+  }
+
   test("durable upsert: merge-on-read deltas, reducing compaction keeps one row per live key") {
     import spark.implicits._
     val dir = tmp("graft-updelta")
