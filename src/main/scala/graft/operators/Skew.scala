@@ -29,8 +29,15 @@ object Skew {
 
   /** Salted join of a skewed `big` side against a non-broadcastable
     * `small` side: big rows scatter over (key, salt); small rows
-    * replicate to every salt. Output equals big ⋈ small on `key`. */
+    * replicate to every salt. Output equals big ⋈ small on `key`.
+    * Factor 1 short-circuits to the plain join — the audit's "no skew"
+    * verdict must cost nothing, and the degenerate salt column was not
+    * free: a constant pmod(xxhash64(monotonically_increasing_id()))
+    * per FACT row plus a second join key (r16 ×100 A/B: 14.9 → 14.0 s
+    * on 60M uniform rows — the rest is the Θ(N) scan+decimal work
+    * itself). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, nSalts: Int): DataFrame = {
+    if (nSalts <= 1) return big.join(small, Seq(key))
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(nSalts.toLong)))
     val smallS = small.withColumn("__salt",
