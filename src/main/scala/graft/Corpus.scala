@@ -559,6 +559,21 @@ object Corpus {
     val TwinMod = 25L
   }
 
+  /** The planted-twin embeddings e2e_curate_full/e2e_curate_fixed
+    * feed the semantic stage (see E2eFull.TwinMod). */
+  private def plantedTwinEmb(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val embBase = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val prevEmb = embBase.select((col("doc_id") + 1).as("doc_id"),
+      col("embedding").as("__pe"))
+    embBase.join(prevEmb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % E2eFull.TwinMod === E2eFull.TwinMod - 1 &&
+          col("__pe").isNotNull, col("__pe"))
+          .otherwise(col("embedding")).as("embedding"))
+  }
+
   def e2eCurateFull(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val ev = docs.filter(col("doc_id") % E2e.EvalSliceMod === 0)
@@ -567,15 +582,7 @@ object Corpus {
       .select(col("text"),
         (qualityScore(col("text")) >= E2eFull.SeedLabelQuality).cast("double").as("label"))
     val model = QualityClassifier.train(seed, "text", "label")
-    val embBase = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("doc_id"), col("embedding"))
-    val prevEmb = embBase.select((col("doc_id") + 1).as("doc_id"),
-      col("embedding").as("__pe"))
-    val emb = embBase.join(prevEmb, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("doc_id") % E2eFull.TwinMod === E2eFull.TwinMod - 1 &&
-          col("__pe").isNotNull, col("__pe"))
-          .otherwise(col("embedding")).as("embedding"))
+    val emb = plantedTwinEmb(s, dir)
     val k = graft.operators.Dedup.sizedCells(docs.count(),
       E2eFull.SemanticTargetCell)
     val r = curate(docs, cfg = e2eConfig.copy(
@@ -622,15 +629,7 @@ object Corpus {
     val docs = Tables.documents(s, dir)
     val ev = docs.filter(col("doc_id") % E2e.EvalSliceMod === 0)
       .select(col("doc_id"), col("text"))
-    val embBase = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("doc_id"), col("embedding"))
-    val prevEmb = embBase.select((col("doc_id") + 1).as("doc_id"),
-      col("embedding").as("__pe"))
-    val emb = embBase.join(prevEmb, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("doc_id") % E2eFull.TwinMod === E2eFull.TwinMod - 1 &&
-          col("__pe").isNotNull, col("__pe"))
-          .otherwise(col("embedding")).as("embedding"))
+    val emb = plantedTwinEmb(s, dir)
     val k = graft.operators.Dedup.sizedCells(docs.count(),
       E2eFull.SemanticTargetCell)
     val r = curate(docs, cfg = e2eConfig.copy(
