@@ -20,7 +20,7 @@ import graft.operators._
   *  - st1–st23 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission, incremental-dedup admission, incremental distinct, late-drop accounting, histogram-quantile sink, streaming KMV distinct, composed streaming curate, durable-store time travel + version diff)
   *  - i1–i10   operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental/retraction-aware rollup maintenance, incremental distinct, bucketed-layout join gate, compaction planning, z-order layout)
   *  - q47      operators/Skew.scala        (Count-Min hot-key audit deciding q19's salt factor)
-  *  - e2e_curate / e2e_curate_full Corpus.scala (the composed curation pipeline — 10 gated stages / all 13 with the trained+learned stages, per-stage attrition ledger)
+  *  - e2e_curate / e2e_curate_full / e2e_curate_fixed Corpus.scala (the composed curation pipeline — 10 gated stages / all 13 with the trained+learned stages / all 13 with portable stand-ins in the engine-specific slots so the full composition is oracle-gated; per-stage attrition ledger)
   *  - e2e_clean  Pipeline.scala            (the reference's clean_data chain, whole-frame hash gate)
   * Generic pipeline (the reference's run_pipeline): Pipeline.scala.
   * Custom Catalyst pieces: plans/ (graft_cosine, AsOfJoinExec).
