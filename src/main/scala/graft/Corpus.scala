@@ -574,7 +574,8 @@ object Corpus {
           .otherwise(col("embedding")).as("embedding"))
   }
 
-  def e2eCurateFull(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[graft] def e2eFullResult(s: org.apache.spark.sql.SparkSession,
+      dir: String): Result = {
     val docs = Tables.documents(s, dir)
     val ev = docs.filter(col("doc_id") % E2e.EvalSliceMod === 0)
       .select(col("doc_id"), col("text"))
@@ -585,7 +586,7 @@ object Corpus {
     val emb = plantedTwinEmb(s, dir)
     val k = graft.operators.Dedup.sizedCells(docs.count(),
       E2eFull.SemanticTargetCell)
-    val r = curate(docs, cfg = e2eConfig.copy(
+    curate(docs, cfg = e2eConfig.copy(
       evalSet = Some(ev),
       qualityModel = Some(model), minModelProb = E2eFull.MinModelProb,
       embeddings = Some(emb), semanticTau = E2eFull.SemanticTau,
@@ -596,8 +597,10 @@ object Corpus {
       // conservative direction
       semanticAnnProbes = Some(2),
       samplePerSource = Some(E2eFull.SamplePerSource)))
-    attritionLedger(r.flagged)
   }
+
+  def e2eCurateFull(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    attritionLedger(e2eFullResult(s, dir).flagged)
 
   // -------------------------------------------------------------------
   // e2e_curate_fixed: the 13-stage COMPOSITION through the oracle gate
@@ -625,14 +628,15 @@ object Corpus {
     val MinFrozenProb = 0.55
   }
 
-  def e2eCurateFixed(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[graft] def e2eFixedResult(s: org.apache.spark.sql.SparkSession,
+      dir: String): Result = {
     val docs = Tables.documents(s, dir)
     val ev = docs.filter(col("doc_id") % E2e.EvalSliceMod === 0)
       .select(col("doc_id"), col("text"))
     val emb = plantedTwinEmb(s, dir)
     val k = graft.operators.Dedup.sizedCells(docs.count(),
       E2eFull.SemanticTargetCell)
-    val r = curate(docs, cfg = e2eConfig.copy(
+    curate(docs, cfg = e2eConfig.copy(
       evalSet = Some(ev),
       frozenModelScore = Some(t => round(qualityScore(t), 6)),
       minModelProb = E2eFixed.MinFrozenProb,
@@ -641,8 +645,10 @@ object Corpus {
       semanticSeedHash = id => pmod(id * 48271L + 11L, lit(2147483647L)),
       samplePerSource = Some(E2eFull.SamplePerSource),
       sampleIdHash = identity))
-    attritionLedger(r.flagged)
   }
+
+  def e2eCurateFixed(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    attritionLedger(e2eFixedResult(s, dir).flagged)
 
   /** DuckDB twin of [[e2eCurate]] — the per-stage twins chained as
     * CTEs over the same constants. Built from the shared SQL helpers

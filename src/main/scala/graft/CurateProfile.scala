@@ -17,17 +17,23 @@ import org.apache.spark.sql.functions.col
   * later cuts — exactly the sharing the real ledger run gets, so the
   * deltas sum to ≈ the full-ledger wall (printed last as the check).
   *
-  * Usage: runMain graft.CurateProfile <dir1>[,<dir2>,...]
+  * Usage: runMain graft.CurateProfile <dir1>[,<dir2>,...] [variant]
+  * (variant: curate | full | fixed — which e2e config to profile)
   */
 object CurateProfile {
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(",").toSeq
+    val variant = args.lift(1).getOrElse("curate")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect() // JVM warm
     dirs.foreach { dir =>
-      val flagged = Corpus.e2eResult(spark, dir).flagged
+      val flagged = (variant match {
+        case "full" => Corpus.e2eFullResult(spark, dir)
+        case "fixed" => Corpus.e2eFixedResult(spark, dir)
+        case _ => Corpus.e2eResult(spark, dir)
+      }).flagged
       var prev = 0.0
       Corpus.StageFlags.foreach { case (name, flag) =>
         val t0 = System.nanoTime()
