@@ -77,7 +77,17 @@ object Config {
       if (sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(
           java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-      df.checkpoint(eager)
+      // RDD checkpointing runs its write as a SEPARATE job after the
+      // first action, and an uncached subtree is RECOMPUTED by that
+      // job — the classic checkpoint-twice trap (measured: e2e_curate
+      // ×10 doubled, 30.4 → 61.9 s, before this persist). A DISK_ONLY
+      // persist underneath turns the write job into a cache read: one
+      // compute, two writes. The cached copy is redundant once the
+      // checkpoint materializes — the cost of keeping it is bounded
+      // disk (same order as the checkpoint itself), the cost of the
+      // persist-free form is a full recompute per cut.
+      df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        .checkpoint(eager)
   }
 
   /** Postfix form: `frame.cutLineage()` — drop-in for the historical
