@@ -18,7 +18,7 @@ package graft
   *     `cal` array instead of being invisible (round 6: a 10 s artifact
   *     on one query was indistinguishable from a real 8.5× regression
   *     until a manual re-measurement). The stdout line carries `drift`
-  *     (max/min of the cal readings — the sweep's trust signal) and
+  *     (the end/start cal TREND ratio — the sweep's trust signal) and
   *     bench_last.json carries per-key `queries_norm` (time·calRef/its
   *     bucket's cal) plus the mechanical `comparison_rule` a judge
   *     applies across rounds.
@@ -107,8 +107,8 @@ object Bench {
     // the workload drifted differently across a multi-hour session —
     // finer interleaving localizes drift to ~10-query windows and
     // makes the per-key time/cal ratios (bench_last.json's
-    // queries_norm) the cross-round comparison currency; `drift` (max
-    // cal / min cal over the sweep) is the trust signal.
+    // queries_norm) the cross-round comparison currency; `drift` (the
+    // end/start cal trend ratio) is the trust signal.
     val bucketSize = 10
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val calPoints = scala.collection.mutable.ArrayBuffer(calibrate())
