@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Process-wide engine knobs.
   *
@@ -48,8 +48,9 @@ object Config {
     * only re-reads, never recomputes or fails. Costs a write to the
     * checkpoint store per cut — point the dir at the job's scratch
     * bucket. If no checkpoint dir is set, [[cut]] falls back to a
-    * process-local temp dir (correct on local[n]; a real cluster MUST
-    * set one — java.io.tmpdir is not shared storage). */
+    * process-local temp dir ONLY on local[n] (cleaned at JVM exit);
+    * on a real cluster it fails fast — java.io.tmpdir is not shared
+    * storage and a silent fallback would defeat the mode. */
   case object ReliableCheckpoint extends LineageCut
 
   /** The mode every batch-operator cut site uses. Initialized from
@@ -74,20 +75,99 @@ object Config {
     case LocalCheckpoint => df.localCheckpoint(eager)
     case ReliableCheckpoint =>
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      if (sc.getCheckpointDir.isEmpty) {
+        // The temp-dir fallback is only correct where "executor disk"
+        // and "driver disk" are the same machine. On a real cluster
+        // executors would write checkpoint partitions to NON-SHARED
+        // local disk, silently defeating the executor-loss fault
+        // tolerance that is this mode's entire purpose — fail fast
+        // instead (round-16 ADVICE 3).
+        if (!sc.isLocal)
+          throw new IllegalStateException(
+            "Config.ReliableCheckpoint on a multi-executor cluster requires " +
+              "sparkContext.setCheckpointDir(<shared storage: HDFS/S3>); the " +
+              "java.io.tmpdir fallback is driver-local and would not survive " +
+              "executor loss. Set a checkpoint dir or use LocalCheckpoint.")
+        val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+        // One dir per session, deleted at JVM exit — checkpoint FILES
+        // are not GC'd by Spark unless
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true (set
+        // in Sessions.tune for sessions the library builds; an
+        // existing session keeps whatever it was built with), so the
+        // hook is the backstop that keeps repeated local runs from
+        // accumulating dirs (round-16 VERDICT directive 2).
+        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir.toFile)))
+        sc.setCheckpointDir(dir.toString)
+      }
       // RDD checkpointing runs its write as a SEPARATE job after the
       // first action, and an uncached subtree is RECOMPUTED by that
       // job — the classic checkpoint-twice trap (measured: e2e_curate
       // ×10 doubled, 30.4 → 61.9 s, before this persist). A DISK_ONLY
       // persist underneath turns the write job into a cache read: one
-      // compute, two writes. The cached copy is redundant once the
-      // checkpoint materializes — the cost of keeping it is bounded
-      // disk (same order as the checkpoint itself), the cost of the
-      // persist-free form is a full recompute per cut.
-      df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        .checkpoint(eager)
+      // compute, two writes. The cached copy is redundant the moment
+      // the checkpoint materializes, so it is DROPPED then — eagerly
+      // below for eager cuts, via a job-end listener for lazy ones
+      // (round-16 VERDICT directive 2: 25 cut sites × long-lived
+      // sessions used to accumulate DISK_ONLY copies for the session
+      // lifetime).
+      val persisted = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val out = persisted.checkpoint(eager)
+      if (eager) persisted.unpersist(blocking = false)
+      else registerLazyUnpersist(df.sparkSession, persisted, out)
+      out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Lazy-cut frames whose DISK_ONLY copy is still pending drop:
+    * (persisted pre-cut frame, the cut frame's physical RDD — whose
+    * ancestry contains the checkpoint-marked RDD). */
+  private val lazyPending =
+    new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, org.apache.spark.rdd.RDD[_])]()
+  @volatile private var listenerOn: org.apache.spark.SparkContext = null
+
+  /** True once the cut frame's checkpoint has materialized: the
+    * checkpoint-marked RDD sits 1-2 hops below the frame's toRdd
+    * (RDDScanExec wraps it in a projection), and `isCheckpointed`
+    * flips only after the write job completes. */
+  private def ckptDone(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
+    def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Boolean =
+      r.isCheckpointed || (depth > 0 && r.dependencies.exists(d => walk(d.rdd, depth - 1)))
+    walk(rdd, 4)
+  }
+
+  /** eager=false contract: the persist must outlive the FIRST action
+    * (that action's trailing checkpoint-write job is the cache read
+    * that fixes the checkpoint-twice trap), and is redundant after it.
+    * A job-end listener drains the pending queue — each entry drops as
+    * soon as any job observes its checkpoint materialized. A lazy cut
+    * that is never acted on keeps its (empty — nothing computed yet)
+    * persist entry; that is a plan-time registration, not stored
+    * blocks. */
+  private def registerLazyUnpersist(
+      spark: SparkSession, persisted: DataFrame, out: DataFrame): Unit = {
+    // resolve the RDD on the caller thread (plan-only, runs no job);
+    // the listener thread then only walks dependencies
+    lazyPending.add((persisted, out.queryExecution.toRdd))
+    val sc = spark.sparkContext
+    if (listenerOn ne sc) synchronized {
+      if (listenerOn ne sc) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val it = lazyPending.iterator()
+            while (it.hasNext) {
+              val (p, r) = it.next()
+              if (ckptDone(r)) { p.unpersist(blocking = false); it.remove() }
+            }
+          }
+        })
+        listenerOn = sc
+      }
+    }
   }
 
   /** Postfix form: `frame.cutLineage()` — drop-in for the historical

@@ -245,8 +245,8 @@ object Corpus {
     // ledger was paying the upstream pipeline 2× at ×10 (38.3 s vs a
     // 17.4 s single pass) and it dominated the ×100 exponent (0.72).
     // eager = false: constructing the plan must not execute it; at
-    // 100 TB set Config.lineageCut = DiskPersist — same plan, spill-backed and
-    // recomputable (stage 5's note).
+    // 100 TB set Config.lineageCut = ReliableCheckpoint — same cut, written to the
+    // fault-tolerant checkpoint store (stage 5's note).
     val f3 = cfg.lang.map(l => predLang(col(textCol)) === l).getOrElse(lit(true))
     val flaggedL = flaggedR.withColumn("f_lang", col("f_repetition") && f3)
       .cutLineage(eager = false)
@@ -261,8 +261,8 @@ object Corpus {
     // __tok, the scoring groupBy on __lid) shuffle on DIFFERENT keys,
     // so ReuseExchange can't serve both and the whole upstream flag
     // pipeline would be re-run per consumer — d8's localCheckpoint
-    // pattern (at 100 TB, Config.lineageCut = DiskPersist — same plan,
-    // spill-backed).
+    // pattern (at 100 TB, Config.lineageCut = ReliableCheckpoint — same cut,
+    // fault-tolerant store).
     // eager = false: merely CONSTRUCTING the curate plan must not
     // execute the upstream pipeline (the default eager=true does);
     // materialization happens on first action. The trade stands

@@ -33,6 +33,13 @@ object Sessions {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ReliableCheckpoint cuts write RDD checkpoint files that Spark
+      // does NOT clean when the RDD is GC'd unless this is on — a
+      // long-lived session (one JVM, many cut invocations) would
+      // otherwise accumulate checkpoint dirs for its whole lifetime
+      // (round-16 VERDICT directive 2). Read by ContextCleaner at
+      // context construction, so it must be set here, not after.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
 
   /** FQCN of Spark's RocksDB state store provider (bundled with the
     * distribution — rocksdbjni ships in jars/). */

@@ -467,7 +467,7 @@ object Dedup {
       explode(shinglesK(tokens(col(textCol)), k)).as("ng"))
     // The train n-gram set feeds BOTH the bloom aggregate and the
     // exact join — checkpoint it so the tokenize+shingle+distinct scan
-    // runs once, not per branch (Config.lineageCut = DiskPersist at
+    // runs once, not per branch (Config.lineageCut = ReliableCheckpoint at
     // 100 TB — the cut survives executor loss there).
     val trainG0 = train.select(explode(shinglesK(tokens(col(textCol)), k)).as("ng")).distinct()
     val trainG = if (useBloom) trainG0.cutLineage(eager = false) else trainG0
@@ -592,7 +592,7 @@ object Dedup {
     // re-scanned and re-exploded per consumer. The repartition sets
     // explode parallelism from the split count (one file at small SF)
     // to the core count; at 100 TB swap localCheckpoint for
-    // Config.lineageCut = DiskPersist — same plan, spill-backed.
+    // Config.lineageCut = ReliableCheckpoint — same cut, fault-tolerant store.
     val spans = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(shinglesAllK(tokens(col("text")), 8)).as("span"))
@@ -876,7 +876,7 @@ object Dedup {
     // distinct, so the collapse is the identity there.
     // base feeds every Lloyd iteration plus the final assignment —
     // checkpoint it so the scan+vector-parse runs once, not per
-    // consumer branch (ScanAudit; Config.lineageCut = DiskPersist at 100 TB).
+    // consumer branch (ScanAudit; Config.lineageCut = ReliableCheckpoint at 100 TB).
     val (base, twinRows) = annProbes match {
       case Some(_) if collapseExact =>
         val g = baseAll.groupBy(col("embedding"))
@@ -1378,7 +1378,7 @@ object Dedup {
     val nAll = all.count() // one scalar at plan time (d17/s12's documented class)
     // base feeds the codebook sample, the exact N·k side, the ANN
     // side, and both prunings — one checkpoint pays the scan once
-    // (ScanAudit; Config.lineageCut = DiskPersist at 100 TB).
+    // (ScanAudit; Config.lineageCut = ReliableCheckpoint at 100 TB).
     val base = (if (nAll <= cap) all else
       all.orderBy(
         pmod(pmod(pmod(col("id"), lit(P)) * 1103515245L
@@ -1602,7 +1602,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(shinglesAllK(col("tk"), k)).as(Seq("sp0", "span")))
       .select(col("doc_id"), col("sp0"), xxhash64(col("span")).as("sh"))
-      .cutLineage() // at 100 TB set Config.lineageCut = DiskPersist (d8)
+      .cutLineage() // at 100 TB set Config.lineageCut = ReliableCheckpoint (d8)
     val dfreq = spans.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("nd"))
     val per = spans.join(dfreq, Seq("sh"))
       .groupBy(col("doc_id"))
@@ -1995,7 +1995,7 @@ object Dedup {
     // position set, the truth semi-join) — without a cut point each
     // branch re-executes the tokenize+shingle scan (e2e_curate's
     // round-15 lineage lesson). One checkpoint per side pays the scan
-    // once; at 100 TB set Config.lineageCut = DiskPersist.
+    // once; at 100 TB set Config.lineageCut = ReliableCheckpoint.
     val ev = g.filter(col("source").isin(evalSources: _*)).distinct()
       .cutLineage(eager = false)
     val tr = g.filter(!col("source").isin(evalSources: _*)).select(col("ng")).distinct()

@@ -50,6 +50,64 @@ class LineageCutSpec extends SparkSuite {
     }
   }
 
+  test("reliable eager cut: subtree computed ONCE (checkpoint-twice stays fixed) and zero persistent RDDs left behind") {
+    withMode(Config.ReliableCheckpoint) {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      // Count actual computes of the pre-cut subtree with an
+      // accumulator-bearing UDF (test-only; main source bans UDFs).
+      // Local mode, no speculation/retries: the count is exact.
+      val acc = sc.longAccumulator("subtree-computes")
+      val tick = udf((x: Long) => { acc.add(1L); x })
+      val df = spark.range(0, 1000, 1, 4).toDF("id")
+        .select(tick(col("id")).as("id"))
+      val cut = Config.cut(df) // eager
+      // One compute: the materialization job fills the DISK_ONLY
+      // cache and the trailing checkpoint-write job READS that cache
+      // (the r16 trap was 2× here: 1000 → 2000)
+      assert(acc.value === 1000L,
+        s"checkpoint-twice trap regressed: subtree computed ${acc.value / 1000.0}x")
+      // consumers read checkpoint blocks, never the subtree
+      cut.agg(sum(col("id"))).collect()
+      cut.count()
+      assert(acc.value === 1000L, "a consumer recomputed the cut subtree")
+      // directive-2 gate: the redundant DISK_ONLY copy is dropped the
+      // moment the eager checkpoint returns — nothing accumulates
+      // across the session's 25 cut sites
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"DISK_ONLY cut copy leaked persistent RDDs: $leaked")
+    }
+  }
+
+  test("reliable lazy cut: plan construction runs nothing; persist drops once the first action materializes the checkpoint") {
+    withMode(Config.ReliableCheckpoint) {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val acc = sc.longAccumulator("lazy-subtree-computes")
+      val tick = udf((x: Long) => { acc.add(1L); x })
+      val df = spark.range(0, 800, 1, 4).toDF("id")
+        .select(tick(col("id")).as("id"))
+      val cut = Config.cut(df, eager = false)
+      assert(acc.value === 0L, "lazy cut executed the subtree at plan time")
+      assert(cut.count() === 800L) // first action: compute + checkpoint write
+      assert(acc.value === 800L, "first action on a lazy cut computed the subtree more than once")
+      // the job-end listener drains asynchronously (the write job's
+      // own end event is the earliest trigger) — poll, nudging the
+      // bus with no-op jobs
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+        (sc.getPersistentRDDs.keySet -- before).nonEmpty) {
+        spark.range(1).count(): Unit
+        Thread.sleep(100)
+      }
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"lazy cut's DISK_ONLY copy not dropped after materialization: $leaked")
+      // and the cut frame still reads blocks, not the subtree
+      assert(cut.count() === 800L)
+      assert(acc.value === 800L)
+    }
+  }
+
   test("SPARK_GRAFT_LINEAGE_CUT parsing: the env contract the sweep mains rely on") {
     // the parse itself ran at object init from the real env (unset in
     // tests → LocalCheckpoint default); pin the mapping the mains use
