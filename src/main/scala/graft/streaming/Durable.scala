@@ -120,11 +120,16 @@ class DurableState(spark: SparkSession, dir: String,
   }
 
   /** Frames of the last committed state (each = union of its live
-    * segments); empty map for a fresh store. */
+    * segments); empty map for a fresh store. SCHEMA EVOLUTION (round-16
+    * VERDICT directive 5): segments committed before a column existed
+    * null-fill it at read time (union-by-name with missing columns
+    * allowed), so a later batch may ADD columns and the store keeps
+    * committing; a frame's schema is the union of its live segments'
+    * columns in commit order. */
   def loadAll(): Map[String, DataFrame] =
     segments.view.mapValues { dirs =>
       dirs.map(d => spark.read.parquet(new Path(root, d).toString))
-        .reduce(_.unionByName(_))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     }.toMap
 
   /** TIME TRAVEL: frames AS OF `batchId` — the state the newest
@@ -156,7 +161,11 @@ class DurableState(spark: SparkSession, dir: String,
       case Some(v) =>
         readManifest(v)._3.groupBy(_._1).view.mapValues { entries =>
           entries.map(e => spark.read.parquet(new Path(root, e._2).toString))
-            .reduce(_.unionByName(_))
+            // schema AS OF the version: the union spans only the
+            // segments THIS manifest lists, so a column added by a
+            // later commit does not exist here (and one added by an
+            // earlier commit within the window null-fills)
+            .reduce(_.unionByName(_, allowMissingColumns = true))
         }.toMap
     }
 
@@ -190,7 +199,7 @@ class DurableState(spark: SparkSession, dir: String,
       val prev = live.getOrElse(name, Seq.empty)
       if (prev.size + 1 >= compactEvery) {
         val union = (prev.map(d => spark.read.parquet(new Path(root, d).toString)) :+ delta)
-          .reduce(_.unionByName(_))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
         val compacted = reduce.get(name).map(_(union)).getOrElse(union)
         name -> (Seq.empty[String], Some(compacted)) // compact: one fresh segment
       } else name -> (prev, Some(delta)) // append: keep prev, add delta

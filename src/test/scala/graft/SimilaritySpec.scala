@@ -614,6 +614,30 @@ class SimilaritySpec extends SparkSuite {
     assert(!PqCodesExpr(lit, cb, 2, 2, 2).semanticEquals(PqCodesExpr(lit, cb2, 2, 2, 2)))
   }
 
+  test("annAssign broadcast ceiling is byte-aware: rows x dim against the byte budget, not rows alone") {
+    import Similarity.annBroadcastOk
+    // the r16 hole: the row ceiling was derived from 64-dim rows, so a
+    // high-dim codebook whose ROW count passed still got the hint
+    assert(annBroadcastOk(4L << 20, 64), "4M rows at 64 dims (~1.4 GB) should fit")
+    assert(!annBroadcastOk(4L << 20, 1024), "4M rows at 1024 dims (~16 GB) must NOT be hinted")
+    assert(!annBroadcastOk(1L << 20, 4096), "1M rows passed the old row ceiling; 4096 dims (~16 GB) must not")
+    assert(annBroadcastOk(1L << 20, 64), "a small-dim codebook keeps the hint at corpus-scale k")
+    assert(annBroadcastOk(-1, 4096), "unknown rows keep the historical hint")
+    assert(!annBroadcastOk(Similarity.AnnBroadcastMaxRows + 1), "unknown dim assumes AnnAssumedDim")
+    // and the plan's hint follows the decision
+    val base = Tables.embeddings(spark, sf)
+      .filter(graft.functions.VectorFunctions.normSq(col("embedding")) > 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cents = Similarity.trainCodebook(base, k = 8, iters = 0,
+        seedHash = id => pmod(id * 48271L + 11L, lit(2147483647L)))
+      .select(col("id").as("cid"), col("embedding").as("cemb"))
+    def hint(rows: Long, dim: Int) = Similarity
+      .annAssign(base, cents, planes = 3, probes = 2, codebookRows = rows, dim = dim)
+      .queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hint(1L << 20, 64), "row count over the dim-blind ceiling but under the byte budget: hint kept")
+    assert(!hint(1L << 20, 4096), "same row count, high dim: hint dropped")
+  }
+
   test("annAssign codebook broadcast is conditional: over-ceiling rows drop the hint, results unchanged") {
     val base = Tables.embeddings(spark, sf)
       .filter(graft.functions.VectorFunctions.normSq(col("embedding")) > 0)

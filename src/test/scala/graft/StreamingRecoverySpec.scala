@@ -18,6 +18,51 @@ class StreamingRecoverySpec extends SparkSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("schema evolution: a later batch ADDS a column — old segments null-fill, asOf reads the schema as of its version, the CDC diff classifies the change") {
+    import graft.operators.Upsert
+    import spark.implicits._
+    val dir = tmp("graft-evo")
+    val store = new DurableState(spark, dir, retainVersions = 3)
+    val latest = (df: DataFrame) =>
+      Upsert.latestSnapshot(df, Seq("k"), Seq(col("ms")))
+    // v0 commits a 2-column frame; v1 adds `tier` (the lakehouse
+    // add-column evolution — round-16 VERDICT directive 5)
+    store.commitDelta(0L,
+      Map("snap" -> Seq((1L, 10L), (2L, 10L)).toDF("k", "ms")),
+      reduce = Map("snap" -> latest))
+    store.commitDelta(1L,
+      Map("snap" -> Seq((2L, 20L, "gold"), (3L, 20L, "dirt")).toDF("k", "ms", "tier")),
+      reduce = Map("snap" -> latest))
+    // live state: evolved schema; pre-evolution rows null-fill
+    val live = latest(store.loadAll()("snap"))
+    assert(live.columns.toSeq === Seq("k", "ms", "tier"))
+    assert(live.orderBy(col("k")).collect().map(r =>
+      (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq ===
+      Seq((1L, 10L, None), (2L, 20L, Some("gold")), (3L, 20L, Some("dirt"))))
+    // time travel reads each version's OWN schema
+    val v0 = latest(store.asOf(0L)("snap"))
+    assert(v0.columns.toSeq === Seq("k", "ms"), "asOf(0) must not know the later column")
+    assert(v0.orderBy(col("k")).as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 10L)))
+    val v1 = latest(store.asOf(1L)("snap"))
+    assert(v1.columns.toSeq === Seq("k", "ms", "tier"))
+    // a compaction whose union SPANS the schema change commits fine
+    store.commitDelta(2L, Map("snap" -> Seq((4L, 30L, "iron")).toDF("k", "ms", "tier")),
+      compactEvery = 3, reduce = Map("snap" -> latest))
+    assert(store.segments("snap").size === 1, "cadence reached: one compacted segment")
+    assert(latest(store.loadAll()("snap")).count() === 4L)
+    // st23's classifier across the evolution boundary: align the old
+    // snapshot explicitly (the column did not exist there), null-safe
+    // compare does the rest — k=1 unchanged (null==null), k=2 UPDATE
+    // (ms moved, tier null→gold), k=3 INSERT
+    val diff = Upsert.cdcDiff(
+      v0.withColumn("tier", lit(null).cast("string")), v1,
+      Seq("k"), Seq("ms", "tier"))
+    assert(diff.orderBy(col("k")).select(col("k"), col("op"))
+      .as[(Long, String)].collect().toSeq ===
+      Seq((2L, "UPDATE"), (3L, "INSERT")))
+  }
+
   test("DurableState: commit is atomic — frames without a manifest flip are invisible") {
     import spark.implicits._
     val dir = tmp("graft-ds")

@@ -418,4 +418,45 @@ class UpsertSpec extends SparkSuite {
     assert(corners((255L, 255L)) === 0xFFFFL)
     assert(corners((0L, 0L)) === 0L)
   }
+
+  test("compactionApply on the durable store's segment dir: one file per plan group, rows transparent") {
+    import graft.streaming.DurableState
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstore").toString
+    val store = new DurableState(spark, dir)
+    // six delta commits -> six small segments under commit=*/log (the
+    // small-file problem i9 plans for and i11's rewrite fixes)
+    (0 to 5).foreach { b =>
+      store.commitDelta(b.toLong, Map("log" ->
+        Seq((b * 2L, s"value-$b"), (b * 2L + 1, s"other-$b")).toDF("id", "payload")),
+        compactEvery = 100)
+    }
+    val segs = store.segments("log")
+    assert(segs.size === 6)
+    val table = segs.zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(s"$dir/$d").withColumn("file_id", lit(i.toLong))
+    }.reduce(_.unionByName(_)).withColumn("part", lit("log"))
+    val out = java.nio.file.Files.createTempDirectory("graft-capply").toString + "/out"
+    val target = 40L
+    val bytes = length(col("payload")).cast("long") + 8L
+    val compacted = Upsert.compactionApply(
+      table, Seq("part"), "file_id", bytes, target, out)
+    // result transparency (i8's rule): the rewrite moved rows between
+    // files, never changed them
+    assert(compacted.select(col("id"), col("payload")).orderBy(col("id"))
+        .as[(Long, String)].collect().toSeq ===
+      table.select(col("id"), col("payload")).orderBy(col("id"))
+        .as[(Long, String)].collect().toSeq)
+    // physical file count == the plan's group count, exactly one per group
+    val plan = Upsert.compactionPlan(
+      table.groupBy(col("part"), col("file_id"))
+        .agg(sum(bytes).as("bytes"), count(lit(1)).as("rows")),
+      Seq("part"), target)
+    val nGroups = plan.count()
+    assert(nGroups > 1, "test must exercise multi-group packing")
+    val byGroup = compacted.groupBy(col("__grp"))
+      .agg(countDistinct(col("_metadata.file_path")).as("f"))
+    assert(byGroup.count() === nGroups)
+    assert(byGroup.filter(col("f") =!= 1L).isEmpty, "a plan group spans more than one output file")
+  }
 }
