@@ -11,17 +11,24 @@ package graft
   * defend against machine load spanning a whole run — rounds 4-6 each
   * had a sweep window where an idle-machine re-run couldn't reproduce
   * the recorded numbers):
-  *  1. The SAME fixed CPU-bound calibration kernel is timed BETWEEN
-  *     every ~10-query bucket (25 through r15; tightened with the
-  *     drift metric in r16), not just at the endpoints — a mid-sweep
-  *     contention window is localized to its bucket in the emitted
-  *     `cal` array instead of being invisible (round 6: a 10 s artifact
-  *     on one query was indistinguishable from a real 8.5× regression
-  *     until a manual re-measurement). The stdout line carries `drift`
-  *     (the end/start cal TREND ratio — the sweep's trust signal) and
-  *     bench_last.json carries per-key `queries_norm` (time·calRef/its
-  *     bucket's cal) plus the mechanical `comparison_rule` a judge
-  *     applies across rounds.
+  *  1. TWO fixed reference jobs are timed BETWEEN every ~10-query
+  *     bucket, not just at the endpoints — a mid-sweep contention
+  *     window is localized to its bucket instead of being invisible
+  *     (round 6: a 10 s artifact on one query was indistinguishable
+  *     from a real 8.5× regression until a manual re-measurement).
+  *     Since r17 the normalization CURRENCY is the workload-shaped
+  *     Spark probe (shuffle+agg job; `probe` array): r16 proved the
+  *     scalar CPU kernel does not track the workload's bottleneck mix
+  *     (cal sped up 2× mid-sweep while query walls stayed high → 131
+  *     false regression flags). The scalar kernel still ships (`cal`
+  *     array, `drift_cal`) as the raw-CPU diagnostic and keeps its
+  *     calrr trigger role. The stdout line carries `drift` (the
+  *     end/start PROBE trend ratio — the sweep's trust signal) and
+  *     bench_last.json carries per-key `queries_norm`
+  *     (time·probeRef/its bucket's probe) plus the mechanical
+  *     `comparison_rule` a judge applies across rounds; a sweep whose
+  *     drift lands outside [0.8, 1.25] SELF-HEALS by re-timing its 10
+  *     worst outliers post-sweep (the `healed` list).
   *  2. Any query whose min-of-N exceeds 3× its previous-round time
   *     (read from the checked-in bench_prev.json snapshot) gets an
   *     automatic extra run and is flagged in the `rerun` list — so a
@@ -82,6 +89,59 @@ object Bench {
     def calibrate(): Double = math.min(calOnce(), calOnce())
     calOnce() // throwaway: JITs the calibration kernel itself
 
+    // WORKLOAD-SHAPED probe (round-16 VERDICT directive 1): the scalar
+    // kernel above proxies only raw CPU — r16's driver sweep measured
+    // the cal SPEEDING UP 2x while query walls stayed high (the
+    // bottleneck was JVM/scheduler/page-cache state the kernel never
+    // touches), so time·calRef/cal over-corrected and queries_norm
+    // mechanically flagged 131 false regressions. The probe is a fixed
+    // SCAN-SHAPED Spark job through the same session: read a real
+    // table from the SF dir, two-level agg, one shuffle — the same
+    // bottleneck mix (IO/page cache + codegen + scheduler) as the
+    // workload. Shape was MEASURED, not guessed (DevProbeLab, r17
+    // A/B, 32 spinners vs local[16]): queries inflate ~3.5x, this
+    // scan probe 4.4x, the scalar cal 8.6x, synthetic range->agg
+    // probes 13-15x — pure-CPU reference jobs over-respond to load
+    // because fixed scheduling costs dominate them. The probe is the
+    // normalization currency (same-SF readings only: probe_ref in
+    // bench_prev.json was recorded at the driver's sf0.1); the scalar
+    // cal stays as the raw-CPU diagnostic and keeps its calrr trigger
+    // role. Falls back to a synthetic shape when the table is absent.
+    val probeJob: () => Unit =
+      try {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        li.limit(1).count() // fail here, not inside the timed readings
+        () => li.selectExpr("l_orderkey", "cast(l_quantity as decimal(18,2)) q",
+            "l_returnflag")
+          .groupBy("l_returnflag", "l_orderkey")
+          .agg(org.apache.spark.sql.functions.expr("sum(q)"))
+          .groupBy("l_returnflag")
+          .agg(org.apache.spark.sql.functions.expr("sum(`sum(q)`)"),
+            org.apache.spark.sql.functions.expr("count(1)"))
+          .queryExecution.toRdd.count(): Unit
+      } catch { case _: Throwable =>
+        () => spark.range(0, 2000000L, 1, 32)
+          .selectExpr("id", "cast(id % 1000 as string) k", "(id * 48271) % 97 v")
+          .groupBy("k")
+          .agg(org.apache.spark.sql.functions.expr("sum(v)"),
+            org.apache.spark.sql.functions.expr("avg(v)"))
+          .queryExecution.toRdd.count(): Unit
+      }
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      probeJob()
+      (System.nanoTime() - t0) / 1e9 * calInflate
+    }
+    // min-of-3 (vs the cal's min-of-2): the probe is the NORM
+    // denominator, so its reading noise multiplies every key's norm —
+    // the r17 A/B measured min-of-2 scan-probe readings swinging
+    // 0.22-0.37 s idle (±30% on norms, the two borderline heal-run
+    // flags); a third reading tightens the noise floor at ~0.3 s per
+    // boundary.
+    def probe(): Double =
+      math.min(probeOnce(), math.min(probeOnce(), probeOnce()))
+    probeOnce() // throwaway: JITs the probe's own codegen
+
     // Previous-round per-query times (short family ids) and the
     // RECORDED reference cal, both from the checked-in bench_prev.json
     // — calRef is a measurement taken under the cleanest observed
@@ -94,7 +154,7 @@ object Bench {
     val prevPairs = """"([a-zA-Z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(prevText)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val calRef = prevPairs.getOrElse("cal_ref", 0.25)
-    val prev = prevPairs - "cal_ref"
+    val prev = prevPairs -- Seq("cal_ref", "probe_ref")
 
     // min of N runs per query: run 1 absorbs per-query codegen/JIT
     // compile and transient contention; the two MLlib queries get a
@@ -110,8 +170,15 @@ object Bench {
     // queries_norm) the cross-round comparison currency; `drift` (the
     // end/start cal trend ratio) is the trust signal.
     val bucketSize = 10
+    // SPARK_GRAFT_ONLY=k1,k2 restricts the sweep to named keys — a
+    // dev/test knob (the A/B load rehearsals run subsets); the driver
+    // never sets it, so round artifacts always carry the full map.
+    val onlyKeys = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => onlyKeys.forall(_.contains(q._1)))
     val calPoints = scala.collection.mutable.ArrayBuffer(calibrate())
+    val probePoints = scala.collection.mutable.ArrayBuffer(probe())
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean, Int)]
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -160,6 +227,7 @@ object Bench {
         }
       }
       calPoints += calibrate() // bucket boundary: localize contention
+      probePoints += probe()
     }
 
     // Bucket-level contention re-runs (mechanism 3): any bucket whose
@@ -186,41 +254,100 @@ object Bench {
         }
       }
       calPoints += calibrate() // brackets the rerun window
+      probePoints += probe()
     }
 
-    val total = results.map(_._2).sum
-    // Contention-corrected total, per bucket: each ~25-query bucket is
-    // scaled by calRef / mean(its two bounding cal readings), so a
-    // contention window inflates ONLY its own bucket's correction.
-    // value_norm is an ESTIMATE (a CPU kernel proxies query-side
-    // contention imperfectly) — `value` stays the raw wall-clock truth
-    // and the full interleaved cal array ships alongside for readers
-    // who want their own normalization.
+    // Normalization currency (round-16 VERDICT directive 1): per-key
+    // walls normalize by the WORKLOAD-SHAPED probe's bucket reading
+    // (time · probeRef / bucketProbe) — the scalar-CPU cal stays as a
+    // diagnostic (its array still ships; drift_cal is its trend) but
+    // no longer corrects query times, because r16 proved it does not
+    // track the workload's bottleneck mix. probeRef comes from
+    // bench_prev.json's probe_ref once recorded; a prev file without
+    // one (the estimator's first round) falls back to THIS sweep's
+    // opening reading, making the norms self-consistent within the
+    // round and the cross-round unit start here.
+    val probeRef = prevPairs.getOrElse("probe_ref", probePoints.head)
     val rerunCal = if (hotBuckets.nonEmpty) Some(calPoints.last) else None
-    // per-BUCKET effective cal: mean of the two bounding readings; a
+    val rerunProbe = if (hotBuckets.nonEmpty) Some(probePoints.last) else None
+    // per-BUCKET effective reading: mean of the two bounding points; a
     // re-run bucket's min-merged times come from the CLEANER of its
     // two measurement windows — normalizing clean times by the
-    // inflated in-sweep cal would double-correct (deflate) them
+    // inflated in-sweep reading would double-correct (deflate) them
     def bucketCal(bi: Int): Double = {
       val cSweep = (calPoints(bi) + calPoints(bi + 1)) / 2.0
       if (hotBuckets.contains(bi)) math.min(cSweep, rerunCal.get) else cSweep
     }
-    val totalNorm = results.groupBy(_._4).map { case (bi, rs) =>
-      rs.map(_._2).sum * calRef / bucketCal(bi)
-    }.sum
+    def bucketProbe(bi: Int): Double = {
+      val pSweep = (probePoints(bi) + probePoints(bi + 1)) / 2.0
+      if (hotBuckets.contains(bi)) math.min(pSweep, rerunProbe.get) else pSweep
+    }
     // Sweep-wide drift metric (r15 VERDICT directive 2): how much the
-    // machine moved UNDER the sweep. The r15 disease was a session-long
-    // TREND (~1.5× slower over hours) — point spikes are a different
-    // failure with their own mechanism (hot buckets → calrr) — so the
-    // metric is the trend ratio median(last 5 cal)/median(first 5 cal),
-    // robust to the ~2× single-reading scheduler jitter a 0.2 s kernel
-    // carries even min-of-2 (measured idle: max/min 3.1, trend ~1.0).
-    // >1 = machine got slower under the sweep; ~1.0 = raw totals
-    // comparable end-to-end.
+    // machine moved UNDER the sweep — now measured on the
+    // workload-shaped probe (the signal that moved 2x in r16 while
+    // the scalar cal claimed the machine got FASTER); the scalar
+    // trend ships alongside as drift_cal. >1 = machine got slower
+    // under the sweep; ~1.0 = raw totals comparable end-to-end.
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
     }
-    val drift = median(calPoints.takeRight(5).toSeq) / median(calPoints.take(5).toSeq)
+    // window 5 on the full sweep (21+ points — r16's unit); a subset
+    // run (SPARK_GRAFT_ONLY) has few boundaries, where take(5) and
+    // takeRight(5) would overlap into a constant-1.0 trend — shrink
+    // the window to half the points so short sweeps still discriminate
+    def trend(xs: Seq[Double]): Double = {
+      val w = math.max(1, math.min(5, xs.size / 2))
+      median(xs.takeRight(w)) / median(xs.take(w))
+    }
+    val drift = trend(probePoints.toSeq)
+    val driftCal = trend(calPoints.toSeq)
+
+    // OUT-OF-BAND SELF-HEAL (round-16 VERDICT directive 1, second
+    // half): when the sweep's own drift lands outside the comparison
+    // rule's [0.8, 1.25] trust band, the artifact is formally
+    // untrustworthy (r16's driver sweep: drift 0.49, 131 mechanically
+    // false flags) — so before writing it, re-run the 10 worst
+    // normalized-time outliers (vs their previous-round times where
+    // known, by absolute norm otherwise) once more and keep minima,
+    // bracketed by fresh probe/cal readings. A machine-state artifact
+    // heals at sweep end (the drifted window has moved on); a real
+    // regression reproduces and persists. Healed keys are listed so a
+    // judge sees which minima come from the post-sweep window.
+    val healed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var healProbe = Option.empty[Double]
+    if (drift < 0.8 || drift > 1.25) {
+      val qmap = sortedQueries.toMap
+      val worst = results.zipWithIndex.map { case ((name, t, _, bi), i) =>
+        val n = t * probeRef / bucketProbe(bi)
+        (prev.get(shortOf(name)).map(n / _).getOrElse(n), i)
+      }.sortBy(-_._1).take(10).map(_._2)
+      worst.foreach { i =>
+        val (name, t, susp, bi) = results(i)
+        runOnce(qmap(name)) match {
+          case Some(t2) =>
+            results(i) = (name, math.min(t, t2), susp, bi)
+            healed += name
+          case None => flaky += shortOf(name)
+        }
+      }
+      calPoints += calibrate()
+      probePoints += probe()
+      healProbe = Some(probePoints.last)
+    }
+    // per-key effective probe: a healed key's min may come from the
+    // post-sweep bracket — same min rule as the calrr windows
+    def probeFor(name: String, bi: Int): Double = healProbe match {
+      case Some(hp) if healed.contains(name) => math.min(bucketProbe(bi), hp)
+      case _ => bucketProbe(bi)
+    }
+    def normOf(name: String, t: Double, bi: Int): Double =
+      t * probeRef / probeFor(name, bi)
+
+    val total = results.map(_._2).sum
+    // value stays the raw wall-clock truth; value_norm is the
+    // probe-corrected estimate, and both interleaved arrays ship for
+    // readers who want their own normalization.
+    val totalNorm = results.map { case (k, v, _, bi) => normOf(k, v, bi) }.sum
     val sfName = new java.io.File(sfDir).getName
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON line out of that tail — keep the line compact
@@ -230,6 +357,8 @@ object Bench {
     def num(dec: Int, v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     val calStr = calPoints.map(num(2, _)).mkString("[", ",", "]")
+    val probeStr = probePoints.map(num(2, _)).mkString("[", ",", "]")
+    val healedStr = healed.map("\"" + shortOf(_) + "\"").mkString("[", ",", "]")
     val rerunStr = results.filter(_._3)
       .map(r => "\"" + shortOf(r._1) + "\"").mkString("[", ",", "]")
     val errStr = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -244,7 +373,7 @@ object Bench {
         val key = if (short) shortOf(k) else k // collision-aware (e2e_* keeps full keys)
         s""""$key":${num(dec, v)}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"drift":${num(2, drift)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
+      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"drift":${num(2, drift)},"drift_cal":${num(2, driftCal)},"unit":"sec","queries":$qs,"sf":"$sfName","cal":$calStr,"probe":$probeStr,"healed":$healedStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
     }
     // Past ~190 keys even short ids + 2dp overflow the tail and the
     // captured artifact ends MID-KEY — invalid JSON (r13 VERDICT
@@ -255,7 +384,7 @@ object Bench {
     def fmtTop(dec: Int, topN: Int): String = {
       val qs = results.sortBy(-_._2).take(topN)
         .map { case (k, v, _, _) => s""""$k":${num(dec, v)}""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"drift":${num(2, drift)},"unit":"sec","n_queries":${results.size},"queries_top":$qs,"queries_file":"bench_last.json","sf":"$sfName","cal":$calStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
+      s"""{"metric":"total","value":${num(3, total)},"value_norm":${num(3, totalNorm)},"drift":${num(2, drift)},"drift_cal":${num(2, driftCal)},"unit":"sec","n_queries":${results.size},"queries_top":$qs,"queries_file":"bench_last.json","sf":"$sfName","cal":$calStr,"probe":$probeStr,"healed":$healedStr,"rerun":$rerunStr,"err":$errStr,"flaky":$flakyStr,"calrr":$calrrStr}"""
     }
     // stay well inside the 2000-char tail as the query count grows:
     // full keys at 3 then 2 decimals, then short family ids, then the
@@ -273,15 +402,17 @@ object Bench {
     // MECHANICAL cross-round comparison rule, so a judge reads
     // regressions off queries_norm without re-deriving the method.
     val qsNorm = results.map { case (k, v, _, bi) =>
-      s""""$k":${num(3, v * calRef / bucketCal(bi))}""" }.mkString("{", ",", "}")
-    val rule = "compare queries_norm across rounds (same calRef source): " +
-      "a key regressed iff its queries_norm grew >1.5x AND >0.4s; " +
-      "trust raw `queries` only when both rounds' drift (end/start cal " +
-      "trend, ~1.0 idle) is within [0.8, 1.25]"
+      s""""$k":${num(3, normOf(k, v, bi))}""" }.mkString("{", ",", "}")
+    val rule = "compare queries_norm across rounds (same probe_ref source; " +
+      "unit: workload-shaped Spark probe, min-of-2, since r17): a key " +
+      "regressed iff its queries_norm grew >1.5x AND >0.4s; trust raw " +
+      "`queries` only when both rounds' drift (probe end/start trend, " +
+      "~1.0 idle) is within [0.8, 1.25]; out-of-band sweeps self-heal " +
+      "their 10 worst outliers post-sweep (the `healed` list)"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"),
       fmt(3, false).dropRight(1) +
-        s""","queries_norm":$qsNorm,"cal_ref_used":${num(3, calRef)},"comparison_rule":"$rule"}""" + "\n")
+        s""","queries_norm":$qsNorm,"cal_ref_used":${num(3, calRef)},"probe_ref_used":${num(3, probeRef)},"cal_unit":"cal: fixed scalar kernel min-of-2 (diagnostic only since r17); probe: 2M-row shuffle+agg Spark job min-of-2 (the normalization currency)","comparison_rule":"$rule"}""" + "\n")
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
     println(line)
