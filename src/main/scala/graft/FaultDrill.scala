@@ -62,6 +62,10 @@ object FaultDrill {
     // curate-shaped: a scan + per-doc scoring feeding TWO consumer
     // branches through one cut (the d6/e2e frontier shape)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // spread the cut's blocks across BOTH executors (the small-SF
+      // scan is one file = one partition, which would let the victim
+      // hold nothing and the kill prove nothing)
+      .repartition(8, col("doc_id"))
       .select(col("doc_id"), col("source"),
         length(col("text")).as("len"),
         size(split(col("text"), " ")).as("n_tok"))
