@@ -268,6 +268,42 @@ object Upsert {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** i12: MERGE with SCHEMA EVOLUTION through the oracle gate (the
+    * gated form of round-16 VERDICT directive 5, beside
+    * StreamingRecoverySpec's durable-store property): the pre-cutoff
+    * snapshot is committed WITHOUT event_type — an old producer's
+    * narrower schema — and the post-cutoff batch ADDS the column.
+    * [[mergeLatest]] unions by name with missing columns null-filled
+    * (the lakehouse add-column rule), so a user whose newest row
+    * predates the evolution carries NULL event_type while an updated
+    * user carries the batch's value. The DuckDB twin replays the rule
+    * over the full log: latest row per user, event_type NULLed when
+    * the winner predates the cutoff. Scale shape is i3's: one
+    * key-partitioned window per side, no extra shuffle for the
+    * evolution (null-fill is a map-side projection). */
+  def i12(s: SparkSession, dir: String): DataFrame = {
+    val log = changeLog(s, dir)
+    val snap = latestSnapshot(log.filter(col("ms") < CutoffMs),
+        Seq("user_id"), Seq(col("ms"), col("event_id")))
+      .drop("event_type") // the pre-evolution schema
+    mergeLatest(snap, log.filter(col("ms") >= CutoffMs),
+        Seq("user_id"), Seq(col("ms"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("value"), col("ms"),
+        col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  val i12Sql: String =
+    s"""SELECT user_id, event_id, value, ms,
+       |  CASE WHEN ms >= $CutoffMs THEN event_type ELSE NULL END AS event_type
+       |FROM (
+       |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+       |  FROM events)
+       |WHERE rn = 1
+       |ORDER BY user_id""".stripMargin
+
   /** i4: CDC changelog between the pre-cutoff and current
     * latest-purchase-per-user snapshots. With time-cut snapshots of an
     * append-only log DELETE cannot occur (a key never leaves the later
@@ -957,6 +993,7 @@ object Upsert {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i12_schema_merge" -> (i12 _),
     "i11_compaction_apply" -> (i11 _),
     "i10_zorder_layout" -> (i10 _),
     "i9_compaction_plan" -> (i9 _),
@@ -970,6 +1007,7 @@ object Upsert {
     "i6_inc_distinct" -> (i6 _))
 
   def oracles: Map[String, String] = Map(
+    "i12_schema_merge" -> i12Sql,
     "i11_compaction_apply" -> i11Sql,
     "i10_zorder_layout" -> i10Sql,
     "i9_compaction_plan" -> i9Sql,
