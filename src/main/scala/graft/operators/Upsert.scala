@@ -828,6 +828,20 @@ object Upsert {
     s.read.parquet(outDir)
   }
 
+  /** Output-group ceiling for the registered i11 instantiation: the
+    * target SIZES ITSELF to the corpus (max(CompactTargetBytes,
+    * ceil(totalBytes / 500))) so group count — and therefore output
+    * FILE count — stays bounded as SF grows. The fixed 4 KB target
+    * alone is right for the tiny gate SFs (multi-group packing is
+    * what the oracle exercises: 44/42/379 groups) but grows files
+    * linearly with data (the ×100 rehearsal wrote 37k files and the
+    * ×10 exponent read 1.23 — file-count overhead, not data cost); a
+    * real deployment passes a real target (128 MB) to
+    * [[compactionApply]] directly. sizedPlanes/sizedCells' rule
+    * applied to the compactor, mirrored by the oracle from its own
+    * SUM(n_chars). */
+  val MaxCompactGroups = 500L
+
   def i11(s: SparkSession, dir: String): DataFrame = {
     // rewrite once per dataset (d13/q19's memoized-artifact pattern —
     // the write is the operator's one side effect; repeat invocations
@@ -835,8 +849,13 @@ object Upsert {
     val outDir = graft.Artifacts.cachedTempDir(s"i11:$dir") { d =>
       val docs = Tables.documents(s, dir)
         .withColumn("file_id", expr(s"doc_id div $CompactFileDocs"))
+      // one O(1)-output scan sizes the target (d17/s12's plan-time
+      // scalar class)
+      val totBytes = docs.agg(sum(col("n_chars"))).head().getLong(0)
+      val target = math.max(CompactTargetBytes,
+        (totBytes + MaxCompactGroups - 1) / MaxCompactGroups)
       compactionApply(docs, Seq("source"), "file_id", col("n_chars"),
-        CompactTargetBytes, d): Unit
+        target, d): Unit
     }
     s.read.parquet(outDir)
       .groupBy(col("source"), col("__grp").cast("long").as("grp"))
@@ -853,7 +872,12 @@ object Upsert {
     * the rewrite is correct iff every per-group aggregate matches and
     * every group is exactly one physical file. */
   val i11Sql: String =
-    s"""WITH manifest AS (
+    s"""WITH tgt AS (
+       |  SELECT GREATEST($CompactTargetBytes,
+       |    (CAST(sum(n_chars) AS BIGINT) + ${MaxCompactGroups - 1}) // $MaxCompactGroups)
+       |    AS g
+       |  FROM documents),
+       |manifest AS (
        |  SELECT source, doc_id // $CompactFileDocs AS file_id,
        |    CAST(sum(n_chars) AS BIGINT) AS bytes
        |  FROM documents GROUP BY 1, 2),
@@ -861,7 +885,7 @@ object Upsert {
        |  SELECT source, file_id,
        |    CAST(COALESCE(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      // $CompactTargetBytes AS grp
+       |      // (SELECT g FROM tgt) AS grp
        |  FROM manifest)
        |SELECT d.source, f.grp, CAST(1 AS BIGINT) AS files, count(*) AS n_rows,
        |  CAST(sum(d.n_chars) AS BIGINT) AS bytes,
