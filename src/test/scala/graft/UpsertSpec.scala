@@ -419,6 +419,51 @@ class UpsertSpec extends SparkSuite {
     assert(corners((0L, 0L)) === 0L)
   }
 
+  test("compactionApply property: random manifests rewrite to exactly plan-count files, rows transparent, ranges contiguous") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(181)
+    for (trial <- 1 to 5) {
+      val nParts = 1 + rnd.nextInt(3)
+      val rows = for {
+        pp <- 0 until nParts
+        f <- 0 until (1 + rnd.nextInt(12))
+        r <- 0 until (1 + rnd.nextInt(4))
+      } yield (s"p$pp", f.toLong, rnd.nextInt(40).toLong + 1, s"$pp-$f-$r")
+      val table = rows.toDF("part", "file_id", "w", "payload")
+      val target = 20L + rnd.nextInt(60)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-capply-prop").toString + "/out"
+      val compacted = Upsert.compactionApply(
+        table, Seq("part"), "file_id", col("w"), target, out)
+      // transparency: the rewrite moves rows between files, never
+      // changes them (payload is unique per row — a stable total order)
+      assert(compacted.select(col("part"), col("file_id"), col("w"), col("payload"))
+          .orderBy(col("payload")).collect().map(_.toSeq).toSeq ===
+        table.select(col("part"), col("file_id"), col("w"), col("payload"))
+          .orderBy(col("payload")).collect().map(_.toSeq).toSeq,
+        s"trial $trial: rows not transparent")
+      val plan = Upsert.compactionPlan(
+        table.groupBy(col("part"), col("file_id"))
+          .agg(sum(col("w")).as("bytes"), count(lit(1)).as("rows")),
+        Seq("part"), target).collect()
+      // one physical file per plan group, total file count == group count
+      val byGroup = compacted.groupBy(col("part"), col("__grp"))
+        .agg(countDistinct(col("_metadata.file_path")).as("f")).collect()
+      assert(byGroup.length === plan.length, s"trial $trial: group count")
+      assert(byGroup.forall(_.getAs[Long]("f") === 1L),
+        s"trial $trial: a group spans multiple files")
+      // groups tile each partition's file range contiguously, in order
+      plan.groupBy(_.getAs[String]("part")).foreach { case (_, rs) =>
+        val ranges = rs.sortBy(_.getAs[Long]("grp"))
+          .map(r => (r.getAs[Long]("first_file"), r.getAs[Long]("last_file")))
+        ranges.sliding(2).foreach {
+          case Array((_, l1), (f2, _)) => assert(f2 > l1, s"trial $trial: overlapping ranges")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("compactionApply on the durable store's segment dir: one file per plan group, rows transparent") {
     import graft.streaming.DurableState
     import spark.implicits._
