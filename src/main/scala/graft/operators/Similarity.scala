@@ -1472,7 +1472,164 @@ object Similarity {
        |ORDER BY q_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // s17: MMR — maximal-marginal-relevance DIVERSIFIED top-k, the
+  // rerank every retrieval-for-training pipeline runs between ANN
+  // recall and the consumer (a redundancy-heavy top-k wastes its
+  // candidate budget on near-duplicates; MMR trades relevance against
+  // similarity-to-already-selected). Greedy by definition: pick
+  // argmax of round(λ·cos − (1−λ)·max_{s∈selected} cos(c,s), 6), k
+  // times. The k iterations UNROLL as plan stages (d17-Lloyd's
+  // pattern): each step is one anti-join (drop selected), one
+  // bounded join against the pool's pairwise-cosine matrix, one
+  // max_by argmax per query — all at (query × pool) grain, never
+  // corpus grain, so the rerank's cost is independent of corpus size
+  // (the pool is the ANN/exact top-`pool` result; at 100 TB the pool
+  // stage is s1/s2's problem, MMR adds O(nQ · pool²)).
+  //
+  // Cross-engine determinism: every MMR comparison runs on UNROUNDED
+  // doubles computed by the identical expression tree in both engines
+  // (the repo's parity model — a first draft rounded the inputs 6dp
+  // and then rounded the arithmetic again, and a planted sf0.01 row
+  // flipped on the double-round half-way amplification); λ enters as
+  // CAST(0.7 AS DOUBLE) and (1−λ) as the same IEEE subtraction, every
+  // argmax tie-breaks on smallest cand_id, and only the FINAL score
+  // is rounded for output. The oracle unrolls the same three greedy
+  // steps as CTEs and must pick identical winners.
+
+  /** Library API: MMR top-k over an explicit candidate pool rule —
+    * queries/corpus as (id, embedding); pool = exact cosine top-N.
+    * Returns (q_id, rk, cand_id, score), rk 1..k in selection order. */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, pool: Int, k: Int,
+      lam: Double): DataFrame = {
+    val s = queries.sparkSession
+    import graft.Config.CutOps
+    // pool feeds the pairwise matrix plus every greedy step — one cut
+    // pays the corpus scan once (the e2e lineage rule); carries the
+    // rounded cos AND the candidate's embedding
+    // pool built inline (not via cosineTopK) so `cos` stays UNROUNDED:
+    // every MMR comparison must run on bit-identical doubles in both
+    // engines — rounding inputs and then rounding arithmetic again
+    // amplifies engine round() half-way differences (a planted sf0.01
+    // row caught exactly that); only the FINAL score is rounded.
+    val pairs = broadcast(queries.select(col("id").as("q_id"), col("embedding").as("qe")))
+      .join(corpus.select(col("id").as("cand_id"), col("embedding").as("ce")))
+      .withColumn("cos", cosineAuto(s, col("qe"), col("ce")))
+    val wP = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    val withE = pairs.withColumn("rk", row_number().over(wP)).filter(col("rk") <= pool)
+      .select(col("q_id"), col("cand_id"), col("cos"), col("ce").as("__e"))
+      .cutLineage(eager = false)
+    val cands = withE.select(col("q_id"), col("cand_id"), col("cos"))
+    val cc = withE.select(col("q_id"), col("cand_id").as("a_id"), col("__e").as("__ea"))
+      .join(withE.select(col("q_id"), col("cand_id").as("b_id"), col("__e").as("__eb")),
+        Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("ccos", cosineAuto(s, col("__ea"), col("__eb")))
+      .select(col("q_id"), col("a_id"), col("b_id"), col("ccos"))
+      .cutLineage(eager = false)
+    // step 1: pure relevance (div = 0 — nothing selected yet)
+    var selected = cands.groupBy(col("q_id"))
+      .agg(max_by(
+        struct(col("cand_id"), round(lit(lam) * col("cos"), 6).as("score")),
+        struct(col("cos"), -col("cand_id"))).as("__p"))
+      .select(col("q_id"), lit(1L).as("rk"),
+        col("__p.cand_id").as("cand_id"), col("__p.score").as("score"))
+    for (j <- 2 to k) {
+      val selSet = selected
+        .select(col("q_id").as("__sq"), col("cand_id").as("__sid"))
+      val remaining = cands.join(selSet,
+        col("q_id") === col("__sq") && col("cand_id") === col("__sid"), "left_anti")
+      val div = cc.join(selSet,
+          col("q_id") === col("__sq") && col("b_id") === col("__sid"))
+        .groupBy(col("q_id"), col("a_id").as("cand_id"))
+        .agg(max(col("ccos")).as("__div"))
+      val pick = remaining.join(div, Seq("q_id", "cand_id"))
+        .withColumn("__sraw", lit(lam) * col("cos") - lit(1 - lam) * col("__div"))
+        .groupBy(col("q_id"))
+        .agg(max_by(struct(col("cand_id"), round(col("__sraw"), 6).as("score")),
+          struct(col("__sraw"), -col("cand_id"))).as("__p"))
+        .select(col("q_id"), lit(j.toLong).as("rk"),
+          col("__p.cand_id").as("cand_id"), col("__p.score").as("score"))
+      selected = selected.unionByName(pick).cutLineage(eager = false)
+    }
+    selected
+  }
+
+  def s17(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    mmrTopK(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+      e.filter(col("vec_id") >= 16).select(col("vec_id").as("id"), col("embedding")),
+      pool = 8, k = 3, lam = 0.7)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** DuckDB twin: the three greedy steps unrolled as CTEs (d17Sql's
+    * pattern), every input the same rounded 6dp cosine, λ the same
+    * CAST(0.7 AS DOUBLE) IEEE value. */
+  val s17Sql: String = {
+    val qcos = cosineSql("q.embedding", "c.embedding")
+    val pcos = cosineSql("ea.embedding", "eb.embedding")
+    val lam = "CAST(0.7 AS DOUBLE)"
+    s"""WITH pool AS (
+       |  SELECT q_id, cand_id, cos FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $qcos AS cos,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $qcos DESC, c.vec_id) AS rk
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id < 5 AND c.vec_id >= 16)
+       |  WHERE rk <= 8),
+       |cc AS (
+       |  SELECT pa.q_id, pa.cand_id AS a_id, pb.cand_id AS b_id,
+       |    $pcos AS ccos
+       |  FROM pool pa
+       |  JOIN pool pb ON pb.q_id = pa.q_id AND pb.cand_id <> pa.cand_id
+       |  JOIN embeddings ea ON ea.vec_id = pa.cand_id
+       |  JOIN embeddings eb ON eb.vec_id = pb.cand_id),
+       |s1 AS (
+       |  SELECT q_id, cand_id, round($lam * cos, 6) AS score FROM (
+       |    SELECT q_id, cand_id, cos,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, cand_id) AS rk
+       |    FROM pool) WHERE rk = 1),
+       |r2 AS (
+       |  SELECT p.q_id, p.cand_id,
+       |    $lam * p.cos - (1 - $lam) * max(c.ccos) AS sraw
+       |  FROM pool p
+       |  JOIN s1 ON s1.q_id = p.q_id AND p.cand_id <> s1.cand_id
+       |  JOIN cc c ON c.q_id = p.q_id AND c.a_id = p.cand_id
+       |    AND c.b_id = s1.cand_id
+       |  GROUP BY p.q_id, p.cand_id, p.cos),
+       |s2 AS (
+       |  SELECT q_id, cand_id, round(sraw, 6) AS score FROM (
+       |    SELECT q_id, cand_id, sraw,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sraw DESC, cand_id) AS rk
+       |    FROM r2) WHERE rk = 1),
+       |r3 AS (
+       |  SELECT p.q_id, p.cand_id,
+       |    $lam * p.cos - (1 - $lam) * max(c.ccos) AS sraw
+       |  FROM pool p
+       |  JOIN s1 ON s1.q_id = p.q_id
+       |  JOIN s2 ON s2.q_id = p.q_id
+       |  JOIN cc c ON c.q_id = p.q_id AND c.a_id = p.cand_id
+       |    AND c.b_id IN (s1.cand_id, s2.cand_id)
+       |  WHERE p.cand_id <> s1.cand_id AND p.cand_id <> s2.cand_id
+       |  GROUP BY p.q_id, p.cand_id, p.cos),
+       |s3 AS (
+       |  SELECT q_id, cand_id, round(sraw, 6) AS score FROM (
+       |    SELECT q_id, cand_id, sraw,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sraw DESC, cand_id) AS rk
+       |    FROM r3) WHERE rk = 1)
+       |SELECT q_id, CAST(1 AS BIGINT) AS rk, cand_id, score FROM s1
+       |UNION ALL SELECT q_id, CAST(2 AS BIGINT) AS rk, cand_id, score FROM s2
+       |UNION ALL SELECT q_id, CAST(3 AS BIGINT) AS rk, cand_id, score FROM s3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_mmr_topk" -> (s17 _),
     "s16_pq_recall" -> (s16 _),
     "s15_mips_ann" -> (s15 _),
     "s14_knn_join_dials" -> (s14 _),
@@ -1488,6 +1645,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s17_mmr_topk" -> s17Sql,
     "s16_pq_recall" -> s16Sql,
     "s15_mips_ann" -> s15Sql,
     "s14_knn_join_dials" -> s14Sql,
