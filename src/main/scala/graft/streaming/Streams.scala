@@ -1885,6 +1885,49 @@ object Streams {
        |ORDER BY f3.doc_id""".stripMargin
   }
 
+  /** st24: SCHEMA EVOLUTION MID-STREAM through the oracle gate — st12's
+    * 3-batch MERGE fold where the PRODUCER UPGRADES between batches 2
+    * and 3: the first two micro-batches arrive with the narrow schema
+    * (no event_type), the third adds the column. mergeLatest's
+    * union-by-name null-fill (round-16 VERDICT directive 5) lets the
+    * fold keep committing across the boundary; a user whose newest row
+    * predates the upgrade carries NULL event_type, an updated user
+    * carries the batch value. The twin replays the rule over the full
+    * log (latest per user; event_type NULLed when the winner predates
+    * the upgrade cut) — so the gate proves the EVOLVED fold is still
+    * rebuild-transparent, st12's property carried across a schema
+    * change. Durable-store evolution (segments on disk) is the same
+    * rule, property-tested in StreamingRecoverySpec. */
+  def st24(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"), unix_millis(col("ts")).as("ms"))
+    val t1 = 1704931200000L // 2024-01-11T00:00:00Z
+    val t2 = 1705795200000L // 2024-01-21T00:00:00Z — the upgrade point
+    val keys = Seq("user_id")
+    val ord = Seq(col("ms"), col("event_id"))
+    val narrow = log.drop("event_type")
+    val parts = Seq(
+      narrow.filter(col("ms") < t1),
+      narrow.filter(col("ms") >= t1 && col("ms") < t2),
+      log.filter(col("ms") >= t2)) // the upgraded producer
+    parts.tail.foldLeft(graft.operators.Upsert.latestSnapshot(parts.head, keys, ord)) {
+      (snap, b) => graft.operators.Upsert.mergeLatest(snap, b, keys, ord)
+    }.select(col("user_id"), col("event_id"), col("value"), col("ms"),
+        col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  val st24Sql: String =
+    """SELECT user_id, event_id, value, ms,
+      |  CASE WHEN ms >= 1705795200000 THEN event_type ELSE NULL END AS event_type
+      |FROM (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st23_version_diff" -> (st23 _),
     "st22_time_travel" -> (st22 _),
@@ -1897,6 +1940,7 @@ object Streams {
     "st15_stream_admission" -> (st15 _),
     "st14_stream_rollup" -> (st14 _),
     "st13_stream_drift" -> (st13 _),
+    "st24_stream_evolve" -> (st24 _),
     "st12_stream_upsert" -> (st12 _),
     "st11_interval_join_outer" -> (st11 _),
     "st10_rate_flag" -> (st10 _),
@@ -1919,6 +1963,7 @@ object Streams {
     "st15_stream_admission" -> st15Sql,
     "st14_stream_rollup" -> st14Sql, // full-rebuild GROUP BY: folded micro-batches == rebuild
     "st13_stream_drift" -> st13Sql,
+    "st24_stream_evolve" -> st24Sql,
     "st12_stream_upsert" -> st12Sql,
     "st11_interval_join_outer" -> st11Sql,
     "st10_rate_flag" -> st10Sql,
