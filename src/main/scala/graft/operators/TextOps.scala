@@ -1299,7 +1299,88 @@ object TextOps {
        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t23: ZIPF-FIT audit — per-source rank-frequency slope, the
+  // distribution-shape signal beside t2/t15's per-doc gates: natural
+  // language sits near slope −1 on the log-log rank/frequency line;
+  // synthetic, templated, or spam-heavy sources bend it (flat = random
+  // noise, steep = copy-paste mass). OLS over the top-300 ranks per
+  // source.
+  //
+  // Scale shape: token-frequency rollup is ONE shuffle at (source,
+  // token) grain with map-side combine; the rank window partitions by
+  // source at TYPE grain (types ≪ tokens — a web-scale vocabulary
+  // would swap in approx top-K, t16's note). Determinism: ln() on
+  // identical doubles (t8's precedent), the four regression sums
+  // accumulate as DECIMAL(28,12) casts so distributed sum ORDER can't
+  // move doubles (d17's centroid-mean rule), and the final slope is
+  // scalar double arithmetic on those identical sums, rounded 6dp.
+  // Sources with <3 ranked types are dropped in both engines (the
+  // slope is undefined on a degenerate line).
+  val ZipfRanks = 300
+
+  def t23(s: SparkSession, dir: String): DataFrame = {
+    val d12 = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(28, 12))
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("tok"))
+    val ranked = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfRanks)
+      .withColumn("x", log(col("rank").cast("double")))
+      .withColumn("y", log(col("freq").cast("double")))
+    val g = ranked.groupBy(col("source")).agg(
+      count(lit(1)).as("n_ranks"),
+      sum(col("freq")).as("top_freq"),
+      sum(d12(col("x"))).as("sx"), sum(d12(col("y"))).as("sy"),
+      sum(d12(col("x") * col("y"))).as("sxy"),
+      sum(d12(col("x") * col("x"))).as("sxx"))
+    g.filter(col("n_ranks") >= 3)
+      .select(col("source"), col("n_ranks"), col("top_freq"),
+        round((col("n_ranks").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_ranks").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  val t23Sql: String =
+    s"""WITH tf AS (
+       |  SELECT source, tok, count(*) AS freq FROM (
+       |    SELECT source, unnest(${tokensSql("text")}) AS tok FROM documents)
+       |  WHERE length(tok) > 0
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT source, freq,
+       |    ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+       |  FROM (
+       |    SELECT source, tok, freq,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY freq DESC, tok) AS rank
+       |    FROM tf)
+       |  WHERE rank <= $ZipfRanks),
+       |g AS (
+       |  SELECT source, count(*) AS n_ranks,
+       |    CAST(sum(freq) AS BIGINT) AS top_freq,
+       |    sum(CAST(x AS DECIMAL(28,12))) AS sx,
+       |    sum(CAST(y AS DECIMAL(28,12))) AS sy,
+       |    sum(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+       |    sum(CAST(x * x AS DECIMAL(28,12))) AS sxx
+       |  FROM ranked GROUP BY 1)
+       |SELECT source, n_ranks, top_freq,
+       |  round((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+       |FROM g
+       |WHERE n_ranks >= 3
+       |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_zipf_audit" -> (t23 _),
     "t22_bpe_drift" -> (t22 _),
     "t21_shuffle_shards" -> (t21 _),
     "t20_quality_classifier" -> (t20 _),
@@ -1319,6 +1400,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t23_zipf_audit" -> t23Sql,
     "t22_bpe_drift" -> t22Sql,
     "t21_shuffle_shards" -> t21Sql,
     "t19_pack_sharded" -> t19Sql,
