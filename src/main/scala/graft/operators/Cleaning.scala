@@ -831,7 +831,59 @@ object Cleaning {
       |  SELECT 'c15_absdev_mad', CAST(0.5 AS DOUBLE), count(*), quantile_cont(v, 0.5), 100, TRUE FROM dev)
       |ORDER BY site, p""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c19: per-column SHANNON-ENTROPY profile — the column-shape signal
+  // c1's profile lacks: entropy near ln(n) marks a key-like column
+  // (every value distinct), near 0 a constant; normalized against the
+  // distinct count it separates "few heavy values" from "uniform
+  // spread" — what an auto-profiler uses to pick encodings (c5/c6's
+  // 32-distinct rule is the crude form) and to flag leaky join keys.
+  // H = ln(n) − (Σ c·ln c)/n computed from the per-value count rollup
+  // (the algebraic identity avoids per-row p = c/n math).
+  //
+  // Scale shape: one shuffle per profiled column at VALUE grain with
+  // map-side combine (a production profiler can stack columns into a
+  // single pass at the cost of a string cast; kept per-column here so
+  // each column groups by its NATIVE type — double bits, dates, longs
+  // — which is also what makes the DuckDB twin exact). Determinism:
+  // Σ c·ln c accumulates as DECIMAL(28,12) casts (t23's regression-sum
+  // rule) so distributed sum order can't move doubles; the final H is
+  // scalar double arithmetic on identical sums, rounded 6dp.
+  def c19(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def colEntropy(v: Column, name: String): DataFrame =
+      ev.groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("__c")).as("n"),
+          sum((col("__c").cast("double") * log(col("__c").cast("double")))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("__slc"))
+        .select(lit(name).as("column"), col("n"), col("n_distinct"),
+          round(log(col("n").cast("double"))
+            - col("__slc").cast("double") / col("n").cast("double"), 6)
+            .as("entropy"))
+    colEntropy(col("event_type"), "event_type")
+      .unionByName(colEntropy(col("user_id"), "user_id"))
+      .unionByName(colEntropy(col("value"), "value"))
+      .unionByName(colEntropy(to_date(col("ts")), "day"))
+      .orderBy(col("column"))
+  }
+
+  val c19Sql: String = {
+    def one(expr: String, name: String): String =
+      s"""SELECT '$name' AS "column", CAST(sum(c) AS BIGINT) AS n,
+         |  count(*) AS n_distinct,
+         |  round(ln(CAST(sum(c) AS DOUBLE))
+         |    - CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+         |        AS DECIMAL(28,12))) AS DOUBLE)
+         |      / CAST(sum(c) AS DOUBLE), 6) AS entropy
+         |FROM (SELECT $expr AS v, count(*) AS c FROM events GROUP BY 1)""".stripMargin
+    Seq(one("event_type", "event_type"), one("user_id", "user_id"),
+      one("value", "value"), one("CAST(ts AS DATE)", "day"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c19_entropy_profile" -> (c19 _),
     "c18_quantile_sketch_error" -> (c18 _),
     "c17_amount_audit" -> (c17 _),
     "c16_benford_audit" -> (c16 _),
@@ -846,6 +898,7 @@ object Cleaning {
     "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
+    "c19_entropy_profile" -> c19Sql,
     "c18_quantile_sketch_error" -> c18Sql,
     "c17_amount_audit" -> c17Sql,
     "c16_benford_audit" -> c16Sql,
