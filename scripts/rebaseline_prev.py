@@ -32,10 +32,17 @@ def main(src, out="bench_prev.json"):
         lines.append(f'"{short(k)}": {queries[k]},')
     lines.append(f'"cal_ref": {round(statistics.median(d["cal"]), 3)},')
     lines.append(f'"probe_ref": {round(statistics.median(d["probe"]), 3)},')
+    # probe_sf + cal_unit come FROM the artifact (round-17 ADVICE: the
+    # unit string must describe the probe that actually ran, and Bench
+    # falls back to its in-sweep opening reading when probe_sf differs
+    # from the sweep's SF dir) — one source of truth, no hardcoding.
+    lines.append(f'"probe_sf": "{d.get("probe_sf", d.get("sf", ""))}",')
+    unit = d.get(
+        "cal_unit",
+        "cal: fixed scalar kernel min-of-2; probe: workload-shaped Spark "
+        "job (see bench_last.json)")
     lines.append(
-        '"cal_unit": "cal: fixed scalar kernel min-of-2; probe: lineitem '
-        'scan+2-level-agg min-of-3 at sf0.1 (the queries_norm currency '
-        'since r17); refs are sweep medians"')
+        f'"cal_unit": {json.dumps(unit + "; refs are sweep medians")}')
     lines.append("}")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

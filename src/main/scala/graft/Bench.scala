@@ -107,25 +107,33 @@ object Bench {
     // bench_prev.json was recorded at the driver's sf0.1); the scalar
     // cal stays as the raw-CPU diagnostic and keeps its calrr trigger
     // role. Falls back to a synthetic shape when the table is absent.
-    val probeJob: () => Unit =
+    // (probeJob, probeDesc): the DESCRIPTION is derived from the same
+    // selection that picks the job, so the self-describing unit string
+    // written to bench_last.json can never disagree with what actually
+    // ran (round-17 ADVICE: the hardcoded "2M-row" string described
+    // the fallback while the scan job ran).
+    val probeMinOf = 3
+    val (probeJob: (() => Unit), probeDesc: String) =
       try {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         li.limit(1).count() // fail here, not inside the timed readings
-        () => li.selectExpr("l_orderkey", "cast(l_quantity as decimal(18,2)) q",
+        ((() => li.selectExpr("l_orderkey", "cast(l_quantity as decimal(18,2)) q",
             "l_returnflag")
           .groupBy("l_returnflag", "l_orderkey")
           .agg(org.apache.spark.sql.functions.expr("sum(q)"))
           .groupBy("l_returnflag")
           .agg(org.apache.spark.sql.functions.expr("sum(`sum(q)`)"),
             org.apache.spark.sql.functions.expr("count(1)"))
-          .queryExecution.toRdd.count(): Unit
+          .queryExecution.toRdd.count(): Unit),
+          "lineitem scan+2-level-agg Spark job")
       } catch { case _: Throwable =>
-        () => spark.range(0, 2000000L, 1, 32)
+        ((() => spark.range(0, 2000000L, 1, 32)
           .selectExpr("id", "cast(id % 1000 as string) k", "(id * 48271) % 97 v")
           .groupBy("k")
           .agg(org.apache.spark.sql.functions.expr("sum(v)"),
             org.apache.spark.sql.functions.expr("avg(v)"))
-          .queryExecution.toRdd.count(): Unit
+          .queryExecution.toRdd.count(): Unit),
+          "2M-row synthetic shuffle+agg Spark job (lineitem absent)")
       }
     def probeOnce(): Double = {
       val t0 = System.nanoTime()
@@ -139,7 +147,7 @@ object Bench {
     // flags); a third reading tightens the noise floor at ~0.3 s per
     // boundary.
     def probe(): Double =
-      math.min(probeOnce(), math.min(probeOnce(), probeOnce()))
+      (1 to probeMinOf).map(_ => probeOnce()).min
     probeOnce() // throwaway: JITs the probe's own codegen
 
     // Previous-round per-query times (short family ids) and the
@@ -153,6 +161,12 @@ object Bench {
       catch { case _: Throwable => "" }
     val prevPairs = """"([a-zA-Z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(prevText)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // the SF probe_ref was recorded at (round-17 ADVICE: the probe
+    // reads the sweep's own SF dir, so a prev ref from another SF is a
+    // different-magnitude unit — detect the mismatch instead of
+    // silently normalizing against it)
+    val prevProbeSf = """"probe_sf"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(prevText).map(_.group(1))
     val calRef = prevPairs.getOrElse("cal_ref", 0.25)
     val prev = prevPairs -- Seq("cal_ref", "probe_ref")
 
@@ -267,7 +281,14 @@ object Bench {
     // one (the estimator's first round) falls back to THIS sweep's
     // opening reading, making the norms self-consistent within the
     // round and the cross-round unit start here.
-    val probeRef = prevPairs.getOrElse("probe_ref", probePoints.head)
+    // a probe_ref recorded at ANOTHER SF (or one with no recorded SF —
+    // pre-r18 prev files) normalizes this sweep against a
+    // different-magnitude probe; fall back to the in-sweep opening
+    // reading, which makes the norms self-consistent within the round
+    val sfNameEarly = new java.io.File(sfDir).getName
+    val probeRef =
+      if (prevProbeSf.exists(_ != sfNameEarly)) probePoints.head
+      else prevPairs.getOrElse("probe_ref", probePoints.head)
     val rerunCal = if (hotBuckets.nonEmpty) Some(calPoints.last) else None
     val rerunProbe = if (hotBuckets.nonEmpty) Some(probePoints.last) else None
     // per-BUCKET effective reading: mean of the two bounding points; a
@@ -323,12 +344,16 @@ object Bench {
       }.sortBy(-_._1).take(10).map(_._2)
       worst.foreach { i =>
         val (name, t, susp, bi) = results(i)
-        runOnce(qmap(name)) match {
-          case Some(t2) =>
-            results(i) = (name, math.min(t, t2), susp, bi)
-            healed += name
-          case None => flaky += shortOf(name)
-        }
+        // TWO heal runs, min-merged (round-17 VERDICT directive 4):
+        // the single post-sweep re-time paid per-key cold start
+        // (codegen/JIT for a plan last compiled early in the sweep),
+        // inflating exactly the keys it was meant to clear — the first
+        // run re-warms, the min keeps the cleaner reading.
+        val reruns = Seq(runOnce(qmap(name)), runOnce(qmap(name))).flatten
+        if (reruns.nonEmpty) {
+          results(i) = (name, math.min(t, reruns.min), susp, bi)
+          healed += name
+        } else flaky += shortOf(name)
       }
       calPoints += calibrate()
       probePoints += probe()
@@ -404,15 +429,18 @@ object Bench {
     val qsNorm = results.map { case (k, v, _, bi) =>
       s""""$k":${num(3, normOf(k, v, bi))}""" }.mkString("{", ",", "}")
     val rule = "compare queries_norm across rounds (same probe_ref source; " +
-      "unit: workload-shaped Spark probe, min-of-2, since r17): a key " +
-      "regressed iff its queries_norm grew >1.5x AND >0.4s; trust raw " +
-      "`queries` only when both rounds' drift (probe end/start trend, " +
-      "~1.0 idle) is within [0.8, 1.25]; out-of-band sweeps self-heal " +
-      "their 10 worst outliers post-sweep (the `healed` list)"
+      s"unit: workload-shaped Spark probe, min-of-$probeMinOf, since r17): a key " +
+      "regressed iff its queries_norm grew >1.5x AND >0.4s (>0.7s when " +
+      "its prev reading is <1s: sub-second keys sit at the probe-noise " +
+      "floor, r17's four borderline flags were all such keys re-timed " +
+      "clean on idle); trust raw `queries` only when both rounds' drift " +
+      "(probe end/start trend, ~1.0 idle) is within [0.8, 1.25]; " +
+      "out-of-band sweeps self-heal their 10 worst outliers post-sweep " +
+      "with two warm re-runs each (the `healed` list)"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"),
       fmt(3, false).dropRight(1) +
-        s""","queries_norm":$qsNorm,"cal_ref_used":${num(3, calRef)},"probe_ref_used":${num(3, probeRef)},"cal_unit":"cal: fixed scalar kernel min-of-2 (diagnostic only since r17); probe: 2M-row shuffle+agg Spark job min-of-2 (the normalization currency)","comparison_rule":"$rule"}""" + "\n")
+        s""","queries_norm":$qsNorm,"cal_ref_used":${num(3, calRef)},"probe_ref_used":${num(3, probeRef)},"probe_sf":"$sfName","cal_unit":"cal: fixed scalar kernel min-of-2 (diagnostic only since r17); probe: $probeDesc min-of-$probeMinOf at $sfName (the normalization currency)","comparison_rule":"$rule"}""" + "\n")
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
     println(line)

@@ -124,10 +124,16 @@ object Config {
   }
 
   /** Lazy-cut frames whose DISK_ONLY copy is still pending drop:
-    * (persisted pre-cut frame, the cut frame's physical RDD — whose
-    * ancestry contains the checkpoint-marked RDD). */
+    * (owning SparkContext, persisted pre-cut frame, the cut frame's
+    * physical RDD — whose ancestry contains the checkpoint-marked
+    * RDD). Entries are SCOPED to their context (round-17 ADVICE): an
+    * entry whose context has stopped is dropped at the next scan —
+    * unpersist on a dead context throws, and before the scoping the
+    * same entry re-threw inside onJobEnd on every job of the NEXT
+    * context (and retained the frame's plan graph forever). */
   private val lazyPending =
-    new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, org.apache.spark.rdd.RDD[_])]()
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (org.apache.spark.SparkContext, DataFrame, org.apache.spark.rdd.RDD[_])]()
   @volatile private var listenerOn: org.apache.spark.SparkContext = null
 
   /** True once the cut frame's checkpoint has materialized: the
@@ -152,16 +158,26 @@ object Config {
       spark: SparkSession, persisted: DataFrame, out: DataFrame): Unit = {
     // resolve the RDD on the caller thread (plan-only, runs no job);
     // the listener thread then only walks dependencies
-    lazyPending.add((persisted, out.queryExecution.toRdd))
     val sc = spark.sparkContext
+    lazyPending.add((sc, persisted, out.queryExecution.toRdd))
     if (listenerOn ne sc) synchronized {
       if (listenerOn ne sc) {
         sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             val it = lazyPending.iterator()
             while (it.hasNext) {
-              val (p, r) = it.next()
-              if (ckptDone(r)) { p.unpersist(blocking = false); it.remove() }
+              val (owner, p, r) = it.next()
+              // a stopped owner's entry can never materialize its
+              // checkpoint — drop it (its blocks died with the context)
+              if (owner.isStopped) it.remove()
+              else if (ckptDone(r)) {
+                // unpersist failure (context racing shutdown, blocks
+                // already evicted) must not re-throw on every later
+                // job — the entry is removed either way
+                try p.unpersist(blocking = false)
+                catch { case _: Throwable => () }
+                it.remove()
+              }
             }
           }
         })

@@ -75,13 +75,19 @@ object FaultDrill {
     println(s"DRILL $mode branch1=COMPLETED groups=$b1")
 
     // SIGKILL one executor JVM (never the driver: filter for the
-    // executor backend main class)
+    // executor backend main class). Victims are restricted to
+    // DESCENDANTS of this drill's own process (round-17 ADVICE): an
+    // allProcesses() scan could kill a concurrently running unrelated
+    // Spark job's executor — local-cluster workers and their executor
+    // JVMs are spawned under this driver, so the descendant tree holds
+    // exactly this drill's executors.
     import scala.jdk.CollectionConverters._
-    val victims = ProcessHandle.allProcesses().iterator().asScala
+    val victims = ProcessHandle.current().descendants().iterator().asScala
       .filter(_.info().commandLine().map[Boolean](
         _.contains("CoarseGrainedExecutorBackend")).orElse(false))
       .toSeq
-    require(victims.nonEmpty, "no executor JVMs found — not in local-cluster mode?")
+    require(victims.nonEmpty,
+      "no executor JVMs found under this process — not in local-cluster mode?")
     val victim = victims.head
     println(s"DRILL $mode killing executor pid=${victim.pid()} of ${victims.size}")
     victim.destroyForcibly()

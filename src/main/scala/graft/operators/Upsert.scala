@@ -44,13 +44,34 @@ object Upsert {
     * newest row per key wins. `ordering` must be a total order within
     * key (e.g. ms + a unique id) or "newest" is undefined. SCHEMA
     * EVOLUTION: an updates batch may add (or a backfill may lack)
-    * columns relative to the snapshot — the union is by name with
+    * DATA columns relative to the snapshot — the union is by name with
     * missing columns null-filled, the lakehouse MERGE evolution rule
-    * (round-16 VERDICT directive 5). */
+    * (round-16 VERDICT directive 5). Evolution permits adding data
+    * columns, NOT absent merge keys or ordering columns: a side
+    * missing one of those would null-fill it and silently merge rows
+    * under a NULL key / undefined order (round-17 ADVICE) — both
+    * frames must carry every key and every column `ordering`
+    * references, enforced up front. */
   def mergeLatest(current: DataFrame, updates: DataFrame, keys: Seq[String],
-                  ordering: Seq[Column]): DataFrame =
+                  ordering: Seq[Column]): DataFrame = {
+    // ordering Columns may be expressions; collect the attribute names
+    // they reference (unresolved at this point, so walk the expression
+    // tree for named parts)
+    val ordCols = ordering.flatMap(c =>
+      org.apache.spark.sql.GraftSqlBridge.expression(c).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      })
+    val required = (keys ++ ordCols).distinct
+    Seq("current" -> current, "updates" -> updates).foreach { case (side, df) =>
+      val missing = required.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"mergeLatest: $side side is missing merge key/ordering column(s) " +
+          s"${missing.mkString(", ")} — schema evolution null-fills only " +
+          "DATA columns; a null-filled key would merge rows under a NULL key")
+    }
     latestSnapshot(current.unionByName(updates, allowMissingColumns = true),
       keys, ordering)
+  }
 
   /** SCD2 history from a change log: every log row becomes a version
     * with half-open validity [valid_from, valid_to) — valid_to is the
