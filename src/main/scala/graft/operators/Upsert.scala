@@ -991,9 +991,19 @@ object Upsert {
       .orderBy(col("layout"))
   }
 
-  val i10Sql: String = {
+  val i10Sql: String = zorderAuditSql(withTotal = false)
+
+  /** Shared DuckDB twin for i10 (simulated files) and i13 (really
+    * written files): the file-assignment rule is identical in both —
+    * contiguous z-ranges (zorder) / bx-ranges (linear) — so the same
+    * plan SQL replays either; i13 additionally emits n_total per
+    * layout (the row-invariance pin: a REWRITE may move rows between
+    * files, never add or drop them — i8's transparency rule). */
+  private def zorderAuditSql(withTotal: Boolean): String = {
     val zbits = (0 until 8).map(b =>
       s"(((bx >> $b) & 1) << ${2 * b}) + (((by >> $b) & 1) << ${2 * b + 1})").mkString(" + ")
+    val totalCol =
+      if (withTotal) ",\n       |  CAST(sum(n_rows) AS BIGINT) AS n_total" else ""
     s"""WITH ev AS (
        |  SELECT user_id AS u, epoch_ms(ts) // 86400000 AS d FROM events),
        |bounds AS (
@@ -1031,13 +1041,140 @@ object Upsert {
        |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
        |  CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
        |  CAST(sum(n_match) AS BIGINT) AS rows_matched,
-       |  CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) * 1000000 // sum(n_rows) AS BIGINT) AS scan_ppm
+       |  CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) * 1000000 // sum(n_rows) AS BIGINT) AS scan_ppm$totalCol
        |FROM hits
        |GROUP BY layout
        |ORDER BY layout""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // i13: z-order layout EXECUTION — the physical-rewrite half i10 only
+  // simulated (round-17 VERDICT directive 1: "z-order layout is
+  // audited, never executed" — the repartitionByRange comment made
+  // real, i11's execute-don't-plan pattern applied to clustering).
+  // The registered key WRITES the two layouts as real parquet files —
+  // every row tagged with its layout file by the SAME contiguous-range
+  // rule i10 simulates (zorder: zv·ZFiles div 2^16; linear:
+  // bx·ZFiles div 2^8), one hash shuffle on (layout, file) so each
+  // file's rows live in one task, sortWithinPartitions(zv) for
+  // within-file clustering, and a directory per (layout, file) that
+  // therefore receives exactly that task's single part file (i11's
+  // one-file-per-group machinery). The audit then derives per-file
+  // min/max FROM THE REWRITTEN FILES' OWN ROWS, grouped by
+  // `_metadata.file_path` — the stats a scan planner reads from
+  // parquet footers — and replays i10's fixed 10%×10% box-query
+  // pruning against them. Output = i10's report computed on REAL
+  // files, plus n_total per layout (row invariance: a rewrite moves
+  // rows between files, never changes them — i8's rule).
+  //
+  // Why the gated form uses the deterministic z-range rule rather
+  // than repartitionByRange directly: RangePartitioner samples its
+  // bounds from the data (reservoir sketch), which no SQL oracle can
+  // replay and which need not produce identical per-file min/max
+  // across runs — while the z-range rule IS a range partitioning of
+  // zv space with deterministic boundaries (files are contiguous
+  // z-ranges either way). The sampling form is the library API
+  // ([[zorderApply]], below) and UpsertSpec audits ITS really-written
+  // files for the same properties (rows invariant, files = plan
+  // count, contiguous zv ranges, box pruning ≤ linear).
+  //
+  // Scale shape: bounds are one 1-row broadcast agg (q23's class);
+  // the z-value and file tag are map-side integer math; the rewrite
+  // pays ONE shuffle on (layout, file) — the floor for moving rows
+  // across file boundaries — and the audit aggregates at
+  // (layout, file) grain (≤ 2·ZFiles rows after the scan's map-side
+  // combine). At 100 TB the write is the once-per-layout cost i8
+  // documents for bucketing; every 2-D-selective scan after skips.
+
+  /** Library API: physically rewrite `table` z-clustered on `zvCol` —
+    * repartitionByRange(nFiles) + sortWithinPartitions + parquet write
+    * (the production form: RangePartitioner picks balanced boundaries
+    * by sampling; for an oracle-replayable deterministic assignment,
+    * tag rows with an explicit contiguous-range file id and write
+    * partitionBy that id — i13's registered form). Returns the
+    * read-back frame; per-file min/max then come from
+    * `_metadata.file_path` grouping (what parquet footers give). */
+  def zorderApply(table: DataFrame, zvCol: String, nFiles: Int,
+      outDir: String): DataFrame = {
+    table.repartitionByRange(nFiles, col(zvCol))
+      .sortWithinPartitions(col(zvCol))
+      .write.mode("overwrite").parquet(outDir)
+    table.sparkSession.read.parquet(outDir)
+  }
+
+  def i13(s: SparkSession, dir: String): DataFrame = {
+    // rewrite once per dataset (i11's memoized-artifact pattern);
+    // repeat invocations audit the same rewritten files
+    val outDir = graft.Artifacts.cachedTempDir(s"i13:$dir") { d =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("u"), expr("unix_millis(ts) div 86400000").as("d"))
+      val bounds = ev.agg(min(col("u")).as("umin"), max(col("u")).as("umax"),
+        min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      val zbits = (0 until 8).map(b =>
+        s"(((bx >> $b) & 1) << ${2 * b}) + (((by >> $b) & 1) << ${2 * b + 1})").mkString(" + ")
+      val cells = ev.crossJoin(broadcast(bounds)) // provably 1 row
+        .withColumn("bx", expr("(u - umin) * 256 div (umax - umin + 1)"))
+        .withColumn("by", expr("(d - dmin) * 256 div (dmax - dmin + 1)"))
+        .withColumn("zv", expr(zbits))
+      val tagged = cells.select(lit("zorder").as("layout"),
+          expr(s"zv * $ZFiles div 65536").as("file"), col("u"), col("d"), col("zv"))
+        .unionAll(cells.select(lit("linear").as("layout"),
+          expr(s"bx * $ZFiles div 256").as("file"), col("u"), col("d"), col("zv")))
+      tagged
+        .repartition(col("layout"), col("file")) // a file's rows in ONE task
+        .sortWithinPartitions(col("layout"), col("file"), col("zv"))
+        .write.mode("overwrite").partitionBy("layout", "file").parquet(d)
+    }
+    // the audit reads ONLY the rewritten files: min/max per physical
+    // file (footer stats), box bounds re-derived from the rewritten
+    // rows themselves (one layout's rows = the original table)
+    val t = s.read.parquet(outDir)
+      .select(col("layout"), col("_metadata.file_path").as("fpath"),
+        col("u"), col("d"))
+    val bounds = t.filter(col("layout") === "zorder")
+      .agg(min(col("u")).as("umin"), max(col("u")).as("umax"),
+        min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    val boxed = t.crossJoin(broadcast(bounds)) // provably 1 row
+      .withColumn("ulo", expr("umin + (umax - umin + 1) * 3 div 10"))
+      .withColumn("uhi", expr("umin + (umax - umin + 1) * 4 div 10"))
+      .withColumn("dlo", expr("dmin + (dmax - dmin + 1) * 3 div 10"))
+      .withColumn("dhi", expr("dmin + (dmax - dmin + 1) * 4 div 10"))
+      .withColumn("row_match",
+        col("u") >= col("ulo") && col("u") < col("uhi") &&
+          col("d") >= col("dlo") && col("d") < col("dhi"))
+    val files = boxed.groupBy(col("layout"), col("fpath")).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("u")).as("fumin"), max(col("u")).as("fumax"),
+      min(col("d")).as("fdmin"), max(col("d")).as("fdmax"),
+      sum(when(col("row_match"), 1L).otherwise(0L)).as("n_match"),
+      max(col("ulo")).as("ulo"), max(col("uhi")).as("uhi"),
+      max(col("dlo")).as("dlo"), max(col("dhi")).as("dhi"))
+    files
+      .withColumn("hit", col("fumax") >= col("ulo") && col("fumin") < col("uhi") &&
+        col("fdmax") >= col("dlo") && col("fdmin") < col("dhi"))
+      .groupBy(col("layout")).agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_files_hit"),
+        sum(when(col("hit"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matched"),
+        sum(col("n_rows")).as("n_total"))
+      .select(col("layout"), col("n_files"), col("n_files_hit"),
+        col("rows_scanned"), col("rows_matched"),
+        expr("rows_scanned * 1000000L div n_total").as("scan_ppm"),
+        col("n_total"))
+      .orderBy(col("layout"))
+  }
+
+  /** DuckDB twin: i10's plan SQL (the file-assignment rule is shared)
+    * plus n_total — the gate proves the REALLY WRITTEN files carry
+    * exactly the planned contents: n_files == plan count (a split or
+    * doubled part file would inflate it), per-file min/max == the
+    * plan's (any row landing in a wrong file moves a file's bounds and
+    * flips hit/rows_scanned), and n_total pins row invariance. */
+  val i13Sql: String = zorderAuditSql(withTotal = true)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i13_zorder_apply" -> (i13 _),
     "i12_schema_merge" -> (i12 _),
     "i11_compaction_apply" -> (i11 _),
     "i10_zorder_layout" -> (i10 _),
@@ -1052,6 +1189,7 @@ object Upsert {
     "i6_inc_distinct" -> (i6 _))
 
   def oracles: Map[String, String] = Map(
+    "i13_zorder_apply" -> i13Sql, // plan SQL + n_total: written == planned
     "i12_schema_merge" -> i12Sql,
     "i11_compaction_apply" -> i11Sql,
     "i10_zorder_layout" -> i10Sql,

@@ -504,4 +504,58 @@ class UpsertSpec extends SparkSuite {
     assert(byGroup.count() === nGroups)
     assert(byGroup.filter(col("f") =!= 1L).isEmpty, "a plan group spans more than one output file")
   }
+
+  test("zorderApply: repartitionByRange write — rows invariant, files = plan count, contiguous zv ranges, real-footer pruning beats linear") {
+    import spark.implicits._
+    // a full 64x64 grid: both dimensions uniform — the clustering
+    // showcase (a linear layout can only keep ONE dimension tight)
+    val rows = for (u <- 0L until 64L; d <- 0L until 64L) yield (u, d)
+    val zbits = (0 until 8).map(b =>
+      s"(((u >> $b) & 1) << ${2 * b}) + (((d >> $b) & 1) << ${2 * b + 1})").mkString(" + ")
+    val table = rows.toDF("u", "d").withColumn("zv", expr(zbits))
+    val nFiles = 16
+    val base = java.nio.file.Files.createTempDirectory("graft-zapply").toString
+    val zo = Upsert.zorderApply(table, "zv", nFiles, s"$base/zo")
+    // rows layout-invariant (i8's transparency rule)
+    assert(zo.select(col("u"), col("d"), col("zv")).orderBy(col("u"), col("d"))
+        .collect().map(_.toSeq).toSeq ===
+      table.select(col("u"), col("d"), col("zv")).orderBy(col("u"), col("d"))
+        .collect().map(_.toSeq).toSeq)
+    // per-REAL-file stats — what parquet footers give a scan planner
+    def fileStats(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("_metadata.file_path")).agg(
+        min(col("zv")).as("zmin"), max(col("zv")).as("zmax"),
+        min(col("u")).as("fumin"), max(col("u")).as("fumax"),
+        min(col("d")).as("fdmin"), max(col("d")).as("fdmax"),
+        count(lit(1)).as("n")).collect()
+    val zFiles = fileStats(zo)
+    // physical files == the requested plan count
+    assert(zFiles.length === nFiles, s"wrote ${zFiles.length} files, planned $nFiles")
+    // files are CONTIGUOUS z-ranges (range partitioning's contract):
+    // zv is a bijection of (u, d) here, so ranges are strictly ordered
+    zFiles.sortBy(_.getAs[Long]("zmin")).toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.getAs[Long]("zmax") < b.getAs[Long]("zmin"),
+          "z-ranges overlap across files")
+      case _ => ()
+    }
+    // the same data laid out linearly (range-partitioned + sorted on u
+    // alone) — the baseline i10 simulates, here really written
+    val li = Upsert.zorderApply(table, "u", nFiles, s"$base/li")
+    val lFiles = fileStats(li)
+    // replay i10's box query ([30%,40%) of each dim = u,d in [19,25))
+    // against the REAL files' min/max
+    val (lo, hi) = (64L * 3 / 10, 64L * 4 / 10)
+    def scanned(fs: Array[org.apache.spark.sql.Row]): Long = fs.filter { f =>
+      f.getAs[Long]("fumax") >= lo && f.getAs[Long]("fumin") < hi &&
+        f.getAs[Long]("fdmax") >= lo && f.getAs[Long]("fdmin") < hi
+    }.map(_.getAs[Long]("n")).sum
+    val matched = rows.count { case (u, d) => u >= lo && u < hi && d >= lo && d < hi }.toLong
+    assert(matched > 0)
+    // skipping is lossless (hit files cover every match) and the
+    // z-order files out-prune the linear ones on the 2-D box
+    assert(scanned(zFiles) >= matched && scanned(lFiles) >= matched)
+    assert(scanned(zFiles) < scanned(lFiles),
+      s"z-order scanned ${scanned(zFiles)} rows vs linear ${scanned(lFiles)}")
+  }
 }
