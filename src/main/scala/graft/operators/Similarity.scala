@@ -978,8 +978,6 @@ object Similarity {
   def pqAdcRerankTopKFused(queries: DataFrame, corpus: DataFrame,
       codebookSrc: DataFrame, k: Int, coarseC: Int,
       m: Int = 8, subDim: Int = 8): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge.{columnOf, expression}
-    import graft.plans.{PqAdcExpr, PqCodesExpr, PqDistTableExpr}
     val dim = m * subDim
     // codeword POSITION (ascending cw_id) replaces cw_id as the code:
     // order-isomorphic, so the argmin tiebreak (lower position == lower
@@ -995,6 +993,21 @@ object Similarity {
       while (j < dim) { cbFlat(cw * dim + j) = ne(j); j += 1 }
       cw += 1
     }
+    pqAdcRerankTopKFlat(queries, corpus, cbFlat, kCw, k, coarseC, m, subDim)
+  }
+
+  /** The fused PQ-ADC scan against an ALREADY-FLAT codebook
+    * (cb[cw·dim + s·subDim + j]; cw ascending = the code's position
+    * space). [[pqAdcRerankTopKFused]] feeds it whole-vector codeword
+    * rows; [[s18]] feeds it [[trainPqCodebooks]]' learned per-subspace
+    * codewords (which are means, not unit vectors — the flat layout is
+    * the shared currency and the expression never normalizes the
+    * codebook side, only the scanned vectors). */
+  def pqAdcRerankTopKFlat(queries: DataFrame, corpus: DataFrame,
+      cbFlat: Array[Double], kCw: Int, k: Int, coarseC: Int,
+      m: Int, subDim: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{columnOf, expression}
+    import graft.plans.{PqAdcExpr, PqCodesExpr, PqDistTableExpr}
     // RAW embeddings in: normalization happens inside the expression
     // (feeding the transform(x/norm) column instead was measured at
     // 37 s/200k rows — project collapse inlines the normSq fold into
@@ -1138,6 +1151,291 @@ object Similarity {
        |    WHERE q.vec_id < 5 AND c.vec_id >= 16)
        |  WHERE rk <= 3),
        |ann AS (SELECT q_id, cand_id FROM (${pqAdcSql(24)})),
+       |annq AS (SELECT q_id, count(*) AS n_pq FROM ann GROUP BY 1),
+       |hits AS (
+       |  SELECT e.q_id, count(*) AS n_exact,
+       |    CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hits
+       |  FROM ex e LEFT JOIN ann a ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+       |  GROUP BY e.q_id)
+       |SELECT h.q_id, h.n_exact, COALESCE(q.n_pq, 0) AS n_pq, h.n_hits,
+       |  h.n_hits * 1000000 // h.n_exact AS recall_ppm
+       |FROM hits h LEFT JOIN annq q USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // s18: LEARNED product quantization through the oracle gate (round-17
+  // VERDICT directive 3). s11/s16 quantize against the deterministic
+  // first-16 stand-in codebook; the production codebook is per-subspace
+  // k-means — trained here by [[trainPqCodebooks]] with the portable
+  // seed hash (d15's LCG, (id·48271+11) mod 2^31−1) so EVERY training
+  // step is replayable in DuckDB SQL (iterations unrolled as generated
+  // CTEs, d15/d17's proven pattern): seeded init = subvectors of the k
+  // smallest-hash corpus vectors; each Lloyd iteration assigns every
+  // (vector, subspace) subvector to its nearest codeword by the l2sq
+  // fold (ties → smaller cid) and recomputes codewords as
+  // DECIMAL(28,12)-exact per-dim means (empty cells KEEP their previous
+  // codeword, so K stays uniform across subspaces — the flat-codebook
+  // layout the fused scan embeds requires it); the final codebook feeds
+  // the SAME fused PqCodesExpr/PqDistTableExpr/PqAdcExpr scan as s11.
+  // The registered key is s16's recall audit re-run on the LEARNED
+  // codebook at the same mid beam C=24 — one key both gates the
+  // training cross-engine (any drifted mean/assignment flips codes,
+  // ADC, the candidate set and the hash) and yields the recall number
+  // the stand-in is compared against (SimilaritySpec pins learned ≥
+  // stand-in at the same beam).
+  //
+  // Scale shape: training is M parallel k-means in ONE dataframe flow —
+  // the subvector explode is map-side (m rows per vector, subDim
+  // doubles each), each iteration is one broadcast join against the
+  // m·k-row codebook + a max_by-class per-(id,s) reduction + a
+  // (s,cid,pos)-grain mean (all map-side combinable; no corpus-grain
+  // window), cutLineage between iterations (d17's rule). The codebook
+  // collect is m·k rows — the documented O(1)-driver class. At 100 TB
+  // the training input is a SAMPLE (PQ codebooks are distribution
+  // estimates; d18's AuditCap argument) while the ENCODE pass — the
+  // fused expression scan — stays full-corpus and codegen'd.
+  val PqLearnIters = 2
+  val PqLearnK = 16
+
+  /** Library API: per-subspace SPHERICAL k-means codebooks for PQ.
+    * Returns (s, cid, cw: array<double>) — m·k rows, cid dense 0..k−1
+    * in every subspace (empty cells retain their previous codeword).
+    * Vectors are L2-normalized before splitting ([[pqNormed]]'s
+    * contract — on the unit sphere ADC's L2² orders like the cosine
+    * the rerank scores); `seedHash` must be a portable integer hash
+    * when a cross-engine oracle replays the training (d15's LCG).
+    *
+    * WHY SPHERICAL (unit-normalized centroids — Dhillon/Modha's
+    * spherical k-means, the standard IP/cosine-retrieval variant):
+    * with plain means a candidate's ADC is 1 + ‖recon‖² − 2·q·recon,
+    * and on weakly-clustered data the means SHRINK toward 0 — the
+    * per-candidate ‖recon‖² term then varies while the q·recon signal
+    * collapses. Unit centroids pin Σ_s‖c_s‖² = m for EVERY candidate,
+    * so the coarse ordering degenerates to −2·q·recon — pure direction
+    * signal. Assignment against unit codewords by L2² equals argmax
+    * dot — exactly what the unchanged encode expression computes. A
+    * zero-norm mean (empty-direction cell) keeps the previous
+    * codeword, like an empty cell.
+    *
+    * MEASURED (DevPqLab, 60 held-out queries — the registered 5-query
+    * audits are 15-slot noise, swinging 0.33-0.73 across SFs —
+    * recall@3 at beam C=24, random-vector corpus = PQ's worst case):
+    * learned-spherical at iters=2 beats the first-16 stand-in at every
+    * SF — 0.556 vs 0.389 (sf0.001), 0.622 vs 0.439 (sf0.01), 0.389 vs
+    * 0.256 (sf0.1); every iteration count 0-4 stays above the
+    * stand-in, iters=2 is the knee. SimilaritySpec pins learned >
+    * stand-in on that split. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int, seedHash: Column => Column): DataFrame = {
+    val normed = pqNormed(corpus, "id")
+    // unit-normalize an array<double> column; null when the norm is 0
+    // (the caller's coalesce then retains the previous codeword)
+    def unit(a: Column): Column = {
+      val n = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+      when(n > 0, transform(a, x => x / n))
+    }
+    // subvector rows: (id, s, sv) — computed once, shared by every
+    // iteration (the multi-consumer frontier; d17's cut rule)
+    val sv = normed.select(col("id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(col("ne"), s * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("id"), col("x.s").as("s"), col("x.sv").as("sv"))
+      .cutLineage()
+    val seeds = normed
+      .withColumn("__h", seedHash(col("id")))
+      .orderBy(col("__h"), col("id")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("__h"), col("id"))).cast("long") - 1)
+      .select(col("cid"), col("ne"))
+    var cents = seeds.select(col("cid"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(col("ne"), s * subDim + 1, subDim).as("cw"))): _*)).as("x"))
+      // seed subvectors are pieces of a unit vector (norm < 1 each) —
+      // normalize them too, so iteration 0 already lives on the sphere
+      .select(col("x.s").as("s"), col("cid"),
+        coalesce(unit(col("x.cw")), col("x.cw")).as("cw"))
+      .cutLineage()
+    for (_ <- 1 to iters) {
+      val assigned = sv.join(broadcast(cents), Seq("s"))
+        .withColumn("__d", l2sq(col("sv"), col("cw")))
+        .groupBy(col("id"), col("s"))
+        // nearest codeword, ties to the smaller cid — min over (d, cid)
+        .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"),
+          first(col("sv")).as("sv"))
+      val means = assigned
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        // decimal sum → one double division: partition-order-free
+        // (d15's centroid-mean rule)
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("mv"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          e => e.getField("mv")).as("mcw"))
+        // spherical step: project the mean back to the unit sphere
+        // (null when the mean is the zero vector — retained below)
+        .select(col("s"), col("cid"), unit(col("mcw")).as("mcw"))
+      // empty (or zero-direction) cells keep their previous codeword:
+      // K uniform per subspace
+      cents = cents.join(means, Seq("s", "cid"), "left")
+        .select(col("s"), col("cid"), coalesce(col("mcw"), col("cw")).as("cw"))
+        .cutLineage()
+    }
+    cents
+  }
+
+  /** Flatten (s, cid, cw) codebooks to the fused scan's codeword-major
+    * layout: cb[cid·(m·subDim) + s·subDim + j]. m·k rows — the
+    * documented O(1)-driver collect class. */
+  def flattenPqCodebooks(cents: DataFrame, m: Int, subDim: Int, k: Int): Array[Double] = {
+    val dim = m * subDim
+    val flat = new Array[Double](k * dim)
+    cents.collect().foreach { r =>
+      val s = r.getAs[Int]("s"); val cid = r.getAs[Long]("cid").toInt
+      val cw = r.getSeq[Double](2)
+      var j = 0
+      while (j < subDim) { flat(cid * dim + s * subDim + j) = cw(j); j += 1 }
+    }
+    flat
+  }
+
+  def s18(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id").as("id"), col("embedding"))
+    val cents = trainPqCodebooks(corpus, m = 8, subDim = 8, k = PqLearnK,
+      iters = PqLearnIters,
+      seedHash = id => pmod(id * 48271L + 11L, lit(2147483647L)))
+    val cbFlat = flattenPqCodebooks(cents, 8, 8, PqLearnK)
+    val pq = pqAdcRerankTopKFlat(q, corpus, cbFlat, PqLearnK, 3, 24, 8, 8)
+      .select(col("q_id"), col("cand_id"))
+    val ex = cosineTopK(q, corpus, 3).select(col("q_id"), col("cand_id"))
+    val pqn = pq.groupBy(col("q_id")).agg(count(lit(1)).as("n_pq"))
+    val hits = ex.join(pq.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+    hits.join(pqn, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_pq"), lit(0L)).as("n_pq"), col("n_hits"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  /** DuckDB twin of [[s18]]: the training unrolled as generated CTEs
+    * (d15/d17's pattern — seeded init, per-iteration l2sq argmin
+    * assignment + DECIMAL(28,12)-exact per-dim means with empty-cell
+    * retention via LEFT JOIN/COALESCE), then s11's encode/ADC/rerank
+    * chain against the learned codebook at C=24, then s16's recall
+    * audit tail. */
+  val s18Sql: String = {
+    val m = 8; val subDim = 8
+    val P = 2147483647L
+    def sub(e: String, s: String) = s"($e)[$s*$subDim+1 : $s*$subDim+$subDim]"
+    val subsVals = (0 until m).map(i => s"($i)").mkString(", ")
+    val asgD = l2sqSql("v.sv", "c.cw")
+    val encD = l2sqSql("v.sv", "b.cw")
+    val qD = l2sqSql("q.sv", "b.cw")
+    val pivots = (0 until m).map(i => s"max(CASE WHEN e.s = $i THEN t.qd END)")
+      .mkString("(", " + ", ")")
+    val cos = cosineSql("q.embedding", "c.embedding")
+    // unit-normalize a list<double>; NULL when the norm is 0 (the
+    // LEFT JOIN/COALESCE below then retains the previous codeword) —
+    // the spherical-k-means step, trainPqCodebooks' `unit`
+    def unitSql(a: String): String =
+      s"(CASE WHEN sqrt(${normSqSql(a)}) > 0 THEN " +
+        s"list_transform($a, x -> x / sqrt(${normSqSql(a)})) END)"
+    // one spherical-Lloyd iteration, unrolled: per-(id, s)
+    // nearest-codeword assignment (row_number twin of min_by),
+    // decimal-exact means projected back to the unit sphere, empty /
+    // zero-direction cells keep the previous codeword
+    def iterCte(n: Int): String =
+      s"""asg$n AS (
+         |  SELECT id, s, cid, sv FROM (
+         |    SELECT v.id, v.s, c.cid, v.sv,
+         |      row_number() OVER (PARTITION BY v.id, v.s
+         |        ORDER BY $asgD ASC, c.cid) AS rk
+         |    FROM sv v JOIN cents${n - 1} c ON c.s = v.s) WHERE rk = 1),
+         |means$n AS (
+         |  SELECT s, cid, ${unitSql("mcw")} AS mcw FROM (
+         |    SELECT s, cid, list(mv ORDER BY pos) AS mcw FROM (
+         |      SELECT s, cid, u.pos AS pos,
+         |        CAST(SUM(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mv
+         |      FROM (SELECT s, cid, unnest(list_transform(range(len(sv)),
+         |              p -> {'pos': p, 'x': sv[p+1]})) AS u
+         |            FROM asg$n)
+         |      GROUP BY 1, 2, 3)
+         |    GROUP BY 1, 2)),
+         |cents$n AS (
+         |  SELECT c.s, c.cid, COALESCE(m.mcw, c.cw) AS cw
+         |  FROM cents${n - 1} c LEFT JOIN means$n m ON m.s = c.s AND m.cid = c.cid)""".stripMargin
+    val iters = (1 to PqLearnIters).map(iterCte).mkString(",\n")
+    s"""WITH nv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne
+       |  FROM (SELECT vec_id, embedding, sqrt(${normSqSql("embedding")}) AS nrm
+       |        FROM embeddings)
+       |  WHERE nrm > 0),
+       |corpus AS (SELECT vec_id AS id, ne FROM nv WHERE vec_id >= 16),
+       |qs AS (SELECT vec_id AS q_id, ne AS qe FROM nv WHERE vec_id < 5),
+       |sv AS (
+       |  SELECT id, s, ${sub("ne", "s")} AS sv
+       |  FROM corpus, (VALUES $subsVals) sub(s)),
+       |seeds AS (
+       |  SELECT cid, ne FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY (id * 48271 + 11) % $P, id) - 1
+       |      AS BIGINT) AS cid, ne
+       |    FROM corpus)
+       |  WHERE cid < $PqLearnK),
+       |cents0 AS (
+       |  SELECT s, cid,
+       |    COALESCE((CASE WHEN sqrt(${normSqSql(sub("ne", "s"))}) > 0 THEN
+       |      list_transform(${sub("ne", "s")},
+       |        x -> x / sqrt(${normSqSql(sub("ne", "s"))})) END),
+       |      ${sub("ne", "s")}) AS cw
+       |  FROM seeds, (VALUES $subsVals) sub(s)),
+       |$iters,
+       |enc AS (
+       |  SELECT cand_id, s, code FROM (
+       |    SELECT v.id AS cand_id, v.s, b.cid AS code,
+       |      row_number() OVER (PARTITION BY v.id, v.s
+       |        ORDER BY $encD ASC, b.cid) AS erk
+       |    FROM sv v JOIN cents$PqLearnIters b ON b.s = v.s) WHERE erk = 1),
+       |qsv AS (
+       |  SELECT q_id, s, ${sub("qe", "s")} AS sv
+       |  FROM qs, (VALUES $subsVals) sub(s)),
+       |dtab AS (
+       |  SELECT q.q_id, b.s, b.cid AS code, $qD AS qd
+       |  FROM qsv q JOIN cents$PqLearnIters b ON b.s = q.s),
+       |adc AS (
+       |  SELECT t.q_id, e.cand_id, $pivots AS adc
+       |  FROM enc e JOIN dtab t ON t.s = e.s AND t.code = e.code
+       |  GROUP BY t.q_id, e.cand_id),
+       |surv AS (
+       |  SELECT q_id, cand_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, cand_id) AS crk
+       |  FROM adc),
+       |rer AS (
+       |  SELECT s.q_id, s.cand_id, $cos AS cos
+       |  FROM surv s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings c ON c.vec_id = s.cand_id
+       |  WHERE s.crk <= 24),
+       |ann AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+       |    FROM rer)
+       |  WHERE rk <= 3),
+       |ex AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $cos DESC, c.vec_id) AS rk
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id < 5 AND c.vec_id >= 16)
+       |  WHERE rk <= 3),
        |annq AS (SELECT q_id, count(*) AS n_pq FROM ann GROUP BY 1),
        |hits AS (
        |  SELECT e.q_id, count(*) AS n_exact,
@@ -1629,6 +1927,7 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_pq_learned" -> (s18 _),
     "s17_mmr_topk" -> (s17 _),
     "s16_pq_recall" -> (s16 _),
     "s15_mips_ann" -> (s15 _),
@@ -1645,6 +1944,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s18_pq_learned" -> s18Sql, // unrolled-training replay + s16's audit
     "s17_mmr_topk" -> s17Sql,
     "s16_pq_recall" -> s16Sql,
     "s15_mips_ann" -> s15Sql,

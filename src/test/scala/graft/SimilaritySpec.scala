@@ -658,4 +658,59 @@ class SimilaritySpec extends SparkSuite {
       df.select(col("id"), col("cell")).orderBy(col("id")).collect().toSeq
     assert(rows(unhinted) === rows(hinted), "assignment moved with the join strategy")
   }
+
+  test("s18 learned PQ: spherical codebooks are unit-norm, K uniform, and beat the first-16 stand-in at the same beam (r17 directive 3's done-bar)") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val seedHash = (id: org.apache.spark.sql.Column) =>
+      pmod(id * 48271L + 11L, lit(2147483647L))
+    // the registered corpus split
+    val corpusReg = e.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cents = Similarity.trainPqCodebooks(corpusReg, 8, 8,
+      Similarity.PqLearnK, Similarity.PqLearnIters, seedHash).collect()
+    // K uniform per subspace (the flat layout's requirement) and every
+    // codeword on the unit sphere (the spherical invariant)
+    val perSub = cents.groupBy(_.getAs[Int]("s")).view.mapValues(_.length).toMap
+    assert(perSub.keySet === (0 until 8).toSet)
+    assert(perSub.values.forall(_ === Similarity.PqLearnK))
+    cents.foreach { r =>
+      val cw = r.getSeq[Double](2)
+      assert(cw.length === 8)
+      val n = math.sqrt(cw.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"codeword norm $n off the sphere")
+    }
+    // trained codewords genuinely moved off the seeds (learning happened)
+    val cents0 = Similarity.trainPqCodebooks(corpusReg, 8, 8,
+      Similarity.PqLearnK, 0, seedHash).collect()
+      .map(r => (r.getAs[Int]("s"), r.getAs[Long]("cid")) -> r.getSeq[Double](2)).toMap
+    val moved = cents.count { r =>
+      cents0((r.getAs[Int]("s"), r.getAs[Long]("cid"))) != r.getSeq[Double](2) }
+    assert(moved > cents.length / 2, s"only $moved of ${cents.length} codewords moved")
+    // recall A/B on a 60-query held-out split (the registered 5-query
+    // audit is 15-slot noise — DevPqLab's measured argument): learned
+    // must beat the stand-in at the same C=24 beam
+    val q = e.filter(col("vec_id") >= 16 && col("vec_id") % 8 === 0)
+      .orderBy(col("vec_id")).limit(60)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 16 && col("vec_id") % 8 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val ex = Similarity.cosineTopK(q, corpus, 3).select(col("q_id"), col("cand_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(pq: org.apache.spark.sql.DataFrame): Int = {
+      val got = pq.select(col("q_id"), col("cand_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ex.count(got.contains)
+    }
+    val standIn = hits(Similarity.pqAdcRerankTopKFused(q, corpus,
+      e.filter(col("vec_id") < 16).select(col("vec_id").as("id"), col("embedding")),
+      3, 24))
+    val learnedCents = Similarity.trainPqCodebooks(corpus, 8, 8,
+      Similarity.PqLearnK, Similarity.PqLearnIters, seedHash)
+    val flat = Similarity.flattenPqCodebooks(learnedCents, 8, 8, Similarity.PqLearnK)
+    val learned = hits(Similarity.pqAdcRerankTopKFlat(q, corpus, flat,
+      Similarity.PqLearnK, 3, 24, 8, 8))
+    assert(learned > standIn,
+      s"learned codebook recall $learned/${ex.size} did not beat stand-in $standIn/${ex.size}")
+  }
 }
