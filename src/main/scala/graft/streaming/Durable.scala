@@ -53,12 +53,17 @@ import org.apache.spark.sql.functions._
   * summaries) keep whole-frame commits — their state is key- or
   * sketch-bounded, not history-bounded, so a full write IS O(state).
   *
-  * Manifest format (single small file, temp-write + rename):
-  * line 1: `<batchId> <foldOrdinal>`; each further line:
-  * `<frameName> <segmentDir>` (segmentDir = `commit=<id>/<name>`,
-  * relative to the store root). The fold ORDINAL (count of applied
-  * batches) serves sinks whose output records arrival order
-  * (DistinctCountSink's first_batch).
+  * Manifest format (single small file, temp-write + atomic rename):
+  * line 1: `<batchId> <foldOrdinal> [<attemptNonce>]`; each further
+  * line: `<frameName> <segmentDir>` (segmentDir =
+  * `commit=<id>-<nonce>/<name>`, relative to the store root; pre-r18
+  * stores' `commit=<id>` paths read unchanged). The fold ORDINAL
+  * (count of applied batches) serves sinks whose output records
+  * arrival order (DistinctCountSink's first_batch); the NONCE
+  * identifies the committing attempt so CONFLICTING committers of the
+  * same batchId are detected and the loser FAILS instead of silently
+  * clobbering the winner (round-17 VERDICT directive 5; see
+  * [[commitSegments]]).
   */
 class DurableState(spark: SparkSession, dir: String,
     retainVersions: Int = 1) {
@@ -207,34 +212,83 @@ class DurableState(spark: SparkSession, dir: String,
     commitSegments(batchId, plan)
   }
 
+  /** Test/fault-injection hook: runs immediately BEFORE the manifest
+    * flip (segments written, tmp manifest written, rename not yet
+    * executed). StreamingRecoverySpec uses it to crash mid-commit and
+    * to interleave a second committer inside the window; production
+    * leaves it as the no-op. */
+  @volatile private[graft] var beforeFlip: () => Unit = () => ()
+
+  /** Per-attempt nonce: two INTERLEAVED committers (two sinks resumed
+    * against one store, a zombie driver racing its replacement) must
+    * never share a tmp file or a segment directory — the pre-r18
+    * layout shared both (`_latest.tmp.<id>` truncated mid-write by the
+    * second `create(overwrite=true)`; `commit=<id>` DELETED at the
+    * second writer's entry while the first's manifest could already
+    * reference it). JVM-unique counter + PID-grade entropy; never
+    * parsed, only uniqueness matters. */
+  private def attemptNonce(): String =
+    s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName.takeWhile(_ != '@')}" +
+      s"x${DurableState.attemptSeq.incrementAndGet()}"
+
   /** Core commit: for each frame, (segments to KEEP, optional new
-    * frame to write under this commit). Write order: data first, then
-    * the versioned manifest flip, then GC of older manifests and
-    * unreferenced commit dirs. */
+    * frame to write under this commit). Write order: data into a
+    * PER-ATTEMPT directory first (`commit=<id>-<nonce>` — concurrent
+    * attempts are physically disjoint; a loser's or a crash's dir is
+    * unreferenced and GC'd by the next successful commit), then the
+    * versioned manifest flip (temp-write under a per-attempt name +
+    * atomic rename to `_latest.v<id>`), then GC. CONFLICTING
+    * COMMITTERS of the same batchId are detected and the second one
+    * FAILS (round-17 VERDICT directive 5): the flip refuses when the
+    * target manifest already exists, and verifies AFTER the rename
+    * that the visible manifest carries this attempt's nonce —
+    * RawLocalFileSystem's rename overwrites an existing target
+    * (POSIX), so exactly one attempt survives and every clobbered one
+    * throws instead of silently reporting success. */
   private def commitSegments(batchId: Long,
       plan: Map[String, (Seq[String], Option[DataFrame])]): Unit = {
     val target = manifestPath(batchId)
-    // Redelivery guard BELOW the callers' alreadyApplied check: if this
-    // batch's manifest already flipped, commit=<batchId> holds LIVE
-    // segments — touching it here would corrupt committed state.
+    // Redelivery guard BELOW the callers' alreadyApplied check: a
+    // batch whose manifest already flipped is a no-op re-delivery.
     if (fs.exists(target)) return
-    val base = new Path(root, s"commit=$batchId")
-    if (fs.exists(base)) fs.delete(base, true) // leftover from a crash
+    val nonce = attemptNonce()
     val entries = plan.toSeq.flatMap { case (name, (keep, fresh)) =>
       val written = fresh.map { df =>
-        val seg = s"commit=$batchId/$name"
+        val seg = s"commit=$batchId-$nonce/$name"
         df.write.mode("overwrite").parquet(new Path(root, seg).toString)
         seg
       }
       keep.map(name -> _) ++ written.map(name -> _)
     }
-    val tmp = new Path(root, s"$TmpPrefix$batchId")
+    val tmp = new Path(root, s"$TmpPrefix$batchId.$nonce")
     val out = fs.create(tmp, true)
-    try out.write((s"$batchId ${nextFoldIndex + 1}\n" +
+    // header line carries the attempt nonce as a third token (readers
+    // parse only the first two, so pre-r18 manifests stay readable) —
+    // the post-rename read-back below matches on it
+    try out.write((s"$batchId ${nextFoldIndex + 1} $nonce\n" +
       entries.map { case (n, d) => s"$n $d" }.mkString("\n")).getBytes("UTF-8"))
     finally out.close()
+    beforeFlip()
+    def conflict(detail: String): Nothing = {
+      fs.delete(tmp, false): Unit
+      throw new IllegalStateException(
+        s"conflicting committer for batch $batchId ($detail) — this attempt lost; " +
+          "its segments are unreferenced and will be GC'd by the next commit")
+    }
+    // another attempt flipped this batch while we were writing
+    if (fs.exists(target)) conflict("manifest appeared before this attempt's flip")
     if (!fs.rename(tmp, target))
       throw new IllegalStateException(s"could not commit manifest for batch $batchId")
+    // the local FS rename OVERWRITES an existing target, so a
+    // same-window winner can be silently replaced — read the visible
+    // manifest back and fail unless it carries this attempt's nonce
+    val head = {
+      val in = fs.open(target)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      finally in.close()
+    }
+    if (!head.endsWith(s" $nonce"))
+      conflict("another attempt's manifest is visible after this flip")
     gc(batchId, entries.map(_._2).toSet)
   }
 
@@ -251,11 +305,24 @@ class DurableState(spark: SparkSession, dir: String,
     versions.drop(keep).foreach(v => fs.delete(manifestPath(v), false))
     val retainedSegs = liveSegs ++
       versions.slice(1, keep).flatMap(v => readManifest(v)._3.map(_._2))
-    val liveDirs = retainedSegs.map(_.split("/")(0)) + s"commit=$batchId"
+    val liveDirs = retainedSegs.map(_.split("/")(0))
     fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith("commit=") && !liveDirs.contains(n)) fs.delete(p, true)
-      else if (n.startsWith(TmpPrefix) && n != s"$TmpPrefix$batchId") fs.delete(p, false)
+      // unreferenced dirs of PAST-or-current batches only: a pipelined
+      // committer may be writing a LATER batch's segments right now —
+      // its dir is unreferenced until its flip and must survive this gc
+      def pastBatch(idStr: String): Boolean =
+        idStr.nonEmpty && idStr.length <= 18 && idStr.toLong <= batchId
+      if (n.startsWith("commit=") && !liveDirs.contains(n) &&
+          pastBatch(n.stripPrefix("commit=").takeWhile(_.isDigit)))
+        fs.delete(p, true)
+      else if (n.startsWith(TmpPrefix)) {
+        // same past-batches-only rule: a same-or-earlier-batch tmp is
+        // a crash leftover or a conflict loser — both dead; a later
+        // batch's in-flight tmp must survive
+        if (pastBatch(n.stripPrefix(TmpPrefix).takeWhile(_.isDigit)))
+          fs.delete(p, false)
+      }
     }
   }
 }
@@ -266,6 +333,9 @@ object DurableState {
     * 3-batch O(batch)-bytes property is visible and the amortized
     * rewrite cost stays low. */
   val DefaultCompactEvery = 8
+
+  /** JVM-wide attempt counter feeding the per-attempt commit nonce. */
+  private[streaming] val attemptSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** The six inventory sinks, durable. Each reuses the EXACT fold logic

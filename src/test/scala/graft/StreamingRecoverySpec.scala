@@ -112,6 +112,73 @@ class StreamingRecoverySpec extends SparkSuite {
       s"flip must leave exactly the new manifest visible, got $names")
   }
 
+  test("DurableState property: crash injected anywhere before the flip leaves the prior version readable (r17 directive 5)") {
+    import spark.implicits._
+    val dir = tmp("graft-crashprop")
+    val store = new DurableState(spark, dir)
+    store.commit(0L, Map("s" -> Seq((1L, "a")).toDF("k", "v")))
+    case object Boom extends RuntimeException("injected crash")
+    // crash at the LAST pre-flip point (segments + tmp manifest all
+    // written, rename not executed) — the worst wreckage a pre-flip
+    // death can leave; repeat across several batches so leftovers pile
+    for (b <- 1L to 4L) {
+      store.beforeFlip = () => throw Boom
+      intercept[Boom.type] {
+        store.commit(b, Map("s" -> Seq((b * 10, s"crash$b")).toDF("k", "v")))
+      }
+      store.beforeFlip = () => ()
+      // prior state intact through a FRESH handle (what a restart sees)
+      val re = new DurableState(spark, dir)
+      assert(re.committed === Some((0L, 1L)),
+        s"crashed commit of batch $b moved the committed version")
+      assert(re.loadAll()("s").collect().map(_.toSeq).toSeq === Seq(Seq(1L, "a")))
+    }
+    // the stream then redelivers and proceeds: batches 1..4 commit
+    // cleanly, each commit's GC clearing the wreckage of its own and
+    // earlier batches (later batches' leftovers are deliberately kept —
+    // they are indistinguishable from a pipelined committer's
+    // in-flight files — and age out as the batch sequence passes them)
+    for (b <- 1L to 4L)
+      store.commit(b, Map("s" -> Seq((b * 10, s"clean$b")).toDF("k", "v")))
+    assert(store.committed === Some((4L, 5L)))
+    assert(store.loadAll()("s").collect().map(_.toSeq).toSeq === Seq(Seq(40L, "clean4")))
+    val names = new java.io.File(dir).list().toSet
+    assert(!names.exists(_.startsWith("_latest.tmp.")),
+      s"crash-leftover tmp manifests survived GC: $names")
+    assert(names.count(_.startsWith("commit=")) === 1,
+      s"unreferenced crash-leftover commit dirs survived GC: $names")
+  }
+
+  test("DurableState: two interleaved committers of one batchId — exactly one wins, the loser THROWS, state is never torn (r17 directive 5)") {
+    import spark.implicits._
+    val dir = tmp("graft-race")
+    val a = new DurableState(spark, dir)
+    val b = new DurableState(spark, dir)
+    a.commit(0L, Map("s" -> Seq((1L, "base")).toDF("k", "v")))
+    // B passes its redelivery check, writes its segments and tmp, and
+    // THEN (inside its pre-flip window) A commits the same batch —
+    // the zombie-driver-vs-replacement interleaving
+    b.beforeFlip = () => {
+      b.beforeFlip = () => () // A must flip for real, once
+      a.commit(1L, Map("s" -> Seq((2L, "winner")).toDF("k", "v")))
+    }
+    val e = intercept[IllegalStateException] {
+      b.commit(1L, Map("s" -> Seq((2L, "loser")).toDF("k", "v")))
+    }
+    assert(e.getMessage.contains("conflicting committer"),
+      s"loser failed for the wrong reason: ${e.getMessage}")
+    // the winner's state is visible and untorn, through a fresh handle
+    val re = new DurableState(spark, dir)
+    assert(re.committed === Some((1L, 2L)))
+    assert(re.loadAll()("s").collect().map(_.toSeq).toSeq === Seq(Seq(2L, "winner")),
+      "the losing committer's data leaked into committed state")
+    // and the next commit GCs the loser's unreferenced segments
+    re.commit(2L, Map("s" -> Seq((3L, "next")).toDF("k", "v")))
+    val names = new java.io.File(dir).list().toSet
+    assert(names.count(_.startsWith("commit=")) === 1,
+      s"the losing attempt's segment dir survived GC: $names")
+  }
+
   test("DurableState: a crash between flip and GC (two manifests) resolves to the max version") {
     import spark.implicits._
     val dir = tmp("graft-twoman")
@@ -148,14 +215,19 @@ class StreamingRecoverySpec extends SparkSuite {
     val store = new DurableState(spark, dir)
     store.commitDelta(0L, Map("f" -> Seq(1L).toDF("v")), compactEvery = 3)
     store.commitDelta(1L, Map("f" -> Seq(2L).toDF("v")), compactEvery = 3)
-    assert(store.segments("f") === Seq("commit=0/f", "commit=1/f"),
+    // segment dirs carry a per-attempt nonce (r18's conflict-detection
+    // layout) — assert on the batch prefix
+    def segBatches(name: String): Seq[String] =
+      store.segments(name).map(_.takeWhile(_ != '-'))
+    assert(segBatches("f") === Seq("commit=0", "commit=1"),
       "two deltas under the cadence stay separate segments")
     // third delta hits the cadence: the commit rewrites the union as ONE segment
     store.commitDelta(2L, Map("f" -> Seq(3L).toDF("v")), compactEvery = 3)
-    assert(store.segments("f") === Seq("commit=2/f"))
+    assert(segBatches("f") === Seq("commit=2"))
     assert(store.loadAll()("f").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
       "compaction must preserve the union")
-    val dirs = new java.io.File(dir).list().filter(_.startsWith("commit=")).toSet
+    val dirs = new java.io.File(dir).list().filter(_.startsWith("commit="))
+      .map(_.takeWhile(_ != '-')).toSet
     assert(dirs === Set("commit=2"), s"stale delta dirs must be GC'd, got $dirs")
   }
 
@@ -166,7 +238,11 @@ class StreamingRecoverySpec extends SparkSuite {
     def batch(day: String, lo: Long) =
       spark.range(lo, lo + 50000L).select(lit(day).as("day"), col("id").as("user_id"))
     def commitBytes(id: Long): Long = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/commit=$id")
+      // nonce'd dir layout: resolve commit=<id>-<nonce> by prefix
+      val d = new java.io.File(dir).list()
+        .find(n => n == s"commit=$id" || n.startsWith(s"commit=$id-"))
+        .getOrElse(fail(s"no commit dir for batch $id"))
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$d")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
     }
@@ -211,7 +287,7 @@ class StreamingRecoverySpec extends SparkSuite {
     // but version 1 still lists commit=0/f + commit=1/f — retention GC
     // must keep those dirs alive for the as-of read.
     store.commitDelta(2L, Map("f" -> Seq(3L).toDF("v")), compactEvery = 3)
-    assert(store.segments("f") === Seq("commit=2/f"))
+    assert(store.segments("f").map(_.takeWhile(_ != '-')) === Seq("commit=2"))
     assert(store.asOf(1L)("f").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
       "pre-compaction segments must stay readable while a retained manifest lists them")
     assert(store.asOf(2L)("f").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
