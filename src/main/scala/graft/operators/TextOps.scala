@@ -123,6 +123,57 @@ object TextOps {
       regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
         PhoneRe, "[PHONE]"))
 
+  // t24 (below, registered beside t5): the scrub extended with IPv4
+  // and credit-card detection — round-17 VERDICT directive 6. Cards
+  // are NOT a regex class: a 16-digit run is only PII when its Luhn
+  // checksum holds (the published card-number check digit), so the
+  // scrub extracts candidates by regex and gates each through
+  // [[luhnValid16]] — pure integer arithmetic (c16's discipline), so
+  // the DuckDB twin replays digit-for-digit and near-miss numbers
+  // (one digit off) provably survive unmasked (PiiSpec plants them).
+  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val CardRe = "[0-9]{16}"
+
+  /** Luhn checksum validity of a 16-digit candidate string: from the
+    * right, every second digit doubles (minus 9 when >9); the sum must
+    * be ≡ 0 mod 10. Position i (1-based, left-to-right) doubles iff
+    * (16−i) is odd. Pure integer arithmetic over ascii codes. */
+  def luhnValid16(c: Column): Column =
+    (aggregate(
+      transform(sequence(lit(1), lit(16)), i => {
+        val d = ascii(c.substr(i, lit(1))) - 48
+        val v = when((lit(16) - i) % 2 === 1, d * 2).otherwise(d)
+        when(v > 9, v - 9).otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x) % 10) === 0
+
+  /** Luhn sum of a 15-digit prefix as the leftmost digits of a
+    * 16-digit number (position i doubles iff i is odd) — the check
+    * digit is then (10 − sum mod 10) mod 10. Used by t24's planted
+    * generator; a card issuer computes the same. */
+  def luhnSum15(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(15)), i => {
+        val d = ascii(c.substr(i, lit(1))) - 48
+        val v = when(i % 2 === 1, d * 2).otherwise(d)
+        when(v > 9, v - 9).otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+
+  /** Library API: the full scrub — emails, phones, IPv4 addresses,
+    * and Luhn-VALID 16-digit card numbers (candidates failing the
+    * checksum are not PII and stay). Map-only: regex masks plus one
+    * extract-filter-fold per row for the card class. */
+  def redactPiiFull(df: DataFrame, textCol: String): DataFrame = {
+    val ipMasked = regexp_replace(
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      IpRe, "[IP]")
+    val cards = filter(regexp_extract_all(ipMasked, lit(CardRe), lit(0)), luhnValid16 _)
+    df.withColumn(textCol,
+      aggregate(cards, ipMasked, (acc, c) => replace(acc, c, lit("[CARD]"))))
+  }
+
   def t5(s: SparkSession, dir: String): DataFrame = {
     val seeded = Tables.documents(s, dir).withColumn("t",
       concat(col("text"), lit(" contact user"), col("doc_id"),
@@ -152,6 +203,94 @@ object TextOps {
        |  redacted
        |FROM red
        |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t24: the FULL PII scrub — t5's email/phone classes plus IPv4 and
+  // Luhn-gated credit-card numbers (round-17 VERDICT directive 6).
+  // Plants per doc: t5's email/phone, a deterministic 10.x.y.z
+  // address, a VALID 16-digit card (15 deterministic digits + the
+  // computed Luhn check digit — the generator computes it exactly the
+  // way an issuer does), and a NEAR-MISS card (check digit +1 mod 10 —
+  // guaranteed Luhn-invalid) that the scrub must LEAVE IN PLACE: a
+  // digit run is only card PII when the published checksum holds, and
+  // a regex-only scrub would false-positive order ids / timestamps.
+  // Counts + the redacted text gate all four mask classes AND the
+  // near-miss survival (its 16 digits stay in `redacted`, so a scrub
+  // that masks checksum-invalid runs flips the hash). All integer
+  // arithmetic — both engines derive the identical check digit.
+  def t24(s: SparkSession, dir: String): DataFrame = {
+    val base15 = concat(lit("4"),
+      lpad((col("doc_id") % 100000000L).cast("string"), 8, "0"), lit("123456"))
+    val check = (lit(10) - luhnSum15(base15) % 10) % 10
+    val seeded = Tables.documents(s, dir).withColumn("t",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), expr("(doc_id div 7) % 256").cast("string"),
+        lit("."), expr("(doc_id div 49) % 256").cast("string"),
+        lit(" card "), base15, check.cast("string"),
+        lit(" ref "), base15, ((check + 1) % 10).cast("string")))
+    redactPiiFull(seeded, "t")
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit("\\[EMAIL\\]")).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit("\\[PHONE\\]")).cast("long").as("n_phones"),
+        regexp_count(col("t"), lit("\\[IP\\]")).cast("long").as("n_ips"),
+        regexp_count(col("t"), lit("\\[CARD\\]")).cast("long").as("n_cards"),
+        col("t").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t24Sql: String = {
+    def luhnDigit(pos: String, doubled: String) =
+      s"""CASE WHEN $doubled THEN
+         |  CASE WHEN (ascii(substr(c, $pos, 1)) - 48) * 2 > 9
+         |    THEN (ascii(substr(c, $pos, 1)) - 48) * 2 - 9
+         |    ELSE (ascii(substr(c, $pos, 1)) - 48) * 2 END
+         |ELSE ascii(substr(c, $pos, 1)) - 48 END""".stripMargin.replace("\n", " ")
+    val sum15 = s"list_sum(list_transform(generate_series(1, 15), i -> ${
+      luhnDigit("i", "i % 2 = 1")}))"
+    val valid16 = s"list_sum(list_transform(generate_series(1, 16), i -> ${
+      luhnDigit("i", "(16 - i) % 2 = 1")})) % 10 = 0"
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') || '123456' AS b15
+       |  FROM documents),
+       |ck AS (
+       |  SELECT doc_id, text, b15,
+       |    (10 - (SELECT $sum15 FROM (SELECT b15 AS c)) % 10) % 10 AS chk
+       |  FROM b),
+       |seeded AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or 555-123-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |    ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) ||
+       |    '.' || ((doc_id // 49) % 256) ||
+       |    ' card ' || b15 || chk || ' ref ' || b15 || ((chk + 1) % 10) AS t
+       |  FROM ck),
+       |m AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'),
+       |      '$IpRe', '[IP]', 'g') AS t3
+       |  FROM seeded),
+       |red AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(t3,
+       |      list_filter(regexp_extract_all(t3, '$CardRe'),
+       |        c -> $valid16)),
+       |      (acc, x) -> replace(acc, x, '[CARD]')) AS redacted
+       |  FROM m)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(redacted, '\\[EMAIL\\]')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(redacted, '\\[PHONE\\]')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(redacted, '\\[IP\\]')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(redacted, '\\[CARD\\]')) AS BIGINT) AS n_cards,
+       |  redacted
+       |FROM red
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // t6: text normalization — casefold + whitespace collapse + trim,
@@ -1380,6 +1519,7 @@ object TextOps {
        |ORDER BY source""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_pii_full" -> (t24 _),
     "t23_zipf_audit" -> (t23 _),
     "t22_bpe_drift" -> (t22 _),
     "t21_shuffle_shards" -> (t21 _),
@@ -1400,6 +1540,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t24_pii_full" -> t24Sql,
     "t23_zipf_audit" -> t23Sql,
     "t22_bpe_drift" -> t22Sql,
     "t21_shuffle_shards" -> t21Sql,
