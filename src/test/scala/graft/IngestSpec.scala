@@ -407,4 +407,42 @@ class IngestSpec extends SparkSuite {
     // And the real regenerated testdata still loads + filters:
     assert(Tables.events(spark, sf).where(col("ts").isNotNull).count() > 0)
   }
+
+  test("readMerges: standard merges.txt (header + rank order) drives t22's BPE fold (r17 directive 7)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // a planted REAL-FORMAT file: the '#version' header every
+    // published tokenizer release carries, blank lines, and the first
+    // rules of TextOps.DefaultMerges plus a multi-char composed rule —
+    // rank = line order
+    val dir = java.nio.file.Files.createTempDirectory("graft-merges")
+    val f = dir.resolve("merges.txt")
+    java.nio.file.Files.writeString(f,
+      "#version: 0.2\nt h\nth e\ni n\n\na n\ne r\nan d\n")
+    val loaded = Ingest.readMerges(spark, f.toString)
+    assert(loaded === Seq("t" -> "h", "th" -> "e", "i" -> "n",
+      "a" -> "n", "e" -> "r", "an" -> "d"),
+      "header/blank-line handling or rank order broke")
+    // the loaded table drives the SAME compiled fold t22 runs: counts
+    // from the file equal counts from the identical in-code table
+    val texts = Seq("the andante band in another era", "than then the end")
+      .toDF("text")
+    val viaFile = texts.select(TextOps.bpeTokenCount(col("text"), loaded).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaCode = texts.select(TextOps.bpeTokenCount(col("text"),
+        Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "an" -> "d")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaFile === viaCode)
+    // rank order MATTERS and the loader preserved it: 'th e' can only
+    // fire after 't h' created 'th' — "the" folds to ONE symbol
+    val one = Seq("the").toDF("text")
+      .select(TextOps.bpeTokenCount(col("text"), loaded)).head().getLong(0)
+    assert(one === 1L, s"'the' folded to $one symbols — rank order lost")
+    // a malformed rule fails fast with its line number, never a
+    // silently dropped rule (that would shift every downstream count)
+    val bad = dir.resolve("bad.txt")
+    java.nio.file.Files.writeString(bad, "#version: 0.2\nt h\nx y z\n")
+    val e = intercept[IllegalArgumentException](Ingest.readMerges(spark, bad.toString))
+    assert(e.getMessage.contains(":3:"), e.getMessage)
+  }
 }
