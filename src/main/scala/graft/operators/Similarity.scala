@@ -911,11 +911,23 @@ object Similarity {
   /** Shared by the composed and fused PQ paths: L2-normalize the
     * (id, embedding) frame to (idc, ne) doubles, dropping zero-norm
     * rows (s9's guard). */
-  private def pqNormed(df: DataFrame, idc: String): DataFrame = df
-    .select(col("id").as(idc), col("embedding"), norm(col("embedding")).as("__n"))
-    .filter(col("__n") > 0)
-    .select(col(idc), transform(col("embedding"),
-      x => x.cast("double") / col("__n")).as("ne"))
+  /** Unit-normalize to `ne`, dropping zero-norm vectors. Prefers the
+    * fused codegen'd [[graft.plans.UnitNormExpr]] when the session has
+    * GraftExtensions (the interpreted higher-order fold walks every
+    * element through a lambda expression tree — measured ~7.7 s per
+    * 20k×64d materialization on s18's training path, vs milliseconds
+    * fused); both compute the identical double sequence, so the choice
+    * is invisible to the oracle. */
+  private def pqNormed(df: DataFrame, idc: String): DataFrame =
+    if (df.sparkSession.catalog.functionExists("graft_unitnorm"))
+      df.select(col("id").as(idc),
+          call_function("graft_unitnorm", col("embedding")).as("ne"))
+        .filter(col("ne").isNotNull)
+    else df
+      .select(col("id").as(idc), col("embedding"), norm(col("embedding")).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idc), transform(col("embedding"),
+        x => x.cast("double") / col("__n")).as("ne"))
 
   /** Shared PQ rerank tail: exact cosine over the coarse survivors,
     * top-k with cand_id tiebreak. */
@@ -1192,12 +1204,32 @@ object Similarity {
   // m·k-row codebook + a max_by-class per-(id,s) reduction + a
   // (s,cid,pos)-grain mean (all map-side combinable; no corpus-grain
   // window), cutLineage between iterations (d17's rule). The codebook
-  // collect is m·k rows — the documented O(1)-driver class. At 100 TB
-  // the training input is a SAMPLE (PQ codebooks are distribution
-  // estimates; d18's AuditCap argument) while the ENCODE pass — the
-  // fused expression scan — stays full-corpus and codegen'd.
+  // collect is m·k rows — the documented O(1)-driver class. The
+  // training input IS a sample — the [[PqTrainSampleCap]]
+  // smallest-seedHash vectors, executed in trainPqCodebooks and
+  // replayed by the twin's `tr` rank-filter CTE (PQ codebooks are
+  // distribution estimates; d18's AuditCap argument) — while the
+  // ENCODE pass — the fused expression scan — stays full-corpus and
+  // codegen'd.
   val PqLearnIters = 2
   val PqLearnK = 16
+
+  /** Training-sample cap for [[trainPqCodebooks]]: the m·k codewords
+    * are DISTRIBUTION estimates, not per-row state — at 100 TB you
+    * train them on a sample and encode the full corpus (the d18
+    * AuditCap argument, here EXECUTED rather than documented: the
+    * sample is the `cap` smallest-seedHash vectors via orderBy+limit
+    * — TakeOrderedAndProject, one O(N) scan with per-partition heaps,
+    * no full sort — so it is deterministic, portable, and replayable
+    * in the oracle as a row_number()-over-(hash,id) rank filter). At
+    * the gated SFs (corpus ≤ 1 984 vectors) the cap does not bind, so
+    * s18's oracle results are unchanged; at ×10/×100 it pins the
+    * training cost constant while the encode/audit passes stay
+    * full-corpus. 4 096 ≥ 16 codewords × 16 subvectors × 16× slack
+    * per cell — k-means estimate error at n samples is O(1/√n_cell);
+    * ~256 samples/cell holds the codeword jitter under the ADC
+    * quantization step. */
+  val PqTrainSampleCap = 4096
 
   /** Library API: per-subspace SPHERICAL k-means codebooks for PQ.
     * Returns (s, cid, cw: array<double>) — m·k rows, cid dense 0..k−1
@@ -1228,8 +1260,15 @@ object Similarity {
     * stand-in, iters=2 is the knee. SimilaritySpec pins learned >
     * stand-in on that split. */
   def trainPqCodebooks(corpus: DataFrame, m: Int, subDim: Int, k: Int,
-      iters: Int, seedHash: Column => Column): DataFrame = {
+      iters: Int, seedHash: Column => Column,
+      sampleCap: Int = PqTrainSampleCap): DataFrame = {
+    // the `sampleCap` smallest-hash vectors (ties → smaller id):
+    // supersedes nothing at the gated SFs (corpus < cap ⇒ identity),
+    // bounds every training frame at scale ([[PqTrainSampleCap]])
     val normed = pqNormed(corpus, "id")
+      .withColumn("__h", seedHash(col("id")))
+      .orderBy(col("__h"), col("id")).limit(sampleCap)
+      .drop("__h")
     // unit-normalize an array<double> column; null when the norm is 0
     // (the caller's coalesce then retains the previous codeword)
     def unit(a: Column): Column = {
@@ -1357,7 +1396,7 @@ object Similarity {
          |    SELECT v.id, v.s, c.cid, v.sv,
          |      row_number() OVER (PARTITION BY v.id, v.s
          |        ORDER BY $asgD ASC, c.cid) AS rk
-         |    FROM sv v JOIN cents${n - 1} c ON c.s = v.s) WHERE rk = 1),
+         |    FROM tsv v JOIN cents${n - 1} c ON c.s = v.s) WHERE rk = 1),
          |means$n AS (
          |  SELECT s, cid, ${unitSql("mcw")} AS mcw FROM (
          |    SELECT s, cid, list(mv ORDER BY pos) AS mcw FROM (
@@ -1382,6 +1421,15 @@ object Similarity {
        |sv AS (
        |  SELECT id, s, ${sub("ne", "s")} AS sv
        |  FROM corpus, (VALUES $subsVals) sub(s)),
+       |tr AS (
+       |  SELECT id, ne FROM (
+       |    SELECT id, ne,
+       |      row_number() OVER (ORDER BY (id * 48271 + 11) % $P, id) AS hrk
+       |    FROM corpus)
+       |  WHERE hrk <= $PqTrainSampleCap),
+       |tsv AS (
+       |  SELECT id, s, ${sub("ne", "s")} AS sv
+       |  FROM tr, (VALUES $subsVals) sub(s)),
        |seeds AS (
        |  SELECT cid, ne FROM (
        |    SELECT CAST(row_number() OVER (ORDER BY (id * 48271 + 11) % $P, id) - 1

@@ -41,6 +41,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarityExpr(coerce(children(0)), coerce(children(1)))
       }))
     e.injectFunction((
+      FunctionIdentifier("graft_unitnorm"),
+      new ExpressionInfo(classOf[UnitNormExpr].getName, "graft_unitnorm"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 1) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "graft_unitnorm",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+        import org.apache.spark.sql.types.{ArrayType, FloatType, NumericType}
+        def coerce(e: Expression): Expression =
+          if (!e.resolved) e
+          else e.dataType match {
+            case ArrayType(FloatType, _) => e
+            case ArrayType(_: NumericType, n) => Cast(e, ArrayType(FloatType, n))
+            case _ => e
+          }
+        UnitNormExpr(coerce(children(0)))
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[JaccardExpr].getName, "graft_jaccard"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -144,6 +144,33 @@ class SimilaritySpec extends SparkSuite {
     assert(f1.forall { case (k, v) => v == f2(k) }) // bit-identical, not approx
   }
 
+  test("custom graft_unitnorm expression is codegen'd, matches the fold bit-for-bit, and NULLs zero-norm vectors") {
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf).limit(50)
+    assert(spark.catalog.functionExists("graft_unitnorm"))
+    val fused = e.select(col("vec_id"),
+      org.apache.spark.sql.functions.call_function("graft_unitnorm", col("embedding")).as("ne"))
+    assert(fused.queryExecution.executedPlan.toString.contains("graft_unitnorm"))
+    // the historical interpreted fold: norm once, divide each element
+    val fold = e.select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("__n"))
+      .select(col("vec_id"), when(col("__n") > 0,
+        transform(col("embedding"), x => x.cast("double") / col("__n"))).as("ne"))
+    val f1 = fused.collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    val f2 = fold.collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(f1.keys == f2.keys)
+    assert(f1.forall { case (k, v) => v == f2(k) }) // bit-identical, not approx
+    // zero vector → NULL (the fold's filter(__n > 0) gate, as a value)
+    import spark.implicits._
+    val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(3f, 0f, 4f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.call_function("graft_unitnorm", col("embedding")).as("ne"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(z(1L).isEmpty, "zero-norm vector must normalize to NULL")
+    assert(z(2L).exists(_.asInstanceOf[scala.collection.Seq[Double]].toSeq == Seq(0.6, 0.0, 0.8)))
+  }
+
   test("mm3 samples every 10th frame") {
     val r = Multimodal.mm3(spark, sf)
     assert(r.filter(col("frame_idx") % 10 =!= 0).count() === 0)
@@ -712,5 +739,31 @@ class SimilaritySpec extends SparkSuite {
       Similarity.PqLearnK, 3, 24, 8, 8))
     assert(learned > standIn,
       s"learned codebook recall $learned/${ex.size} did not beat stand-in $standIn/${ex.size}")
+  }
+
+  test("s18 training-sample cap: capped training == training on the explicit smallest-hash subset, and the default cap is a no-op at gate SFs") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val seedHash = (id: org.apache.spark.sql.Column) =>
+      pmod(id * 48271L + 11L, lit(2147483647L))
+    val corpus = e.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("id"), col("embedding"))
+    def cb(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      Similarity.trainPqCodebooks(df, 8, 8, Similarity.PqLearnK,
+          Similarity.PqLearnIters, seedHash, sampleCap = cap).collect()
+        .map(r => (r.getAs[Int]("s"), r.getAs[Long]("cid")) -> r.getSeq[Double](2)).toMap
+    // the cap's CONTRACT: train(corpus, cap=50) is exactly
+    // train(the 50 smallest-(hash,id) vectors, uncapped) — the
+    // oracle twin's `tr` rank filter replays this same rank
+    val subset50 = corpus
+      .withColumn("__h", seedHash(col("id")))
+      .orderBy(col("__h"), col("id")).limit(50)
+      .drop("__h")
+    assert(cb(corpus, 50) === cb(subset50, Int.MaxValue),
+      "capped training diverged from the explicit smallest-hash subset")
+    // and the DEFAULT cap binds nowhere at the gated SFs (corpus is
+    // far under 4096 vectors) — s18's oracle results are cap-invariant
+    assert(cb(corpus, Similarity.PqTrainSampleCap) === cb(corpus, Int.MaxValue),
+      "default cap changed gate-SF training — it must be the identity there")
   }
 }
