@@ -1173,7 +1173,101 @@ object Upsert {
     * flips hit/rows_scanned), and n_total pins row invariance. */
   val i13Sql: String = zorderAuditSql(withTotal = true)
 
+  // -------------------------------------------------------------------
+  // i14: VACUUM EXECUTION — the third leg of table maintenance, after
+  // compaction (i9 plan → i11 apply) and clustering (i10 plan → i13
+  // apply): aging retained SNAPSHOT VERSIONS out of a versioned store
+  // and physically reclaiming the bytes (Delta VACUUM / Iceberg
+  // expire_snapshots re-expressed over DurableState's manifests).
+  // st22/st23 established the read side — retention keeps history
+  // resolvable for time travel; i14 executes the write side: a
+  // retain-3 upsert store (st22's exact fold over the same three
+  // time-sliced event batches, built in its OWN artifact because
+  // vacuum MUTATES the store) is vacuumed down to keepVersions = 1,
+  // and the registered probe reads all three versions back. The gate
+  // proves the flip in both directions: versions 0 and 1 must resolve
+  // to NOTHING (retained = false, null aggregates — a vacuum that
+  // leaves stale manifests readable fails), while the surviving head
+  // must carry EXACTLY the full-log fold (n_users / max_ms / the
+  // DECIMAL-summed value mass replayed by the oracle's window over the
+  // whole events table — a vacuum that deletes a segment the head
+  // still references flips them). The artifact build additionally
+  // requires (expired, reclaimed bytes) = (2, > 0): the bytes really
+  // left the disk, not just the manifest list. Scale shape: vacuum is
+  // manifest-list-bounded driver I/O plus per-directory deletes — no
+  // Spark job at all; the probe is three segment-bounded scans + one
+  // keyed window each, st22's cost class.
+  private def i14Sink(s: SparkSession, dir: String): graft.streaming.DurableSinks.DurableUpsertSink = {
+    val t1 = 1704931200000L // st12/st22's slice boundaries
+    val t2 = 1705795200000L
+    // compactEvery = 3: the THIRD commit compacts the union into one
+    // fresh segment, so versions 0/1 are the only references to the
+    // delta segments — exactly the lakehouse coupling (compaction
+    // supersedes files, vacuum removes them). Without a compaction a
+    // delta store's head references every segment and vacuum correctly
+    // reclaims nothing (asserted by the UpsertSpec property).
+    def mk(d: String) = new graft.streaming.DurableSinks.DurableUpsertSink(
+      s, d, Seq("user_id"), Seq(col("ms"), col("event_id")),
+      retainVersions = 3, compactEvery = 3)
+    val storeDir = graft.Artifacts.cachedTempDir(s"i14:$dir") { d =>
+      val log = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), unix_millis(col("ts")).as("ms"))
+      val sink = mk(d)
+      Seq(log.filter(col("ms") < t1),
+        log.filter(col("ms") >= t1 && col("ms") < t2),
+        log.filter(col("ms") >= t2))
+        .zipWithIndex.foreach { case (b, i) => sink.apply(b, i.toLong) }
+      val (expired, reclaimed) = sink.vacuum(keepVersions = 1)
+      require(expired == 2 && reclaimed > 0L,
+        s"i14 vacuum: expected 2 expired versions reclaiming > 0 bytes, got ($expired, $reclaimed)")
+    }
+    mk(storeDir)
+  }
+
+  def i14(s: SparkSession, dir: String): DataFrame = {
+    val sink = i14Sink(s, dir)
+    val probes = (0L to 2L).map { v =>
+      sink.snapshotAsOf(v) match {
+        case Some(snap) =>
+          snap.agg(count(lit(1)).as("n_users"), max(col("ms")).as("max_ms"),
+              sum(col("value").cast("decimal(28,12)")).cast("double").as("val_sum"))
+            .select(lit(v).as("version"), lit(true).as("retained"),
+              col("n_users"), col("max_ms"), col("val_sum"))
+        case None =>
+          s.range(1).toDF().select(lit(v).as("version"), lit(false).as("retained"),
+            lit(null).cast("long").as("n_users"), lit(null).cast("long").as("max_ms"),
+            lit(null).cast("double").as("val_sum"))
+      }
+    }
+    probes.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  /** DuckDB twin: the expired rows are CONSTANTS (retained = false,
+    * null aggregates — any resolvable state on versions 0/1 breaks the
+    * hash), and the survivor row is the full-log latest-per-user fold
+    * (st22's window, no time filter) aggregated with the decimal-sum
+    * discipline. */
+  val i14Sql: String =
+    """WITH snap AS (
+      |  SELECT user_id, value, ms FROM (
+      |    SELECT user_id, value, epoch_ms(ts) AS ms,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(max(ms) AS BIGINT) AS max_ms,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS val_sum
+      |  FROM snap)
+      |SELECT CAST(t.v AS BIGINT) AS version, t.v = 2 AS retained,
+      |  CASE WHEN t.v = 2 THEN a.n_users END AS n_users,
+      |  CASE WHEN t.v = 2 THEN a.max_ms END AS max_ms,
+      |  CASE WHEN t.v = 2 THEN a.val_sum END AS val_sum
+      |FROM (VALUES (0), (1), (2)) t(v) CROSS JOIN agg a
+      |ORDER BY version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i14_vacuum_apply" -> (i14 _),
     "i13_zorder_apply" -> (i13 _),
     "i12_schema_merge" -> (i12 _),
     "i11_compaction_apply" -> (i11 _),
@@ -1189,6 +1283,7 @@ object Upsert {
     "i6_inc_distinct" -> (i6 _))
 
   def oracles: Map[String, String] = Map(
+    "i14_vacuum_apply" -> i14Sql, // expired rows constant-null, survivor == full-log fold
     "i13_zorder_apply" -> i13Sql, // plan SQL + n_total: written == planned
     "i12_schema_merge" -> i12Sql,
     "i11_compaction_apply" -> i11Sql,

@@ -305,25 +305,75 @@ class DurableState(spark: SparkSession, dir: String,
     versions.drop(keep).foreach(v => fs.delete(manifestPath(v), false))
     val retainedSegs = liveSegs ++
       versions.slice(1, keep).flatMap(v => readManifest(v)._3.map(_._2))
-    val liveDirs = retainedSegs.map(_.split("/")(0))
-    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
+    sweepUnreferenced(batchId, retainedSegs.map(_.split("/")(0))): Unit
+  }
+
+  /** Delete `commit=` dirs no retained manifest references and dead
+    * temp manifests; returns bytes reclaimed. Only PAST-or-current
+    * batches are touched: a pipelined committer may be writing a LATER
+    * batch's segments right now — its dir is unreferenced until its
+    * flip and must survive this sweep. Shared by the post-commit [[gc]]
+    * and the out-of-band [[vacuum]]. */
+  private def sweepUnreferenced(batchId: Long, liveDirs: Set[String]): Long = {
+    var reclaimed = 0L
+    fs.listStatus(root).toSeq.foreach { st =>
+      val p = st.getPath
       val n = p.getName
-      // unreferenced dirs of PAST-or-current batches only: a pipelined
-      // committer may be writing a LATER batch's segments right now —
-      // its dir is unreferenced until its flip and must survive this gc
       def pastBatch(idStr: String): Boolean =
         idStr.nonEmpty && idStr.length <= 18 && idStr.toLong <= batchId
       if (n.startsWith("commit=") && !liveDirs.contains(n) &&
-          pastBatch(n.stripPrefix("commit=").takeWhile(_.isDigit)))
+          pastBatch(n.stripPrefix("commit=").takeWhile(_.isDigit))) {
+        reclaimed += fs.getContentSummary(p).getLength
         fs.delete(p, true)
-      else if (n.startsWith(TmpPrefix)) {
+      } else if (n.startsWith(TmpPrefix)) {
         // same past-batches-only rule: a same-or-earlier-batch tmp is
         // a crash leftover or a conflict loser — both dead; a later
         // batch's in-flight tmp must survive
-        if (pastBatch(n.stripPrefix(TmpPrefix).takeWhile(_.isDigit)))
+        if (pastBatch(n.stripPrefix(TmpPrefix).takeWhile(_.isDigit))) {
+          reclaimed += st.getLen
           fs.delete(p, false)
+        }
       }
     }
+    reclaimed
+  }
+
+  /** VACUUM — the out-of-band retention shrink (Delta `VACUUM` /
+    * Iceberg `expire_snapshots` re-expressed over the versioned
+    * manifests): expire every committed version beyond the newest
+    * `keepVersions`, then physically delete the segment directories no
+    * retained manifest references. The post-commit [[gc]] already
+    * enforces the CONSTRUCTION-time window on every commit; vacuum is
+    * the maintenance half — a store built wide for history reads
+    * (retainVersions = N) reclaims the bytes WITHOUT waiting for (or
+    * running) another commit, exactly how a lakehouse ages snapshots
+    * out on a schedule independent of the write path.
+    *
+    * Crash order: expired MANIFESTS are deleted FIRST — once a version
+    * is unresolvable no reader can re-reference its segments — and the
+    * segment sweep runs second, so a crash between the phases leaves
+    * unreferenced (harmless) dirs that the next vacuum or commit GC
+    * removes; at every instant the retained versions stay fully
+    * readable ([[gc]]'s invariant). Idempotent: a second vacuum at the
+    * same width finds nothing to expire and reclaims 0 bytes.
+    *
+    * Returns (versions expired, bytes reclaimed). Read-only probes of
+    * expired versions ([[asOf]]) return empty from then on — the
+    * registered i14 key gates exactly that flip plus the survivor's
+    * content. */
+  def vacuum(keepVersions: Int): (Int, Long) = {
+    val versions = manifestVersions
+    if (versions.isEmpty) return (0, 0L)
+    val keep = keepVersions max 1
+    val expired = versions.drop(keep)
+    // resolve retained segment lists BEFORE any deletion (the sweep
+    // must never see a half-derived live set)
+    val retainedSegs =
+      versions.take(keep).flatMap(v => readManifest(v)._3.map(_._2)).toSet
+    expired.foreach(v => fs.delete(manifestPath(v), false))
+    val reclaimed =
+      sweepUnreferenced(versions.head, retainedSegs.map(_.split("/")(0)))
+    (expired.size, reclaimed)
   }
 }
 
@@ -361,14 +411,15 @@ object DurableSinks {
     * read paths. */
   class DurableUpsertSink(spark: SparkSession, dir: String,
       keys: Seq[String], ordering: Seq[org.apache.spark.sql.Column],
-      retainVersions: Int = 1) {
+      retainVersions: Int = 1,
+      compactEvery: Int = DurableState.DefaultCompactEvery) {
     import graft.operators.Upsert
     private val store = new DurableState(spark, dir, retainVersions)
     private val latest = (df: DataFrame) => Upsert.latestSnapshot(df, keys, ordering)
     def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (store.alreadyApplied(batchId)) return
       store.commitDelta(batchId, Map("snap" -> latest(batch)),
-        reduce = Map("snap" -> latest))
+        compactEvery = compactEvery, reduce = Map("snap" -> latest))
     }
     def snapshot: Option[DataFrame] = store.loadAll().get("snap").map(latest)
     /** TIME TRAVEL (st22): the latest-per-key snapshot as of
@@ -377,6 +428,9 @@ object DurableSinks {
       * the version out (or the store never reached it). */
     def snapshotAsOf(batchId: Long): Option[DataFrame] =
       store.asOf(batchId).get("snap").map(latest)
+    /** VACUUM (i14): shrink this store's retained-version window and
+      * reclaim the expired segments' bytes — [[DurableState.vacuum]]. */
+    def vacuum(keepVersions: Int): (Int, Long) = store.vacuum(keepVersions)
   }
 
   /** st14's RollupSink. Whole-frame: state is O(groups). */

@@ -558,4 +558,53 @@ class UpsertSpec extends SparkSuite {
     assert(scanned(zFiles) < scanned(lFiles),
       s"z-order scanned ${scanned(zFiles)} rows vs linear ${scanned(lFiles)}")
   }
+
+  test("i14 vacuum: delta-only store reclaims 0 bytes, compacted store reclaims > 0, expired versions flip to None, survivor content exact, idempotent") {
+    import graft.streaming.DurableSinks.DurableUpsertSink
+    import spark.implicits._
+    def batches = Seq(
+      Seq((1L, 10L, 1.0), (2L, 11L, 2.0)),
+      Seq((1L, 20L, 3.0), (3L, 21L, 4.0)),
+      Seq((2L, 30L, 5.0), (4L, 31L, 6.0)))
+    def build(dir: String, compactEvery: Int): DurableUpsertSink = {
+      val sink = new DurableUpsertSink(spark, dir, Seq("user_id"),
+        Seq(col("ms"), col("event_id")), retainVersions = 3,
+        compactEvery = compactEvery)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        sink.apply(b.toDF("user_id", "ms", "value")
+          .withColumn("event_id", col("ms")), i.toLong)
+      }
+      sink
+    }
+    def rows(df: DataFrame) =
+      df.select(col("user_id"), col("ms"), col("value"))
+        .orderBy(col("user_id")).collect().map(_.toSeq).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft-vac").toString
+
+    // delta-only store: the head references EVERY segment, so vacuum
+    // expires history but must reclaim nothing (and delete nothing)
+    val deltaOnly = build(s"$base/delta", compactEvery = 99)
+    val (e0, b0) = deltaOnly.vacuum(keepVersions = 1)
+    assert(e0 === 2 && b0 === 0L,
+      s"delta-only vacuum must reclaim 0 bytes, got ($e0, $b0)")
+    assert(deltaOnly.snapshotAsOf(2L).isDefined)
+
+    // compacted store: commit 2 compacts, so versions 0/1 are the only
+    // references to the delta segments — vacuum reclaims them
+    val sink = build(s"$base/comp", compactEvery = 3)
+    val before = rows(sink.snapshotAsOf(2L).get)
+    assert(sink.snapshotAsOf(0L).isDefined && sink.snapshotAsOf(1L).isDefined)
+    val (e1, b1) = sink.vacuum(keepVersions = 1)
+    assert(e1 === 2 && b1 > 0L, s"expected 2 expired, bytes > 0; got ($e1, $b1)")
+    // expired versions resolve to nothing; the survivor is bit-exact
+    assert(sink.snapshotAsOf(0L).isEmpty && sink.snapshotAsOf(1L).isEmpty)
+    assert(rows(sink.snapshotAsOf(2L).get) === before)
+    // physical check: only the compacted commit dir remains on disk
+    val left = new java.io.File(s"$base/comp").listFiles.map(_.getName)
+      .filter(_.startsWith("commit=")).toSeq
+    assert(left.size === 1 && left.head.startsWith("commit=2"),
+      s"expected only commit=2's dir to survive, found $left")
+    // idempotent: nothing further to expire or reclaim
+    assert(sink.vacuum(keepVersions = 1) === ((0, 0L)))
+  }
 }
