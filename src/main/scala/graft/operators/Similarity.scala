@@ -1974,7 +1974,160 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // s19: HYBRID RETRIEVAL — BM25 lexical scoring fused with dense
+  // cosine ranking by Reciprocal Rank Fusion (Cormack/Clarke/Büttcher's
+  // rrf = Σ 1/(k + rank), k = 60), the standard two-tower retrieval
+  // stack a RAG or dedup-audit pipeline runs over a curated corpus:
+  // lexical recall catches exact terminology the embedding smooths
+  // over, dense recall catches paraphrase the lexicon misses, and rank
+  // fusion needs NO score calibration between the two (only ranks
+  // cross the boundary — which is also what makes it replayable
+  // cross-engine: ranks are integers).
+  //
+  // Queries are documents 0–4 IN BOTH MODALITIES (vec_id == doc_id in
+  // the corpus contract): the text feeds BM25, the embedding feeds
+  // cosine. Corpus = ids ≥ 16 (s18's split). BM25 (k1 = 1.2, b = 0.75,
+  // Lucene's +1-smoothed log idf re-based to log10 — t16's cross-engine
+  // log): query terms are the DISTINCT tokens (binary query tf — the
+  // short-query convention); per-term contributions are rounded 8dp
+  // and DECIMAL-summed so the per-(q, cand) score is addition-order
+  // free, then rounded 4dp BEFORE ranking (t16's discipline). Each
+  // side ranks its top-20; rrf = round(1/(60+lex) + 1/(60+vec), 6dp)
+  // over the outer-joined lists (a candidate on one list only scores
+  // that one reciprocal), ties → cand_id, top-5 per query.
+  //
+  // Scale shape: the lexical side is t16's cost class — tf at
+  // (doc, term) grain with map-side partial agg, df bounded by
+  // VOCABULARY (Heaps-sublinear), the 1-row stats scalar broadcast
+  // (q23's pattern), query terms broadcast into the term-keyed tf join
+  // (5 docs — metadata-sized); the dense side is s1's broadcast scan;
+  // the fusion joins two (|Q|·20)-row frames — driver-trivial at any
+  // corpus size. At 100 TB the dense side swaps to the IVF/PQ path
+  // (s5/s18) with rrf UNCHANGED — rank fusion is oblivious to how
+  // either list was produced.
+  private val RrfC = 60L
+  private val HybridDepth = 20
+  private val HybridTopK = 5
+
+  def s19(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+    // ---- lexical: BM25 over the corpus documents
+    val ctoks = docs.filter(col("doc_id") >= 16)
+      .select(col("doc_id").as("cand_id"), explode(tokens(col("text"))).as("term"))
+    val tf = ctoks.groupBy(col("cand_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy(col("cand_id")).agg(sum(col("tf")).as("dl"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val contrib = tf.join(broadcast(qterms), Seq("term"))
+      .join(dft, Seq("term"))
+      .join(dlen, Seq("cand_id"))
+      .crossJoin(broadcast(stats)) // provably 1 row
+      .withColumn("idf",
+        log10((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("c",
+        (col("idf") * (col("tf") * lit(2.2))) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val wL = Window.partitionBy(col("q_id")).orderBy(col("bm25").desc, col("cand_id"))
+    val lex = contrib.groupBy(col("q_id"), col("cand_id"))
+      .agg(round(sum(round(col("c"), 8).cast("decimal(20,10)")).cast("double"), 4).as("bm25"))
+      .withColumn("lex_rank", row_number().over(wL).cast("long"))
+      .filter(col("lex_rank") <= HybridDepth)
+    // ---- dense: s1's broadcast cosine scan, same depth
+    val vec = cosineTopK(
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding")),
+        e.filter(col("vec_id") >= 16).select(col("vec_id").as("id"), col("embedding")),
+        HybridDepth)
+      .select(col("q_id"), col("cand_id"), col("rk").as("vec_rank"))
+    // ---- fusion: reciprocal ranks, fixed lex-then-vec addition order
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("cand_id"))
+    lex.select(col("q_id"), col("cand_id"), col("lex_rank"))
+      .join(vec, Seq("q_id", "cand_id"), "outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfC) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("vec_rank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("q_id"), col("cand_id"), col("lex_rank"), col("vec_rank"),
+        col("rrf"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB twin: the same tf/df/dl/avgdl pipeline (t16's tokenizer),
+    * the same literal BM25 formula with 8dp-round + DECIMAL term sums,
+    * s1's cosine ranking at depth 20, and the same rounded rrf over a
+    * FULL OUTER join. */
+  val s19Sql: String = {
+    import graft.functions.TextFunctions.tokensSql
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""WITH ctoks AS (
+       |  SELECT doc_id AS cand_id, unnest(${tokensSql("text")}) AS term
+       |  FROM documents WHERE doc_id >= 16),
+       |tf AS (SELECT cand_id, term, count(*) AS tf FROM ctoks GROUP BY 1, 2),
+       |dlen AS (SELECT cand_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dlen),
+       |qterms AS (
+       |  SELECT DISTINCT q_id, term FROM (
+       |    SELECT doc_id AS q_id, unnest(${tokensSql("text")}) AS term
+       |    FROM documents WHERE doc_id < 5)),
+       |contrib AS (
+       |  SELECT q.q_id, t.cand_id,
+       |    (log10((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |      * (t.tf * 2.2))
+       |      / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+       |  FROM tf t
+       |  JOIN qterms q ON q.term = t.term
+       |  JOIN dft d ON d.term = t.term
+       |  JOIN dlen l ON l.cand_id = t.cand_id
+       |  CROSS JOIN stats s),
+       |lex AS (
+       |  SELECT q_id, cand_id, lex_rank FROM (
+       |    SELECT q_id, cand_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY bm25 DESC, cand_id) AS BIGINT) AS lex_rank
+       |    FROM (
+       |      SELECT q_id, cand_id,
+       |        round(CAST(SUM(CAST(round(c, 8) AS DECIMAL(20,10))) AS DOUBLE), 4) AS bm25
+       |      FROM contrib GROUP BY 1, 2))
+       |  WHERE lex_rank <= $HybridDepth),
+       |vpairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $cos AS cos
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < 5 AND c.vec_id >= 16),
+       |vec AS (
+       |  SELECT q_id, cand_id, vec_rank FROM (
+       |    SELECT q_id, cand_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, cand_id) AS BIGINT) AS vec_rank
+       |    FROM vpairs)
+       |  WHERE vec_rank <= $HybridDepth),
+       |fused AS (
+       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+       |    COALESCE(l.cand_id, v.cand_id) AS cand_id,
+       |    l.lex_rank, v.vec_rank,
+       |    round(COALESCE(1.0 / ($RrfC + l.lex_rank), 0.0)
+       |      + COALESCE(1.0 / ($RrfC + v.vec_rank), 0.0), 6) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON v.q_id = l.q_id AND v.cand_id = l.cand_id)
+       |SELECT q_id, cand_id, lex_rank, vec_rank, rrf, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, cand_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |WHERE rank <= $HybridTopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_rrf_hybrid" -> (s19 _),
     "s18_pq_learned" -> (s18 _),
     "s17_mmr_topk" -> (s17 _),
     "s16_pq_recall" -> (s16 _),
@@ -1992,6 +2145,7 @@ object Similarity {
     "s3_vector_stats" -> (s3 _), "s4_knn_classify" -> (s4 _), "s5_ivf_ann" -> (s5 _))
 
   def oracles: Map[String, String] = Map(
+    "s19_rrf_hybrid" -> s19Sql, // BM25 + cosine + rank fusion, all replayed
     "s18_pq_learned" -> s18Sql, // unrolled-training replay + s16's audit
     "s17_mmr_topk" -> s17Sql,
     "s16_pq_recall" -> s16Sql,

@@ -741,6 +741,49 @@ class SimilaritySpec extends SparkSuite {
       s"learned codebook recall $learned/${ex.size} did not beat stand-in $standIn/${ex.size}")
   }
 
+  test("s19 hybrid RRF: per-query top-5 with exact reciprocal-rank arithmetic, both modalities consulted, dual-list consensus wins") {
+    import graft.operators.Similarity
+    val out = Similarity.s19(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 5L),
+        s"query $q: ranks not 1..5")
+      // rrf is EXACTLY the recomputed reciprocal sum of the two ranks
+      rows.foreach { r =>
+        val l = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+        val v = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.toLong)
+        assert(l.isDefined || v.isDefined)
+        val want = BigDecimal(l.map(x => 1.0 / (60L + x)).getOrElse(0.0) +
+          v.map(x => 1.0 / (60L + x)).getOrElse(0.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("rrf") === want, s"query $q cand ${r.getLong(1)}")
+      }
+      // rrf non-increasing down the ranking
+      val rrfs = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("rrf"))
+      assert(rrfs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+    // the fusion genuinely consults BOTH lists: lex-only and vec-only
+    // survivors exist, and some dual-list candidate out-fuses a rank-1
+    // single-list one (1/(60+l) + 1/(60+v) > 1/61 whenever both ranks
+    // are on the list — consensus beats any single opinion)
+    def lexOnly(r: org.apache.spark.sql.Row) = r.get(3) == null && r.get(2) != null
+    def vecOnly(r: org.apache.spark.sql.Row) = r.get(2) == null && r.get(3) != null
+    def dual(r: org.apache.spark.sql.Row) = r.get(2) != null && r.get(3) != null
+    assert(out.exists(lexOnly) && out.exists(vecOnly), "one modality never surfaced")
+    assert(out.exists(dual), "no dual-list candidate at this SF")
+    // min dual rrf = 2/(60+20) = 0.025 > max single rrf = 1/61 — so
+    // within a query every dual-list survivor ranks above every
+    // single-list one
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      val firstSingle = sorted.indexWhere(r => !dual(r))
+      if (firstSingle >= 0)
+        assert(sorted.drop(firstSingle).forall(r => !dual(r)),
+          "a dual-list candidate ranked below a single-list one")
+    }
+  }
+
   test("s18 training-sample cap: capped training == training on the explicit smallest-hash subset, and the default cap is a no-op at gate SFs") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sf)
