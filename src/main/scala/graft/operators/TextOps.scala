@@ -293,6 +293,76 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // t25: CODE-vs-PROSE detection — the routing gate every pretraining
+  // curation pipeline runs before language-specific filters (code goes
+  // to a code pipeline with its own dedup/quality rules; prose goes to
+  // the Gopher/CCNet chain — misrouting poisons both). Heuristic, not
+  // learned: symbol density (chars from the {}();=<> class per million
+  // chars — integer ppm, c17's discipline) and a reserved-keyword
+  // count (\b-anchored alternation — def/class/import/return/const/
+  // var/function spans the mainstream languages' highest-frequency
+  // tokens); is_code = kw ≥ 6 AND sym_ppm ≥ 10 000 (two independent
+  // signals so neither a symbol-heavy table dump nor a prose sentence
+  // mentioning "class" alone misroutes). The corpus is pure prose
+  // (planted-signal audit: base text carries ZERO symbols/keywords),
+  // so docs with doc_id % 4 == 0 get a deterministic polyglot snippet
+  // appended (3 + doc_id % 3 repeats — length varies so sym_ppm is
+  // non-constant) and the gate proves the detector flags EXACTLY the
+  // planted set with the exact integer signals. Map-only: two
+  // regexp_count passes + integer arithmetic per row — t5's scale
+  // class, embarrassingly parallel, no shuffle before the
+  // oracle-ordering sort.
+  private val CodeSnip = " def load(x): return x + 1; import os; " +
+    "const y = {a: 1}; function g() { var z = (y < 2); }"
+  private val CodeSymRe = "[{}();=<>]"
+  private val CodeKwRe = "\\b(def|class|import|return|const|var|function)\\b"
+
+  /** Library API: per-row code signals + the routing flag over
+    * `textCol`. Two INDEPENDENT signals gate together: a symbol-heavy
+    * prose row (a table dump full of `=` and `;`) fails the keyword
+    * bar, a prose sentence mentioning `class`/`return` fails the
+    * symbol-density bar — only genuinely code-shaped text clears both
+    * (TextOpsSpec probes those adversarial rows). */
+  def codeSignals(df: DataFrame, textCol: String): DataFrame = df
+    .withColumn("n_chars", length(col(textCol)).cast("long"))
+    .withColumn("n_sym", regexp_count(col(textCol), lit(CodeSymRe)).cast("long"))
+    .withColumn("n_kw", regexp_count(col(textCol), lit(CodeKwRe)).cast("long"))
+    .withColumn("sym_ppm", expr("n_sym * 1000000 div n_chars"))
+    .withColumn("is_code", col("n_kw") >= 6L && col("sym_ppm") >= 10000L)
+
+  def t25(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.documents(s, dir).withColumn("t",
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          array_join(array_repeat(lit(CodeSnip),
+            (lit(3L) + col("doc_id") % 3L).cast("int")), ""))
+          .otherwise(lit(""))))
+    codeSignals(seeded, "t")
+      .select(col("doc_id"), col("n_chars"), col("n_sym"), col("n_kw"),
+        col("sym_ppm"), col("is_code"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: same plant (repeat of the literal snippet), same
+    * regex classes, same integer-ppm threshold rule. */
+  val t25Sql: String =
+    s"""WITH seeded AS (
+       |  SELECT doc_id, text || CASE WHEN doc_id % 4 = 0
+       |    THEN repeat('$CodeSnip', CAST(3 + doc_id % 3 AS INT))
+       |    ELSE '' END AS t
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+       |    CAST(len(regexp_extract_all(t, '$CodeSymRe')) AS BIGINT) AS n_sym,
+       |    CAST(len(regexp_extract_all(t, '$CodeKwRe')) AS BIGINT) AS n_kw
+       |  FROM seeded)
+       |SELECT doc_id, n_chars, n_sym, n_kw,
+       |  n_sym * 1000000 // n_chars AS sym_ppm,
+       |  (n_kw >= 6 AND n_sym * 1000000 // n_chars >= 10000) AS is_code
+       |FROM sig
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // t6: text normalization — casefold + whitespace collapse + trim,
   // the canonical pre-dedup normalization pass. The query first
   // roughens the text deterministically (leading spaces, tripled
@@ -1519,6 +1589,7 @@ object TextOps {
        |ORDER BY source""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_code_detect" -> (t25 _),
     "t24_pii_full" -> (t24 _),
     "t23_zipf_audit" -> (t23 _),
     "t22_bpe_drift" -> (t22 _),
@@ -1540,6 +1611,7 @@ object TextOps {
     "t8_unigram_logprob" -> (t8 _))
 
   def oracles: Map[String, String] = Map(
+    "t25_code_detect" -> t25Sql,
     "t24_pii_full" -> t24Sql,
     "t23_zipf_audit" -> t23Sql,
     "t22_bpe_drift" -> t22Sql,
