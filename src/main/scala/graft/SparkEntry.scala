@@ -11,7 +11,7 @@ import graft.operators._
   *
   * Family → implementation map:
   *  - q1–q46   operators/Relational.scala  (analytics core, custom as-of, cube, quantiles, salted join, range window, scalar subqueries, audience, anti-join, share-of-max, sole-failing-supplier, order histogram, min-cost supplier, funnel, global-fraction HAVING, dominant shippers, cohort retention, basket pairs, decorrelated HAVING semi-join, bucketed interval-overlap join, returned customers, late priority, supplier variety, profit rollup, market share, KMV distinct + overlap, Count-Min heavy hitters)
-  *  - c1–c19   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit/gap-fill/MAD outliers/Benford + amount audits/entropy profile)
+  *  - c1–c20   operators/Cleaning.scala    (impute/encode/clip/profile/type-infer/null-standardize/expectations/FK audit/gap-fill/MAD outliers/Benford + amount audits/entropy profile/FD audit)
   *  - m1–m30   operators/MLPrep.scala      (scale/split/balance/corr/metrics/SMOTE/stratified sample/domain mix ×2 (uniform + weighted)/quantile bin/target encode/feature hash/PSI drift/Welch t-test/AUC/calibration/chi-squared/mutual info/KS/learning curve/bootstrap CI/Mann-Whitney U)
   *  - t1–t25   operators/TextOps.scala     (tokens/quality/lang-id/fingerprint/redact/normalize/n-grams/unigram LM/repetition/corpus report/langid confusion/seq packing/token budget/ppl buckets/Gopher gate/TF-IDF; t17-t19 gate the threshold/sharded scale paths directly, t20 trained-classifier audit, t21 shuffle+shards, t22 BPE drift, t23 Zipf fit, t24 full PII scrub with Luhn-gated cards, t25 code-vs-prose routing)
   *  - d1–d19   operators/Dedup.scala       (exact/jaccard/minhash/simhash/embedding/decontaminate/clusters/span dedup/sketch audit/novelty/semantic dedup/span scrub/incremental near-dup/cross-source matrix/learned-codebook semantic dedup/leakage split/sized-k ANN dedup/ANN-assignment recall audit/bloom-prefilter FP audit)

@@ -882,7 +882,80 @@ object Cleaning {
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  // -------------------------------------------------------------------
+  // c20: FUNCTIONAL-DEPENDENCY audit — does lhs → rhs hold, and how
+  // badly is it violated when it doesn't? The schema-discovery signal
+  // a profiler (c1/c19) and an FK audit (c13) both stop short of: FDs
+  // say which columns are determined by which (candidate keys,
+  // denormalization damage, "is this column safe to drop after a
+  // join"). Measure = the g3 repair metric from the FD-discovery
+  // literature (TANE's error): the minimum number of rows you must
+  // change for the FD to hold = n − Σ_lhs max_rhs count(lhs, rhs),
+  // reported as integer ppm (c17's discipline) with holds = (viol ==
+  // 0). Five audited pairs span the spectrum: a true FD (nation key →
+  // region), its heavily-violated inverse, and three real-shape
+  // non-FDs across orders/lineitem/events.
+  //
+  // Scale shape: per pair, one value-grain groupBy (lhs, rhs) with
+  // map-side combine, then an lhs-grain re-aggregation — both bounded
+  // by VALUE cardinality, not corpus rows (the profiler class); the
+  // final row is a 1-row global agg. All-integer arithmetic, so the
+  // oracle replays exactly.
+  /** Library API: audit lhs → rhs over `df`; one row of FD statistics
+    * ((rows, lhs values, (lhs, rhs) pairs, g3 violations as ppm,
+    * holds)). */
+  def fdAudit(df: DataFrame, lhs: Column, rhs: Column,
+      tbl: String, lname: String, rname: String): DataFrame =
+    df.groupBy(lhs.as("__l"), rhs.as("__r")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__l")).agg(sum(col("__c")).as("__n"),
+        max(col("__c")).as("__m"), count(lit(1)).as("__k"))
+      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_lhs"),
+        sum(col("__k")).as("n_pairs"),
+        sum(col("__n") - col("__m")).as("viol"))
+      .select(lit(tbl).as("tbl"), lit(lname).as("lhs"), lit(rname).as("rhs"),
+        col("n_rows"), col("n_lhs"), col("n_pairs"),
+        expr("viol * 1000000 div n_rows").as("viol_ppm"),
+        (col("viol") === 0L).as("holds"))
+
+  def c20(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+    Seq(
+      fdAudit(nat, col("n_nationkey"), col("n_regionkey"),
+        "nation", "n_nationkey", "n_regionkey"),
+      fdAudit(nat, col("n_regionkey"), col("n_nationkey"),
+        "nation", "n_regionkey", "n_nationkey"),
+      fdAudit(Tables.orders(s, dir), col("o_custkey"), col("o_orderpriority"),
+        "orders", "o_custkey", "o_orderpriority"),
+      fdAudit(Tables.lineitem(s, dir), col("l_orderkey"), col("l_shipdate"),
+        "lineitem", "l_orderkey", "l_shipdate"),
+      fdAudit(Tables.events(s, dir), col("user_id"), col("event_type"),
+        "events", "user_id", "event_type"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("tbl"), col("lhs"), col("rhs"))
+  }
+
+  /** DuckDB twin: the identical two-level count rollup per pair. */
+  val c20Sql: String = {
+    def one(tbl: String, l: String, r: String): String =
+      s"""SELECT '$tbl' AS tbl, '$l' AS lhs, '$r' AS rhs,
+         |  CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_lhs,
+         |  CAST(sum(k) AS BIGINT) AS n_pairs,
+         |  CAST(sum(n) - sum(m) AS BIGINT) * 1000000
+         |    // CAST(sum(n) AS BIGINT) AS viol_ppm,
+         |  (sum(n) - sum(m)) = 0 AS holds
+         |FROM (SELECT l, sum(c) AS n, max(c) AS m, count(*) AS k FROM
+         |  (SELECT $l AS l, $r AS r, count(*) AS c FROM $tbl GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    Seq(one("nation", "n_nationkey", "n_regionkey"),
+      one("nation", "n_regionkey", "n_nationkey"),
+      one("orders", "o_custkey", "o_orderpriority"),
+      one("lineitem", "l_orderkey", "l_shipdate"),
+      one("events", "user_id", "event_type"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_fd_audit" -> (c20 _),
     "c19_entropy_profile" -> (c19 _),
     "c18_quantile_sketch_error" -> (c18 _),
     "c17_amount_audit" -> (c17 _),
@@ -898,6 +971,7 @@ object Cleaning {
     "c10_type_infer" -> (c10 _))
 
   def oracles: Map[String, String] = Map(
+    "c20_fd_audit" -> c20Sql,
     "c19_entropy_profile" -> c19Sql,
     "c18_quantile_sketch_error" -> c18Sql,
     "c17_amount_audit" -> c17Sql,

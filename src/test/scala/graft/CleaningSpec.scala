@@ -691,4 +691,32 @@ class CleaningSpec extends SparkSuite {
     assert(rows.length === 5)
     assert(rows.forall(_.getAs[Boolean]("within_bound")))
   }
+
+  test("c20 fdAudit: g3 repair metric exact on a hand-built frame; key FD holds, its inverse is 800k ppm") {
+    import spark.implicits._
+    // lhs a: rhs counts {x: 3, y: 1} -> 1 repair; lhs b: {x: 2} -> 0;
+    // n = 6, g3 = 1, ppm = 166666 (integer div)
+    val f = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x")).toDF("l", "r")
+    val audit = operators.Cleaning.fdAudit(f, col("l"), col("r"), "t", "l", "r")
+      .collect().head
+    assert(audit.getAs[Long]("n_rows") === 6L)
+    assert(audit.getAs[Long]("n_lhs") === 2L)
+    assert(audit.getAs[Long]("n_pairs") === 3L)
+    assert(audit.getAs[Long]("viol_ppm") === 166666L)
+    assert(!audit.getAs[Boolean]("holds"))
+    // an exact FD audits to zero violations
+    val exact = operators.Cleaning.fdAudit(
+        Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("l", "r"),
+        col("l"), col("r"), "t", "l", "r").collect().head
+    assert(exact.getAs[Long]("viol_ppm") === 0L && exact.getAs[Boolean]("holds"))
+    // the registered key: a candidate key determines everything
+    // (nation key -> region holds) while 5 regions cannot determine
+    // 25 nations (g3 = 20/25 = 800k ppm exactly)
+    val reg = operators.Cleaning.c20(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    assert(reg(("n_nationkey", "n_regionkey")).getAs[Boolean]("holds"))
+    val inv = reg(("n_regionkey", "n_nationkey"))
+    assert(!inv.getAs[Boolean]("holds") && inv.getAs[Long]("viol_ppm") === 800000L)
+  }
 }
