@@ -18,7 +18,7 @@ import graft.operators._
   *  - s1–s19   operators/Similarity.scala  (top-k, LSH, IVF, kNN, stats, MIPS, range search, filtered top-k, SQ8 rerank, recall audit, PQ-ADC, sized kNN join + dials form, IVF recall, norm-augmented MIPS ANN, PQ recall audit, MMR rerank, learned spherical-k-means PQ, BM25+cosine RRF hybrid retrieval)
   *  - mm1–mm11 operators/Multimodal.scala  (binary payloads, header decode, frames, modality stats, payload dedup, shard plan, decode budget, pHash near-dup, WAV/MP4 header walks, fixed-grid + content-defined chunk dedup)
   *  - st1–st24 streaming/Streams.scala     (windows, dedup, sessions ×3, interval join ×2, streaming as-of, top-k, enrichment, rate limit, MERGE sink, PSI drift monitor, rollup sink, quota admission, incremental-dedup admission, incremental distinct, late-drop accounting, histogram-quantile sink, streaming KMV distinct, composed streaming curate, durable-store time travel + version diff + mid-stream schema evolution)
-  *  - i1–i14   operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff, incremental/retraction-aware rollup maintenance, incremental distinct, bucketed-layout join gate, compaction planning + execution, z-order layout planning + physical apply, schema-evolved MERGE, versioned-store vacuum execution)
+  *  - i1–i15   operators/Upsert.scala      (MERGE upsert, SCD2 history build + incremental apply, CDC snapshot diff + tombstone apply, incremental/retraction-aware rollup maintenance, incremental distinct, bucketed-layout join gate, compaction planning + execution, z-order layout planning + physical apply, schema-evolved MERGE, versioned-store vacuum execution)
   *  - q47      operators/Skew.scala        (Count-Min hot-key audit deciding q19's salt factor)
   *  - e2e_curate / e2e_curate_full / e2e_curate_fixed Corpus.scala (the composed curation pipeline — 10 gated stages / all 13 with the trained+learned stages / all 13 with portable stand-ins in the engine-specific slots so the full composition is oracle-gated; per-stage attrition ledger)
   *  - e2e_clean  Pipeline.scala            (the reference's clean_data chain, whole-frame hash gate)

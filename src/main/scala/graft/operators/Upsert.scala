@@ -170,6 +170,30 @@ object Upsert {
         compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Apply a [[cdcDiff]]-shaped change stream to the snapshot it was
+    * diffed FROM — the inverse direction, and the consumer side of
+    * every CDC pipeline (a downstream table replaying an upstream's
+    * changelog instead of re-scanning the upstream). Semantics: every
+    * changed key's old row is superseded (DELETE removes it, INSERT/
+    * UPDATE replace it with the `new_*` values); untouched keys pass
+    * through. The defining algebraic property — pinned generically by
+    * UpsertSpec and through the oracle gate by i15 —
+    * is the ROUNDTRIP: `cdcApply(A, cdcDiff(A, B)) == B` for any two
+    * key-unique snapshots, deletes included.
+    *
+    * Scale shape: one key-co-partitioned anti-join (snapshot vs the
+    * changes' key set) plus a union with the changes-sized upsert
+    * frame — O(|snap| + |changes|), one key shuffle, never history. */
+  def cdcApply(snap: DataFrame, changes: DataFrame, keys: Seq[String],
+      compare: Seq[String]): DataFrame = {
+    val touched = changes.select(keys.map(col): _*)
+    val upserts = changes.filter(col("op") =!= "DELETE")
+      .select(keys.map(col) ++ compare.map(c => col(s"new_$c").as(c)): _*)
+    snap.select((keys ++ compare).map(col): _*)
+      .join(touched, keys, "left_anti")
+      .unionByName(upserts)
+  }
+
   /** Mergeable per-key rollup state — the aggregate-table twin of
     * [[scd2Apply]]: a warehouse summary (count / non-null count /
     * sum / min / max per key) that an incremental batch can refresh
@@ -1266,7 +1290,58 @@ object Upsert {
       |FROM (VALUES (0), (1), (2)) t(v) CROSS JOIN agg a
       |ORDER BY version""".stripMargin
 
+  // -------------------------------------------------------------------
+  // i15: CDC APPLY with the DELETE path through the gate — i4 emits
+  // the changelog; i15 is the consumer replaying one, and with
+  // time-cut snapshots of an append-only log DELETE cannot occur
+  // (i4's documented gap: "the DELETE path is exercised by UpsertSpec
+  // on explicit frames" — spec-only until now). The registered
+  // scenario makes deletes REAL with the erasure semantics a
+  // training-data pipeline actually runs (right-to-be-forgotten /
+  // opt-out propagation): the target snapshot drops every user with
+  // user_id % 7 == 0, so cdcDiff(snapA, snapB) carries genuine
+  // DELETE rows beside the post-cutoff INSERTs/UPDATEs, and cdcApply
+  // must remove exactly those keys while upserting the rest. The gate
+  // compares the APPLIED snapshot against the oracle's direct rebuild
+  // (the full-log window minus the erased users) — the roundtrip
+  // cdcApply(A, cdcDiff(A, B)) == B replayed cross-engine; UpsertSpec
+  // pins the same property generically on random frames and pins the
+  // op mix (all three ops present at the gated SFs). Scale: two keyed
+  // windows (the snapshots), one full-outer diff and one anti-join
+  // apply — all at user grain, one key shuffle each, never history.
+  def i15(s: SparkSession, dir: String): DataFrame = {
+    val purchases = changeLog(s, dir).filter(col("event_type") === "purchase")
+    // snapA additionally misses users ≡ 3 (mod 5) — a snapshot taken
+    // before those users onboarded — so the diff carries genuine
+    // INSERTs at every SF beside the erasure DELETEs and the
+    // post-cutoff UPDATEs (UpsertSpec pins all three ops present)
+    val snapA = latestSnapshot(purchases.filter(col("ms") < CutoffMs),
+        Seq("user_id"), Seq(col("ms"), col("event_id")))
+      .filter(col("user_id") % 5 =!= 3)
+      .select(col("user_id"), col("value"))
+    val snapB = latestSnapshot(purchases,
+        Seq("user_id"), Seq(col("ms"), col("event_id")))
+      .filter(col("user_id") % 7 =!= 0) // the erasure list
+      .select(col("user_id"), col("value"))
+    cdcApply(snapA, cdcDiff(snapA, snapB, Seq("user_id"), Seq("value")),
+        Seq("user_id"), Seq("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB twin: the applied snapshot rebuilt directly — the
+    * full-log latest-per-user window minus the erased users. Any
+    * mis-applied op flips it: a surviving erased user, a dropped
+    * INSERT, or a stale UPDATE value all change rows. */
+  val i15Sql: String =
+    s"""SELECT user_id, value FROM (
+       |  SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+       |  FROM events WHERE event_type = 'purchase')
+       |WHERE rn = 1 AND user_id % 7 <> 0
+       |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i15_cdc_apply" -> (i15 _),
     "i14_vacuum_apply" -> (i14 _),
     "i13_zorder_apply" -> (i13 _),
     "i12_schema_merge" -> (i12 _),
@@ -1283,6 +1358,7 @@ object Upsert {
     "i6_inc_distinct" -> (i6 _))
 
   def oracles: Map[String, String] = Map(
+    "i15_cdc_apply" -> i15Sql, // roundtrip: apply(A, diff(A,B)) == B, deletes real
     "i14_vacuum_apply" -> i14Sql, // expired rows constant-null, survivor == full-log fold
     "i13_zorder_apply" -> i13Sql, // plan SQL + n_total: written == planned
     "i12_schema_merge" -> i12Sql,

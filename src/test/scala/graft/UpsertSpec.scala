@@ -559,6 +559,40 @@ class UpsertSpec extends SparkSuite {
       s"z-order scanned ${scanned(zFiles)} rows vs linear ${scanned(lFiles)}")
   }
 
+  test("i15 cdcApply roundtrip: apply(A, diff(A, B)) == B on seeded random snapshots with deletes; registered op mix has all three ops") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      // random key-unique snapshots with guaranteed inserts, updates,
+      // deletes, and untouched keys
+      def snap(keys: Seq[Long]) =
+        keys.map(k => (k, rnd.nextInt(100).toDouble)).toDF("k", "v")
+      val aKeys = (1L to 40L).filter(_ => rnd.nextBoolean())
+      val bKeys = (1L to 40L).filter(_ => rnd.nextBoolean())
+      val a = snap(aKeys)
+      val b = snap(bKeys)
+      val applied = Upsert.cdcApply(a,
+        Upsert.cdcDiff(a, b, Seq("k"), Seq("v")), Seq("k"), Seq("v"))
+      assert(applied.orderBy(col("k")).collect().map(_.toSeq).toSeq ===
+        b.orderBy(col("k")).collect().map(_.toSeq).toSeq,
+        s"trial $trial: roundtrip diverged")
+    }
+    // the registered erasure scenario carries ALL THREE ops (the
+    // whole point: i4's append-only instantiation can never DELETE)
+    val purchases = log.filter(col("event_type") === "purchase")
+    val snapA = Upsert.latestSnapshot(purchases.filter(col("ms") < Upsert.CutoffMs),
+        Seq("user_id"), Seq(col("ms"), col("event_id")))
+      .filter(col("user_id") % 5 =!= 3).select(col("user_id"), col("value"))
+    val snapB = Upsert.latestSnapshot(purchases,
+        Seq("user_id"), Seq(col("ms"), col("event_id")))
+      .filter(col("user_id") % 7 =!= 0).select(col("user_id"), col("value"))
+    val ops = Upsert.cdcDiff(snapA, snapB, Seq("user_id"), Seq("value"))
+      .groupBy(col("op")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops.keySet === Set("INSERT", "UPDATE", "DELETE"),
+      s"registered scenario must exercise all ops, got $ops")
+  }
+
   test("i14 vacuum: delta-only store reclaims 0 bytes, compacted store reclaims > 0, expired versions flip to None, survivor content exact, idempotent") {
     import graft.streaming.DurableSinks.DurableUpsertSink
     import spark.implicits._
