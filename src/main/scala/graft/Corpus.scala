@@ -220,12 +220,21 @@ object Corpus {
         case None =>
           base.withColumn("f_repetition", col("f_model") && col("__dup_ok")).drop("__dup_ok")
         case Some(m) =>
+          // the drop SET is tiny (only docs over the frac) at any
+          // scale — cutting it keeps the flag spine's analysis tree
+          // linear (an uncut drop subtree embeds a second copy of the
+          // whole upstream pipeline in every later stage's plan; the
+          // composed ledger's DataFrame CONSTRUCTION alone measured
+          // 9.6 s of driver-side Catalyst analysis before the r18
+          // aux-frame cuts, guide §3.3/§7.3 "planning time itself can
+          // become the bottleneck")
           val drops = base.filter(col("f_model"))
             .select(id.as("__rid"), explode(tokens(col(textCol))).as("__tok"))
             .groupBy(col("__rid"), col("__tok")).agg(count(lit(1)).as("__cnt"))
             .groupBy(col("__rid"))
             .agg((max(col("__cnt")).cast("double") / sum(col("__cnt"))).as("__ttf"))
             .filter(col("__ttf") > m).select(col("__rid").as("__rdrop"))
+            .cutLineage(eager = false)
           base.join(drops, id === col("__rdrop"), "left")
             .withColumn("f_repetition",
               col("f_model") && col("__dup_ok") && col("__rdrop").isNull)
@@ -279,23 +288,33 @@ object Corpus {
         val tfAll = toks.rollup(col("__tok")).agg(count(lit(1)).as("__tf"))
         val tf = tfAll.filter(col("__tok").isNotNull)
         val total = tfAll.filter(col("__tok").isNull).select(col("__tf").as("__total"))
+        // drop set cut for the same linear-analysis reason as the
+        // repetition stage's (tiny output: ids below the LM floor)
         val drops = toks.join(tf, Seq("__tok")).crossJoin(broadcast(total))
           .groupBy(col("__lid"))
           .agg((avg(log10(col("__tf").cast("double"))) -
             first(log10(col("__total").cast("double")))).as("__lp"))
           .filter(col("__lp") < minLp).select(col("__lid").as("__ldrop"))
+          .cutLineage(eager = false)
         flaggedL.join(drops, id === col("__ldrop"), "left")
           .withColumn("f_lm", col("f_lang") && col("__ldrop").isNull)
           .drop("__ldrop")
     }
 
-    // stage 6: exact dedup among prior survivors — one shuffle on
-    // the 16-byte md5, keep-min id, flag joined back on the hash
-    val exactKeep = flaggedM.filter(col("f_lm"))
-      .select(md5(col(textCol)).as("__h"), id.as("__kid"))
-      .groupBy(col("__h")).agg(min(col("__kid")).as("__keep"))
+    // stage 6: exact dedup among prior survivors — keep-min id per
+    // 16-byte md5 group as ONE window over the hash (r18: was a
+    // groupBy(md5)+left-join-back, i.e. two shuffles on the same key
+    // and a second copy of the whole upstream pipeline in the join's
+    // right subtree; the window form is one exchange on __h and zero
+    // plan duplication — guide §2.4 "two operations keyed the same
+    // way can share one exchange", taken to its limit). min(when(
+    // f_lm, id)) over the hash partition is exactly the old keep set:
+    // NULL (no survivor in the group) makes f_exact false for every
+    // row, non-survivors fail the f_lm conjunct either way. Window
+    // partitions are duplicate groups — bounded at any scale.
+    val wExact = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     val flagged1 = flaggedM.withColumn("__h", md5(col(textCol)))
-      .join(exactKeep, Seq("__h"), "left")
+      .withColumn("__keep", min(when(col("f_lm"), id)).over(wExact))
       .withColumn("f_exact", col("f_lm") && col("__keep") === id)
       .drop("__h", "__keep")
 
@@ -343,6 +362,7 @@ object Corpus {
             cfg.semanticK, cfg.semanticTau, seedHash = cfg.semanticSeedHash,
             annProbes = cfg.semanticAnnProbes, collapseExact = false)
           .filter(!col("kept")).select(col("id").as("__sdrop"))
+          .cutLineage(eager = false) // tiny drop set, linear analysis
         flagged2.join(drops, id === col("__sdrop"), "left")
           .withColumn("f_semdup", col("f_neardup") && col("__sdrop").isNull)
           .drop("__sdrop")
@@ -358,6 +378,7 @@ object Corpus {
             ev, flaggedSem.filter(col("f_semdup")).select(id, col(textCol)),
             textCol, idCol, cfg.ngramK)
           .filter(col("contaminated")).select(col("id").as("__cid"))
+          .cutLineage(eager = false) // tiny drop set, linear analysis
         flaggedSem.join(contaminated, id === col("__cid"), "left")
           .withColumn("f_clean", col("f_semdup") && col("__cid").isNull)
           .drop("__cid")
@@ -372,6 +393,7 @@ object Corpus {
           .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n_c"))
         val thr = counts.select(col(sourceCol),
           expr(s"(${graft.functions.Sampling.Buckets}L * least(${target}L, __n_c)) div __n_c").as("__thr"))
+          .cutLineage(eager = false) // O(#sources) rows, linear analysis
         // Sampling.bucket is the ONE sampler hash (m15/m16's);
         // sampleIdHash (default xxhash64) pre-keys so non-integer id
         // columns still key deterministically.
@@ -397,6 +419,7 @@ object Corpus {
             round(qualityScore(col(textCol)), 6).as("__q"))
           .withColumn("__cum", coalesce(sum(col("__btok")).over(w), lit(0L)))
           .filter(col("__cum") >= b).select(col("__bid").as("__bdrop"))
+          .cutLineage(eager = false) // tiny drop set, linear analysis
         flagged4.join(drops, id === col("__bdrop"), "left")
           .withColumn("f_budget", col("f_sampled") && col("__bdrop").isNull)
           .drop("__bdrop")

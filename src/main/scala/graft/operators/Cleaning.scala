@@ -33,8 +33,10 @@ object Cleaning {
   // columns with no common grain, so the only Expand-free exact
   // alternative is one scan PER column. PLANS.md "Round-5 Expand
   // audit".)
+  // r18: spread the scan (one-row-group testdata fused the Expand ×6
+  // partial agg into ONE 2.2 s task — Tables.spread's rationale).
   def c1(s: SparkSession, dir: String): DataFrame =
-    profile(Tables.orders(s, dir),
+    profile(Tables.spread(Tables.orders(s, dir)),
       numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
       strCols = Seq("o_orderstatus", "o_orderpriority"),
       exact = true)
@@ -72,7 +74,10 @@ object Cleaning {
         lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
         col(s"${c}__mns").as("min_str"), col(s"${c}__mxs").as("max_str")))
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
-      .orderBy(col("col_name"))
+      // one row per profiled column — bounded output; 1-task sort
+      // instead of orderBy so the range sampler doesn't re-execute
+      // the exact-distinct merge (q18's rationale)
+      .repartition(1).sortWithinPartitions(col("col_name"))
   }
 
   val c1Sql: String =

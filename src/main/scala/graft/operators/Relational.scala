@@ -334,8 +334,11 @@ object Relational {
   // run the default. Both engines interpolate at rank q*(n-1)
   // (type-7); round(…,6) absorbs the last-ulp formula difference.
   // Ref: /root/reference/main.py:154-160 (describe() percentiles).
+  // r18: spread the scan (Tables.spread — the testdata's one-row-group
+  // file fused the whole percentile-map build into ONE task: 3.0 s of
+  // task time on one core, measured by JobProfile before the fix).
   def q18(s: SparkSession, dir: String): DataFrame =
-    groupQuantiles(Tables.lineitem(s, dir), exact = true)
+    groupQuantiles(Tables.spread(Tables.lineitem(s, dir)), exact = true)
 
   /** q18's shape as the user-facing operator: per-returnflag price
     * quartiles + median quantity. `exact = false` (the default) is
@@ -349,7 +352,13 @@ object Relational {
         round(quantile(col("l_extendedprice"), 0.75, exact), 6).as("price_p75"),
         round(quantile(col("l_quantity"), 0.5, exact), 6).as("qty_p50"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("l_returnflag"))
+      // single-partition sort, NOT orderBy: the output is one row per
+      // returnflag (bounded at any scale), but orderBy's range
+      // partitioner SAMPLES its child — re-executing the expensive
+      // percentile-map merge a second time (measured: two back-to-back
+      // 1.6 s jobs both reading the same 16 MB agg shuffle). A 1-task
+      // round-robin exchange needs no sample; the merge runs once.
+      .repartition(1).sortWithinPartitions(col("l_returnflag"))
   }
 
   val q18Sql: String =
