@@ -251,7 +251,9 @@ object Dedup {
   // In production the pairs come from minhashCandidatePairs; the
   // Jaccard verify step is identical.
   def d2(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    // Tables.spread: the shingle build is scan-fused (one-row-group
+    // testdata -> single task without it)
+    val d = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -364,7 +366,7 @@ object Dedup {
   // near-dup candidates come from hamming-ball bucketing on hash
   // prefixes, same shape as d3.
   def d4(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.spread(Tables.documents(s, dir)) // scan-fused simhash
       .select(col("doc_id"), simhash16(tokenCodes(col("text"))).as("sim"))
     val a = d.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
@@ -487,7 +489,9 @@ object Dedup {
   // sf0.01). The op every pretraining pipeline runs before an eval is
   // trusted.
   def d6(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // Tables.spread: the n-gram explode is scan-fused (0.9 s
+    // single-task job measured before the fix)
+    val docs = Tables.spread(Tables.documents(s, dir))
     val evalDocs = docs.filter(col("source").isin("src0", "src1"))
     val trainDocs = docs.filter(!col("source").isin("src0", "src1"))
     ngramContamination(trainDocs, evalDocs, "text", "doc_id", k = 5)
@@ -693,7 +697,7 @@ object Dedup {
   // DuckDB twin groups raw span strings — identical up to a 64-bit
   // hash collision (~1e-8 at 1M spans), d8's documented discipline.
   def d10(s: SparkSession, dir: String): DataFrame = {
-    val spans = Tables.documents(s, dir)
+    val spans = Tables.spread(Tables.documents(s, dir)) // scan-fused shingle explode
       .select(col("doc_id"),
         explode(array_distinct(shingles3(tokens(col("text"))))).as("span"))
       .select(col("doc_id"), xxhash64(col("span")).as("sh"))
@@ -2001,7 +2005,7 @@ object Dedup {
   private def ngCode(ng: Column): Column = fingerprint(tokenCodes(ng))
 
   def d19(s: SparkSession, dir: String): DataFrame =
-    bloomAudit(Tables.documents(s, dir), Seq("src0", "src1"))
+    bloomAudit(Tables.spread(Tables.documents(s, dir)), Seq("src0", "src1"))
 
   /** Library form of the audit (spec entry point for planted corpora):
     * `docs` needs (source, text); sources in `evalSources` are the
@@ -2009,15 +2013,20 @@ object Dedup {
   def bloomAudit(docs: DataFrame, evalSources: Seq[String]): DataFrame = {
     val g = docs.select(col("source"),
       explode(shinglesK(tokens(col("text")), 5)).as("ng"))
-    // ev feeds two join branches and tr three (the count scalar, the
-    // position set, the truth semi-join) — without a cut point each
-    // branch re-executes the tokenize+shingle scan (e2e_curate's
-    // round-15 lineage lesson). One checkpoint per side pays the scan
-    // once; at 100 TB set Config.lineageCut = ReliableCheckpoint.
-    val ev = g.filter(col("source").isin(evalSources: _*)).distinct()
+    // ONE distinct (source, ng) pass feeds both sides (r18: ev and tr
+    // used to be two independent cuts, so the tokenize+shingle explode
+    // — the audit's most expensive stage — materialized TWICE); the
+    // shared cut pays it once, and each side is a cheap filter of the
+    // checkpointed distinct set. The cut itself is the round-15
+    // lineage lesson: ev feeds two join branches and tr three (count
+    // scalar, position set, truth semi-join) — uncut, each branch
+    // re-executes the scan. At 100 TB set Config.lineageCut =
+    // ReliableCheckpoint.
+    val gd = g.distinct()
+      .withColumn("__ev", col("source").isin(evalSources: _*))
       .cutLineage(eager = false)
-    val tr = g.filter(!col("source").isin(evalSources: _*)).select(col("ng")).distinct()
-      .cutLineage(eager = false)
+    val ev = gd.filter(col("__ev")).select(col("source"), col("ng"))
+    val tr = gd.filter(!col("__ev")).select(col("ng")).distinct()
     val mExp = bloomBitsExp(tr.count()) // one plan-time scalar (sizedPlanes class)
     val mBits = 1L << mExp
     def posJ(code: Column, j: Int): Column =

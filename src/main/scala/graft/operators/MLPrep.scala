@@ -250,7 +250,7 @@ object MLPrep {
   private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   def m5(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    val li = Tables.spread(Tables.lineitem(s, dir)) // wide decimal moment aggs are scan-fused
     val pairs = for { i <- corrCols.indices; j <- corrCols.indices if i < j }
       yield (corrCols(i), corrCols(j))
     val aggs = Seq(count(lit(1)).as("n")) ++
@@ -747,7 +747,7 @@ object MLPrep {
   // data value (or exactly ON one, computed identically by both
   // engines) — a 1-ulp interpolation divergence can never flip a bin.
   def m17(s: SparkSession, dir: String): DataFrame =
-    quantileBin(Tables.orders(s, dir).select(col("o_totalprice")),
+    quantileBin(Tables.spread(Tables.orders(s, dir)).select(col("o_totalprice")),
       "o_totalprice", nBins = 4, exact = true)
       .withColumnRenamed("avg_value", "avg_price")
 
@@ -1500,7 +1500,7 @@ object MLPrep {
   private val CurveFractions = Seq(10, 25, 50, 100)
 
   def m28(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    val li = Tables.spread(Tables.lineitem(s, dir)) // wide curve aggs are scan-fused
       .withColumn("is_test", col("l_orderkey") % 5 === 0)
       .withColumn("__h", (col("l_orderkey") * 7 + col("l_linenumber")) % 100)
     def tr(f: Int) = !col("is_test") && col("__h") < f
@@ -1647,7 +1647,7 @@ object MLPrep {
 
   /** m29: 95% bootstrap CI of the mean purchase value. */
   def m29(s: SparkSession, dir: String): DataFrame =
-    bootstrapMeanCi(Tables.events(s, dir).filter(col("event_type") === "purchase"),
+    bootstrapMeanCi(Tables.spread(Tables.events(s, dir)).filter(col("event_type") === "purchase"),
       col("event_id"), col("value"))
 
   val m29Sql: String = {

@@ -299,7 +299,7 @@ object Relational {
   // Expand + hash-agg plan, one shuffle; grouping_id() disambiguates
   // real NULLs from subtotal slots in both engines.
   def q17(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
+    Tables.spread(Tables.lineitem(s, dir)) // cube's Expand x4 is scan-fused
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_items"), sumd(col("l_quantity")).as("sum_qty"),
         grouping_id().as("gid"))
@@ -1412,7 +1412,7 @@ object Relational {
   // no global sort), tie-broken deterministically on (count, p1, p2).
   def q36(s: SparkSession, dir: String): DataFrame = {
     val maxBasket = 100
-    val baskets = Tables.lineitem(s, dir)
+    val baskets = Tables.spread(Tables.lineitem(s, dir)) // scan-fused map side
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("__parts"))

@@ -95,7 +95,7 @@ object TextOps {
   // reordered near-dups that bag-of-words hashing misses), integer
   // arithmetic, identical mod chain in both engines.
   def t4(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir)) // scan-fused fingerprint
       .select(col("doc_id"), fingerprint(tokenCodes(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
   }
@@ -175,7 +175,10 @@ object TextOps {
   }
 
   def t5(s: SparkSession, dir: String): DataFrame = {
-    val seeded = Tables.documents(s, dir).withColumn("t",
+    // Tables.spread: the regex redaction passes are scan-fused and the
+    // one-row-group testdata pins them to a single task (two 0.7 s
+    // single-task jobs measured by JobProfile before the fix)
+    val seeded = Tables.spread(Tables.documents(s, dir)).withColumn("t",
       concat(col("text"), lit(" contact user"), col("doc_id"),
         lit("@example.com or 555-123-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
@@ -512,7 +515,7 @@ object TextOps {
   // by construction. Ties on the max count break lexicographically so
   // both engines pick the same token.
   def t9(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir)) // scan-fused token explode
     val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tok"))
@@ -1127,7 +1130,7 @@ object TextOps {
   // distinct terms, never a corpus aggregate. A stopword-ish hot term
   // fans out per (doc, term) ROW — linear, no quadratic blowup exists.
   def t16(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.spread(Tables.documents(s, dir)) // scan-fused token explode
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

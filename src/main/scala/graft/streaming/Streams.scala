@@ -1092,7 +1092,9 @@ object Streams {
   // against [[st16PairExact]], the spec-only pair-exact reference).
   def st16(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{shingles3, tokens}
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // Tables.spread: band keys + shingles are scan-fused (st21's rationale)
+    val docs = graft.Tables.spread(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
     val keys = graft.operators.Dedup.bandKeys(docs, "text", "doc_id")
     val bmin = keys.transform(graft.operators.Dedup.bucketHeads)
     val pairs = keys.select(col("band"), col("key"), col("id").as("id_new"))
@@ -1789,7 +1791,10 @@ object Streams {
   def st21(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{shingles3, tokens}
     val flagged = curateRowFlags(
-      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+      // Tables.spread: the gate flags (tokenize/quality/lang + md5) are
+      // scan-fused — single-task on the one-row-group testdata
+      graft.Tables.spread(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))))
     val ek = flagged.filter(col("gate_ok"))
       .select(col("__h"), col("doc_id").as("__kid"))
       .groupBy(col("__h")).agg(min(col("__kid")).as("__keep"))
