@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Per-test durations in the test log (-oD): suite wall time is a driver
+// gate (VERIFY runs `sbt test` under a budget), so every run should show
+// where the seconds go.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
 // Pass forked-run output straight through (no "[info] " logger prefix):
 // the bench driver parses a bare JSON line from the output tail.

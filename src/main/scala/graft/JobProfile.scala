@@ -14,7 +14,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length < 2) {
+      System.err.println("usage: runMain graft.JobProfile <sfDir> <query1>[,<query2>,...] [reps=2]")
+      sys.exit(2)
+    }
+    val dir = args.head
     val names = args(1).split(",").toSeq
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -27,19 +31,24 @@ object JobProfile {
         var shuffleRead: Long = 0L, var shuffleWrite: Long = 0L,
         var inputBytes: Long = 0L, var nTasks: Int = 0)
     val jobs = scala.collection.mutable.LinkedHashMap.empty[Int, Job]
+    val stageToJob = scala.collection.mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.synchronized {
         val desc = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
         jobs(js.jobId) = Job(js.jobId, js.time, desc)
+        // record the job's stage set so completed stages attribute by
+        // stageId, not "most recent job" (broadcast-exchange jobs and
+        // stages completing after the next job starts were misattributed)
+        js.stageInfos.foreach(si => stageToJob(si.stageId) = js.jobId)
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(je.jobId).foreach(j => j.wall = (je.time - j.t0) / 1e3)
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = jobs.synchronized {
         val m = sc.stageInfo.taskMetrics
-        // attribute the stage to the most recent still-open or last job
-        jobs.lastOption.foreach { case (_, j) =>
+        stageToJob.get(sc.stageInfo.stageId).flatMap(jobs.get)
+          .orElse(jobs.lastOption.map(_._2)).foreach { j =>
           j.taskTime += m.executorRunTime / 1e3
           j.shuffleRead += m.shuffleReadMetrics.totalBytesRead
           j.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
@@ -53,7 +62,7 @@ object JobProfile {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     names.foreach { name =>
       (1 to reps).foreach { r =>
-        jobs.synchronized(jobs.clear())
+        jobs.synchronized { jobs.clear(); stageToJob.clear() }
         spark.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, dir)

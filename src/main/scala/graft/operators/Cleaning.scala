@@ -796,10 +796,15 @@ object Cleaning {
   }
 
   def c18(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.spread(Tables.events(s, dir)) // exact-quantile maps are scan-fused
+    // NO Tables.spread here (r19): the r18 spread regressed c18 at
+    // matched cores on an idle machine (raw 1.40 → 2.12 at c32 vs
+    // r17, the round-18 ADVICE flag) — the key runs FIVE
+    // quantileSketchError sites, so the two spread exchanges fan into
+    // ~25 AQE jobs and fixed per-job overhead swamps the scan win.
+    val ev = Tables.events(s, dir)
     val c2dist = ev.filter(col("event_type") =!= "error")
       .select(col("value").as("v"))
-    val liQty = Tables.spread(Tables.lineitem(s, dir))
+    val liQty = Tables.lineitem(s, dir)
       .select(col("l_quantity").cast("double").as("v"))
     val evAll = ev.select(col("value").as("v")).filter(col("v").isNotNull)
     val evMed = evAll.agg(

@@ -2026,7 +2026,12 @@ object Dedup {
       .withColumn("__ev", col("source").isin(evalSources: _*))
       .cutLineage(eager = false)
     val ev = gd.filter(col("__ev")).select(col("source"), col("ng"))
+    // tr feeds THREE consumers (the count scalar below, the position
+    // set, the truth semi-join) — uncut, its distinct shuffle re-runs
+    // per consumer (round-18 ADVICE). The count() is the first action,
+    // so the lazy cut materializes there and the joins read it back.
     val tr = gd.filter(!col("__ev")).select(col("ng")).distinct()
+      .cutLineage(eager = false)
     val mExp = bloomBitsExp(tr.count()) // one plan-time scalar (sizedPlanes class)
     val mBits = 1L << mExp
     def posJ(code: Column, j: Int): Column =

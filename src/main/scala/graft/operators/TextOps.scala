@@ -515,7 +515,12 @@ object TextOps {
   // by construction. Ties on the max count break lexicographically so
   // both engines pick the same token.
   def t9(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(s, dir)) // scan-fused token explode
+    // NO Tables.spread here (r19): the r18 spread regressed t9 at
+    // matched cores on an idle machine (raw 1.01 → 1.85 at c32 vs
+    // r17) — the two consumers (token counts, trigram agg) each add
+    // an AQE stage behind the repartition and the per-job overhead
+    // outweighs the single-task scan it fixes at this shape.
+    val docs = Tables.documents(s, dir)
     val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tok"))
@@ -1130,7 +1135,12 @@ object TextOps {
   // distinct terms, never a corpus aggregate. A stopword-ish hot term
   // fans out per (doc, term) ROW — linear, no quadratic blowup exists.
   def t16(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(Tables.documents(s, dir)) // scan-fused token explode
+    // NO Tables.spread here (r19): the r18 spread regressed t16 3× at
+    // matched cores on an idle machine (raw 0.76 → 2.35 at c32 vs
+    // r17) — tf feeds two consumers, so the spread exchange and its
+    // extra AQE stages run in both branches and the job-count overhead
+    // dominates the single-task scan it was meant to fix.
+    val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

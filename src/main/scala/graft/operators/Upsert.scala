@@ -712,15 +712,22 @@ object Upsert {
     lastI8Tables = Some((ordersTbl, lineitemTbl))
     resetManagedTable(s, ordersTbl)
     resetManagedTable(s, lineitemTbl)
-    // Tables.spread: the bucketed WRITES are scan-fused (2.5 s of
-    // near-single-task write measured before the fix); more write
-    // tasks mean more files per bucket, which bucketed reads handle
+    // Parallelize the scan-fused bucketed writes by repartitioning ON
+    // THE BUCKET COLUMN to exactly nBuckets (guide §6): each write
+    // task then holds one bucket's rows, producing ONE file per bucket
+    // with the sortBy(bucketCol) layout intact. The r18 round-robin
+    // spread here multiplied files-per-bucket (N write tasks × 8
+    // buckets) and the downstream bucketed join re-inserted sorts —
+    // i8 slowed at both core counts (r18 c32 raw 2.00→4.22). The
+    // bucket-keyed exchange still lifts the write off a single task.
     graft.sources.Ingest.writeBucketed(
-      Tables.spread(Tables.orders(s, dir)).select(col("o_orderkey"), col("o_orderpriority")),
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey")),
       ordersTbl, "o_orderkey", 8)
     graft.sources.Ingest.writeBucketed(
-      Tables.spread(Tables.lineitem(s, dir))
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(8, col("l_orderkey")),
       lineitemTbl, "l_orderkey", 8)
     // lease the new table dirs (see gcI8Tables doc) and keep them
     // fresh from the daemon heartbeat while this JVM lives
