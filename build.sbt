@@ -14,6 +14,34 @@ Test / fork := true
 // gate (VERIFY runs `sbt test` under a budget), so every run should show
 // where the seconds go.
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+// Suite wall time is a hard driver gate (the r18 run was KILLED mid-suite
+// at its time budget, VERIFY_r18 tests_ok=false). The suites are
+// independent — each forked JVM builds its own SparkSession/warehouse —
+// so run them as FOUR forked groups in parallel (guide §2.6's
+// overlap-independent-jobs, applied to the test harness). Groups are
+// balanced by measured suite wall (PipelineSpec alone is ~1/3 of the
+// suite); parallel SESSIONS avoid the shared-conf races that parallel
+// suites inside ONE session would have (several suites mutate and
+// restore spark.sql.shuffle.partitions / adaptive.enabled).
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  def groupOf(n: String): Int = n.stripPrefix("graft.") match {
+    case "PipelineSpec" => 0
+    case "StreamingSpec" | "StreamingRecoverySpec" | "LineageCutSpec" |
+         "ArtifactsSpec" | "IngestSpec" => 1
+    case "TextDedupSpec" | "CorpusSpec" | "SimilaritySpec" |
+         "SkewStressSpec" | "ScaleAuditSpec" => 2
+    case _ => 3
+  }
+  tests.groupBy(t => groupOf(t.name)).toSeq.sortBy(_._1).map { case (g, ts) =>
+    Tests.Group(s"group$g", ts,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors()))
 run / fork := true
 // Pass forked-run output straight through (no "[info] " logger prefix):
 // the bench driver parses a bare JSON line from the output tail.

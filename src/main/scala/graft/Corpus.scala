@@ -313,10 +313,15 @@ object Corpus {
     // row, non-survivors fail the f_lm conjunct either way. Window
     // partitions are duplicate groups — bounded at any scale.
     val wExact = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    // flagged1 feeds THREE consumers (the near-dup candidate build,
+    // the shingle frame, and the continuing spine) — cut it so the
+    // md5-window exchange + the LM drop join run once, not per branch
+    // (r19; same one-checkpoint rule as flaggedL above).
     val flagged1 = flaggedM.withColumn("__h", md5(col(textCol)))
       .withColumn("__keep", min(when(col("f_lm"), id)).over(wExact))
       .withColumn("f_exact", col("f_lm") && col("__keep") === id)
       .drop("__h", "__keep")
+      .cutLineage(eager = false)
 
     // stage 7: near-dup dedup among exact survivors — LSH candidates,
     // exact Jaccard verify, connected components, drop non-minima
@@ -347,7 +352,7 @@ object Corpus {
         // without this the quality/LM/dedup stages re-execute per
         // k-means iteration (connectedComponents' own lesson)
         val embSurv = emb.join(surv, emb(idCol) === col("__eid")).drop("__eid")
-          .cutLineage()
+          .cutLineage(eager = false)
         // collapseExact = false — a perf choice, stated precisely:
         // stage 5's exact dedup removes byte-identical TEXTS, and this
         // corpus's embeddings are text-derived, so byte-identical

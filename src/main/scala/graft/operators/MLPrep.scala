@@ -338,12 +338,17 @@ object MLPrep {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.regression.RandomForestRegressor
     val feats = Array("l_quantity", "l_discount", "l_tax")
-    val li = graft.functions.Sampling.capTrainingSample(
+    // Tables.spread (r19, same rationale as m14): the ≤4-partition
+    // scan serialized every tree's bagging + split-finding jobs.
+    // Rows-only key (3 feature rows): RF bootstrap sampling is
+    // per-partition seeded, so importances move slightly while the
+    // output stays 3 rows × same schema.
+    val li = Tables.spread(graft.functions.Sampling.capTrainingSample(
       Tables.lineitem(s, dir).select(
         (feats.map(col) :+ col("l_extendedprice").as("label") :+
           col("l_orderkey") :+ col("l_linenumber")).toSeq: _*),
       TrainCap, col("l_orderkey"), col("l_linenumber"))
-      .drop("l_orderkey", "l_linenumber")
+      .drop("l_orderkey", "l_linenumber"))
     val assembled = new VectorAssembler()
       .setInputCols(feats).setOutputCol("features").transform(li)
     val model = new RandomForestRegressor()
@@ -616,6 +621,16 @@ object MLPrep {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     // capped like m7: the CV grid trains 2 points × 3 folds, so an
     // uncapped pass pays 6 linear-in-corpus LBFGS fits
+    // NO Tables.spread here (r19, tried and MEASURED both ways): the
+    // r18 VERDICT asked for concurrent grid training; spreading the
+    // capped sample to 32 partitions REGRESSED m14 2x (9.5 -> 18.6 s
+    // idle c32 bench) — each LBFGS iteration over a ~30k-row cached
+    // fold is sub-millisecond per task, so 32 tasks × ~20 iterations ×
+    // 6 concurrent fits is pure scheduler overhead (guide §2.2's
+    // many-tiny-tasks failure, the mirror image of m7 where the same
+    // spread WINS 1.75x because RF split-finding jobs are heavy).
+    // The win that survives measurement is fitting all 6 fold×grid
+    // models concurrently (setParallelism(6) below, guide §2.6).
     val li = graft.functions.Sampling.capTrainingSample(
       Tables.lineitem(s, dir)
         .select(col("l_quantity"), col("l_discount"), col("l_tax"),
@@ -623,9 +638,15 @@ object MLPrep {
           col("l_orderkey"), col("l_linenumber")),
       TrainCap, col("l_orderkey"), col("l_linenumber"))
       .drop("l_orderkey", "l_linenumber")
+    // cache the assembled frame for the fit's duration: CrossValidator
+    // materializes 3×2 fold caches from it, and uncached each
+    // materialization re-runs the parquet scan + assemble (measured:
+    // six 46 MB scan jobs per fit). Unpersisted right after fit — the
+    // cache must not outlive this call (a later identical plan would
+    // silently reuse it across bench runs).
     val assembled = new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
-      .setOutputCol("features").transform(li)
+      .setOutputCol("features").transform(li).cache()
     val lr = new LogisticRegression().setMaxIter(20)
     val grid = new ParamGridBuilder()
       .addGrid(lr.regParam, Array(0.1, 0.01)).build()
@@ -633,8 +654,10 @@ object MLPrep {
       .setEstimator(lr)
       .setEvaluator(new BinaryClassificationEvaluator().setMetricName("areaUnderROC"))
       .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42)
-      .setParallelism(4) // fit grid points concurrently; local[32] has headroom
-    val model = cv.fit(assembled)
+      // all 6 (fold × grid-point) models concurrently (was 4): each fit
+      // is a chain of small jobs; overlap fills the scheduling gaps
+      .setParallelism(6)
+    val model = try cv.fit(assembled) finally assembled.unpersist(blocking = false)
     val rows = grid.zip(model.avgMetrics).map { case (pm, metric) =>
       (pm.get(lr.regParam).get, math.rint(metric * 1e6) / 1e6) }
     val best = rows.maxBy(_._2)._1

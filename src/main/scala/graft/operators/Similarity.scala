@@ -188,13 +188,20 @@ object Similarity {
       // byte decision ([[annBroadcastOk]]); -1 assumes [[AnnAssumedDim]].
       dim: Int = -1): DataFrame = {
     val s = corpus.sparkSession
+    // eager = false on every cut in this loop (r19): each Lloyd
+    // iteration is inherently sequential, so an EAGER checkpoint adds
+    // a dedicated materialization job per iteration — at bench scale
+    // d17 ran 38 one-task jobs whose fixed overhead dominated the key.
+    // A lazy cut truncates the plan identically but materializes
+    // INSIDE the next iteration's first job (one job boundary per
+    // iteration instead of two). Semantics unchanged (LineageCutSpec).
     var cents = corpus.select(col("id"), col("embedding"))
       .withColumn("__h", seedHash(col("id")))
       .orderBy(col("__h"), col("id")).limit(k)
       .withColumn("cid",
         row_number().over(Window.orderBy(col("__h"), col("id"))).cast("long") - 1)
       .select(col("cid"), col("embedding").as("cemb"))
-      .cutLineage()
+      .cutLineage(eager = false)
     val annPlanes = sizedPlanes(k.toLong, 8)
     for (_ <- 1 to iters) {
       val assigned = annProbes match {
@@ -221,7 +228,7 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("cemb"))
-        .cutLineage()
+        .cutLineage(eager = false)
     }
     cents.select(col("cid").as("id"), col("cemb").as("embedding"))
   }

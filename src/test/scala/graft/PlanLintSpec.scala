@@ -6,9 +6,16 @@ import org.apache.spark.sql.functions._
   * the automated version of the PLANS.md audit. */
 class PlanLintSpec extends SparkSuite {
 
+  /** Every inventory query built ONCE and shared by the whole-inventory
+    * lints below: construction is not free (plan-time count() scalars,
+    * the trained keys' fits, i8's bucketed writes), and building all
+    * 214 frames per lint was most of this suite's wall time. */
+  private lazy val builtQueries: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) => n -> f(spark, sf) }
+
   test("no query plans a non-broadcast cartesian product") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+    val offenders = builtQueries.flatMap { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct")) Some(name) else None
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
@@ -55,8 +62,8 @@ class PlanLintSpec extends SparkSuite {
       "SF; m27's bound, same histogram)"))
 
   test("empty-partition windows appear ONLY in the audited allowlist") {
-    val have = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (emptySpecWindows(fn(spark, sf)) > 0) Some(name) else None
+    val have = builtQueries.flatMap { case (name, df) =>
+      if (emptySpecWindows(df) > 0) Some(name) else None
     }.toSet
     val unaudited = have -- auditedEmptySpecWindows.keySet
     assert(unaudited.isEmpty,

@@ -6,7 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[8] (was 4): the suite's MLlib fits and streaming
+      // micro-batches submit concurrent jobs (autoPipeline trains
+      // model families in parallel since r19) — 4 threads serialized
+      // them. shuffle.partitions STAYS 4: the fixtures are tiny, so
+      // wider exchanges only add task overhead; partition-sensitive
+      // tests set their own value and restore it.
+      .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
